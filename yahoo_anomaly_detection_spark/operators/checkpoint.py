@@ -1,0 +1,95 @@
+"""Checkpoint / resume + per-partition lineage and rollup metrics.
+
+North-rule component. Reference analog: best/current model
+checkpoints + resume via torch.load (SURVEY S4/S5,
+/root/reference/Learning/learn_autoencoder.py:135-147,
+/root/reference/Testing/lae_anm_detc.py:49).
+
+Model: a run is a list of (stage, partition_key) work units. Each
+completed unit commits one row to the ``_checkpoints`` table through
+the catalog (atomic snapshot commit). Re-running the same run_id
+skips completed units (longest-prefix skip generalized to any-prefix,
+since units are independent). Each completed unit also appends
+lineage rows: input snapshot id, bucket range, row counts — the
+north rule's "per-partition lineage rows and rollup-count metrics".
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark.sources.catalog import ParquetCatalog
+
+CHECKPOINT_TABLE = "_checkpoints"
+LINEAGE_TABLE = "_lineage"
+
+
+def completed_units(catalog: ParquetCatalog, spark: SparkSession,
+                    run_id: str) -> set[tuple[str, str]]:
+    if not catalog.exists(CHECKPOINT_TABLE):
+        return set()
+    rows = (
+        catalog.read(spark, CHECKPOINT_TABLE)
+        .where(F.col("run_id") == run_id)
+        .where(F.col("status") == "done")
+        .select("stage", "partition_key")
+        .distinct()
+        .collect()
+    )
+    return {(r["stage"], r["partition_key"]) for r in rows}
+
+
+def lineage_rows(df: DataFrame, stage: str, run_id: str,
+                 input_snapshot: str | None,
+                 bucket_col: str = "bucket_start") -> DataFrame:
+    """One lineage row per output partition-ish slice: bucket range +
+    row count keyed by the stage and input snapshot."""
+    return df.agg(
+        F.lit(run_id).alias("run_id"),
+        F.lit(stage).alias("stage"),
+        F.lit(input_snapshot).alias("input_snapshot"),
+        F.min(bucket_col).alias("bucket_min"),
+        F.max(bucket_col).alias("bucket_max"),
+        F.count(F.lit(1)).alias("row_count"),
+    )
+
+
+class CheckpointedRun:
+    """Idempotent multi-stage run with per-unit checkpoints."""
+
+    def __init__(self, catalog: ParquetCatalog, spark: SparkSession, run_id: str):
+        self.catalog = catalog
+        self.spark = spark
+        self.run_id = run_id
+        self._done = completed_units(catalog, spark, run_id)
+        self.executed: list[tuple[str, str]] = []
+        self.skipped: list[tuple[str, str]] = []
+
+    def unit(self, stage: str, partition_key: str,
+             fn: Callable[[], DataFrame | None],
+             input_snapshot: str | None = None) -> bool:
+        """Run one work unit unless already checkpointed.
+
+        ``fn`` performs the work and may return the output DataFrame
+        for lineage accounting. Returns True if executed."""
+        if (stage, partition_key) in self._done:
+            self.skipped.append((stage, partition_key))
+            return False
+        out = fn()
+        if out is not None and "bucket_start" in out.columns:
+            self.catalog.append(
+                lineage_rows(out, stage, self.run_id, input_snapshot),
+                LINEAGE_TABLE,
+            )
+        mark = self.spark.createDataFrame(
+            [(self.run_id, stage, partition_key, "done", input_snapshot)],
+            schema="run_id string, stage string, partition_key string, "
+                   "status string, input_snapshot string",
+        )
+        self.catalog.append(mark, CHECKPOINT_TABLE)
+        self._done.add((stage, partition_key))
+        self.executed.append((stage, partition_key))
+        return True

@@ -1,0 +1,284 @@
+"""Gorilla XOR (values) + delta-of-delta (timestamps) codec.
+
+North-rule component (no reference counterpart — the reference keeps
+raw float32 tensors in memory, /root/reference/StatsTesting/
+base_anomaly_stats.py:23). Format follows the Gorilla paper
+(Pelkonen et al., VLDB 2015, "Gorilla: A Fast, Scalable, In-Memory
+Time Series Database"):
+
+Timestamps (int64 microseconds):
+    header: t0 as raw 64 bits, then delta0 as zigzag-varint-free
+    raw 64 bits; each subsequent point stores D = Δt_i − Δt_{i−1}:
+        D == 0                → '0'
+        D ∈ [−63, 64]         → '10'  + 7  bits of D+63
+        D ∈ [−255, 256]       → '110' + 9  bits of D+255
+        D ∈ [−2047, 2048]     → '1110'+ 12 bits of D+2047
+        else                  → '1111'+ 64 bits (microsecond-safe
+                                 widening of the paper's 32)
+
+Values (float64 bit patterns, XOR with previous):
+        xor == 0              → '0'
+        fits previous window  → '10' + meaningful bits
+        else                  → '11' + 5 bits #leading-zeros
+                                 + 6 bits meaningful-length(1..64,
+                                 stored mod 64) + meaningful bits
+
+Pure-Python encode/decode cores (unit-testable off-Spark, property
+round-trip in tests) + Spark wrappers that run them as vectorized
+Arrow-batched pandas UDFs over per-(conv_id, coarse-bucket) arrays
+assembled with ``sort_array(collect_list(struct(ts, v)))`` — one
+shuffle, per-group payloads, no per-row Python at the DataFrame level.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"GDD1"
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nacc")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.buf.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def getvalue(self) -> bytes:
+        if self.nacc:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nacc)) & 0xFF])
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        pos = self.pos
+        data = self.data
+        for _ in range(nbits):
+            byte = data[pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return out
+
+
+_DOD_BUCKETS = ((64, "10", 7, 63), (256, "110", 9, 255), (2048, "1110", 12, 2047))
+
+
+def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode parallel (int64 µs timestamps, float64 values) arrays."""
+    n = len(ts_us)
+    ts_us = np.asarray(ts_us, dtype=np.int64)
+    bits_v = np.asarray(values, dtype=np.float64).view(np.uint64)
+    out = _BitWriter()
+    header = MAGIC + struct.pack("<I", n)
+    if n == 0:
+        return header
+    out.write(int(ts_us[0]) & ((1 << 64) - 1), 64)
+    out.write(int(bits_v[0]), 64)
+    if n == 1:
+        return header + out.getvalue()
+    delta0 = int(ts_us[1]) - int(ts_us[0])
+    out.write(delta0 & ((1 << 64) - 1), 64)
+    # vectorized precompute: deltas, DoD, xors, lz/tz counts
+    deltas = np.diff(ts_us)
+    dod = np.diff(deltas)  # for points 2..n-1
+    xors = bits_v[1:] ^ bits_v[:-1]
+    prev_lz, prev_mb = -1, -1  # previous window: leading zeros, meaningful bits
+    for i in range(1, n):
+        if i >= 2:
+            d = int(dod[i - 2])
+            if d == 0:
+                out.write(0, 1)
+            else:
+                for lim, prefix, nbits, bias in _DOD_BUCKETS:
+                    if -lim + 1 <= d <= lim:
+                        out.write(int(prefix, 2), len(prefix))
+                        out.write(d + bias, nbits)
+                        break
+                else:
+                    out.write(0b1111, 4)
+                    out.write(d & ((1 << 64) - 1), 64)
+        x = int(xors[i - 1])
+        if x == 0:
+            out.write(0, 1)
+        else:
+            lz = 64 - x.bit_length()
+            tz = (x & -x).bit_length() - 1
+            if lz > 31:
+                lz = 31  # 5-bit field
+            mb = 64 - lz - tz
+            if prev_lz >= 0 and lz >= prev_lz and tz >= 64 - prev_lz - prev_mb:
+                out.write(0b10, 2)
+                out.write(x >> (64 - prev_lz - prev_mb), prev_mb)
+            else:
+                out.write(0b11, 2)
+                out.write(lz, 5)
+                out.write(mb & 63, 6)  # 64 stored as 0
+                out.write(x >> tz, mb)
+                prev_lz, prev_mb = lz, mb
+    return header + out.getvalue()
+
+
+def decode_series(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_series` (exact round-trip)."""
+    if payload[:4] != MAGIC:
+        raise ValueError("bad magic")
+    (n,) = struct.unpack("<I", payload[4:8])
+    ts = np.empty(n, dtype=np.int64)
+    vals = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return ts, vals.view(np.float64)
+    r = _BitReader(payload[8:])
+
+    def _s64(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    ts[0] = _s64(r.read(64))
+    vals[0] = r.read(64)
+    if n == 1:
+        return ts, vals.view(np.float64)
+    delta = _s64(r.read(64))
+    ts[1] = ts[0] + delta
+    prev_lz, prev_mb = -1, -1
+    prev_bits = int(vals[0])
+    # first value record for i=1 follows the header delta
+    for i in range(1, n):
+        if i >= 2:
+            if r.read(1) == 0:
+                d = 0
+            elif r.read(1) == 0:
+                d = r.read(7) - 63
+            elif r.read(1) == 0:
+                d = r.read(9) - 255
+            elif r.read(1) == 0:
+                d = r.read(12) - 2047
+            else:
+                d = _s64(r.read(64))
+            delta += d
+            ts[i] = ts[i - 1] + delta
+        if r.read(1) == 0:
+            x = 0
+        elif r.read(1) == 0:  # '10' reuse window
+            x = r.read(prev_mb) << (64 - prev_lz - prev_mb)
+        else:  # '11' new window
+            lz = r.read(5)
+            mb = r.read(6) or 64
+            x = r.read(mb) << (64 - lz - mb)
+            prev_lz, prev_mb = lz, mb
+        prev_bits ^= x
+        vals[i] = prev_bits
+    return ts, vals.view(np.float64)
+
+
+# ------------------------------------------------------------- Spark layer
+ENCODED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("bucket_start", T.TimestampType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("n_points", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def compress_buckets(points: DataFrame, coarse: str = "hour",
+                     ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """points (conv_id, ts, value) → one Gorilla payload per
+    (conv_id, coarse bucket). collect_list is bounded by the coarse
+    bucket (≤ bucket span of points per group), sorted in-plan."""
+    grouped = (
+        points.groupBy(
+            "conv_id",
+            F.date_trunc(coarse, F.col(ts_col)).alias("bucket_start"),
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros(F.col(ts_col)).alias("t"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("pts")
+        )
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ns = [], []
+            for pts in pdf["pts"]:
+                t = np.fromiter((p["t"] for p in pts), dtype=np.int64, count=len(pts))
+                v = np.fromiter((p["v"] for p in pts), dtype=np.float64, count=len(pts))
+                payloads.append(encode_series(t, v))
+                ns.append(len(pts))
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "bucket_start": pdf["bucket_start"],
+                    "codec": "gorilla_dod_v1",
+                    "n_points": pd.Series(ns, dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return grouped.mapInPandas(enc, schema=ENCODED_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def decompress_buckets(encoded: DataFrame) -> DataFrame:
+    """Inverse of :func:`compress_buckets` — payload → point rows."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for conv, payload in zip(pdf["conv_id"], pdf["payload"]):
+                t, v = decode_series(bytes(payload))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": conv,
+                            "ts": pd.to_datetime(t, unit="us"),
+                            "value": v,
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"conv_id": pd.Series(dtype=str),
+                 "ts": pd.Series(dtype="datetime64[us]"),
+                 "value": pd.Series(dtype=float)}
+            )
+
+    return encoded.mapInPandas(dec, schema=DECODED_SCHEMA)

@@ -1,0 +1,81 @@
+"""Linear-interpolation gap-fill across sparse conversation windows.
+
+North-rule component; nearest reference analog is the NaN→1 patch in
+the Si basis function (/root/reference/Network/ITF/functions.py:153)
+— the engine implements real bucket-skeleton + linear interpolation.
+
+Semantics: for each conversation, materialize EVERY tier bucket
+between its first and last observed bucket (``sequence`` + explode —
+no driver loop), left-join observed rows, and linearly interpolate
+interior NULL runs between the nearest observed neighbors on the time
+axis. Leading/trailing buckets (no neighbor on one side) stay NULL.
+``gap_filled`` marks synthesized values.
+
+Scale: skeleton generation is per-conversation map-side arithmetic;
+the join is on (conv_id, bucket_start) — same clustering as the tier
+tables, so AQE keeps it a co-partitioned sort-merge join; the
+interpolation itself is four window functions over conv_id, reusing
+that single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark.operators.rollup import TIER_SECONDS
+
+
+def bucket_skeleton(tier_df: DataFrame, tier: str = "1m",
+                    key: str = "conv_id",
+                    bucket_col: str = "bucket_start") -> DataFrame:
+    """All buckets from min to max observed per key, one row each."""
+    step = F.expr(f"INTERVAL {TIER_SECONDS[tier]} SECONDS")
+    return (
+        tier_df.groupBy(key)
+        .agg(F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1"))
+        .select(
+            key,
+            F.explode(F.sequence(F.col("_b0"), F.col("_b1"), step)).alias(bucket_col),
+        )
+    )
+
+
+def gapfill_linear(tier_df: DataFrame, tier: str = "1m",
+                   value_col: str = "mean", key: str = "conv_id",
+                   bucket_col: str = "bucket_start") -> DataFrame:
+    """Skeleton join + linear interpolation of ``value_col``.
+
+    Output: (key, bucket_start, <value_col> observed-or-null,
+    <value_col>_filled, gap_filled boolean).
+    """
+    skel = bucket_skeleton(tier_df, tier, key, bucket_col)
+    obs = tier_df.select(key, bucket_col, F.col(value_col).alias("_v"))
+    joined = skel.join(obs, on=[key, bucket_col], how="left")
+
+    t = F.unix_micros(F.col(bucket_col)).cast("double")
+    w_prev = W.partitionBy(key).orderBy(bucket_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_next = W.partitionBy(key).orderBy(bucket_col).rowsBetween(
+        0, W.unboundedFollowing
+    )
+    v = F.col("_v")
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
+
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t),
+        )
+    )
+    return joined.select(
+        key,
+        bucket_col,
+        v.alias(value_col),
+        interp.alias(f"{value_col}_filled"),
+        (v.isNull() & interp.isNotNull()).alias("gap_filled"),
+    )

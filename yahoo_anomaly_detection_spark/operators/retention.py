@@ -1,0 +1,58 @@
+"""TTL-driven tier eviction + verification.
+
+North-rule component (reference has no storage layer; its analog of
+"retention" is keeping only best-model checkpoints,
+/root/reference/Learning/learn_autoencoder.py:135-147).
+
+Policy: each tier keeps ``retention`` seconds of history relative to a
+caller-supplied ``now`` watermark (never the wall clock — determinism,
+SURVEY §7.4). Eviction is an Iceberg-style ``DELETE WHERE`` through
+the catalog shim (metadata-only partition drop on real Iceberg);
+verification is a ``left_anti`` join proving no evicted bucket
+survives (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark.sources.catalog import ParquetCatalog
+
+DEFAULT_RETENTION_S = {"1m": 7 * 86400, "1h": 90 * 86400, "1d": 3650 * 86400}
+
+
+def cutoff_for(tier: str, now: datetime,
+               retention_s: dict[str, int] | None = None) -> datetime:
+    return now - timedelta(seconds=(retention_s or DEFAULT_RETENTION_S)[tier])
+
+
+def evict_tier(catalog: ParquetCatalog, spark: SparkSession, table: str,
+               tier: str, now: datetime,
+               retention_s: dict[str, int] | None = None) -> str:
+    """Drop buckets older than the tier's TTL; returns new snapshot id."""
+    cutoff = cutoff_for(tier, now, retention_s)
+    return catalog.delete_where(
+        spark, table, f"bucket_start < TIMESTAMP '{cutoff.isoformat(sep=' ')}'"
+    )
+
+
+def verify_evicted(tier_df: DataFrame, cutoff: datetime) -> int:
+    """Rows violating retention (must be 0 after eviction)."""
+    return tier_df.where(
+        F.col("bucket_start") < F.lit(cutoff.isoformat(sep=" ")).cast("timestamp")
+    ).count()
+
+
+def verify_survivors(before: DataFrame, after: DataFrame,
+                     cutoff: datetime) -> int:
+    """left_anti proof: every pre-eviction row at/after the cutoff is
+    still present afterwards. Returns the number of lost rows (0 ok)."""
+    kept_expected = before.where(
+        F.col("bucket_start") >= F.lit(cutoff.isoformat(sep=" ")).cast("timestamp")
+    )
+    return kept_expected.join(
+        after, on=["conv_id", "bucket_start"], how="left_anti"
+    ).count()

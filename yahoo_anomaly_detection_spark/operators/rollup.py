@@ -1,0 +1,142 @@
+"""Continuous-aggregate tier rollups: raw → 1m → 1h → 1d.
+
+Reference analog: fixed-length window segmentation (SURVEY W1,
+/root/reference/Plotting/statmodels_anomaly_plot.py:25-29) re-expressed
+as event-time bucketing; series mean/std aggregates (SURVEY A1/A2,
+/root/reference/StatsTesting/arma_anm_detc.py:62) with numpy ddof=0
+std semantics.
+
+Scale design:
+- Tiers carry (cnt, sum, sum_sq, min, max) so upper tiers RECOMBINE
+  from lower tiers (one narrow shuffle over already-reduced rows)
+  instead of re-scanning raw data — TimescaleDB-continuous-aggregate
+  style cascade.
+- ``groupBy(conv_id, bucket)`` after a window partitioned by conv_id
+  reuses the exchange (HashPartitioning(conv_id) satisfies the
+  clustered distribution of the superset key), so latency derivation +
+  1m rollup is ONE shuffle; each cascade step is one map-side-combined
+  shuffle over tier rows (~raw/60 and /3600 rows respectively).
+- Skew: hot conversations are bounded per (conv_id, bucket) already;
+  for per-conversation global aggregates use the salted two-level
+  pattern in :func:`salted_agg`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+TIERS = ("1m", "1h", "1d")
+TIER_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
+TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+
+
+def bucket_col(tier: str, ts_col: str = "ts"):
+    return F.date_trunc(TIER_TRUNC[tier], F.col(ts_col)).alias("bucket_start")
+
+
+def transcripts_latency(df: DataFrame) -> DataFrame:
+    """Per-turn inter-arrival latency series from a transcripts table.
+
+    value = seconds since previous turn in the same conversation under
+    stable (conv_id, turn_idx) ordering (SURVEY §2.5: ``lag`` over
+    turn order). First turn of a conversation has NULL latency.
+    """
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts"))
+    return df.select(
+        "conv_id",
+        "ts",
+        ((us - F.lag(us).over(w)) / F.lit(1e6)).alias("value"),
+    )
+
+
+def rollup_points(df: DataFrame, tier: str = "1m",
+                  value_col: str = "value") -> DataFrame:
+    """Raw point rows (conv_id, ts, value) → one tier table.
+
+    std is POPULATION std (ddof=0) matching ``np.std`` at
+    /root/reference/StatsTesting/arma_anm_detc.py:62 — computed from
+    (sum, sum_sq, cnt) so tiers recombine exactly.
+    """
+    v = F.col(value_col).cast("double")
+    agg = (
+        df.groupBy("conv_id", bucket_col(tier))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(v).alias("vcnt"),
+            F.sum(v).alias("sum"),
+            F.sum(v * v).alias("sum_sq"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+        )
+    )
+    return _finish_tier(agg, tier)
+
+
+def _finish_tier(agg: DataFrame, tier: str) -> DataFrame:
+    mean = F.col("sum") / F.col("vcnt")
+    var = F.greatest(F.col("sum_sq") / F.col("vcnt") - mean * mean, F.lit(0.0))
+    return agg.select(
+        "conv_id",
+        "bucket_start",
+        "cnt",
+        "vcnt",
+        "sum",
+        "sum_sq",
+        F.col("min"),
+        F.col("max"),
+        F.when(F.col("vcnt") > 0, mean).alias("mean"),
+        F.when(F.col("vcnt") > 0, F.sqrt(var)).alias("std"),
+        (F.col("cnt") / F.lit(float(TIER_SECONDS[tier]))).alias("turn_rate"),
+    )
+
+
+def rollup_cascade(tier_df: DataFrame, to_tier: str) -> DataFrame:
+    """Lower tier → upper tier by exact recombination (no raw re-scan)."""
+    agg = (
+        tier_df.groupBy(
+            "conv_id",
+            F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_start")).alias("bucket_start"),
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vcnt").alias("vcnt"),
+            F.sum("sum").alias("sum"),
+            F.sum("sum_sq").alias("sum_sq"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+    )
+    return _finish_tier(agg, to_tier)
+
+
+def rollup_all_tiers(points: DataFrame, value_col: str = "value") -> dict[str, DataFrame]:
+    """raw → {1m, 1h, 1d} cascade."""
+    t1m = rollup_points(points, "1m", value_col)
+    t1h = rollup_cascade(t1m, "1h")
+    t1d = rollup_cascade(t1h, "1d")
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
+
+
+def salted_agg(df: DataFrame, key: str, aggs: list, salt_col: str = "salt",
+               buckets: int = 32) -> DataFrame:
+    """Two-level aggregation for skewed keys (SURVEY §4).
+
+    Pass aggs as decomposable pairs handled by the caller; this helper
+    covers the common (cnt/sum/sum_sq/min/max) shape used by tiers.
+    Level 1 groups by (key, salt) — hot keys fan out over ``buckets``
+    reducers; level 2 recombines per key over at most ``buckets`` rows
+    per key.
+    """
+    salted = df
+    if salt_col not in df.columns:
+        salted = df.withColumn(salt_col, F.pmod(F.hash(F.col(key)), F.lit(buckets)))
+    partial = salted.groupBy(key, salt_col).agg(*aggs)
+    sums = [
+        F.sum(c).alias(c) if c.startswith(("cnt", "sum", "vcnt")) else
+        (F.min(c).alias(c) if c.startswith("min") else F.max(c).alias(c))
+        for c in partial.columns
+        if c not in (key, salt_col)
+    ]
+    return partial.groupBy(key).agg(*sums)

