@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline ops); ``oracle_sql()``
+carries the DuckDB-equivalent ANSI SQL for each. Column names and
+rounding (4 decimals on all computed doubles) are kept identical on
+both sides so the driver's order-insensitive value-hash matches.
+
+Conventions:
+- series view over ``events``: conv_id = CAST(user_id AS STRING),
+  ts, value (FIXTURES.md F3 — user_id plays conv_id).
+- synthetic binary label for sweep/metric queries:
+  label = (event_id % 97) < 5  (deterministic, both engines).
+- population std everywhere (numpy ddof=0 semantics per SURVEY A2,
+  /root/reference/StatsTesting/arma_anm_detc.py:62).
 """
 
 from __future__ import annotations
@@ -12,27 +20,643 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark.sources import ingest
+from yahoo_anomaly_detection_spark.operators import rollup, stats, gapfill
+from yahoo_anomaly_detection_spark.operators import dedup, similarity, textstats
+from yahoo_anomaly_detection_spark.operators import multimodal
+from yahoo_anomaly_detection_spark.functions.portable import portable_round
+
+TRAIN_END = "2024-01-15 00:00:00"
+VAL_END = "2024-01-23 00:00:00"
+GAPFILL_DAY = ("2024-01-05 00:00:00", "2024-01-06 00:00:00")
+
+_R = 4  # rounding decimals for computed doubles (both engines)
 
 
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ingest.events_as_series(ingest.load_table(spark, sf_dir, "events"))
+
+
+def _events_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat scored series with the deterministic synthetic label."""
+    ev = ingest.load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("value").cast("double").alias("score"),
+        (F.pmod(F.col("event_id"), F.lit(97)) < 5).cast("int").alias("label"),
+    )
+
+
+def _round_cols(df: DataFrame, cols: list[str], nd: int = _R) -> DataFrame:
+    out = df
+    for c in cols:
+        out = out.withColumn(c, portable_round(F.col(c), nd))
+    return out
+
+
+def _tier_select(t: DataFrame) -> DataFrame:
+    return _round_cols(
+        t.select(
+            "conv_id",
+            "bucket_start",
+            "cnt",
+            "vcnt",
+            F.col("sum").alias("sum_v"),
+            F.col("sum_sq").alias("sum_sq_v"),
+            F.col("min").alias("min_v"),
+            F.col("max").alias("max_v"),
+            F.col("mean").alias("mean_v"),
+            F.col("std").alias("std_v"),
+            "turn_rate",
+        ),
+        ["sum_v", "sum_sq_v", "min_v", "max_v", "mean_v", "std_v", "turn_rate"],
+    )
+
+
+# --------------------------------------------------------------- queries
+def q_rollup_1m(spark, sf_dir):
+    return _tier_select(rollup.rollup_points(_series(spark, sf_dir), "1m"))
+
+
+def q_rollup_1h(spark, sf_dir):
+    """1h tier via exact recombination FROM the 1m tier (cascade) —
+    parity vs the oracle's direct-from-raw aggregation proves the
+    continuous-aggregate recombination (SURVEY §7.2 step 4)."""
+    t1m = rollup.rollup_points(_series(spark, sf_dir), "1m")
+    return _tier_select(rollup.rollup_cascade(t1m, "1h"))
+
+
+def q_rollup_1d(spark, sf_dir):
+    t1m = rollup.rollup_points(_series(spark, sf_dir), "1m")
+    t1h = rollup.rollup_cascade(t1m, "1h")
+    return _tier_select(rollup.rollup_cascade(t1h, "1d"))
+
+
+def q_latency_1m(spark, sf_dir):
+    """lag-based inter-arrival latency per conversation → 1m tier
+    (SURVEY §2.5 ranking note; rollup of the latency series)."""
+    ev = _series(spark, sf_dir).withColumnRenamed("value", "v0")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id").orderBy("ts")
+    lat = ev.select(
+        "conv_id",
+        "ts",
+        ((F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1e6).alias(
+            "value"
+        ),
+    )
+    return _tier_select(rollup.rollup_points(lat, "1m"))
+
+
+def q_rolling_stats(spark, sf_dir):
+    t1m = rollup.rollup_points(_series(spark, sf_dir), "1m").select(
+        "conv_id", "bucket_start", F.col("mean").alias("mean_v")
+    )
+    r = stats.rolling_stats(t1m, value_col="mean_v", k=10)
+    return _round_cols(
+        r.select("conv_id", "bucket_start", "mean_v", "rolling_mean",
+                 "rolling_std", "residual"),
+        ["mean_v", "rolling_mean", "rolling_std", "residual"],
+    )
+
+
+def q_zscore_flags(spark, sf_dir):
+    sc = _events_scored(spark, sf_dir)
+    flagged = stats.zscore_envelope_flags(sc, "score", y=3.0)
+    return _round_cols(
+        flagged.select("event_id", "score", "threshold", "pred"),
+        ["score", "threshold"],
+    )
+
+
+def q_threshold_sweep(spark, sf_dir):
+    sc = _events_scored(spark, sf_dir)
+    g = stats.grid(spark, 1.0, 100.0, 1.0)
+    sw = stats.threshold_sweep(sc, g, score_col="score", label_col="label")
+    return _round_cols(
+        sw.select("y", "threshold", "tp", "fp", "fn", "tn", "f1"),
+        ["threshold", "f1"],
+    )
+
+
+def q_best_threshold(spark, sf_dir):
+    sc = _events_scored(spark, sf_dir)
+    g = stats.grid(spark, 1.0, 100.0, 1.0)
+    sw = stats.threshold_sweep(sc, g, score_col="score", label_col="label")
+    return _round_cols(
+        stats.best_threshold(sw).select("y", "threshold", "f1", "tp", "fp",
+                                        "fn", "tn"),
+        ["threshold", "f1"],
+    )
+
+
+def q_confusion_metrics(spark, sf_dir):
+    sc = _events_scored(spark, sf_dir)
+    flagged = stats.zscore_envelope_flags(sc, "score", y=3.0)
+    m = stats.confusion_metrics(flagged, "pred", "label")
+    return _round_cols(
+        m,
+        ["precision", "recall", "f1", "accuracy", "auroc_binary",
+         "auprc_binary"],
+    )
+
+
+def q_pred_value_counts(spark, sf_dir):
+    sc = _events_scored(spark, sf_dir)
+    flagged = stats.zscore_envelope_flags(sc, "score", y=3.0)
+    return stats.pred_value_counts(flagged).withColumnRenamed("count", "n")
+
+
+def q_gapfill_1m(spark, sf_dir):
+    lo, hi = GAPFILL_DAY
+    ev = _series(spark, sf_dir).where(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+    )
+    t1m = rollup.rollup_points(ev, "1m").select(
+        "conv_id", "bucket_start", F.col("mean").alias("mean_v")
+    )
+    g = gapfill.gapfill_linear(t1m, "1m", value_col="mean_v")
+    return _round_cols(
+        g.select("conv_id", "bucket_start", "mean_v", "mean_v_filled",
+                 F.col("gap_filled").cast("int").alias("gap_filled")),
+        ["mean_v", "mean_v_filled"],
+    )
+
+
+def q_topk_buckets(spark, sf_dir):
+    """top-3 busiest 1m buckets per conversation (SURVEY O1/W8)."""
+    from pyspark.sql import Window as W
+
+    t1m = rollup.rollup_points(_series(spark, sf_dir), "1m")
+    w = W.partitionBy("conv_id").orderBy(F.desc("cnt"), F.asc("bucket_start"))
+    return (
+        t1m.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("conv_id", "bucket_start", "cnt", "rk")
+    )
+
+
+def q_tier_parity_1h(spark, sf_dir):
+    """Cascade 1m→1h equals direct-from-raw 1h (equality join verify,
+    SURVEY §2.3 'tier ⋈ tier')."""
+    ev = _series(spark, sf_dir)
+    via = rollup.rollup_cascade(rollup.rollup_points(ev, "1m"), "1h")
+    direct = rollup.rollup_points(ev, "1h")
+    j = via.alias("a").join(
+        direct.alias("b"), on=["conv_id", "bucket_start"], how="full_outer"
+    )
+    mism = (
+        F.col("a.cnt").isNull()
+        | F.col("b.cnt").isNull()
+        | (F.col("a.cnt") != F.col("b.cnt"))
+        | (F.abs(F.col("a.mean") - F.col("b.mean")) > 1e-9)
+        | (F.abs(F.col("a.std") - F.col("b.std")) > 1e-6)
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(mism, 1).otherwise(0)).alias("n_mismatch"),
+    )
+
+
+def q_split_counts(spark, sf_dir):
+    """train/val/test event-time splits (SURVEY S1)."""
+    ev = _series(spark, sf_dir)
+    tr, va, te = ingest.split_by_time(ev, TRAIN_END, VAL_END)
+
+    def agg(df, name):
+        return df.agg(
+            F.lit(name).alias("split"),
+            F.count(F.lit(1)).alias("n"),
+            portable_round(F.sum("value"), _R).alias("sum_v"),
+        )
+
+    return agg(tr, "train").unionByName(agg(va, "val")).unionByName(
+        agg(te, "test")
+    )
+
+
+def q_doc_sha(spark, sf_dir):
+    """per-row text digest — the text-equality invariant column
+    (BASELINE input_hint) applied to the documents table."""
+    docs = ingest.load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+# ----------------------------------------------- training-data pipeline ops
+def _docs(spark, sf_dir):
+    return ingest.load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return ingest.load_table(spark, sf_dir, "embeddings")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(dedup.with_synthetic_dups(_docs(spark, sf_dir)))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), n=3, k=16)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, k=16, bands=4, threshold=0.5
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash32(_docs(spark, sf_dir))
+
+
+def q_simhash_dups(spark, sf_dir):
+    return dedup.simhash_dup_pairs(_docs(spark, sf_dir))
+
+
+def q_embedding_topk(spark, sf_dir):
+    return similarity.brute_force_topk(
+        _embs(spark, sf_dir), query_mod=50, k=5
+    )
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    return similarity.lsh_bucket_assignments(_embs(spark, sf_dir), n_planes=8)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return similarity.lsh_bucketed_topk(
+        _embs(spark, sf_dir), n_planes=8, query_mod=50, k=5
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return textstats.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    return multimodal.attach_payload_meta(_docs(spark, sf_dir))
+
+
+def q_multimodal_features(spark, sf_dir):
+    return multimodal.extract_features(
+        multimodal.attach_payload(_docs(spark, sf_dir))
+    )
+
+
+# ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full tier cascade on sf0.001 events, return 1m tier."""
+    return q_rollup_1m(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h": q_rollup_1h,
+        "rollup_1d": q_rollup_1d,
+        "latency_1m": q_latency_1m,
+        "rolling_stats": q_rolling_stats,
+        "zscore_flags": q_zscore_flags,
+        "threshold_sweep": q_threshold_sweep,
+        "best_threshold": q_best_threshold,
+        "confusion_metrics": q_confusion_metrics,
+        "pred_value_counts": q_pred_value_counts,
+        "gapfill_1m": q_gapfill_1m,
+        "topk_buckets": q_topk_buckets,
+        "tier_parity_1h": q_tier_parity_1h,
+        "split_counts": q_split_counts,
+        "doc_sha": q_doc_sha,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "simhash_dups": q_simhash_dups,
+        "embedding_topk": q_embedding_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracles
+_EV = (
+    "SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, value FROM events"
+)
+
+_SCORED = (
+    "SELECT event_id, CAST(value AS DOUBLE) AS score, "
+    "CAST((event_id % 97) < 5 AS INT) AS label FROM events"
+)
+
+_TIER_FINISH = """
+SELECT conv_id, bucket_start, cnt, vcnt,
+       round(sum_v, 4) AS sum_v, round(sum_sq_v, 4) AS sum_sq_v,
+       round(min_v, 4) AS min_v, round(max_v, 4) AS max_v,
+       round(CASE WHEN vcnt > 0 THEN sum_v / vcnt END, 4) AS mean_v,
+       round(CASE WHEN vcnt > 0 THEN
+           sqrt(greatest(sum_sq_v / vcnt - (sum_v / vcnt) * (sum_v / vcnt), 0.0))
+       END, 4) AS std_v,
+       round(cnt / {secs}.0, 4) AS turn_rate
+FROM agg
+"""
+
+
+def _tier_sql(trunc: str, secs: int) -> str:
+    return f"""
+WITH ev AS ({_EV}),
+agg AS (
+    SELECT conv_id, date_trunc('{trunc}', ts) AS bucket_start,
+           count(*) AS cnt, count(value) AS vcnt,
+           sum(value) AS sum_v, sum(value * value) AS sum_sq_v,
+           min(value) AS min_v, max(value) AS max_v
+    FROM ev GROUP BY 1, 2
+)
+{_TIER_FINISH.format(secs=secs)}
+"""
+
+
+_LATENCY_SQL = f"""
+WITH ev AS ({_EV}),
+lat AS (
+    SELECT conv_id, ts,
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY conv_id ORDER BY ts)) / 1e6 AS value
+    FROM ev
+),
+agg AS (
+    SELECT conv_id, date_trunc('minute', ts) AS bucket_start,
+           count(*) AS cnt, count(value) AS vcnt,
+           sum(value) AS sum_v, sum(value * value) AS sum_sq_v,
+           min(value) AS min_v, max(value) AS max_v
+    FROM lat GROUP BY 1, 2
+)
+{_TIER_FINISH.format(secs=60)}
+"""
+
+_T1M_MEAN = f"""
+t1m AS (
+    SELECT conv_id, date_trunc('minute', ts) AS bucket_start,
+           sum(value) / count(value) AS mean_v
+    FROM ev GROUP BY 1, 2
+)
+"""
+
+_ROLLING_SQL = f"""
+WITH ev AS ({_EV}),
+{_T1M_MEAN}
+SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
+       round(avg(mean_v) OVER w, 4) AS rolling_mean,
+       round(stddev_pop(mean_v) OVER w, 4) AS rolling_std,
+       round(abs(mean_v - avg(mean_v) OVER w), 4) AS residual
+FROM t1m
+WINDOW w AS (PARTITION BY conv_id ORDER BY bucket_start
+             ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+"""
+
+_ZSCORE_SQL = f"""
+WITH sc AS ({_SCORED}),
+st AS (SELECT avg(score) AS mu, stddev_pop(score) AS sigma FROM sc)
+SELECT event_id, round(score, 4) AS score,
+       round(3.0 * mu + sigma, 4) AS threshold,
+       CASE WHEN score > 3.0 * mu + sigma THEN 1 ELSE 0 END AS pred
+FROM sc, st
+"""
+
+_SWEEP_BODY = f"""
+WITH sc AS ({_SCORED}),
+st AS (SELECT avg(score) AS mu, stddev_pop(score) AS sigma FROM sc),
+g AS (SELECT 1.0 + CAST(i AS DOUBLE) AS y
+      FROM generate_series(0, 99) AS t(i)),
+gt AS (SELECT y, y * mu + sigma AS threshold FROM g, st),
+sw AS (
+    SELECT y, threshold,
+           sum(CASE WHEN score > threshold AND label = 1 THEN 1 ELSE 0 END) AS tp,
+           sum(CASE WHEN score > threshold AND label = 0 THEN 1 ELSE 0 END) AS fp,
+           sum(CASE WHEN score <= threshold AND label = 1 THEN 1 ELSE 0 END) AS fn,
+           sum(CASE WHEN score <= threshold AND label = 0 THEN 1 ELSE 0 END) AS tn
+    FROM sc, gt GROUP BY y, threshold
+),
+swf AS (
+    SELECT *, CASE WHEN 2 * tp + fp + fn > 0
+                   THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END AS f1
+    FROM sw
+)
+"""
+
+_SWEEP_SQL = (
+    _SWEEP_BODY
+    + "SELECT y, round(threshold, 4) AS threshold, tp, fp, fn, tn, "
+    "round(f1, 4) AS f1 FROM swf"
+)
+
+_BEST_SQL = (
+    _SWEEP_BODY
+    + "SELECT y, round(threshold, 4) AS threshold, round(f1, 4) AS f1, "
+    "tp, fp, fn, tn FROM swf ORDER BY f1 DESC, y ASC LIMIT 1"
+)
+
+_CONFUSION_SQL = f"""
+WITH sc AS ({_SCORED}),
+st AS (SELECT avg(score) AS mu, stddev_pop(score) AS sigma FROM sc),
+p AS (SELECT label,
+             CASE WHEN score > 3.0 * mu + sigma THEN 1 ELSE 0 END AS pred
+      FROM sc, st),
+c AS (
+    SELECT sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS tp,
+           sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS fp,
+           sum(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS fn,
+           sum(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS tn
+    FROM p
+),
+m AS (
+    SELECT tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+           CAST(fn AS DOUBLE) AS fnd, CAST(tn AS DOUBLE) AS tnd
+    FROM c
+)
+SELECT tp, fp, fn, tn,
+       round(CASE WHEN tpd + fpd > 0 THEN tpd / (tpd + fpd) ELSE 0.0 END, 4)
+           AS precision,
+       round(CASE WHEN tpd + fnd > 0 THEN tpd / (tpd + fnd) ELSE 0.0 END, 4)
+           AS recall,
+       round(CASE WHEN 2 * tpd + fpd + fnd > 0
+                  THEN 2 * tpd / (2 * tpd + fpd + fnd) ELSE 0.0 END, 4) AS f1,
+       round((tpd + tnd) / (tpd + fpd + fnd + tnd), 4) AS accuracy,
+       round((CASE WHEN tpd + fnd > 0 THEN tpd / (tpd + fnd) ELSE 0.0 END
+              + CASE WHEN tnd + fpd > 0 THEN tnd / (tnd + fpd) ELSE 0.0 END)
+             / 2, 4) AS auroc_binary,
+       round(CASE WHEN tpd + fnd > 0 THEN tpd / (tpd + fnd) ELSE 0.0 END
+             * CASE WHEN tpd + fpd > 0 THEN tpd / (tpd + fpd) ELSE 0.0 END
+             + (1 - CASE WHEN tpd + fnd > 0 THEN tpd / (tpd + fnd)
+                         ELSE 0.0 END)
+               * ((tpd + fnd) / (tpd + fpd + fnd + tnd)), 4) AS auprc_binary
+FROM m
+"""
+
+_VALUE_COUNTS_SQL = f"""
+WITH sc AS ({_SCORED}),
+st AS (SELECT avg(score) AS mu, stddev_pop(score) AS sigma FROM sc)
+SELECT CASE WHEN score > 3.0 * mu + sigma THEN 1 ELSE 0 END AS pred,
+       count(*) AS n
+FROM sc, st GROUP BY 1 ORDER BY 1
+"""
+
+_GAPFILL_SQL = f"""
+WITH ev AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, value FROM events
+    WHERE ts >= TIMESTAMP '{GAPFILL_DAY[0]}' AND ts < TIMESTAMP '{GAPFILL_DAY[1]}'
+),
+{_T1M_MEAN},
+bounds AS (SELECT conv_id, min(bucket_start) AS b0, max(bucket_start) AS b1
+           FROM t1m GROUP BY 1),
+skel AS (SELECT conv_id,
+                unnest(generate_series(b0, b1, INTERVAL 1 MINUTE))
+                    AS bucket_start
+         FROM bounds),
+j AS (SELECT s.conv_id, s.bucket_start, t.mean_v AS v
+      FROM skel s LEFT JOIN t1m t
+      ON s.conv_id = t.conv_id AND s.bucket_start = t.bucket_start),
+w AS (
+    SELECT conv_id, bucket_start, v,
+           CAST(epoch_us(bucket_start) AS DOUBLE) AS t,
+           last_value(v IGNORE NULLS) OVER wp AS prev_v,
+           last_value(CASE WHEN v IS NOT NULL
+                           THEN CAST(epoch_us(bucket_start) AS DOUBLE) END
+                      IGNORE NULLS) OVER wp AS prev_t,
+           first_value(v IGNORE NULLS) OVER wn AS next_v,
+           first_value(CASE WHEN v IS NOT NULL
+                            THEN CAST(epoch_us(bucket_start) AS DOUBLE) END
+                       IGNORE NULLS) OVER wn AS next_t
+    FROM j
+    WINDOW wp AS (PARTITION BY conv_id ORDER BY bucket_start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY conv_id ORDER BY bucket_start
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT conv_id, bucket_start, round(v, 4) AS mean_v,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                  THEN prev_v + (next_v - prev_v) * (t - prev_t)
+                       / (next_t - prev_t)
+             END, 4) AS mean_v_filled,
+       CASE WHEN v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+            THEN 1 ELSE 0 END AS gap_filled
+FROM w
+"""
+
+_TOPK_SQL = f"""
+WITH ev AS ({_EV}),
+t1m AS (
+    SELECT conv_id, date_trunc('minute', ts) AS bucket_start,
+           count(*) AS cnt
+    FROM ev GROUP BY 1, 2
+),
+rk AS (
+    SELECT conv_id, bucket_start, cnt,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY cnt DESC, bucket_start ASC) AS rk
+    FROM t1m
+)
+SELECT conv_id, bucket_start, cnt, CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= 3
+"""
+
+_TIER_PARITY_SQL = f"""
+WITH ev AS ({_EV})
+SELECT count(*) AS n_buckets, CAST(0 AS BIGINT) AS n_mismatch
+FROM (SELECT conv_id, date_trunc('hour', ts) FROM ev GROUP BY 1, 2)
+"""
+
+_SPLIT_SQL = f"""
+WITH ev AS ({_EV})
+SELECT 'train' AS split, count(*) AS n, round(sum(value), 4) AS sum_v
+FROM ev WHERE ts < TIMESTAMP '{TRAIN_END}'
+UNION ALL
+SELECT 'val', count(*), round(sum(value), 4) FROM ev
+WHERE ts >= TIMESTAMP '{TRAIN_END}' AND ts < TIMESTAMP '{VAL_END}'
+UNION ALL
+SELECT 'test', count(*), round(sum(value), 4) FROM ev
+WHERE ts >= TIMESTAMP '{VAL_END}'
+"""
+
+_DOC_SHA_SQL = "SELECT doc_id, sha256(text) AS text_sha FROM documents"
+
+
+def _epsilonize(sql: str) -> str:
+    """Rewrite every ``round(<expr>, 4)`` to ``round(<expr> + 1e-9, 4)``
+    — the oracle-side mirror of ``portable_round``'s boundary epsilon
+    (paren-matched, so nested rounds/parens are handled)."""
+    out = []
+    i = 0
+    token = "round("
+    while True:
+        j = sql.find(token, i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i: j + len(token)])
+        depth = 1
+        k = j + len(token)
+        while depth > 0:
+            ch = sql[k]
+            depth += ch == "("
+            depth -= ch == ")"
+            k += 1
+        inner = sql[j + len(token): k - 1]
+        head, sep, scale = inner.rpartition(",")
+        if sep and scale.strip() == "4":
+            out.append(f"({head}) + 1e-9, 4)")
+        else:
+            out.append(inner + ")")
+        i = k
+    return "".join(out)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        "rollup_1m": _tier_sql("minute", 60),
+        "rollup_1h": _tier_sql("hour", 3600),
+        "rollup_1d": _tier_sql("day", 86400),
+        "latency_1m": _LATENCY_SQL,
+        "rolling_stats": _ROLLING_SQL,
+        "zscore_flags": _ZSCORE_SQL,
+        "threshold_sweep": _SWEEP_SQL,
+        "best_threshold": _BEST_SQL,
+        "confusion_metrics": _CONFUSION_SQL,
+        "pred_value_counts": _VALUE_COUNTS_SQL,
+        "gapfill_1m": _GAPFILL_SQL,
+        "topk_buckets": _TOPK_SQL,
+        "tier_parity_1h": _TIER_PARITY_SQL,
+        "split_counts": _SPLIT_SQL,
+        "doc_sha": _DOC_SHA_SQL,
+    }
+    out.update(dedup.ORACLE_SQL)
+    out.update(similarity.ORACLE_SQL)
+    out.update(textstats.ORACLE_SQL)
+    out.update(multimodal.ORACLE_SQL)
+    return {k: _epsilonize(v) for k, v in out.items()}

@@ -1,0 +1,415 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), word-n-gram Jaccard, MinHash+LSH banding, and
+SimHash near-dup detection over a ``documents(doc_id, text)`` table.
+No reference counterpart (the reference has no text pipeline) — these
+are the engine-side data-pipeline operators required at 100 TB scale.
+
+Cross-engine determinism: every hash is derived from md5 hex digits
+(``conv(substr(md5(x),1,8),16,10)``), reproducible bit-for-bit in any
+SQL engine — the DuckDB oracles in ``ORACLE_SQL`` mirror each
+operator exactly.
+
+Scale notes:
+- exact dedup: one hash-shuffle on the digest — map-side combined.
+- shingle join: |pairs| bounded by shingle co-occurrence; at 100 TB
+  run MinHash/LSH first and feed only candidate pairs to the exact
+  Jaccard verify (that is precisely ``minhash_lsh_pairs``).
+- MinHash: shuffle is (doc × k) rows of 3 longs, k=16 — tiny vs text.
+- all expressions are JVM-side higher-order functions (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark.functions.portable import portable_round
+
+P31 = 2147483647  # 2^31 - 1 (Mersenne prime) — minhash modulus
+P_FP = 1000000007
+
+_R = 4
+
+
+def hexint(c: Column) -> Column:
+    """First 32 bits of md5 as a non-negative long (engine-portable)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+HEXINT_SQL = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+# ----------------------------------------------------------- corpora
+def with_synthetic_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact copies (doc_id + 1_000_000) — gives every
+    text exactly two occurrences so exact-dedup output is non-trivial
+    on the driver's all-distinct testdata corpus."""
+    base = docs.select("doc_id", "text")
+    return base.unionByName(
+        base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+
+
+def with_near_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ first-word-dropped copies — high-Jaccard neighbors
+    for the near-dup detectors."""
+    base = docs.select("doc_id", "text")
+    return base.unionByName(
+        base.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+
+
+DUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, text FROM documents"
+)
+NEAR_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1) "
+    "FROM documents"
+)
+
+
+# ------------------------------------------------------------- exact
+def exact_dedup(corpus: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    duplicate count and the keeper (lowest doc_id)."""
+    return (
+        corpus.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+
+
+# ---------------------------------------------------------- shingles
+def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (exploded rows)."""
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return corpus.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def _shingle_sql(n: int) -> str:
+    return f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(w) >= {n}
+                       THEN list_transform(
+                               generate_series(1, len(w) - {n - 1}),
+                               i -> array_to_string(w[i:i + {n - 1}], ' '))
+                       ELSE [] END) AS shingle
+    FROM tok
+)"""
+
+
+# ------------------------------------------------------------ jaccard
+def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            portable_round(
+                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")),
+                _R,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """All-pairs word-n-gram Jaccard ≥ threshold over the near-dup
+    corpus. At scale, pair generation MUST be LSH-prefiltered (see
+    :func:`minhash_lsh_pairs`); the shingle-join here is the exact
+    small-scale baseline."""
+    return _jaccard_pairs(shingles(with_near_dups(docs), n), threshold)
+
+
+_JACCARD_SQL = f"""
+WITH corpus AS ({NEAR_CORPUS_SQL}),
+{_shingle_sql(3)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4)
+           AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
+"""
+
+
+# ------------------------------------------------------------ minhash
+def _hash_params(spark, k: int) -> DataFrame:
+    rows = [(h, 2 * h + 1, 7 * h + 3) for h in range(k)]
+    return spark.createDataFrame(rows, "h_idx int, a long, b long")
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 16,
+                       corpus: DataFrame | None = None) -> DataFrame:
+    """k-permutation MinHash over word-n-gram shingles.
+
+    h_i(s) = (a_i·(x mod P) + b_i) mod P with x = 32-bit md5 prefix,
+    P = 2^31−1 — fully deterministic and SQL-portable. Output is
+    exploded (doc_id, h_idx, minhash) rows. Shuffle volume: k longs
+    per doc regardless of text size."""
+    spark = docs.sparkSession
+    sh = shingles(corpus if corpus is not None else docs, n)
+    x = (hexint(F.col("shingle")) % P31).alias("x")
+    params = _hash_params(spark, k)
+    return (
+        sh.select("doc_id", x)
+        .crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "h_idx")
+        .agg(
+            F.min((F.col("a") * F.col("x") + F.col("b")) % P31).alias("minhash")
+        )
+    )
+
+
+def _minhash_sql(corpus_sql: str, n: int, k: int) -> str:
+    xs = HEXINT_SQL.format(x="shingle")
+    return f"""
+WITH corpus AS ({corpus_sql}),
+{_shingle_sql(n)},
+params AS (SELECT CAST(i AS INT) AS h_idx, 2 * i + 1 AS a, 7 * i + 3 AS b
+           FROM generate_series(0, {k - 1}) t(i)),
+sig AS (
+    SELECT doc_id, h_idx,
+           min((a * ({xs} % {P31}) + b) % {P31}) AS minhash
+    FROM sh, params GROUP BY 1, 2
+)"""
+
+
+_MINHASH_SIG_SQL = (
+    _minhash_sql("SELECT doc_id, text FROM documents", 3, 16)
+    + "SELECT doc_id, h_idx, minhash FROM sig"
+)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = 16,
+                      bands: int = 4, threshold: float = 0.5) -> DataFrame:
+    """MinHash + LSH banding near-dup pipeline: signatures → band
+    buckets → candidate pairs (equality join on band signature) →
+    exact Jaccard verification of candidates only.
+
+    This is the 100 TB-scale dedup shape: the all-pairs join is
+    replaced by |bands| equality joins whose keys are band signatures;
+    exact verification touches only candidates."""
+    corpus = with_near_dups(docs)
+    sig = minhash_signatures(docs, n, k, corpus=corpus)
+    rows_per_band = k // bands
+    banded = (
+        sig.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.expr("transform(sort_array(collect_list(struct(h_idx, minhash))), "
+                       "s -> cast(s.minhash as string))"),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, on=["band", "band_sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = shingles(corpus, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
+    return (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            portable_round(
+                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")),
+                _R,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+_MINHASH_LSH_SQL = (
+    _minhash_sql(NEAR_CORPUS_SQL, 3, 16)
+    + f""",
+banded AS (
+    SELECT doc_id, CAST(h_idx // 4 AS INT) AS band,
+           string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx)
+               AS band_sig
+    FROM sig GROUP BY 1, 2
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cands c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4)
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+"""
+)
+
+
+# ------------------------------------------------------------ simhash
+def simhash32(docs: DataFrame, corpus: DataFrame | None = None) -> DataFrame:
+    """32-bit SimHash over word tokens (frequency-weighted).
+
+    bit_j = 1 iff Σ_tokens (2·((h(token)>>j)&1) − 1) > 0. Exploded
+    token×bit computation keeps everything JVM-side; at scale the
+    shuffle carries (doc, 32) partial sums via map-side combine."""
+    src = corpus if corpus is not None else docs.select("doc_id", "text")
+    toks = src.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("doc_id", hexint(F.col("tok")).alias("x"))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+        "x",
+    ).select(
+        "doc_id",
+        "j",
+        F.expr("2 * (shiftright(x, j) & 1) - 1").alias("contrib"),
+    )
+    per_bit = bits.groupBy("doc_id", "j").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def _simhash_sql(corpus_sql: str) -> str:
+    xs = HEXINT_SQL.format(x="tok")
+    return f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (
+    SELECT doc_id, {xs} AS x
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
+),
+per_bit AS (
+    SELECT doc_id, j, sum(2 * ((x >> j) & 1) - 1) AS s
+    FROM toks, generate_series(0, 31) t(j) GROUP BY 1, 2
+),
+sim AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+    FROM per_bit GROUP BY 1
+)"""
+
+
+_SIMHASH_SQL = (
+    _simhash_sql("SELECT doc_id, text FROM documents")
+    + "SELECT doc_id, simhash FROM sim"
+)
+
+
+def simhash_dup_pairs(docs: DataFrame) -> DataFrame:
+    """Equal-SimHash near-dup pairs over the exact-dup corpus (the
+    bucket-equality join that replaces all-pairs Hamming search; at
+    scale, multi-table rotations cover distance > 0)."""
+    sim = simhash32(docs, corpus=with_synthetic_dups(docs))
+    a = sim.alias("a")
+    b = sim.alias("b")
+    return (
+        a.join(b, on="simhash")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "simhash",
+        )
+    )
+
+
+_SIMHASH_DUPS_SQL = (
+    _simhash_sql(DUP_CORPUS_SQL)
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash
+FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+"""
+)
+
+
+_DEDUP_EXACT_SQL = f"""
+WITH corpus AS ({DUP_CORPUS_SQL})
+SELECT sha256(text) AS text_sha, count(*) AS n_dups, min(doc_id) AS keeper
+FROM corpus GROUP BY 1
+"""
+
+ORACLE_SQL = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "minhash_signatures": _MINHASH_SIG_SQL,
+    "minhash_lsh_pairs": _MINHASH_LSH_SQL,
+    "simhash": _SIMHASH_SQL,
+    "simhash_dups": _SIMHASH_DUPS_SQL,
+}

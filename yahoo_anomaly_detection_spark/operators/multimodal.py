@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: opaque binary payloads + typed
+metadata, with decode/feature-extraction as Arrow-batched pandas UDFs.
+
+Training-data-pipeline component. Image/audio codecs are not in this
+sandbox, so the DECODE step is a clearly-marked deterministic fake
+(md5-derived bytes) — the Spark-side plumbing (binary schema, Arrow
+batch shape, ``mapInPandas`` signature, partition behavior) is real
+and oracle-checked. A production deployment swaps
+:func:`_fake_decode` for PIL/ffmpeg inside the same UDF body.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_R = 4
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic 16-byte fake image payload (md5 of the
+    text) as an opaque ``binary`` column — the schema/partitioning
+    pattern for any multimodal blob column."""
+    return docs.select(
+        "doc_id",
+        "text",
+        F.unhex(F.md5(F.col("text"))).alias("payload"),
+        F.lit("image/fake").alias("mime"),
+    )
+
+
+def attach_payload_meta(docs: DataFrame) -> DataFrame:
+    """Typed metadata columns beside the opaque payload: byte length
+    plus fake decoded dimensions derived from the payload header
+    (first/second byte — a stand-in for a real image-header parse)."""
+    h = F.md5(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length(F.unhex(h)).alias("n_bytes"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("width"),
+        F.conv(F.substring(h, 3, 2), 16, 10).cast("int").alias("height"),
+    )
+
+
+_META_SQL = """
+SELECT doc_id,
+       octet_length(unhex(md5(text))) AS n_bytes,
+       CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) AS width,
+       CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) AS height
+FROM documents
+"""
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("mean_byte", T.DoubleType(), True),
+        T.StructField("max_byte", T.IntegerType(), True),
+        T.StructField("min_byte", T.IntegerType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """STUB decode — production code would call the real codec here:
+
+        raise NotImplementedError("PIL/ffmpeg not available in sandbox")
+
+    The deterministic fake interprets the payload bytes as a flat
+    grayscale pixel array so the downstream feature math is real."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def extract_features(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column —
+    the ``mapInPandas`` shape for decode/resize/frame-sample at scale
+    (one Python worker per partition, Arrow record batches, no
+    per-row overhead)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "mean_byte": [
+                        round(float(px.sum()) / len(px), _R) for px in pixels
+                    ],
+                    "max_byte": pd.Series(
+                        [int(px.max()) for px in pixels], dtype="int32"
+                    ),
+                    "min_byte": pd.Series(
+                        [int(px.min()) for px in pixels], dtype="int32"
+                    ),
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        fn, schema=FEATURES_SCHEMA
+    )
+
+
+_FEATURES_SQL = """
+WITH px AS (
+    SELECT doc_id,
+           list_transform(generate_series(0, 15),
+               i -> CAST(concat('0x', substr(md5(text), i * 2 + 1, 2))
+                         AS INT)) AS v
+    FROM documents
+)
+SELECT doc_id,
+       round(CAST(list_sum(v) AS DOUBLE) / 16, 4) AS mean_byte,
+       CAST(list_max(v) AS INT) AS max_byte,
+       CAST(list_min(v) AS INT) AS min_byte
+FROM px
+"""
+
+
+ORACLE_SQL = {
+    "multimodal_meta": _META_SQL,
+    "multimodal_features": _FEATURES_SQL,
+}

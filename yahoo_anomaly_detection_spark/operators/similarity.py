@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline and a random-hyperplane
+LSH-bucketed variant as the scale path. No reference counterpart —
+training-data-pipeline operator.
+
+Scale design:
+- brute force: the QUERY set is broadcast (small side), so scoring is
+  a map-only pass over the candidate table — no shuffle of the big
+  side; only the per-query top-k rows shuffle for the final ranking.
+- LSH: bucket assignment is a single JVM-side higher-order-function
+  projection (no shuffle, no Python); the bucketed top-k turns the
+  all-pairs scan into an equality join on bucket — at 100 TB this is
+  the IVF-style candidate pruning step.
+- All dot products run as built-in ``aggregate``/``zip_with``
+  expressions inside whole-stage codegen — no pandas fallback needed
+  for 64-dim vectors.
+
+Hyperplane weights are derived from an LCG over (plane, dim) integer
+ids — deterministic, engine-portable (mirrored in ORACLE_SQL):
+    w(j,d) = ((1103515245·(j·DIM+d) + 12345) mod 2^31) / 2^31 − 0.5
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark.functions.portable import portable_round
+
+_R = 4
+DIM = 64
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2147483648  # 2^31
+
+
+def _vecd(col: str) -> Column:
+    """array<float> → array<double> for stable math."""
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, cast(0.0 as double), (acc, x) -> acc + x * x)"
+        )
+    )
+
+
+def brute_force_topk(embs: DataFrame, query_mod: int = 50,
+                     k: int = 5) -> DataFrame:
+    """Exact cosine top-k: queries = rows with vec_id % query_mod == 0,
+    candidates = every other row. Query side is broadcast."""
+    base = embs.select("vec_id", _vecd("embedding").alias("e"))
+    q = base.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    joined = base.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = (_dot("qe", "e") / (_norm("qe") * _norm("e"))).alias("_cos")
+    ranked = joined.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), cos
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rk") <= k).select(
+        "q_id", "neighbor_id", portable_round(F.col("_cos"), _R).alias("cosine"), "rk"
+    )
+
+
+_VECD_SQL = "list_transform({e}, x -> CAST(x AS DOUBLE))"
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> {a}[i] * {b}[i]))"
+)
+_NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def _brute_force_sql(query_mod: int, k: int) -> str:
+    dot = _DOT_SQL.format(a="q.qe", b="c.e", dim=DIM)
+    return f"""
+WITH base AS (SELECT vec_id, {_VECD_SQL.format(e='embedding')} AS e
+              FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS qe FROM base
+      WHERE vec_id % {query_mod} = 0),
+scored AS (
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+           {dot} / ({_NORM_SQL.format(a='q.qe')} * {_NORM_SQL.format(a='c.e')})
+               AS _cos
+    FROM base c, q WHERE c.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, neighbor_id, _cos,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY _cos DESC, neighbor_id ASC) AS INT) AS rk
+    FROM scored
+)
+SELECT q_id, neighbor_id, round(_cos, 4) AS cosine, rk
+FROM ranked WHERE rk <= {k}
+"""
+
+
+def _w_expr(j: str, d: str) -> str:
+    """LCG hyperplane weight as a SQL-portable expression string."""
+    return (
+        f"((({LCG_A} * cast({j} * {DIM} + {d} as bigint) + {LCG_C}) "
+        f"% {LCG_M}) / {LCG_M}.0 - 0.5)"
+    )
+
+
+def lsh_bucket_assignments(embs: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector — one projection, no
+    shuffle, no Python. bucket = Σ_j [w_j·e > 0] << j."""
+    w = _w_expr("j", "d")
+    bucket = F.expr(
+        f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), "
+        f"(acc, j) -> acc + IF("
+        f"aggregate(sequence(0, {DIM - 1}), cast(0.0 as double), "
+        f"(s, d) -> s + {w} * cast(element_at(embedding, d + 1) as double)"
+        f") > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
+    )
+    return embs.select("vec_id", bucket.alias("bucket"))
+
+
+def _lsh_bucket_sql(n_planes: int) -> str:
+    w = _w_expr("j", "d")
+    return f"""
+SELECT vec_id,
+       list_sum(list_transform(generate_series(0, {n_planes - 1}), j ->
+           CASE WHEN list_sum(list_transform(generate_series(0, {DIM - 1}),
+                    d -> {w} * CAST(embedding[d + 1] AS DOUBLE))) > 0
+                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS bucket
+FROM embeddings
+"""
+
+
+def lsh_bucketed_topk(embs: DataFrame, n_planes: int = 8,
+                      query_mod: int = 50, k: int = 5) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket (equality join
+    on bucket instead of an all-pairs scan)."""
+    base = embs.select("vec_id", _vecd("embedding").alias("e")).join(
+        lsh_bucket_assignments(embs, n_planes), "vec_id"
+    )
+    q = base.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket"),
+    )
+    joined = base.join(F.broadcast(q), on="bucket").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = (_dot("qe", "e") / (_norm("qe") * _norm("e"))).alias("_cos")
+    ranked = joined.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), cos
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rk") <= k).select(
+        "q_id", "neighbor_id", portable_round(F.col("_cos"), _R).alias("cosine"), "rk"
+    )
+
+
+def _lsh_topk_sql(n_planes: int, query_mod: int, k: int) -> str:
+    dot = _DOT_SQL.format(a="q.qe", b="c.e", dim=DIM)
+    return f"""
+WITH buckets AS ({_lsh_bucket_sql(n_planes)}),
+base AS (SELECT e.vec_id, {_VECD_SQL.format(e='e.embedding')} AS e, b.bucket
+         FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM base
+      WHERE vec_id % {query_mod} = 0),
+scored AS (
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+           {dot} / ({_NORM_SQL.format(a='q.qe')} * {_NORM_SQL.format(a='c.e')})
+               AS _cos
+    FROM base c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, neighbor_id, _cos,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY _cos DESC, neighbor_id ASC) AS INT) AS rk
+    FROM scored
+)
+SELECT q_id, neighbor_id, round(_cos, 4) AS cosine, rk
+FROM ranked WHERE rk <= {k}
+"""
+
+
+ORACLE_SQL = {
+    "embedding_topk": _brute_force_sql(50, 5),
+    "ann_lsh_buckets": _lsh_bucket_sql(8),
+    "ann_lsh_topk": _lsh_topk_sql(8, 50, 5),
+}

@@ -1,0 +1,178 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Training-data-pipeline components (no reference counterpart — the
+reference has no text layer). Everything is built-in Spark SQL
+expressions (split / filter / aggregate higher-order functions) —
+JVM-side, whole-stage-codegen friendly, no Python in the hot path.
+Each operator has an exact DuckDB mirror in ``ORACLE_SQL``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark.functions.portable import portable_round
+
+from yahoo_anomaly_detection_spark.operators.dedup import HEXINT_SQL, P_FP
+
+_R = 4
+
+# marker-token lists per language (n-gram-heuristic stand-in; the
+# sandbox corpus is synthetic so markers are fixed vocabulary)
+LANG_MARKERS = {
+    "en": ["the", "of", "and", "to", "in", "is", "for", "with", "on", "that"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "zh": ["de", "shi", "bu", "le", "zai"],
+}
+LANG_ORDER = ["en", "es", "fr", "de", "zh"]
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _marker_count(lang: str) -> F.Column:
+    arr = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return F.expr(
+        f"size(filter(split(text, ' '), t -> array_contains(array({arr}), t)))"
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language ID: argmax marker hits, ties broken by
+    fixed language order (en > es > fr > de > zh)."""
+    scored = docs.select(
+        "doc_id", *[_marker_count(lg).alias(f"s_{lg}") for lg in LANG_ORDER]
+    )
+    pred = F.lit(LANG_ORDER[-1])
+    best = F.col(f"s_{LANG_ORDER[-1]}")
+    for lg in reversed(LANG_ORDER[:-1]):
+        s = F.col(f"s_{lg}")
+        pred = F.when(s >= best, F.lit(lg)).otherwise(pred)
+        best = F.when(s >= best, s).otherwise(best)
+    return scored.select(
+        "doc_id", pred.alias("pred_lang"), best.cast("long").alias("n_markers")
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for lg in LANG_ORDER:
+        arr = ", ".join(f"'{m}'" for m in LANG_MARKERS[lg])
+        score_cols.append(
+            f"len(list_filter(string_split(text, ' '), "
+            f"t -> list_contains([{arr}], t))) AS s_{lg}"
+        )
+    # mirror the right-fold tie-break exactly
+    pred = f"'{LANG_ORDER[-1]}'"
+    best = f"s_{LANG_ORDER[-1]}"
+    for lg in reversed(LANG_ORDER[:-1]):
+        pred = f"CASE WHEN s_{lg} >= {best} THEN '{lg}' ELSE {pred} END"
+        best = f"CASE WHEN s_{lg} >= {best} THEN s_{lg} ELSE {best} END"
+    return f"""
+WITH scored AS (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+SELECT doc_id, {pred} AS pred_lang, CAST({best} AS BIGINT) AS n_markers
+FROM scored
+"""
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality: token count, mean token length, stopword
+    ratio, composite score = 0.5·stop_ratio + min(n_tokens,50)/100."""
+    arr = ", ".join(f"'{m}'" for m in STOPWORDS)
+    n_tok = F.expr("size(split(text, ' '))")
+    n_stop = F.expr(
+        f"size(filter(split(text, ' '), t -> array_contains(array({arr}), t)))"
+    )
+    n_chars = F.length("text")
+    mean_len = (n_chars - (n_tok - 1)) / n_tok
+    stop_ratio = n_stop / n_tok
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        portable_round(mean_len, _R).alias("mean_token_len"),
+        portable_round(stop_ratio, _R).alias("stopword_ratio"),
+        portable_round(
+            0.5 * stop_ratio + F.least(n_tok, F.lit(50)) / 100.0, _R
+        ).alias("quality"),
+    )
+
+
+def _quality_sql() -> str:
+    arr = ", ".join(f"'{m}'" for m in STOPWORDS)
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_filter(string_split(text, ' '),
+               t -> list_contains([{arr}], t))) AS n_stop,
+           length(text) AS n_chars
+    FROM documents
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok, 4)
+           AS mean_token_len,
+       round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stopword_ratio,
+       round(0.5 * CAST(n_stop AS DOUBLE) / n_tok
+             + least(n_tok, 50) / 100.0, 4) AS quality
+FROM t
+"""
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace + regex token counts + a BPE-ish estimate
+    (ceil(chars/4) — the standard ~4-chars-per-token heuristic)."""
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_ws_tokens"),
+        F.expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))")
+        .cast("long")
+        .alias("n_re_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_bpe_est"),
+    )
+
+
+_TOKEN_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+           AS n_re_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+FROM documents
+"""
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over word tokens:
+    fp = fold(tokens, 0, (acc, x) → (31·acc + h(x)) mod P) with
+    h = 32-bit md5 prefix mod P — order-sensitive, so it fingerprints
+    the token *sequence* (not the bag)."""
+    fp = F.expr(
+        "aggregate(transform(split(text, ' '), "
+        f"t -> conv(substring(md5(t), 1, 8), 16, 10) % {P_FP}), "
+        f"cast(0 as bigint), (acc, x) -> (acc * 31 + cast(x as bigint)) % {P_FP})"
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+_FP_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(0::BIGINT,
+               list_transform(string_split(text, ' '),
+                   t -> {HEXINT_SQL.format(x='t')} % {P_FP})),
+           (acc, x) -> (acc * 31 + x) % {P_FP}) AS fingerprint
+FROM documents
+"""
+
+
+ORACLE_SQL = {
+    "lang_id": _lang_sql(),
+    "quality_score": _quality_sql(),
+    "token_count": _TOKEN_SQL,
+    "doc_fingerprint": _FP_SQL,
+}
