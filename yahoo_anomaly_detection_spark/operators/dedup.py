@@ -89,7 +89,15 @@ def exact_dedup(corpus: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------- shingles
 def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc (exploded rows)."""
+    """Distinct word n-gram shingles per doc (exploded rows).
+
+    The input is repartitioned to full parallelism first: shingling
+    expands each doc ~100× (explode + per-shingle md5), so the cheap
+    narrow shuffle of raw docs buys even task distribution for the
+    expensive expansion — otherwise the scan's file-split count (2 for
+    a small parquet) caps the parallelism of the whole pipeline."""
+    parts = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus.repartition(parts)
     w = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(w) >= n,
@@ -119,6 +127,12 @@ sh AS (
 
 # ------------------------------------------------------------ jaccard
 def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    # persist + materialize: the shingle relation feeds a self-join +
+    # two size joins; without a materialized cache Spark re-evaluates
+    # the explode(md5-transform) subtree per consumer (~40× slower
+    # measured at sf0.1)
+    sh = sh.persist()
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -176,31 +190,39 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
 
 
 # ------------------------------------------------------------ minhash
-def _hash_params(spark, k: int) -> DataFrame:
-    rows = [(h, 2 * h + 1, 7 * h + 3) for h in range(k)]
-    return spark.createDataFrame(rows, "h_idx int, a long, b long")
+def _minhash_wide(src: DataFrame, n: int, k: int) -> DataFrame:
+    """(doc_id, h0..h{k-1}) wide signature — ONE map-side-combined
+    shuffle of k longs per doc (vs k× row blow-up of a params
+    crossJoin, which measured ~10× slower)."""
+    sh = shingles(src, n)
+    x = (hexint(F.col("shingle")) % P31).alias("x")
+    return (
+        sh.select("doc_id", x)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(2 * h + 1) * F.col("x") + F.lit(7 * h + 3)) % P31)
+                .alias(f"h{h}")
+                for h in range(k)
+            ]
+        )
+    )
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 16,
                        corpus: DataFrame | None = None) -> DataFrame:
     """k-permutation MinHash over word-n-gram shingles.
 
-    h_i(s) = (a_i·(x mod P) + b_i) mod P with x = 32-bit md5 prefix,
-    P = 2^31−1 — fully deterministic and SQL-portable. Output is
-    exploded (doc_id, h_idx, minhash) rows. Shuffle volume: k longs
-    per doc regardless of text size."""
-    spark = docs.sparkSession
-    sh = shingles(corpus if corpus is not None else docs, n)
-    x = (hexint(F.col("shingle")) % P31).alias("x")
-    params = _hash_params(spark, k)
-    return (
-        sh.select("doc_id", x)
-        .crossJoin(F.broadcast(params))
-        .groupBy("doc_id", "h_idx")
-        .agg(
-            F.min((F.col("a") * F.col("x") + F.col("b")) % P31).alias("minhash")
-        )
-    )
+    h_i(s) = (a_i·(x mod P) + b_i) mod P with a_i = 2i+1, b_i = 7i+3,
+    x = 32-bit md5 prefix, P = 2^31−1 — fully deterministic and
+    SQL-portable. Output is exploded (doc_id, h_idx, minhash) rows
+    (unpivoted from the wide column-wise aggregation)."""
+    wide = _minhash_wide(corpus if corpus is not None else docs, n, k)
+    stack = ", ".join(f"{h}, h{h}" for h in range(k))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({k}, {stack}) AS (h_idx, minhash)"),
+    ).select("doc_id", F.col("h_idx").cast("int"), "minhash")
 
 
 def _minhash_sql(corpus_sql: str, n: int, k: int) -> str:
@@ -233,19 +255,22 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = 16,
     replaced by |bands| equality joins whose keys are band signatures;
     exact verification touches only candidates."""
     corpus = with_near_dups(docs)
-    sig = minhash_signatures(docs, n, k, corpus=corpus)
+    wide = _minhash_wide(corpus, n, k)
     rows_per_band = k // bands
-    banded = (
-        sig.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.expr("transform(sort_array(collect_list(struct(h_idx, minhash))), "
-                       "s -> cast(s.minhash as string))"),
-                ",",
-            ).alias("band_sig")
-        )
+    # band signatures straight off the wide columns (no re-shuffle);
+    # persist both relations that feed self-joins (see _jaccard_pairs)
+    band_rows = ", ".join(
+        f"{b}, concat_ws(',', "
+        + ", ".join(f"h{b * rows_per_band + i}" for i in range(rows_per_band))
+        + ")"
+        for b in range(bands)
     )
+    banded = wide.select(
+        "doc_id",
+        F.expr(f"stack({bands}, {band_rows}) AS (band, band_sig)"),
+    ).persist()
+    banded.count()  # materialize BEFORE the self-join — both join sides
+    # of a not-yet-cached persist() race and each recompute the subtree
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -255,8 +280,10 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = 16,
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-    )
-    sh = shingles(corpus, n)
+    ).persist()
+    cands.count()
+    sh = shingles(corpus, n).persist()
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
