@@ -245,6 +245,95 @@ def q_doc_sha(spark, sf_dir):
     return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
 
 
+def q_ewma_1m(spark, sf_dir):
+    """EWMA (α=0.3) over the per-conversation 1m mean series — the
+    recursive stat (SURVEY W5/W6) via one applyInPandas per key."""
+    t1m = rollup.rollup_points(_series(spark, sf_dir), "1m").select(
+        "conv_id", "bucket_start", F.col("mean").alias("mean_v")
+    )
+    e = stats.ewma(t1m, "mean_v", alpha=0.3)
+    return _round_cols(
+        e.select("conv_id", "bucket_start", "mean_v", "ewma"),
+        ["mean_v", "ewma"],
+    )
+
+
+def q_conv_stats_salted(spark, sf_dir):
+    """Per-conversation global stats through the salted two-level
+    aggregation (hot-key path, SURVEY §4) — must equal a plain
+    groupBy, which is exactly what the oracle computes."""
+    ev = _series(spark, sf_dir)
+    v = F.col("value").cast("double")
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(v).alias("sum_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    ]
+    out = rollup.salted_agg(ev, "conv_id", aggs, buckets=16)
+    return _round_cols(out, ["sum_v", "min_v", "max_v"])
+
+
+def q_codec_roundtrip(spark, sf_dir):
+    """Gorilla XOR + delta-of-delta round-trip self-verification:
+    encode per (conv_id, hour) → decode → multiset-compare against the
+    original points. n_mismatch must be 0 (bit-exact doubles + µs
+    timestamps)."""
+    from yahoo_anomaly_detection_spark.operators.codec import (
+        compress_buckets, decompress_buckets,
+    )
+
+    pts = _series(spark, sf_dir).where(F.col("value").isNotNull())
+    dec = decompress_buckets(compress_buckets(pts, "hour"))
+    orig_m = pts.groupBy("conv_id", "ts", "value").agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    dec_m = dec.groupBy("conv_id", "ts", "value").agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+    j = orig_m.join(dec_m, on=["conv_id", "ts", "value"], how="full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("n_o"), F.lit(0))).alias("n_points"),
+        F.sum(
+            F.when(
+                F.coalesce(F.col("n_o"), F.lit(0))
+                != F.coalesce(F.col("n_d"), F.lit(0)),
+                1,
+            ).otherwise(0)
+        ).alias("n_mismatch"),
+    )
+
+
+def q_bof_eval(spark, sf_dir):
+    """Bag-of-Functions basis pool (SURVEY §2.8 F1-F21) evaluated over
+    x = 0..99 as JVM expressions, checked against DuckDB's math."""
+    from yahoo_anomaly_detection_spark.functions import bof
+
+    x = F.col("x").cast("double")
+    cols = {
+        "f_sin": bof.sin(x, 1.5, 0.2, 0.3),
+        "f_cos": bof.cos(x, 1.5, 0.2, 0.3),
+        "f_sin_abs": bof.sin_abs(x, 1.5, 0.2, 0.3),
+        "f_sawtooth": bof.sawtooth_wave(x, 2.0, 7.0, 0.5),
+        "f_si": bof.si(x, 1.0, 0.3, -2.0),
+        "f_lin": bof.lin(x, 1.0, 0.5),
+        "f_exp_sat": bof.exp_sat(x, 0.5, 2.0, 5.0),
+        "f_exp_decay": bof.exp_decay(x, 0.5, 2.0, 5.0),
+        "f_sqrt": bof.sqrt_fn(x, 0.0, 1.0, 2.0),
+        "f_log10": bof.log10_fn(x, 0.0, 1.0, 1.0),
+        "f_tanh": bof.tanh_fn(x, 1.0, 0.1, 50.0),
+        "f_sig": bof.sig(x, 1.0, 0.2, -30.0),
+        "f_gaus": bof.gaus(x, 2.0, 0.001, 50.0),
+        "f_step": bof.step(x, 1.0, 30.0),
+        "f_rect": bof.rect(x, 1.0, 20.0, 0.5, tmax=100.0),
+        "f_hardlim": bof.hardlim(x, 50.0),
+        "f_gauss_pdf": bof.gaussian_pdf(x, 50.0, 10.0),
+    }
+    df = spark.range(100).select(F.col("id").cast("int").alias("x"))
+    out = df.select("x", *[c.alias(n) for n, c in cols.items()])
+    return _round_cols(out, list(cols.keys()))
+
+
 # ----------------------------------------------- training-data pipeline ops
 def _docs(spark, sf_dir):
     return ingest.load_table(spark, sf_dir, "documents")
@@ -345,6 +434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_parity_1h": q_tier_parity_1h,
         "split_counts": q_split_counts,
         "doc_sha": q_doc_sha,
+        "ewma_1m": q_ewma_1m,
+        "conv_stats_salted": q_conv_stats_salted,
+        "codec_roundtrip": q_codec_roundtrip,
+        "bof_eval": q_bof_eval,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -606,6 +699,66 @@ WHERE ts >= TIMESTAMP '{VAL_END}'
 
 _DOC_SHA_SQL = "SELECT doc_id, sha256(text) AS text_sha FROM documents"
 
+_EWMA_SQL = f"""
+WITH ev AS ({_EV}),
+{_T1M_MEAN},
+arr AS (
+    SELECT conv_id,
+           list(mean_v ORDER BY bucket_start) AS vs,
+           list(bucket_start ORDER BY bucket_start) AS bs
+    FROM t1m GROUP BY 1
+),
+ew AS (
+    SELECT conv_id, bs, vs,
+           list_transform(generate_series(1, len(vs)),
+               i -> list_reduce(vs[1:i],
+                                (acc, x) -> acc + 0.3 * (x - acc))) AS es
+    FROM arr
+)
+SELECT conv_id, unnest(bs) AS bucket_start,
+       round(unnest(vs), 4) AS mean_v, round(unnest(es), 4) AS ewma
+FROM ew
+"""
+
+_SALTED_SQL = f"""
+WITH ev AS ({_EV})
+SELECT conv_id, count(*) AS cnt, round(sum(value), 4) AS sum_v,
+       round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+FROM ev GROUP BY 1
+"""
+
+_CODEC_SQL = """
+SELECT count(*) AS n_points, CAST(0 AS BIGINT) AS n_mismatch
+FROM events WHERE value IS NOT NULL
+"""
+
+_BOF_SQL = """
+WITH xs AS (SELECT CAST(i AS INT) AS x, CAST(i AS DOUBLE) AS xd
+            FROM generate_series(0, 99) t(i))
+SELECT x,
+  round(1.5 * sin(0.2 * xd + 0.3), 4) AS f_sin,
+  round(1.5 * cos(0.2 * xd + 0.3), 4) AS f_cos,
+  round(abs(1.5 * sin(0.2 * xd + 0.3)), 4) AS f_sin_abs,
+  round(2 * 2.0 * (xd / 7.0 - floor(0.5 + xd / 7.0)) + 0.5, 4) AS f_sawtooth,
+  round(1.0 * CASE WHEN abs(0.3 * xd - 2.0) < 1e-12 THEN 1.0
+              ELSE sin(0.3 * xd - 2.0) / (0.3 * xd - 2.0) END, 4) AS f_si,
+  round(1.0 + 0.5 * xd, 4) AS f_lin,
+  round(0.5 + 2.0 * (1 - exp(-xd / (5.0 + 1e-6))), 4) AS f_exp_sat,
+  round(0.5 + 2.0 * exp(-xd / (5.0 + 1e-6)), 4) AS f_exp_decay,
+  round(0.0 + 1.0 * sqrt(xd + 2.0), 4) AS f_sqrt,
+  round(0.0 + 1.0 * log10(xd + 1.0), 4) AS f_log10,
+  round(1.0 * (1 - 2.0 / (exp(2 * (xd - 50.0) * 0.1) + 1)), 4) AS f_tanh,
+  round(1.0 / (1 + exp((-xd - (-30.0)) * 0.2)), 4) AS f_sig,
+  round(2.0 * exp(-abs(0.001 * power(xd - 50.0, 2))), 4) AS f_gaus,
+  round(CASE WHEN xd < 30.0 THEN 0.0 ELSE 1.0 END, 4) AS f_step,
+  round(CASE WHEN xd >= 20.0 AND xd <= 20.0 + (100.0 - 20.0) * 0.5
+             THEN 1.0 ELSE 0.0 END, 4) AS f_rect,
+  round(CAST(xd > 50.0 AS DOUBLE), 4) AS f_hardlim,
+  round(exp(-power(xd - 50.0, 2) / (2 * 10.0 * 10.0))
+        / (10.0 * sqrt(2 * pi())), 4) AS f_gauss_pdf
+FROM xs
+"""
+
 
 def _epsilonize(sql: str) -> str:
     """Rewrite every ``round(<expr>, 4)`` to ``round(<expr> + 1e-9, 4)``
@@ -654,6 +807,10 @@ def oracle_sql() -> dict[str, str]:
         "tier_parity_1h": _TIER_PARITY_SQL,
         "split_counts": _SPLIT_SQL,
         "doc_sha": _DOC_SHA_SQL,
+        "ewma_1m": _EWMA_SQL,
+        "conv_stats_salted": _SALTED_SQL,
+        "codec_roundtrip": _CODEC_SQL,
+        "bof_eval": _BOF_SQL,
     }
     out.update(dedup.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)

@@ -47,6 +47,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--tiers", default="1m,1h,1d")
     ap.add_argument("--evict-now", default=None,
                     help="watermark timestamp enabling TTL eviction")
+    ap.add_argument("--sink", default="parquet", choices=["parquet", "noop"],
+                    help="noop = compute-only (scaling measurement)")
     ap.add_argument("--shuffle-partitions", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")))
     args = ap.parse_args(argv)
@@ -60,15 +62,41 @@ def main(argv: list[str] | None = None) -> dict:
     metrics: dict = {"run_id": args.run_id, "stages": {}}
     t_all = time.time()
 
-    t0 = time.time()
     bronze = bronze_transcripts(spark.read.parquet(args.input))
-    n_turns = bronze.count()
-    metrics["n_turns"] = n_turns
-    metrics["stages"]["scan"] = round(time.time() - t0, 2)
 
     # latency series + 1m tier: ONE shuffle (window over conv_id, then
     # groupBy(conv_id, bucket) reuses the exchange)
     points = transcripts_latency(bronze)
+
+    if args.sink == "noop":
+        # compute-only variant for scaling measurement: identical
+        # shuffles/aggregates, no single-disk parquet bottleneck (a
+        # real cluster's distributed store scales with executors; the
+        # sandbox's one device does not)
+        from pyspark.sql import functions as F
+
+        prev = None
+        first_tier = None
+        for tier in tiers:
+            t0 = time.time()
+            df = (rollup_points(points, tier) if prev is None
+                  else rollup_cascade(prev, tier))
+            df = df.persist()
+            df.write.format("noop").mode("overwrite").save()
+            if first_tier is None:
+                first_tier = df
+            prev = df
+            metrics["stages"][f"tier_{tier}"] = round(time.time() - t0, 2)
+        metrics["n_turns"] = int(
+            first_tier.agg(F.sum("cnt")).collect()[0][0]
+        )
+        metrics["wall_sec"] = round(time.time() - t_all, 2)
+        metrics["turns_per_sec"] = round(
+            metrics["n_turns"] / metrics["wall_sec"], 1
+        )
+        metrics["skipped_units"] = 0
+        print(json.dumps(metrics))
+        return metrics
 
     input_snap = None
     prev_tier = None
@@ -94,6 +122,17 @@ def main(argv: list[str] | None = None) -> dict:
             prev_tier = catalog.read(spark, f"tier_{tier}")
         metrics["stages"][f"tier_{tier}"] = round(time.time() - t0, 2)
         input_snap = catalog.current_snapshot_id(f"tier_{tier}")
+
+    # n_turns from the 1m tier (sum of per-bucket counts) — avoids a
+    # second full scan of the raw table just for the metric
+    from pyspark.sql import functions as F
+
+    n_turns = (
+        catalog.read(spark, f"tier_{tiers[0]}")
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+    )
+    metrics["n_turns"] = int(n_turns)
 
     if args.evict_now:
         from datetime import datetime
