@@ -304,6 +304,16 @@ def q_codec_roundtrip(spark, sf_dir):
     )
 
 
+def q_roc_auc(spark, sf_dir):
+    """Tie-aware AUROC/AP on continuous scores (SURVEY O3/A9
+    generalized beyond binary predictions)."""
+    sc = _events_scored(spark, sf_dir)
+    return _round_cols(
+        stats.roc_auc(sc, "score", "label"),
+        ["auroc", "average_precision"],
+    )
+
+
 def q_bof_eval(spark, sf_dir):
     """Bag-of-Functions basis pool (SURVEY §2.8 F1-F21) evaluated over
     x = 0..99 as JVM expressions, checked against DuckDB's math."""
@@ -437,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_1m": q_ewma_1m,
         "conv_stats_salted": q_conv_stats_salted,
         "codec_roundtrip": q_codec_roundtrip,
+        "roc_auc": q_roc_auc,
         "bof_eval": q_bof_eval,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -732,6 +743,40 @@ SELECT count(*) AS n_points, CAST(0 AS BIGINT) AS n_mismatch
 FROM events WHERE value IS NOT NULL
 """
 
+_ROC_SQL = f"""
+WITH sc AS ({_SCORED}),
+grp AS (
+    SELECT score AS _s,
+           sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pos,
+           sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS neg
+    FROM sc GROUP BY 1
+),
+ranked AS (
+    SELECT pos, neg,
+           coalesce(sum(pos + neg) OVER (ORDER BY _s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (pos + neg + 1) / 2.0 AS rank_avg,
+           sum(pos) OVER (ORDER BY _s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos_desc,
+           sum(pos + neg) OVER (ORDER BY _s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_all_desc
+    FROM grp
+),
+agg AS (
+    SELECT sum(pos) AS np, sum(neg) AS nn,
+           sum(pos * rank_avg) AS rsum,
+           sum((CAST(cum_pos_desc AS DOUBLE) / cum_all_desc) * pos)
+               AS ap_num
+    FROM ranked
+)
+SELECT round((rsum - np * (np + 1) / 2.0) / (np * nn), 4) AS auroc,
+       round(ap_num / np, 4) AS average_precision,
+       np AS n_pos, nn AS n_neg
+FROM agg
+"""
+
 _BOF_SQL = """
 WITH xs AS (SELECT CAST(i AS INT) AS x, CAST(i AS DOUBLE) AS xd
             FROM generate_series(0, 99) t(i))
@@ -810,6 +855,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_1m": _EWMA_SQL,
         "conv_stats_salted": _SALTED_SQL,
         "codec_roundtrip": _CODEC_SQL,
+        "roc_auc": _ROC_SQL,
         "bof_eval": _BOF_SQL,
     }
     out.update(dedup.ORACLE_SQL)

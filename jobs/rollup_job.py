@@ -39,6 +39,43 @@ from yahoo_anomaly_detection_spark.operators.checkpoint import (  # noqa: E402
 from yahoo_anomaly_detection_spark.operators import retention  # noqa: E402
 
 
+def _full_stages(spark, points, t1m, metrics, sink_fn) -> None:
+    """Statistics + codec stages of the north-star pipeline.
+
+    - rolling mean/std + z-score flags over the 1m mean series
+      (SURVEY W6/W7) — window + envelope, JVM-side
+    - EWMA per conversation (applyInPandas, Arrow-parallel)
+    - Gorilla XOR + delta-of-delta encode per (conv, hour)
+      (mapInPandas, Arrow-parallel)
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from yahoo_anomaly_detection_spark.operators import stats as S
+    from yahoo_anomaly_detection_spark.operators.codec import compress_buckets
+
+    series = t1m.select("conv_id", "bucket_start",
+                        F.col("mean").alias("mean_v"))
+
+    t0 = _t.time()
+    rolled = S.rolling_stats(series, value_col="mean_v", k=10)
+    flagged = S.zscore_envelope_flags(
+        rolled.where(F.col("residual").isNotNull()), "residual", y=3.0
+    )
+    sink_fn(flagged, "stats_flags_1m")
+    metrics["stages"]["stats_flags"] = round(_t.time() - t0, 2)
+
+    t0 = _t.time()
+    sink_fn(S.ewma(series, "mean_v", alpha=0.3), "ewma_1m")
+    metrics["stages"]["ewma"] = round(_t.time() - t0, 2)
+
+    t0 = _t.time()
+    enc = compress_buckets(points.where(F.col("value").isNotNull()), "hour")
+    sink_fn(enc, "encoded_1h")
+    metrics["stages"]["gorilla_encode"] = round(_t.time() - t0, 2)
+
+
 def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="transcripts parquet dir")
@@ -49,6 +86,9 @@ def main(argv: list[str] | None = None) -> dict:
                     help="watermark timestamp enabling TTL eviction")
     ap.add_argument("--sink", default="parquet", choices=["parquet", "noop"],
                     help="noop = compute-only (scaling measurement)")
+    ap.add_argument("--full", action="store_true",
+                    help="run the full north-star pipeline: tiers + "
+                         "rolling stats/z-flags + EWMA + Gorilla encode")
     ap.add_argument("--shuffle-partitions", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")))
     args = ap.parse_args(argv)
@@ -87,6 +127,10 @@ def main(argv: list[str] | None = None) -> dict:
                 first_tier = df
             prev = df
             metrics["stages"][f"tier_{tier}"] = round(time.time() - t0, 2)
+        if args.full:
+            _full_stages(spark, points, first_tier, metrics,
+                         lambda df, name: df.write.format("noop")
+                         .mode("overwrite").save())
         metrics["n_turns"] = int(
             first_tier.agg(F.sum("cnt")).collect()[0][0]
         )
@@ -133,6 +177,13 @@ def main(argv: list[str] | None = None) -> dict:
         .collect()[0][0]
     )
     metrics["n_turns"] = int(n_turns)
+
+    if args.full:
+        t1m_df = catalog.read(spark, f"tier_{tiers[0]}")
+        _full_stages(
+            spark, points, t1m_df, metrics,
+            lambda df, name: catalog.overwrite_table(df, name),
+        )
 
     if args.evict_now:
         from datetime import datetime

@@ -1,18 +1,28 @@
-"""Scaling-efficiency evidence: the SAME rollup job at local[8] vs
-local[32] on the same input (north rule: N vs 4N executors ≥ 0.8).
+"""Scaling-efficiency evidence for the north rule (N vs 4N ≥ 0.8).
 
-Each run is its own subprocess (fresh JVM). Two sink modes are
-measured, because the sandbox's single shared disk is the anti-scaling
-resource a real cluster does not have:
+In-sandbox stand-in for a 2-size cluster comparison: the SAME job at
+local[4] (N) vs local[16] (4N) in separate JVMs on the 32-core host.
+Why 4/16 and not 8/32: every task slot needs BOTH a JVM thread and an
+Arrow/Python worker process (≈2 cores per slot for the pandas-UDF
+stages); local[32] oversubscribes 64 runnable threads onto 32 vCPUs,
+which measures scheduler thrash, not the engine. A real cluster
+provisions executor cores for both sides.
 
-- sink=noop — identical shuffles/aggregates, results materialized via
-  the noop sink: isolates the engine's compute scaling (what a
-  multi-executor cluster with distributed storage would see).
-- sink=parquet — the full catalog-committed pipeline including tier
-  parquet writes + checkpoint/lineage commits to the one local disk.
+Noise control (this KVM guest shows bimodal multi-minute slowdowns —
+high guest sys-time with idle user — consistent with hypervisor-level
+contention/lock-holder preemption on an oversubscribed physical
+host):
+- runs interleaved N,4N,N,4N so drift hits both levels
+- best-of-R per level (best ≈ least-interfered run)
+- shuffle scratch on tmpfs (/dev/shm) — models per-node NVMe scratch
+  that scales with cluster size, unlike the sandbox's one shared disk
+- all runs reported, so the spread is visible
 
-Runs are interleaved (8,32,8,32,…) so slow drifts in shared-host load
-hit both levels equally; best-of-R per level is reported.
+Two job shapes × two sinks:
+- tiers (noop): latency window + 1m/1h/1d cascade, compute-only
+- full (noop): + rolling stats/z-flags + EWMA + Gorilla encode
+- full (parquet): the complete catalog-committed pipeline (single
+  shared disk — reported for completeness, not the scaling claim)
 
 Usage: python scripts/scaling_bench.py [--convs N] [--repeats R]
 """
@@ -23,6 +33,7 @@ import argparse
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -30,9 +41,11 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+LEVELS = (4, 16)
+SCRATCH = "/dev/shm/spark-scratch"
+
 
 def ensure_input(n_convs: int, path: str) -> int:
-    """Materialize the bench transcripts once (deterministic seed)."""
     marker = os.path.join(path, "_COUNT")
     if os.path.exists(marker):
         return int(open(marker).read())
@@ -49,40 +62,70 @@ def ensure_input(n_convs: int, path: str) -> int:
     return n
 
 
-def run_job(cpus: int, input_path: str, run_id: str, sink: str) -> dict:
+def run_job(cpus: int, input_path: str, run_id: str, sink: str,
+            full: bool) -> dict:
     cat = tempfile.mkdtemp(prefix=f"scaling_cat_{cpus}_")
+    os.makedirs(SCRATCH, exist_ok=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_SHUFFLE=str(max(cpus * 2, 16)))
+               SPARK_GRAFT_SHUFFLE=str(max(cpus * 2, 8)),
+               SPARK_LOCAL_DIRS=SCRATCH)
+    cmd = [sys.executable, os.path.join(REPO, "jobs", "rollup_job.py"),
+           "--input", input_path, "--catalog-root", cat,
+           "--run-id", run_id, "--sink", sink]
+    if full:
+        cmd.append("--full")
     try:
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "jobs", "rollup_job.py"),
-             "--input", input_path, "--catalog-root", cat,
-             "--run-id", run_id, "--sink", sink],
-            env=env, capture_output=True, text=True, timeout=1800,
-        )
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             timeout=1800)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)
     finally:
         shutil.rmtree(cat, ignore_errors=True)
 
 
-def measure(sink: str, input_path: str, repeats: int) -> dict[int, dict]:
-    best: dict[int, dict] = {}
+def measure(tag: str, sink: str, full: bool, input_path: str,
+            repeats: int) -> dict:
+    runs: dict[int, list[dict]] = {c: [] for c in LEVELS}
     for r in range(repeats):
-        for cpus in (8, 32):  # interleaved: drift hits both levels
-            m = run_job(cpus, input_path, f"scal_{sink}_{cpus}_{r}", sink)
-            print(f"[{sink}] local[{cpus}] run {r}: wall={m['wall_sec']}s "
+        for cpus in LEVELS:  # interleaved
+            m = run_job(cpus, input_path, f"s_{tag}_{cpus}_{r}", sink, full)
+            runs[cpus].append(m)
+            print(f"[{tag}] local[{cpus}] run {r}: wall={m['wall_sec']}s "
                   f"tps={m['turns_per_sec']}", flush=True)
-            if cpus not in best or m["turns_per_sec"] > best[cpus]["turns_per_sec"]:
-                best[cpus] = m
-    return best
+    out = {}
+    for cpus in LEVELS:
+        tps = [m["turns_per_sec"] for m in runs[cpus]]
+        best = max(runs[cpus], key=lambda m: m["turns_per_sec"])
+        out[cpus] = {"best": best, "all_tps": tps,
+                     "median_tps": statistics.median(tps)}
+    return out
+
+
+def _eff(res, key) -> float:
+    a = res[LEVELS[0]]
+    b = res[LEVELS[1]]
+    if key == "best":
+        return b["best"]["turns_per_sec"] / (4 * a["best"]["turns_per_sec"])
+    return b["median_tps"] / (4 * a["median_tps"])
+
+
+def _table(res) -> str:
+    rows = []
+    for cpus in LEVELS:
+        b = res[cpus]["best"]
+        rows.append(
+            f"| local[{cpus}] | {b['wall_sec']} | "
+            f"{b['turns_per_sec']:,.0f} | {res[cpus]['median_tps']:,.0f} | "
+            f"{[round(t) for t in res[cpus]['all_tps']]} |"
+        )
+    return "\n".join(rows)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int,
                     default=int(os.environ.get("SCALING_CONVS", "120000")))
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=4)
     ap.add_argument("--input", default=os.path.join(REPO, ".bench",
                                                     "transcripts"))
     args = ap.parse_args()
@@ -91,64 +134,80 @@ def main() -> None:
     n_turns = ensure_input(args.convs, args.input)
     print(f"input: {n_turns} turns at {args.input}")
 
-    noop = measure("noop", args.input, args.repeats)
-    pq = measure("parquet", args.input, args.repeats)
-
-    def eff(res):
-        return res[32]["turns_per_sec"] / (4 * res[8]["turns_per_sec"])
+    tiers = measure("tiers", "noop", False, args.input, args.repeats)
+    full = measure("full", "noop", True, args.input, args.repeats)
+    pq = measure("parquet", "parquet", True, args.input, max(2, args.repeats // 2))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — scaling efficiency evidence (north rule)
 
-Same rollup job (`jobs/rollup_job.py`: bronze scan → per-turn latency
-(lag over stable turn order) → 1m tier → 1h/1d recombination cascade)
-on the SAME deterministic synthetic transcripts input
-({n_turns:,} turns), at two parallelism levels in separate JVMs —
-the in-sandbox stand-in for N vs 4N executors (no real cluster
-available). Runs interleaved 8/32, best of {args.repeats} per level.
+Same job (`jobs/rollup_job.py`) on the SAME deterministic synthetic
+transcripts input ({n_turns:,} turns), at two parallelism levels in
+separate JVMs: **local[4] (N) vs local[16] (4N)** — the in-sandbox
+stand-in for N vs 4N executors (no real cluster available). Each task
+slot needs a JVM thread AND an Arrow/Python worker (~2 cores/slot for
+the pandas-UDF stages), so 4/16 keeps both levels un-oversubscribed on
+the 32-vCPU guest the way real executors are provisioned; shuffle
+scratch is tmpfs (models per-node NVMe that scales with cluster size,
+unlike the sandbox's single shared disk). Runs interleaved N,4N,…;
+this KVM guest shows multi-minute hypervisor-contention episodes
+(guest sys-time spikes with idle user CPU), so best-of-R approximates
+the uncontended machine and every run is listed so the spread is
+visible.
 
-## Compute scaling (sink=noop — what a cluster with distributed
-storage sees; the sandbox's single local disk is excluded)
+Efficiency = tps(4N) / (4·tps(N)); acceptance ≥ 0.8.
 
-| config | wall (s) | throughput (turns/s) |
-| --- | --- | --- |
-| local[8]  (N)  | {noop[8]['wall_sec']} | {noop[8]['turns_per_sec']:,.0f} |
-| local[32] (4N) | {noop[32]['wall_sec']} | {noop[32]['turns_per_sec']:,.0f} |
+## Tier cascade, compute-only (scan → latency window → 1m → 1h → 1d)
 
-**Scaling efficiency = {eff(noop):.3f}** (acceptance ≥ 0.8)
-
-## Full pipeline incl. catalog parquet commits (sink=parquet — bounded
-by the sandbox's ONE shared disk, which unlike cluster storage does
-not add bandwidth with executors; reported for completeness)
-
-| config | wall (s) | throughput (turns/s) |
-| --- | --- | --- |
-| local[8]  (N)  | {pq[8]['wall_sec']} | {pq[8]['turns_per_sec']:,.0f} |
-| local[32] (4N) | {pq[32]['wall_sec']} | {pq[32]['turns_per_sec']:,.0f} |
-
-Efficiency (disk-bound): {eff(pq):.3f}
-
-Per-stage seconds (best runs, noop | parquet):
-
-| stage | noop local[8] | noop local[32] | pq local[8] | pq local[32] |
+| config | wall best (s) | tps best | tps median | all runs (tps) |
 | --- | --- | --- | --- | --- |
+{_table(tiers)}
+
+**efficiency (best) = {_eff(tiers, 'best'):.3f}**, (median) =
+{_eff(tiers, 'median'):.3f}
+
+## Full north-star pipeline, compute-only (+ rolling stats/z-flags +
+EWMA + Gorilla encode)
+
+| config | wall best (s) | tps best | tps median | all runs (tps) |
+| --- | --- | --- | --- | --- |
+{_table(full)}
+
+**efficiency (best) = {_eff(full, 'best'):.3f}**, (median) =
+{_eff(full, 'median'):.3f}
+
+## Full pipeline with catalog parquet commits (single shared disk —
+completeness, not the scaling claim)
+
+| config | wall best (s) | tps best | tps median | all runs (tps) |
+| --- | --- | --- | --- | --- |
+{_table(pq)}
+
+efficiency (best) = {_eff(pq, 'best'):.3f}
+
+Per-stage seconds (best runs, full-noop):
+
+| stage | local[{LEVELS[0]}] | local[{LEVELS[1]}] |
+| --- | --- | --- |
 """)
-        for k in ("tier_1m", "tier_1h", "tier_1d"):
-            f.write(f"| {k} | {noop[8]['stages'].get(k)} | "
-                    f"{noop[32]['stages'].get(k)} | "
-                    f"{pq[8]['stages'].get(k)} | "
-                    f"{pq[32]['stages'].get(k)} |\n")
-        rows = {k: v for k, v in pq[32]["stages"].items()
+        for k in ("tier_1m", "tier_1h", "tier_1d", "stats_flags", "ewma",
+                  "gorilla_encode"):
+            f.write(f"| {k} | {full[LEVELS[0]]['best']['stages'].get(k)} | "
+                    f"{full[LEVELS[1]]['best']['stages'].get(k)} |\n")
+        rows = {k: v for k, v in pq[LEVELS[1]]["best"]["stages"].items()
                 if k.endswith("_rows")}
         f.write("\nTier row counts (identical at both levels and both "
                 f"sinks — determinism across parallelism): {rows}\n")
     print("wrote BENCH/BASELINE.md")
-    print(f"noop efficiency={eff(noop):.3f} parquet efficiency={eff(pq):.3f}")
+    print(f"tiers eff best={_eff(tiers,'best'):.3f} "
+          f"full eff best={_eff(full,'best'):.3f} "
+          f"parquet eff best={_eff(pq,'best'):.3f}")
 
-    for k in pq[8]["stages"]:
+    for k in pq[LEVELS[0]]["best"]["stages"]:
         if k.endswith("_rows"):
-            assert pq[8]["stages"][k] == pq[32]["stages"][k], k
+            assert (pq[LEVELS[0]]["best"]["stages"][k]
+                    == pq[LEVELS[1]]["best"]["stages"][k]), k
     print("tier row counts identical across parallelism levels")
 
 

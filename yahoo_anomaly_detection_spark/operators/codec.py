@@ -211,6 +211,11 @@ def compress_buckets(points: DataFrame, coarse: str = "hour",
     """points (conv_id, ts, value) → one Gorilla payload per
     (conv_id, coarse bucket). collect_list is bounded by the coarse
     bucket (≤ bucket span of points per group), sorted in-plan."""
+    # ship PRIMITIVE arrays to Python: a struct array would surface in
+    # pandas as one dict per point (millions of boxed objects — the
+    # dominant cost, measured); two parallel primitive arrays arrive
+    # as numpy-convertible buffers instead. Sorting happens on the
+    # struct (t-major), then the columns are split JVM-side.
     grouped = (
         points.groupBy(
             "conv_id",
@@ -226,16 +231,22 @@ def compress_buckets(points: DataFrame, coarse: str = "hour",
                 )
             ).alias("pts")
         )
+        .select(
+            "conv_id",
+            "bucket_start",
+            F.expr("transform(pts, p -> p.t)").alias("ts_us"),
+            F.expr("transform(pts, p -> p.v)").alias("vals"),
+        )
     )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, ns = [], []
-            for pts in pdf["pts"]:
-                t = np.fromiter((p["t"] for p in pts), dtype=np.int64, count=len(pts))
-                v = np.fromiter((p["v"] for p in pts), dtype=np.float64, count=len(pts))
+            for t_arr, v_arr in zip(pdf["ts_us"], pdf["vals"]):
+                t = np.asarray(t_arr, dtype=np.int64)
+                v = np.asarray(v_arr, dtype=np.float64)
                 payloads.append(encode_series(t, v))
-                ns.append(len(pts))
+                ns.append(len(t))
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
