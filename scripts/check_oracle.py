@@ -114,6 +114,7 @@ def main() -> int:
               f"{time.time()-t0:.1f}s)")
         if verdict != "OK":
             failures.append(name)
+        spark.catalog.clearCache()  # free operator-internal persists
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     return 1 if failures else 0
 

@@ -74,15 +74,14 @@ class _BitReader:
         self.pos = 0  # bit position
 
     def read(self, nbits: int) -> int:
-        out = 0
+        """Extract nbits via one small byte-slice → int (O(1) per call,
+        vs the naive per-bit loop)."""
         pos = self.pos
-        data = self.data
-        for _ in range(nbits):
-            byte = data[pos >> 3]
-            out = (out << 1) | ((byte >> (7 - (pos & 7))) & 1)
-            pos += 1
-        self.pos = pos
-        return out
+        self.pos = pos + nbits
+        start = pos >> 3
+        end = (pos + nbits + 7) >> 3
+        chunk = int.from_bytes(self.data[start:end], "big")
+        return (chunk >> (end * 8 - pos - nbits)) & ((1 << nbits) - 1)
 
 
 _DOD_BUCKETS = ((64, "10", 7, 63), (256, "110", 9, 255), (2048, "1110", 12, 2047))

@@ -38,7 +38,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 20g, not the machine's full 128g: oversized heaps cost first-
+        # touch page-faulting on every cold JVM (measured 110s vs 16s
+        # cold tier rollup at 48g vs 16g) and buy nothing — the hot
+        # working set is execution memory for one stage's sorts/aggs
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
