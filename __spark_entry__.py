@@ -558,11 +558,13 @@ g AS (SELECT 1.0 + CAST(i AS DOUBLE) AS y
       FROM generate_series(0, 99) AS t(i)),
 gt AS (SELECT y, y * mu + sigma AS threshold FROM g, st),
 sw AS (
+    -- CAST: DuckDB sum() yields HUGEINT; the driver's value-hash
+    -- distinguishes it from Spark's int64, so pin BIGINT explicitly
     SELECT y, threshold,
-           sum(CASE WHEN score > threshold AND label = 1 THEN 1 ELSE 0 END) AS tp,
-           sum(CASE WHEN score > threshold AND label = 0 THEN 1 ELSE 0 END) AS fp,
-           sum(CASE WHEN score <= threshold AND label = 1 THEN 1 ELSE 0 END) AS fn,
-           sum(CASE WHEN score <= threshold AND label = 0 THEN 1 ELSE 0 END) AS tn
+           CAST(sum(CASE WHEN score > threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN score > threshold AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN score <= threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN score <= threshold AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
     FROM sc, gt GROUP BY y, threshold
 ),
 swf AS (
@@ -591,10 +593,11 @@ p AS (SELECT label,
              CASE WHEN score > 3.0 * mu + sigma THEN 1 ELSE 0 END AS pred
       FROM sc, st),
 c AS (
-    SELECT sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS tp,
-           sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS fp,
-           sum(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS fn,
-           sum(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS tn
+    -- CAST AS BIGINT: avoid DuckDB HUGEINT vs Spark int64 hash skew
+    SELECT CAST(sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
     FROM p
 ),
 m AS (
@@ -765,7 +768,8 @@ ranked AS (
     FROM grp
 ),
 agg AS (
-    SELECT sum(pos) AS np, sum(neg) AS nn,
+    -- CAST AS BIGINT: avoid DuckDB HUGEINT vs Spark int64 hash skew
+    SELECT CAST(sum(pos) AS BIGINT) AS np, CAST(sum(neg) AS BIGINT) AS nn,
            sum(pos * rank_avg) AS rsum,
            sum((CAST(cum_pos_desc AS DOUBLE) / cum_all_desc) * pos)
                AS ap_num

@@ -48,7 +48,30 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class that must agree between engines — the driver's
+    value-hash canonicalizes int64 and float64 differently, so a DuckDB
+    HUGEINT (fetched as float64/object) against a Spark int64 fails the
+    driver gate even when values are exact."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "obj"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
+    sk = {c.lower(): dtype_kind(spark_pdf[c]) for c in spark_pdf.columns}
+    dk = {c.lower(): dtype_kind(duck_pdf[c]) for c in duck_pdf.columns}
+    kind_mism = [
+        f"{c}: spark={sk[c]} duck={dk[c]}"
+        for c in sorted(set(sk) & set(dk))
+        if sk[c] != dk[c]
+    ]
     a, b = canon(spark_pdf), canon(duck_pdf)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
@@ -69,6 +92,8 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
             i = int(np.argmax(neq))
             bad += n
             print(f"    col {c}: {n} diffs, first: spark={x[i]!r} duck={y[i]!r}")
+    if bad == 0 and kind_mism:
+        return f"DTYPE MISMATCH ({'; '.join(kind_mism)})"
     return "OK" if bad == 0 else f"{bad} VALUE DIFFS"
 
 

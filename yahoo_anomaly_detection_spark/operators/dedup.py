@@ -387,8 +387,11 @@ per_bit AS (
     FROM toks, generate_series(0, 31) t(j) GROUP BY 1, 2
 ),
 sim AS (
+    -- CAST AS BIGINT: DuckDB sum() yields HUGEINT; the driver's
+    -- value-hash distinguishes it from Spark's int64
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM per_bit GROUP BY 1
 )"""
 

@@ -138,10 +138,12 @@ def _lsh_bucket_sql(n_planes: int) -> str:
     w = _w_expr("j", "d")
     return f"""
 SELECT vec_id,
-       list_sum(list_transform(generate_series(0, {n_planes - 1}), j ->
+       -- CAST AS BIGINT: DuckDB list_sum() yields HUGEINT; the
+       -- driver's value-hash distinguishes it from Spark's int64
+       CAST(list_sum(list_transform(generate_series(0, {n_planes - 1}), j ->
            CASE WHEN list_sum(list_transform(generate_series(0, {DIM - 1}),
                     d -> {w} * CAST(embedding[d + 1] AS DOUBLE))) > 0
-                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS bucket
+                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
 FROM embeddings
 """
 
