@@ -10,6 +10,7 @@ from hypothesis import strategies as st
 from yahoo_anomaly_detection_spark.operators.codec import (
     decode_series,
     encode_series,
+    encode_series_scalar,
 )
 
 
@@ -59,6 +60,21 @@ def test_negative_dod_buckets():
     deltas = [1000, 1000, 1064, 1000, 1256, 1000, 3048, 1000, 10_000_000, 1000]
     ts = np.cumsum([0] + deltas)
     roundtrip(ts, np.arange(len(ts), dtype=float))
+
+
+def test_vectorized_matches_scalar_decode():
+    """Both encoders (vectorized shared-window, scalar greedy-window)
+    must decode back to the identical series — same format, different
+    window policy."""
+    rng = np.random.default_rng(11)
+    for n in (2, 3, 17, 400):
+        ts = np.cumsum(rng.integers(1, 5_000_000, n)).astype(np.int64)
+        vals = np.where(rng.random(n) < 0.3, 42.0, rng.normal(0, 1e6, n))
+        for enc in (encode_series, encode_series_scalar):
+            t2, v2 = decode_series(enc(ts, vals))
+            np.testing.assert_array_equal(ts, t2)
+            np.testing.assert_array_equal(vals.view(np.uint64),
+                                          v2.view(np.uint64))
 
 
 @settings(max_examples=50, deadline=None)

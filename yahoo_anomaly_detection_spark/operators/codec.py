@@ -87,8 +87,152 @@ class _BitReader:
 _DOD_BUCKETS = ((64, "10", 7, 63), (256, "110", 9, 255), (2048, "1110", 12, 2047))
 
 
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (x must be > 0)."""
+    x = x.copy()
+    lz = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = (x >> np.uint64(64 - s)) == 0
+        lz[m] += s
+        x[m] <<= np.uint64(s)
+    return lz
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros for uint64 (x must be > 0)."""
+    low = x & (~x + np.uint64(1))
+    return np.int64(63) - _clz64(low)
+
+
+_PACK_CHUNK = 1 << 21  # emissions per chunk — bounds temporaries to
+# ~tens of MB so glibc serves them from reused arena memory instead of
+# fresh mmaps (first-touch faults on this sandbox's host cost ~100µs/
+# page during its memory-pressure episodes — a 1.5 GB fresh temporary
+# is seconds of kernel time; recycled memory is nanoseconds)
+
+
+def _pack_bits(vals: np.ndarray, nbits: np.ndarray) -> bytes:
+    """MSB-first bitstream assembly: emission k contributes the low
+    nbits[k] bits of vals[k]. O(total_bits) in numpy (repeat + shift +
+    packbits), replacing the per-emission Python loop; chunked to keep
+    peak temporary memory bounded."""
+    out = []
+    for lo in range(0, len(vals), _PACK_CHUNK):
+        v = vals[lo: lo + _PACK_CHUNK]
+        n = nbits[lo: lo + _PACK_CHUNK]
+        total = int(n.sum())
+        if total == 0:
+            continue
+        ends = np.cumsum(n)
+        starts = ends - n
+        rep_n = np.repeat(n, n)
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, n)
+        np.subtract(rep_n, 1, out=rep_n)
+        np.subtract(rep_n, within, out=rep_n)
+        bits = ((np.repeat(v, n) >> rep_n.astype(np.uint64))
+                & np.uint64(1)).astype(np.uint8)
+        out.append(bits)
+    if not out:
+        return b""
+    return np.packbits(np.concatenate(out) if len(out) > 1 else out[0]
+                       ).tobytes()
+
+
 def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
-    """Encode parallel (int64 µs timestamps, float64 values) arrays."""
+    """Vectorized encode of parallel (int64 µs ts, float64 values).
+
+    Same on-disk format as :func:`encode_series_scalar` and decodable
+    by :func:`decode_series`, with one policy difference: instead of
+    the greedy per-point XOR window (a sequential dependency — each
+    point's '10'-reuse decision depends on the previously emitted
+    window), the whole series shares ONE window covering every nonzero
+    XOR (lz = min leading-zeros, tz = min trailing-zeros). The first
+    nonzero XOR emits the '11' window record, every later one emits
+    the 2-bit '10' reuse code — always legal because every XOR fits
+    the common window by construction. Slightly wider payload bits per
+    point than greedy, but the whole encode is ~10 numpy passes
+    instead of a 78k-points/s/core Python loop (measured 32s → <2s
+    for 2.5M points at sf0.1)."""
+    n = len(ts_us)
+    ts_us = np.asarray(ts_us, dtype=np.int64)
+    bits_v = np.ascontiguousarray(
+        np.asarray(values, dtype=np.float64)
+    ).view(np.uint64)
+    header = MAGIC + struct.pack("<I", n)
+    if n == 0:
+        return header
+    if n == 1:
+        out = _BitWriter()
+        out.write(int(ts_us[0]) & ((1 << 64) - 1), 64)
+        out.write(int(bits_v[0]), 64)
+        return header + out.getvalue()
+
+    m = n - 1  # one record per point 1..n-1
+    xors = bits_v[1:] ^ bits_v[:-1]
+    deltas = np.diff(ts_us)
+
+    # slot layout per record, flattened row-major to preserve the
+    # interleaved (dod code, value code) stream order:
+    #   T1 = dod prefix(+payload), T2 = 64-bit dod escape payload,
+    #   V1 = value control ('0' | '10' | 13-bit '11' header),
+    #   V2 = windowed XOR payload
+    vals = np.zeros((m, 4), np.uint64)
+    nbits = np.zeros((m, 4), np.int64)
+
+    if n >= 3:
+        d = np.diff(deltas).astype(np.int64)
+        t1v, t1n = vals[1:, 0], nbits[1:, 0]
+        t2v, t2n = vals[1:, 1], nbits[1:, 1]
+        zero = d == 0
+        t1n[zero] = 1
+        b1 = (~zero) & (d >= -63) & (d <= 64)
+        t1v[b1] = ((0b10 << 7) + (d[b1] + 63)).astype(np.uint64)
+        t1n[b1] = 9
+        b2 = (~zero) & ~b1 & (d >= -255) & (d <= 256)
+        t1v[b2] = ((0b110 << 9) + (d[b2] + 255)).astype(np.uint64)
+        t1n[b2] = 12
+        b3 = (~zero) & ~b1 & ~b2 & (d >= -2047) & (d <= 2048)
+        t1v[b3] = ((0b1110 << 12) + (d[b3] + 2047)).astype(np.uint64)
+        t1n[b3] = 16
+        b4 = (~zero) & ~(b1 | b2 | b3)
+        t1v[b4] = 0b1111
+        t1n[b4] = 4
+        t2v[b4] = d[b4].astype(np.uint64)
+        t2n[b4] = 64
+
+    v1v, v1n = vals[:, 2], nbits[:, 2]
+    v2v, v2n = vals[:, 3], nbits[:, 3]
+    xz = xors == 0
+    v1n[xz] = 1
+    nz = ~xz
+    if nz.any():
+        x = xors[nz]
+        lz = min(31, int(_clz64(x).min()))
+        tz = int(_ctz64(x).min())
+        mb = 64 - lz - tz
+        first = int(np.flatnonzero(nz)[0])
+        v1v[nz] = 0b10
+        v1n[nz] = 2
+        v1v[first] = (0b11 << 11) | (lz << 6) | (mb & 63)
+        v1n[first] = 13
+        v2v[nz] = xors[nz] >> np.uint64(tz)
+        v2n[nz] = mb
+
+    # two's-complement wrap int64 -> uint64 via astype (np.array of
+    # mixed int64/uint64 would promote to float64 and corrupt bits)
+    lead_v = np.array([ts_us[0], 0, deltas[0]], np.int64).astype(np.uint64)
+    lead_v[1] = bits_v[0]
+    lead_n = np.array([64, 64, 64], np.int64)
+    allv = np.concatenate([lead_v, vals.ravel()])
+    alln = np.concatenate([lead_n, nbits.ravel()])
+    keep = alln > 0
+    return header + _pack_bits(allv[keep], alln[keep])
+
+
+def encode_series_scalar(ts_us: np.ndarray, values: np.ndarray) -> bytes:
+    """Scalar reference encoder (greedy per-point XOR window — the
+    Gorilla paper's exact policy). Kept as the unit-testable spec and
+    cross-check for the vectorized encoder; not used in the hot path."""
     n = len(ts_us)
     ts_us = np.asarray(ts_us, dtype=np.int64)
     bits_v = np.asarray(values, dtype=np.float64).view(np.uint64)
