@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from yahoo_anomaly_detection_spark.sources import ingest
 from yahoo_anomaly_detection_spark.operators import rollup, stats, gapfill
+from yahoo_anomaly_detection_spark.operators import cascade as cascade_op
 from yahoo_anomaly_detection_spark.operators import dedup, similarity, textstats
 from yahoo_anomaly_detection_spark.operators import multimodal
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
@@ -344,6 +345,152 @@ def q_bof_eval(spark, sf_dir):
     return _round_cols(out, list(cols.keys()))
 
 
+def q_threshold_sweep_raw_lt(spark, sf_dir):
+    """Raw-grid less-than sweep — the isofor/VAE detector shape
+    (SURVEY P3/A7, /root/reference/StatsTesting/isofor_anm_detc.py:56-76
+    sweeps t in -0.10..-0.30 with scores < t;
+    /root/reference/Testing/vae_anm_detc.py:91-99 likewise). Scores are
+    mapped to the isofor-like negative range [-0.98, 0)."""
+    sc = _events_scored(spark, sf_dir).select(
+        "event_id", (-F.col("score") / 500.0).alias("score"), "label"
+    )
+    g = stats.grid(spark, -0.10, -0.30, -0.01)
+    sw = stats.threshold_sweep(sc, g, score_col="score", label_col="label",
+                               mode="raw", direction="<")
+    return _round_cols(
+        sw.select(portable_round(F.col("y"), _R).alias("y"),
+                  "threshold", "tp", "fp", "fn", "tn", "f1"),
+        ["threshold", "f1"],
+    )
+
+
+def q_detector_lifecycle(spark, sf_dir):
+    """The reference's 3-phase detector lifecycle as ONE query:
+    fit the envelope threshold on the VAL split (sweep y, max F1),
+    apply it to the TEST split, report confusion metrics
+    (/root/reference/main_stats.py:33-47 via
+    /root/reference/StatsTesting/arma_anm_detc.py:56-104). The fitted
+    (y, threshold) is a 1-row relation broadcast onto test — no
+    driver-side collect."""
+    ev = ingest.load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        "ts",
+        F.col("value").cast("double").alias("score"),
+        (F.pmod(F.col("event_id"), F.lit(97)) < 5).cast("int").alias("label"),
+    )
+    _, val, test = ingest.split_by_time(scored, TRAIN_END, VAL_END)
+    g = stats.grid(spark, 1.0, 100.0, 1.0)
+    sw = stats.threshold_sweep(val, g, score_col="score", label_col="label")
+    best = stats.best_threshold(sw).select(
+        F.col("y").alias("best_y"), F.col("threshold").alias("fit_threshold")
+    )
+    applied = test.crossJoin(F.broadcast(best)).withColumn(
+        "pred",
+        F.when(F.col("score") > F.col("fit_threshold"), 1).otherwise(0),
+    )
+    m = (
+        applied.groupBy("best_y", "fit_threshold")
+        .agg(
+            F.sum(F.when((F.col("pred") == 1) & (F.col("label") == 1), 1)
+                  .otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("pred") == 1) & (F.col("label") == 0), 1)
+                  .otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col("pred") == 0) & (F.col("label") == 1), 1)
+                  .otherwise(0)).alias("fn"),
+            F.sum(F.when((F.col("pred") == 0) & (F.col("label") == 0), 1)
+                  .otherwise(0)).alias("tn"),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                2.0 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return _round_cols(m, ["fit_threshold", "f1"])
+
+
+def q_residual_cascade(spark, sf_dir):
+    """W4 residual cascade (BoF reconstruct-subtract loop,
+    /root/reference/Network/ITF/itf_residual.py:60-65) over the
+    per-conversation 1m mean series — const → linear → sine stages as
+    closed-form projections (operators/cascade.py)."""
+    from yahoo_anomaly_detection_spark.operators.cascade import (
+        residual_cascade,
+    )
+
+    t1m = rollup.rollup_points(_series(spark, sf_dir), "1m").select(
+        "conv_id", "bucket_start", portable_round(F.col("mean"), _R).alias("v")
+    )
+    out = residual_cascade(t1m, value_col="v")
+    return _round_cols(out, ["recon", "residual"])
+
+
+def q_kl_closed_form(spark, sf_dir):
+    """A6: closed-form KL divergence aggregate
+    (-0.5·mean(1+logvar−mu²−exp(logvar)),
+    /root/reference/Network/var_autoencoder.py:43-45). mu/logvar are
+    deterministic projections of the events table so both engines see
+    identical inputs."""
+    ev = ingest.load_table(spark, sf_dir, "events")
+    mu = (F.col("value").cast("double") - 50.0) / 50.0
+    logvar = -(F.pmod(F.col("event_id"), F.lit(7)).cast("double") / 7.0)
+    kl = -0.5 * F.avg(
+        1.0 + logvar - mu * mu - F.exp(logvar)
+    )
+    return _round_cols(
+        ev.agg(kl.alias("kl"), F.count(F.lit(1)).alias("n")), ["kl"]
+    )
+
+
+def q_ocsvm_remap(spark, sf_dir):
+    """P5: OCSVM ±1 label remap (−1 → 0,
+    /root/reference/StatsTesting/ocsvm_anm_detc.py:45) + value counts
+    (A3). The ±1 'prediction' is the 2σ envelope sign."""
+    sc = _events_scored(spark, sf_dir)
+    st = sc.agg(F.avg("score").alias("_mu"),
+                F.stddev_pop("score").alias("_sigma"))
+    pm1 = sc.crossJoin(F.broadcast(st)).withColumn(
+        "pred_pm1",
+        F.when(F.col("score") > F.col("_mu") + 2 * F.col("_sigma"),
+               F.lit(-1)).otherwise(F.lit(1)),
+    )
+    remapped = pm1.withColumn(
+        "pred",
+        F.when(F.col("pred_pm1") == -1, F.lit(0)).otherwise(
+            F.col("pred_pm1")
+        ),
+    )
+    return remapped.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_best_epoch(spark, sf_dir):
+    """A8: best-epoch min_by over an epochs-metrics table
+    (/root/reference/Learning/learn_autoencoder.py:119-126 keeps the
+    epoch with the lowest test loss). Epochs are a deterministic
+    partition of events; selection is a single-pass min_by with
+    lowest-epoch tie-break (the reference only replaces on strictly
+    better loss)."""
+    ev = ingest.load_table(spark, sf_dir, "events")
+    epochs = ev.groupBy(
+        F.pmod(F.col("event_id"), F.lit(20)).alias("epoch")
+    ).agg(
+        portable_round(F.avg(F.col("value").cast("double")), _R).alias(
+            "test_loss"
+        ),
+        F.count(F.lit(1)).alias("n_batches"),
+    )
+    best = epochs.agg(
+        F.min_by(
+            F.struct("epoch", "test_loss", "n_batches"),
+            F.struct("test_loss", "epoch"),
+        ).alias("b")
+    )
+    return best.select("b.*")
+
+
 # ----------------------------------------------- training-data pipeline ops
 def _docs(spark, sf_dir):
     return ingest.load_table(spark, sf_dir, "documents")
@@ -449,6 +596,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": q_codec_roundtrip,
         "roc_auc": q_roc_auc,
         "bof_eval": q_bof_eval,
+        "threshold_sweep_raw_lt": q_threshold_sweep_raw_lt,
+        "detector_lifecycle": q_detector_lifecycle,
+        "residual_cascade": q_residual_cascade,
+        "kl_closed_form": q_kl_closed_form,
+        "ocsvm_remap": q_ocsvm_remap,
+        "best_epoch": q_best_epoch,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -781,6 +934,106 @@ SELECT round((rsum - np * (np + 1) / 2.0) / (np * nn), 4) AS auroc,
 FROM agg
 """
 
+_SWEEP_RAW_LT_SQL = f"""
+WITH sc AS (SELECT event_id, -CAST(value AS DOUBLE) / 500.0 AS score,
+            CAST((event_id % 97) < 5 AS INT) AS label FROM events),
+gt AS (SELECT -0.10 + CAST(i AS DOUBLE) * -0.01 AS y,
+              -0.10 + CAST(i AS DOUBLE) * -0.01 AS threshold
+       FROM generate_series(0, 20) t(i)),
+sw AS (
+    SELECT y, threshold,
+           CAST(sum(CASE WHEN score < threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN score < threshold AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN score >= threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN score >= threshold AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM sc, gt GROUP BY y, threshold
+)
+SELECT round(y, 4) AS y, round(threshold, 4) AS threshold, tp, fp, fn, tn,
+       round(CASE WHEN 2 * tp + fp + fn > 0
+                  THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END, 4) AS f1
+FROM sw
+"""
+
+_LIFECYCLE_SQL = f"""
+WITH sc AS (SELECT ts, CAST(value AS DOUBLE) AS score,
+            CAST((event_id % 97) < 5 AS INT) AS label FROM events),
+val AS (SELECT * FROM sc WHERE ts >= TIMESTAMP '{TRAIN_END}'
+        AND ts < TIMESTAMP '{VAL_END}'),
+test AS (SELECT * FROM sc WHERE ts >= TIMESTAMP '{VAL_END}'),
+st AS (SELECT avg(score) AS mu, stddev_pop(score) AS sigma FROM val),
+gt AS (SELECT 1.0 + CAST(i AS DOUBLE) AS y,
+              (1.0 + CAST(i AS DOUBLE)) * mu + sigma AS threshold
+       FROM generate_series(0, 99) t(i), st),
+sw AS (
+    SELECT y, threshold,
+           CAST(sum(CASE WHEN score > threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN score > threshold AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN score <= threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN score <= threshold AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM val, gt GROUP BY y, threshold
+),
+swf AS (
+    SELECT *, CASE WHEN 2 * tp + fp + fn > 0
+                   THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END AS f1
+    FROM sw
+),
+best AS (SELECT y AS best_y, threshold AS fit_threshold FROM swf
+         ORDER BY f1 DESC, y ASC LIMIT 1),
+app AS (
+    SELECT best_y, fit_threshold, label,
+           CASE WHEN score > fit_threshold THEN 1 ELSE 0 END AS pred
+    FROM test, best
+),
+c AS (
+    SELECT best_y, fit_threshold,
+           CAST(sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM app GROUP BY 1, 2
+)
+SELECT best_y, round(fit_threshold, 4) AS fit_threshold, tp, fp, fn, tn,
+       round(CASE WHEN 2 * tp + fp + fn > 0
+                  THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END, 4) AS f1
+FROM c
+"""
+
+_CASCADE_SERIES_SQL = f"""
+SELECT conv_id, date_trunc('minute', ts) AS bucket_start,
+       round(sum(value) / count(value), 4) AS v
+FROM ({_EV}) ev GROUP BY 1, 2
+"""
+
+_KL_SQL = """
+WITH p AS (
+    SELECT (CAST(value AS DOUBLE) - 50.0) / 50.0 AS mu,
+           -(CAST(event_id % 7 AS DOUBLE) / 7.0) AS logvar
+    FROM events
+)
+SELECT round(-0.5 * avg(1.0 + logvar - mu * mu - exp(logvar)), 4) AS kl,
+       count(*) AS n
+FROM p
+"""
+
+_OCSVM_SQL = f"""
+WITH sc AS ({_SCORED}),
+st AS (SELECT avg(score) AS mu, stddev_pop(score) AS sigma FROM sc)
+SELECT CASE WHEN score > mu + 2 * sigma THEN 0 ELSE 1 END AS pred,
+       count(*) AS n
+FROM sc, st GROUP BY 1
+"""
+
+_BEST_EPOCH_SQL = """
+WITH e AS (
+    SELECT event_id % 20 AS epoch,
+           round(avg(CAST(value AS DOUBLE)), 4) AS test_loss,
+           count(*) AS n_batches
+    FROM events GROUP BY 1
+)
+SELECT epoch, test_loss, n_batches FROM e
+ORDER BY test_loss ASC, epoch ASC LIMIT 1
+"""
+
 _BOF_SQL = """
 WITH xs AS (SELECT CAST(i AS INT) AS x, CAST(i AS DOUBLE) AS xd
             FROM generate_series(0, 99) t(i))
@@ -861,6 +1114,14 @@ def oracle_sql() -> dict[str, str]:
         "codec_roundtrip": _CODEC_SQL,
         "roc_auc": _ROC_SQL,
         "bof_eval": _BOF_SQL,
+        "threshold_sweep_raw_lt": _SWEEP_RAW_LT_SQL,
+        "detector_lifecycle": _LIFECYCLE_SQL,
+        "residual_cascade": cascade_op.cascade_oracle_sql(
+            _CASCADE_SERIES_SQL
+        ),
+        "kl_closed_form": _KL_SQL,
+        "ocsvm_remap": _OCSVM_SQL,
+        "best_epoch": _BEST_EPOCH_SQL,
     }
     out.update(dedup.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
