@@ -526,6 +526,16 @@ def q_simhash_dups(spark, sf_dir):
     return dedup.simhash_dup_pairs(_docs(spark, sf_dir))
 
 
+def q_simhash_hamming(spark, sf_dir):
+    return dedup.simhash_hamming_pairs(_docs(spark, sf_dir), k=2)
+
+
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    return similarity.lsh_multiprobe_topk(
+        _embs(spark, sf_dir), n_planes=8, query_mod=50, k=5
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     return similarity.brute_force_topk(
         _embs(spark, sf_dir), query_mod=50, k=5
@@ -608,9 +618,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "simhash_dups": q_simhash_dups,
+        "simhash_hamming": q_simhash_hamming,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,

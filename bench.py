@@ -31,14 +31,19 @@ HEADLINE = [
     "rolling_stats",
     "zscore_flags",
     "threshold_sweep",
+    "threshold_sweep_raw_lt",
+    "detector_lifecycle",
+    "residual_cascade",
     "gapfill_1m",
     "topk_buckets",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_hamming",
     "embedding_topk",
     "ann_lsh_topk",
+    "ann_lsh_multiprobe",
     "lang_id",
     "quality_score",
     "token_count",
@@ -69,13 +74,15 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus,
                       shuffle_partitions=max(cpus * 2, 16))
 
+    from yahoo_anomaly_detection_spark import caching
+
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         _noop(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()  # free operator-internal persists
+        caching.release_all()  # free operator-internal materializations
 
     # ---- transcripts rollup throughput (north-rule headline) ----
     tmp = tempfile.mkdtemp(prefix="bench_transcripts_")
@@ -92,13 +99,17 @@ def main() -> None:
 
         t0 = time.time()
         points = transcripts_latency(tr)
-        t1m = rollup_points(points, "1m")
-        t1m.persist()
-        _noop(t1m)
-        _noop(rollup_cascade(t1m, "1h"))
-        _noop(rollup_cascade(rollup_cascade(t1m, "1h"), "1d"))
+        # scratch-parquet handoff between tiers, mirroring
+        # jobs/rollup_job.py: cheaper than the columnar cache build
+        # (~3x the tier compute, measured) and the honest cluster
+        # analog (each tier is committed to storage and read back)
+        t1m_path = os.path.join(tmp, "_tier_1m")
+        rollup_points(points, "1m").write.mode("overwrite").parquet(t1m_path)
+        t1m = spark.read.parquet(t1m_path)
+        t1h = rollup_cascade(t1m, "1h")
+        _noop(t1h)
+        _noop(rollup_cascade(t1h, "1d"))
         dt = time.time() - t0
-        t1m.unpersist()
         timings["transcripts_rollup"] = round(dt, 3)
         rollup_stats["rollup_sec"] = round(dt, 2)
         rollup_stats["turns_per_sec"] = round(n_turns / dt, 1)

@@ -139,7 +139,9 @@ def main() -> int:
               f"{time.time()-t0:.1f}s)")
         if verdict != "OK":
             failures.append(name)
-        spark.catalog.clearCache()  # free operator-internal persists
+        from yahoo_anomaly_detection_spark import caching
+
+        caching.release_all()  # free operator-internal materializations
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     return 1 if failures else 0
 

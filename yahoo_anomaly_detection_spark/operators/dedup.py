@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from yahoo_anomaly_detection_spark import caching
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
 P31 = 2147483647  # 2^31 - 1 (Mersenne prime) — minhash modulus
@@ -131,8 +132,7 @@ def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     # two size joins; without a materialized cache Spark re-evaluates
     # the explode(md5-transform) subtree per consumer (~40× slower
     # measured at sf0.1)
-    sh = sh.persist()
-    sh.count()
+    sh = caching.materialize(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -268,9 +268,10 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = 16,
     banded = wide.select(
         "doc_id",
         F.expr(f"stack({bands}, {band_rows}) AS (band, band_sig)"),
-    ).persist()
-    banded.count()  # materialize BEFORE the self-join — both join sides
-    # of a not-yet-cached persist() race and each recompute the subtree
+    )
+    banded = caching.materialize(banded)  # fill cache BEFORE the
+    # self-join — both join sides of a not-yet-cached persist() race
+    # and each recompute the subtree
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -280,10 +281,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = 16,
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-    ).persist()
-    cands.count()
-    sh = shingles(corpus, n).persist()
-    sh.count()
+    )
+    cands = caching.materialize(cands)
+    sh = caching.materialize(shingles(corpus, n))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -429,6 +429,111 @@ FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 )
 
 
+_HAM_BLOCKS = ((0, 0, 2047), (1, 11, 2047), (2, 22, 1023))  # (j, off, mask)
+
+
+def simhash_hamming_pairs(docs: DataFrame, k: int = 2) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ≤ k (k=2) via
+    the pigeonhole block index — the banded search the distance-0
+    equality join cannot do.
+
+    32 signature bits split into k+1 = 3 blocks (11/11/10 bits); any
+    two signatures differing in ≤ k bits must agree EXACTLY on at
+    least one block, so candidate generation is an equality join per
+    block (bucketed, never all-pairs) and only candidates pay the
+    popcount verify. Same structure scales to 64-bit simhash / larger
+    k by re-slicing.
+
+    The corpus plants a 1-bit-flipped twin of every signature
+    (doc_id+1_000_000, bit ``doc_id % 32`` flipped) so the oracle can
+    assert the index finds every planted distance-1 pair."""
+    sim = simhash32(docs)
+    planted = sim.unionByName(
+        sim.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.col("simhash")
+            .bitwiseXOR(
+                F.expr(
+                    "shiftleft(cast(1 as bigint), "
+                    "cast(pmod(doc_id, 32) as int))"
+                )
+            )
+            .alias("simhash"),
+        )
+    )
+    ex = planted.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright(F.col("simhash"), off)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for j, off, mask in _HAM_BLOCKS
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.j", "b.bv")
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.j") == F.col("b.j"),
+                F.col("a.bv") == F.col("b.bv"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()  # a pair can agree on several blocks
+    )
+    return (
+        cand.withColumn(
+            "dist", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        )
+        .where(F.col("dist") <= k)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+_blocks_sql = ", ".join(f"({j}, {off}, {mask})" for j, off, mask in _HAM_BLOCKS)
+
+_SIMHASH_HAMMING_SQL = (
+    _simhash_sql("SELECT doc_id, text FROM documents")
+    + f""",
+planted AS (
+    SELECT doc_id, simhash FROM sim
+    UNION ALL
+    SELECT doc_id + 1000000,
+           CAST(xor(simhash, 1::BIGINT << CAST(doc_id % 32 AS INT))
+                AS BIGINT)
+    FROM sim
+),
+ex AS (
+    SELECT doc_id, simhash, t.j, (simhash >> t.off) & t.mask AS bv
+    FROM planted, (VALUES {_blocks_sql}) t(j, off, mask)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sa, b.simhash AS sb
+    FROM ex a JOIN ex b
+    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS dist
+FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+"""
+)
+
+
 _DEDUP_EXACT_SQL = f"""
 WITH corpus AS ({DUP_CORPUS_SQL})
 SELECT sha256(text) AS text_sha, count(*) AS n_dups, min(doc_id) AS keeper
@@ -442,4 +547,5 @@ ORACLE_SQL = {
     "minhash_lsh_pairs": _MINHASH_LSH_SQL,
     "simhash": _SIMHASH_SQL,
     "simhash_dups": _SIMHASH_DUPS_SQL,
+    "simhash_hamming": _SIMHASH_HAMMING_SQL,
 }

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from yahoo_anomaly_detection_spark import caching
+
 from yahoo_anomaly_detection_spark.operators.rollup import TIER_SECONDS
 
 
@@ -49,7 +51,9 @@ def gapfill_linear(tier_df: DataFrame, tier: str = "1m",
     Output: (key, bucket_start, <value_col> observed-or-null,
     <value_col>_filled, gap_filled boolean).
     """
-    tier_df = tier_df.persist()  # feeds both skeleton bounds and the join
+    # feeds both the skeleton bounds and the join; caller releases
+    # via caching.release_all()
+    tier_df = caching.register(tier_df.persist())
     skel = bucket_skeleton(tier_df, tier, key, bucket_col)
     obs = tier_df.select(key, bucket_col, F.col(value_col).alias("_v"))
     joined = skel.join(obs, on=[key, bucket_col], how="left")

@@ -202,8 +202,88 @@ FROM ranked WHERE rk <= {k}
 """
 
 
+def lsh_multiprobe_topk(embs: DataFrame, n_planes: int = 8,
+                        query_mod: int = 50, k: int = 5) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket PLUS
+    the n_planes buckets at Hamming distance 1 (one hyperplane sign
+    flipped) — recovering neighbors that fall just across a hyperplane
+    boundary, the recall cliff of single-bucket LSH. Probe fan-out is
+    (n_planes+1)× on the tiny broadcast query side only; the big side
+    still does one equality join on bucket. Each (query, neighbor)
+    pair matches at most one probe (a vector lives in exactly one
+    bucket), so no dedup pass is needed."""
+    base = embs.select("vec_id", _vecd("embedding").alias("e")).join(
+        lsh_bucket_assignments(embs, n_planes), "vec_id"
+    )
+    q = base.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket"),
+    )
+    probes = q.select(
+        "q_id",
+        "qe",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(n_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    joined = base.join(F.broadcast(probes), on="bucket").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = (_dot("qe", "e") / (_norm("qe") * _norm("e"))).alias("_cos")
+    ranked = joined.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), cos
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rk") <= k).select(
+        "q_id", "neighbor_id",
+        portable_round(F.col("_cos"), _R).alias("cosine"), "rk",
+    )
+
+
+def _lsh_multiprobe_sql(n_planes: int, query_mod: int, k: int) -> str:
+    dot = _DOT_SQL.format(a="q.qe", b="c.e", dim=DIM)
+    flips = ", ".join(
+        f"CAST(xor(bucket, {1 << j}::BIGINT) AS BIGINT)"
+        for j in range(n_planes)
+    )
+    return f"""
+WITH buckets AS ({_lsh_bucket_sql(n_planes)}),
+base AS (SELECT e.vec_id, {_VECD_SQL.format(e='e.embedding')} AS e, b.bucket
+         FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+qb AS (SELECT vec_id AS q_id, e AS qe, bucket FROM base
+       WHERE vec_id % {query_mod} = 0),
+q AS (SELECT q_id, qe, unnest([bucket, {flips}]) AS bucket FROM qb),
+scored AS (
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+           {dot} / ({_NORM_SQL.format(a='q.qe')} * {_NORM_SQL.format(a='c.e')})
+               AS _cos
+    FROM base c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, neighbor_id, _cos,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY _cos DESC, neighbor_id ASC) AS INT) AS rk
+    FROM scored
+)
+SELECT q_id, neighbor_id, round(_cos, 4) AS cosine, rk
+FROM ranked WHERE rk <= {k}
+"""
+
+
 ORACLE_SQL = {
     "embedding_topk": _brute_force_sql(50, 5),
     "ann_lsh_buckets": _lsh_bucket_sql(8),
     "ann_lsh_topk": _lsh_topk_sql(8, 50, 5),
+    "ann_lsh_multiprobe": _lsh_multiprobe_sql(8, 50, 5),
 }

@@ -43,10 +43,14 @@ def rolling_stats(df: DataFrame, value_col: str = "mean", k: int = 10,
 
 
 # ---------------------------------------------------------------- EWMA
+EWMA_MAX_ROWS_PER_PARTITION = 2_000_000
+
+
 def ewma(df: DataFrame, value_col: str, alpha: float,
          keys: tuple[str, ...] = ("conv_id",),
          order_col: str = "bucket_start",
-         out_col: str = "ewma") -> DataFrame:
+         out_col: str = "ewma",
+         n_rows: int | None = None) -> DataFrame:
     """Exponentially-weighted moving average per series.
 
     Recursion y_t = (1−α)·y_{t−1} + α·x_t with y_0 = x_0
@@ -87,9 +91,20 @@ def ewma(df: DataFrame, value_col: str, alpha: float,
 
     # repartition by key + sort within partitions: every conversation
     # is contiguous and ordered inside exactly one partition, so the
-    # recursion never crosses a partition boundary; partition count =
-    # cluster parallelism keeps per-partition memory bounded
-    parts = df.sparkSession.sparkContext.defaultParallelism
+    # recursion never crosses a partition boundary. Partition count is
+    # DATA-bound, not parallelism-bound: each partition arrives in the
+    # Python worker as one pandas frame, so rows/partition is capped
+    # (EWMA_MAX_ROWS_PER_PARTITION ≈ low-hundreds MB) — at 100x input
+    # the partition count grows instead of the per-worker frame.
+    # Callers that already know the row count pass n_rows to skip the
+    # counting job (a cheap map-side-combined aggregate otherwise).
+    if n_rows is None:
+        n_rows = df.count()
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    parts = max(
+        parallelism,
+        -(-n_rows // EWMA_MAX_ROWS_PER_PARTITION),  # ceil div
+    )
     return (
         df.repartition(parts, *key_cols)
         .sortWithinPartitions(*key_cols, order_col)
@@ -245,28 +260,55 @@ def roc_auc(df: DataFrame, score_col: str = "score",
     AP per sklearn's step definition over distinct-score threshold
     groups (descending): AP = Σ_g P_g · (pos_g / n_pos).
 
-    Fully distributive: one groupBy(score) then one ordered window
-    over DISTINCT scores (tiny vs input), no per-row sort collection.
+    Fully distributive: one groupBy(score), then cumulative sums over
+    distinct scores computed as range-partitioned two-level prefix
+    sums — within-partition window + a global prefix over ONE ROW PER
+    PARTITION. No single-task window over the (potentially
+    input-sized, for continuous scores) distinct-score relation.
     """
     s, l = F.col(score_col), F.col(label_col)
     grp = df.groupBy(s.alias("_s")).agg(
         F.sum(F.when(l == 1, 1).otherwise(0)).alias("pos"),
         F.sum(F.when(l == 0, 1).otherwise(0)).alias("neg"),
     )
-    w_asc = W.orderBy("_s").rowsBetween(W.unboundedPreceding, -1)
-    w_desc = W.orderBy(F.desc("_s")).rowsBetween(W.unboundedPreceding, 0)
+    P = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    grp = grp.repartitionByRange(P, F.col("_s")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
     cnt = F.col("pos") + F.col("neg")
-    ranked = grp.select(
-        "_s",
-        "pos",
-        "neg",
-        # average rank of this score group (ascending ranks, ties share)
-        (
-            F.coalesce(F.sum(cnt).over(w_asc), F.lit(0))
-            + (cnt + 1) / 2.0
-        ).alias("rank_avg"),
-        F.sum("pos").over(w_desc).alias("cum_pos_desc"),
-        F.sum(cnt).over(w_desc).alias("cum_all_desc"),
+    w_in = W.partitionBy("_pid").orderBy("_s").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    grp = grp.select(
+        "_s", "pos", "neg", "_pid",
+        F.coalesce(F.sum(cnt).over(w_in), F.lit(0)).alias("_excl_cnt"),
+        F.coalesce(F.sum("pos").over(w_in), F.lit(0)).alias("_excl_pos"),
+    )
+    tot = grp.groupBy("_pid").agg(
+        F.sum(F.col("pos") + F.col("neg")).alias("_t_cnt"),
+        F.sum("pos").alias("_t_pos"),
+    )
+    # the ONLY unpartitioned window runs over `tot`: one row per range
+    # partition (~parallelism rows), never input-sized
+    w_p = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    pre = tot.select(
+        "_pid",
+        F.coalesce(F.sum("_t_cnt").over(w_p), F.lit(0)).alias("_base_cnt"),
+        F.coalesce(F.sum("_t_pos").over(w_p), F.lit(0)).alias("_base_pos"),
+    )
+    g = tot.agg(F.sum("_t_cnt").alias("_N"), F.sum("_t_pos").alias("_NPOS"))
+    asc_excl_cnt = F.col("_base_cnt") + F.col("_excl_cnt")
+    asc_excl_pos = F.col("_base_pos") + F.col("_excl_pos")
+    ranked = (
+        grp.join(F.broadcast(pre), "_pid")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "_s", "pos", "neg",
+            (asc_excl_cnt + (cnt + 1) / 2.0).alias("rank_avg"),
+            # #points with score >= this group = N − #strictly-below
+            (F.col("_NPOS") - asc_excl_pos).alias("cum_pos_desc"),
+            (F.col("_N") - asc_excl_cnt).alias("cum_all_desc"),
+        )
     )
     return ranked.agg(
         F.sum("pos").alias("_np"),
