@@ -8,19 +8,29 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from yahoo_anomaly_detection_spark.operators.codec import (
+    decode_any,
     decode_series,
+    decode_series_v2,
     encode_series,
     encode_series_scalar,
+    encode_series_v2,
 )
 
 
 def roundtrip(ts, vals):
     ts = np.asarray(ts, dtype=np.int64)
     vals = np.asarray(vals, dtype=np.float64)
-    t2, v2 = decode_series(encode_series(ts, vals))
-    np.testing.assert_array_equal(ts, t2)
-    # bit-exact comparison (handles NaN payloads)
-    np.testing.assert_array_equal(vals.view(np.uint64), v2.view(np.uint64))
+    for enc, dec in (
+        (encode_series, decode_series),
+        (encode_series_v2, decode_series_v2),
+    ):
+        t2, v2 = dec(enc(ts, vals))
+        np.testing.assert_array_equal(ts, t2)
+        # bit-exact comparison (handles NaN payloads)
+        np.testing.assert_array_equal(vals.view(np.uint64), v2.view(np.uint64))
+    # magic dispatch picks the right decoder for either format
+    t3, v3 = decode_any(encode_series_v2(ts, vals))
+    np.testing.assert_array_equal(ts, t3)
 
 
 def test_empty():
