@@ -536,6 +536,12 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
     )
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    return similarity.embedding_near_dups(
+        _embs(spark, sf_dir), n_planes=6, threshold=0.9
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     return similarity.brute_force_topk(
         _embs(spark, sf_dir), query_mod=50, k=5
@@ -623,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,

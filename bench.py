@@ -42,6 +42,7 @@ HEADLINE = [
     "simhash",
     "simhash_hamming",
     "embedding_topk",
+    "embedding_near_dups",
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
     "lang_id",

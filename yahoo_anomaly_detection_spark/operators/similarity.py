@@ -281,8 +281,90 @@ FROM ranked WHERE rk <= {k}
 """
 
 
+def embedding_near_dups(embs: DataFrame, n_planes: int = 6,
+                        threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (cosine ≥ threshold):
+    LSH-bucket equality self-join generates candidates, exact cosine
+    verifies — the embedding-space analog of MinHash+LSH dedup. The
+    corpus plants a slightly-perturbed twin of every 10th vector
+    (vec_id+1_000_000, +3% on the first coordinate) so the detector
+    provably finds non-identical near-dups, not just exact copies.
+
+    Scale shape: candidates are bounded by bucket co-occupancy
+    (2^n_planes buckets), never all-pairs; the verify is a map-side
+    expression on candidate rows only."""
+    base = embs.select("vec_id", _vecd("embedding").alias("e"))
+    twin = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(e, (x, i) -> IF(i = 0, x * 1.03, x))"
+        ).alias("e"),
+    )
+    corpus = base.unionByName(twin)
+    w = _w_expr("j", "d")
+    bucket = F.expr(
+        f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), "
+        f"(acc, j) -> acc + IF("
+        f"aggregate(sequence(0, {DIM - 1}), cast(0.0 as double), "
+        f"(s, d) -> s + {w} * element_at(e, d + 1)"
+        f") > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
+    )
+    withb = corpus.select("vec_id", "e", bucket.alias("bucket"))
+    a, b = withb.alias("a"), withb.alias("b")
+    cand = a.join(
+        b,
+        on=[
+            F.col("a.bucket") == F.col("b.bucket"),
+            F.col("a.vec_id") < F.col("b.vec_id"),
+        ],
+    )
+    cos = _dot("a.e", "b.e") / (_norm("a.e") * _norm("b.e"))
+    return (
+        cand.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            portable_round(cos, _R).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _near_dups_sql(n_planes: int, threshold: float) -> str:
+    w = _w_expr("j", "d")
+    dot = _DOT_SQL.format(a="a.e", b="b.e", dim=DIM)
+    return f"""
+WITH base AS (SELECT vec_id, {_VECD_SQL.format(e='embedding')} AS e
+              FROM embeddings),
+twin AS (SELECT vec_id + 1000000 AS vec_id,
+                list_transform(generate_series(1, {DIM}),
+                    i -> CASE WHEN i = 1 THEN e[1] * 1.03
+                              ELSE e[i] END) AS e
+         FROM base WHERE vec_id % 10 = 0),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+withb AS (
+    SELECT vec_id, e,
+           CAST(list_sum(list_transform(generate_series(0, {n_planes - 1}),
+               j -> CASE WHEN list_sum(list_transform(
+                        generate_series(0, {DIM - 1}),
+                        d -> {w} * e[d + 1])) > 0
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+                AS BIGINT) AS bucket
+    FROM corpus
+),
+cand AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({dot} / ({_NORM_SQL.format(a='a.e')}
+                          * {_NORM_SQL.format(a='b.e')}), 4) AS cosine
+    FROM withb a JOIN withb b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {threshold}
+"""
+
+
 ORACLE_SQL = {
     "embedding_topk": _brute_force_sql(50, 5),
+    "embedding_near_dups": _near_dups_sql(6, 0.9),
     "ann_lsh_buckets": _lsh_bucket_sql(8),
     "ann_lsh_topk": _lsh_topk_sql(8, 50, 5),
     "ann_lsh_multiprobe": _lsh_multiprobe_sql(8, 50, 5),
