@@ -190,11 +190,14 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
 
 
 # ------------------------------------------------------------ minhash
-def _minhash_wide(src: DataFrame, n: int, k: int) -> DataFrame:
+def _minhash_wide(src: DataFrame, n: int, k: int,
+                  sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, h0..h{k-1}) wide signature — ONE map-side-combined
     shuffle of k longs per doc (vs k× row blow-up of a params
-    crossJoin, which measured ~10× slower)."""
-    sh = shingles(src, n)
+    crossJoin, which measured ~10× slower). Pass a pre-built
+    ``sh`` shingle relation to reuse it across pipeline stages."""
+    if sh is None:
+        sh = shingles(src, n)
     x = (hexint(F.col("shingle")) % P31).alias("x")
     return (
         sh.select("doc_id", x)
@@ -255,7 +258,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = 16,
     replaced by |bands| equality joins whose keys are band signatures;
     exact verification touches only candidates."""
     corpus = with_near_dups(docs)
-    wide = _minhash_wide(corpus, n, k)
+    # ONE shingle relation feeds both the signatures and the exact
+    # Jaccard verify — the explode + per-shingle md5 is the dominant
+    # cost and was previously computed twice
+    sh = caching.materialize(shingles(corpus, n))
+    wide = _minhash_wide(corpus, n, k, sh=sh)
     rows_per_band = k // bands
     # band signatures straight off the wide columns (no re-shuffle);
     # persist both relations that feed self-joins (see _jaccard_pairs)
@@ -283,7 +290,6 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = 16,
         .distinct()
     )
     cands = caching.materialize(cands)
-    sh = caching.materialize(shingles(corpus, n))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
