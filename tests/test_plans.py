@@ -1,0 +1,89 @@
+"""Physical-plan audits: assert the shuffle structure that the scale
+design depends on, so a refactor that silently adds an exchange (or
+drops a broadcast) fails CI instead of surfacing at 100 TB.
+
+Counts come from the executed plan string; AQE is left on (the same
+conf the engine runs with), so these are the plans production sees.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark.operators import rollup, stats
+from yahoo_anomaly_detection_spark.operators.cascade import residual_cascade
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(df) -> int:
+    # exclude AQE reuse nodes; count real shuffle boundaries
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", _plan(df)))
+
+
+def _broadcasts(df) -> int:
+    return len(re.findall(r"BroadcastExchange", _plan(df)))
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    df = spark.createDataFrame(
+        [("c%d" % (i % 5), i, float(i % 13)) for i in range(200)],
+        "conv_id string, turn_idx int, v double",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("turn_idx") * 40).alias(
+            "ts"
+        ),
+        F.col("v").alias("value"),
+        "turn_idx",
+    )
+    return df
+
+
+def test_latency_plus_rollup_one_shuffle(spark, points):
+    """Window over conv_id then groupBy(conv_id, bucket) must reuse
+    ONE exchange — the superset-key distribution satisfies the agg."""
+    lat = rollup.transcripts_latency(points.select("conv_id", "ts", "turn_idx"))
+    t1m = rollup.rollup_points(lat, "1m")
+    assert _exchanges(t1m) == 1, _plan(t1m)
+
+
+def test_cascade_recombination_one_shuffle(spark, points):
+    t1m = rollup.rollup_points(points.select("conv_id", "ts", "value"), "1m")
+    t1h = rollup.rollup_cascade(t1m, "1h")
+    # one for the 1m agg, one for the 1h regroup — nothing more
+    assert _exchanges(t1h) == 2, _plan(t1h)
+
+
+def test_residual_cascade_one_shuffle(spark, points):
+    t1m = rollup.rollup_points(points.select("conv_id", "ts", "value"), "1m")
+    series = t1m.select("conv_id", "bucket_start", F.col("mean").alias("v"))
+    out = residual_cascade(series, value_col="v")
+    # 1m agg + ONE partitioning shared by all cascade windows
+    assert _exchanges(out) == 2, _plan(out)
+    assert len(re.findall(r"Window", _plan(out))) >= 3
+
+
+def test_threshold_sweep_broadcasts_grid(spark, points):
+    sc = points.select(F.col("value").alias("score"),
+                       (F.col("turn_idx") % 7 == 0).cast("int").alias("label"))
+    g = stats.grid(spark, 1.0, 10.0, 1.0)
+    sw = stats.threshold_sweep(sc, g, score_col="score", label_col="label")
+    # the grid (and the 1-row stats) reach the scores via broadcast —
+    # no shuffle of the scores for the join itself
+    assert _broadcasts(sw) >= 1, _plan(sw)
+    # only the |grid|-group aggregation shuffles
+    assert _exchanges(sw) <= 1, _plan(sw)
+
+
+def test_zscore_flags_no_score_shuffle(spark, points):
+    sc = points.select(F.col("value").alias("score"))
+    flagged = stats.zscore_envelope_flags(sc, "score", y=3.0)
+    # global mean/std is a 1-row broadcast onto the scan — the scores
+    # themselves never shuffle
+    assert _exchanges(flagged) == 0, _plan(flagged)
+    assert _broadcasts(flagged) >= 1
