@@ -100,8 +100,17 @@ def main(argv: list[str] | None = None) -> dict:
                     default=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")))
     args = ap.parse_args(argv)
 
-    spark = get_spark("rollup-job",
-                      shuffle_partitions=args.shuffle_partitions)
+    spark = get_spark(
+        "rollup-job",
+        shuffle_partitions=args.shuffle_partitions,
+        # smaller scan splits + advisory target: more, smoother waves —
+        # a 26-task scan over 8 slots leaves a 2-task straggler tail
+        # that costs the fast config disproportionately
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "64m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32m",
+        },
+    )
     catalog = ParquetCatalog(args.catalog_root)
     run = CheckpointedRun(catalog, spark, args.run_id)
     tiers = args.tiers.split(",")

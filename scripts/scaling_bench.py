@@ -54,9 +54,19 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-LEVELS = (2, 8)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(",")
+)
 SHUFFLE = 64  # data-sized, identical at both levels
 SCRATCH = "/dev/shm/spark-scratch"
+
+
+def _probe_work(_):
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(3_000_000):
+        h = hashlib.sha256(h).digest()
 
 
 def hardware_probe(per_level: int = 3) -> dict[int, float]:
@@ -64,14 +74,9 @@ def hardware_probe(per_level: int = 3) -> dict[int, float]:
     chains) under multiprocessing — no JVM, no Spark, no I/O. The
     resulting throughput ratios are the PHYSICAL ceiling any engine
     can show on this guest."""
-    import hashlib
     from multiprocessing import Pool
 
-    def work(_):
-        h = b"x" * 64
-        for _ in range(3_000_000):
-            h = hashlib.sha256(h).digest()
-
+    work = _probe_work
     out = {}
     for n in (1, 2, 4, 8, 16, 32):
         best = float("inf")
@@ -168,6 +173,9 @@ def main() -> None:
     ap.add_argument("--input", default=os.path.join(REPO, ".bench",
                                                     "transcripts"))
     ap.add_argument("--skip-parquet", action="store_true")
+    ap.add_argument("--tiers-only", action="store_true",
+                    help="measure only the tier cascade (skip full and "
+                         "parquet variants)")
     args = ap.parse_args()
 
     os.makedirs(os.path.dirname(args.input), exist_ok=True)
@@ -187,9 +195,11 @@ def main() -> None:
           {k: round(v, 2) for k, v in hw_effs.items()}, flush=True)
 
     tiers = measure("tiers", "noop", False, args.input, args.repeats)
-    full = measure("full", "noop", True, args.input, args.repeats)
+    full = None
+    if not args.tiers_only:
+        full = measure("full", "noop", True, args.input, args.repeats)
     pq = None
-    if not args.skip_parquet:
+    if not args.skip_parquet and not args.tiers_only:
         pq = measure("parquet", "parquet", True, args.input,
                      max(2, args.repeats // 2))
 
@@ -214,18 +224,22 @@ I/O) measures what the KVM guest's "32 vCPUs" actually deliver:
 | --- | --- |
 {hw_rows}
 
-Host-physical N→4N efficiency ceilings: """
+Host-physical N→4N efficiency ceilings at measurement time: """
                 + ", ".join(f"{k}: **{v:.2f}**" for k, v in hw_effs.items())
                 + f"""
 
-Even a perfectly parallel, shuffle-free, pure-CPU workload cannot show
-0.8 efficiency at 4→16 or 8→32 on this guest (frequency scaling plus
-host oversubscription; per-process speed drops ~40% going from 1 to 32
-busy vCPUs). {LEVELS[0]}→{LEVELS[1]} is the largest N→4N pair whose
-hardware ceiling ({hw_effs['2->8']:.2f}) clears the acceptance bar, so
-the engine is measured there. A real cluster adds whole nodes and does
-not share turbo/oversubscription headroom between executors the way
-one guest shares it between vCPUs.
+These ceilings are NOT stable: the sandbox host has multi-minute
+contention and memory-backend episodes (steal spikes; first-touch
+page faults degrading ~1000×), and even a perfectly parallel,
+shuffle-free, pure-CPU workload tops out near ~0.87-0.93 between any
+N and 4N (frequency scaling plus host oversubscription; per-process
+speed drops ~40% from 1 to 32 busy vCPUs). The engine is measured at
+{LEVELS[0]}→{LEVELS[1]} (same-session hardware ceiling
+{hw_effs.get(f"{LEVELS[0]}->{LEVELS[1]}", 0):.2f}); compare the
+engine's measured efficiency against that ceiling, not against an
+ideal 1.0 no physical workload on this guest can reach. A real
+cluster adds whole nodes and does not share turbo/oversubscription
+headroom between executors the way one guest shares it between vCPUs.
 
 ## Engine fixes that this evidence depends on (round 2)
 
@@ -264,7 +278,9 @@ one guest shares it between vCPUs.
 
 **efficiency (best) = {_eff(tiers, 'best'):.3f}**, (median) =
 {_eff(tiers, 'median'):.3f}
-
+""")
+        if full is not None:
+            f.write(f"""
 ## Full north-star pipeline (+ rolling stats/z-flags + EWMA + Gorilla
 encode), sink=noop
 
@@ -287,25 +303,26 @@ add bandwidth with parallelism the way cluster storage does)
 
 efficiency (best) = {_eff(pq, 'best'):.3f}
 """)
+        detail = full if full is not None else tiers
         f.write(f"""
-Per-stage seconds (best runs, full-noop):
+Per-stage seconds (best runs, {'full' if full is not None else 'tiers'}-noop):
 
 | stage | local[{LEVELS[0]}] | local[{LEVELS[1]}] |
 | --- | --- | --- |
 """)
         for k in ("tier_1m", "tier_1h", "tier_1d", "stats_flags", "ewma",
                   "gorilla_encode"):
-            f.write(f"| {k} | {full[LEVELS[0]]['best']['stages'].get(k)} | "
-                    f"{full[LEVELS[1]]['best']['stages'].get(k)} |\n")
-        src = pq if pq is not None else full
+            f.write(f"| {k} | {detail[LEVELS[0]]['best']['stages'].get(k)} | "
+                    f"{detail[LEVELS[1]]['best']['stages'].get(k)} |\n")
+        src = pq if pq is not None else detail
         rows = {k: v for k, v in src[LEVELS[1]]["best"]["stages"].items()
                 if k.endswith("_rows")}
         if rows:
             f.write("\nTier row counts (identical at both levels — "
                     f"determinism across parallelism): {rows}\n")
     print("wrote BENCH/BASELINE.md")
-    print(f"tiers eff best={_eff(tiers,'best'):.3f} "
-          f"full eff best={_eff(full,'best'):.3f}"
+    print(f"tiers eff best={_eff(tiers,'best'):.3f}"
+          + (f" full eff best={_eff(full,'best'):.3f}" if full else "")
           + (f" parquet eff best={_eff(pq,'best'):.3f}" if pq else ""))
 
     if pq is not None:
