@@ -72,6 +72,29 @@ def test_negative_dod_buckets():
     roundtrip(ts, np.arange(len(ts), dtype=float))
 
 
+def test_batch_encode_byte_identical():
+    """encode_batch_v2 must produce byte-identical payloads to the
+    per-series encoder for every series in the batch."""
+    from yahoo_anomaly_detection_spark.operators.codec import (
+        encode_batch_v2,
+        encode_series_v2,
+    )
+
+    rng = np.random.default_rng(13)
+    cases = []
+    for n in (0, 1, 2, 3, 7, 60, 301):
+        ts = (np.cumsum(rng.integers(1, 10_000_000, n)).astype(np.int64)
+              if n else np.array([], np.int64))
+        cases.append((ts, rng.normal(0, 1e3, n)))
+    cases.append((np.arange(40, dtype=np.int64) * 60_000_000,
+                  np.full(40, 7.25)))  # all-zero xors
+    cases.append((np.arange(5, dtype=np.int64),
+                  np.array([0.0, -0.0, np.inf, np.nan, 1e-308])))
+    batch = encode_batch_v2([c[0] for c in cases], [c[1] for c in cases])
+    for i, (ts, vals) in enumerate(cases):
+        assert batch[i] == encode_series_v2(ts, vals), i
+
+
 def test_vectorized_matches_scalar_decode():
     """Both encoders (vectorized shared-window, scalar greedy-window)
     must decode back to the identical series — same format, different

@@ -483,6 +483,158 @@ def decode_series_v2(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     return ts, bits.view(np.float64)
 
 
+def encode_batch_v2(ts_list: list, vals_list: list) -> list[bytes]:
+    """Batch GDD2 encode: byte-identical to per-series
+    :func:`encode_series_v2`, but every per-point computation (diffs,
+    XORs, dod classification, window minima, control-stream packing,
+    payload gathers) runs ONCE over the concatenation of all series.
+    Per-series numpy overhead (~230µs/series for the typical ~60-point
+    conversation-hour bucket — dwarfing the actual work) drops to a
+    ~6µs byte-assembly loop. This is the encoder the Spark layer uses:
+    one mapInPandas batch holds tens of thousands of small buckets.
+    """
+    B = len(ts_list)
+    if B == 0:
+        return []
+    lengths = np.fromiter((len(t) for t in ts_list), np.int64, B)
+    out_payloads: list[bytes] = [b""] * B
+    n_hdr = struct.Struct("<I")
+
+    N = int(lengths.sum())
+    if N == 0:
+        return [MAGIC2 + n_hdr.pack(0)] * B
+    ts_all = np.concatenate([np.asarray(t, np.int64) for t in ts_list])
+    bits = np.concatenate(
+        [np.ascontiguousarray(np.asarray(v, np.float64)).view(np.uint64)
+         for v in vals_list]
+    )
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    gid = np.repeat(np.arange(B), lengths)
+
+    # headers, vectorized into byte matrices (per-series row slices)
+    ts0_b = ts_all[starts].astype("<i8").view(np.uint8).reshape(B, 8)
+    v0_b = bits[starts].astype("<u8").view(np.uint8).reshape(B, 8)
+
+    # first-diffs / xors, boundary positions dropped so the remainder
+    # is the dense concatenation of every series' own arrays
+    d_all = np.diff(ts_all)
+    x_all = bits[1:] ^ bits[:-1]
+    vd1 = gid[:-1] == gid[1:]
+    x_valid = x_all[vd1]
+    xcnt = np.maximum(lengths - 1, 0)
+    xoff = np.concatenate(([0], np.cumsum(xcnt)))
+    delta0 = np.zeros(B, np.int64)
+    has2 = lengths >= 2
+    delta0[has2] = d_all[starts[has2]]
+
+    dod_all = np.diff(d_all)
+    vd2 = gid[:-2] == gid[2:]
+    dod_valid = dod_all[vd2].astype(np.int64)
+    dcnt = np.maximum(lengths - 2, 0)
+    doff = np.concatenate(([0], np.cumsum(dcnt)))
+
+    # dod classification + per-class global payload blocks (global
+    # order == series-major order, so per-series chunks are slices)
+    codes = np.zeros(len(dod_valid), np.uint8)
+    small = (dod_valid >= -128) & (dod_valid <= 127)
+    med = ~small & (dod_valid >= -32768) & (dod_valid <= 32767)
+    big = ~small & ~med
+    codes[small & (dod_valid != 0)] = 1
+    codes[med] = 2
+    codes[big] = 3
+    class_blobs = []
+    class_offs = []
+    for cls, dt in ((1, "<i1"), (2, "<i2"), (3, "<i8")):
+        m = codes == cls
+        blob = dod_valid[m].astype(dt).view(np.uint8)
+        width = np.dtype(dt).itemsize
+        cum = np.concatenate(([0], np.cumsum(m)))
+        cnt_i = cum[doff[1:]] - cum[doff[:-1]]
+        off_i = np.concatenate(([0], np.cumsum(cnt_i))) * width
+        class_blobs.append(blob)
+        class_offs.append((off_i, cnt_i * width))
+
+    # per-series XOR window via dense reduceat (x_valid has no gaps)
+    nz = x_valid != 0
+    cumnz = np.concatenate(([0], np.cumsum(nz)))
+    nzc = cumnz[xoff[1:]] - cumnz[xoff[:-1]]
+    lz_i = np.zeros(B, np.int64)
+    tz_i = np.zeros(B, np.int64)
+    wbytes_i = np.zeros(B, np.int64)
+    if nz.any():
+        lz_arr = np.where(nz, _clz64(x_valid), 64)
+        tz_arr = np.where(nz, _ctz64(x_valid), 64)
+        red_starts = np.minimum(xoff[:-1], max(len(x_valid) - 1, 0))
+        lz_red = np.minimum.reduceat(lz_arr, red_starts)
+        tz_red = np.minimum.reduceat(tz_arr, red_starts)
+        has_nz = nzc > 0
+        lz_i[has_nz] = lz_red[has_nz]
+        tz_i[has_nz] = tz_red[has_nz]
+        wbytes_i[has_nz] = (64 - lz_i[has_nz] - tz_i[has_nz] + 7) // 8
+    hdr2 = np.empty((B, 11), np.uint8)
+    hdr2[:, :8] = delta0.astype("<i8").view(np.uint8).reshape(B, 8)
+    hdr2[:, 8] = lz_i
+    hdr2[:, 9] = tz_i
+    hdr2[:, 10] = wbytes_i
+
+    # ts control stream: per-series 2-bit codes padded to whole bytes —
+    # scatter into a globally padded array, pack once
+    dpad = ((dcnt + 3) // 4) * 4
+    dpoff = np.concatenate(([0], np.cumsum(dpad)))
+    padded = np.zeros(int(dpoff[-1]), np.uint8)
+    if len(codes):
+        # position of each code: its series' padded base + local index
+        local = np.arange(len(codes)) - np.repeat(doff[:-1], dcnt)
+        padded[np.repeat(dpoff[:-1], dcnt) + local] = codes
+    q = padded.reshape(-1, 4)
+    tctrl = ((q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2) | q[:, 3])
+    tctrl_off = dpoff // 4
+
+    # value control stream: per-series presence bits padded to bytes
+    xpad = ((xcnt + 7) // 8) * 8
+    xpoff = np.concatenate(([0], np.cumsum(xpad)))
+    vbits = np.zeros(int(xpoff[-1]), np.uint8)
+    if len(x_valid):
+        localx = np.arange(len(x_valid)) - np.repeat(xoff[:-1], xcnt)
+        vbits[np.repeat(xpoff[:-1], xcnt) + localx] = nz
+    vctrl = np.packbits(vbits)
+    vctrl_off = xpoff // 8
+
+    # XOR payload matrix: global rows in series-major order; each
+    # series keeps the first wbytes columns of its rows
+    tz_rep = np.repeat(tz_i, xcnt).astype(np.uint64)
+    shifted = (x_valid >> tz_rep)[nz].astype("<u8")
+    pay = shifted.view(np.uint8).reshape(-1, 8)
+    nzoff = np.concatenate(([0], np.cumsum(nzc)))
+
+    tctrl_b = tctrl.tobytes()
+    vctrl_b = vctrl.tobytes()
+    b1, b2, b3 = (b.tobytes() for b in class_blobs)
+    (o1, w1), (o2, w2), (o3, w3) = class_offs
+    for i in range(B):
+        n = int(lengths[i])
+        parts = [MAGIC2, n_hdr.pack(n)]
+        if n >= 1:
+            parts.append(ts0_b[i].tobytes())
+            parts.append(v0_b[i].tobytes())
+        if n >= 2:
+            parts.append(hdr2[i].tobytes())
+            if n >= 3:
+                parts.append(tctrl_b[tctrl_off[i]: tctrl_off[i + 1]])
+            parts.append(vctrl_b[vctrl_off[i]: vctrl_off[i + 1]])
+            if n >= 3:
+                parts.append(b1[o1[i]: o1[i] + w1[i]])
+                parts.append(b2[o2[i]: o2[i] + w2[i]])
+                parts.append(b3[o3[i]: o3[i] + w3[i]])
+            wb = int(wbytes_i[i])
+            if wb and nzc[i]:
+                parts.append(
+                    pay[nzoff[i]: nzoff[i + 1], :wb].tobytes()
+                )
+        out_payloads[i] = b"".join(parts)
+    return out_payloads
+
+
 # ------------------------------------------------------------- Spark layer
 ENCODED_SCHEMA = T.StructType(
     [
@@ -546,18 +698,22 @@ def compress_buckets(points: DataFrame, coarse: str = "hour",
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, ns = [], []
-            for t_arr, v_arr in zip(pdf["ts_us"], pdf["vals"]):
-                t = np.asarray(t_arr, dtype=np.int64)
-                v = np.asarray(v_arr, dtype=np.float64)
-                payloads.append(encode(t, v))
-                ns.append(len(t))
+            ts_list = [np.asarray(t, dtype=np.int64) for t in pdf["ts_us"]]
+            v_list = [np.asarray(v, dtype=np.float64) for v in pdf["vals"]]
+            if codec == "gorilla_dod_v2":
+                # whole-batch encode: per-point work runs once over the
+                # concatenation of every bucket in the Arrow batch
+                payloads = encode_batch_v2(ts_list, v_list)
+            else:
+                payloads = [encode(t, v) for t, v in zip(ts_list, v_list)]
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
                     "bucket_start": pdf["bucket_start"],
                     "codec": codec,
-                    "n_points": pd.Series(ns, dtype="int32"),
+                    "n_points": pd.Series(
+                        [len(t) for t in ts_list], dtype="int32"
+                    ),
                     "payload": payloads,
                 }
             )
