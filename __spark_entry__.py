@@ -538,7 +538,7 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
 
 def q_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(
-        _embs(spark, sf_dir), n_planes=6, threshold=0.9
+        _embs(spark, sf_dir), n_planes=8, threshold=0.9
     )
 
 

@@ -364,7 +364,7 @@ SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {threshold}
 
 ORACLE_SQL = {
     "embedding_topk": _brute_force_sql(50, 5),
-    "embedding_near_dups": _near_dups_sql(6, 0.9),
+    "embedding_near_dups": _near_dups_sql(8, 0.9),
     "ann_lsh_buckets": _lsh_bucket_sql(8),
     "ann_lsh_topk": _lsh_topk_sql(8, 50, 5),
     "ann_lsh_multiprobe": _lsh_multiprobe_sql(8, 50, 5),
