@@ -1,0 +1,94 @@
+"""Structured Streaming analog of the 1m tier rollup.
+
+The reference is strictly batch (SURVEY §2.9 — full-split ARMA fits
+are offline, /root/reference/StatsTesting/arma_anm_detc.py:49-53), and
+the north rule asks for batch rollup with checkpoint resumability —
+which `jobs/rollup_job.py` + `sources/catalog.py` provide. This module
+is the engine's STREAMING INGEST surface for the same tier schema over
+the engine's point-series model `(conv_id, ts, value)`: late points
+are handled by an event-time watermark instead of the batch path's
+idempotent bucket re-rollup, and the sink is append-mode parquet with
+a streaming checkpoint.
+
+Scope note: the batch pipeline derives per-turn latency with a lag
+window over `(conv_id, turn_idx)` — an unbounded-partition window that
+Structured Streaming cannot express declaratively. A streaming
+deployment derives the value column upstream (producer-side) or with
+``applyInPandasWithState`` keyed by conv_id (per-conversation
+last-timestamp state); the aggregation below is agnostic to where the
+value came from.
+
+Semantics parity: the streamed aggregate carries the same
+(cnt, vcnt, sum, sum_sq, min, max) decomposition as
+``operators/rollup.py``, so a finalized streamed bucket equals the
+batch tier row exactly and upper tiers recombine from it with
+``rollup_cascade`` unchanged (tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark.operators.rollup import _finish_tier
+
+POINTS_DDL = "conv_id string, ts timestamp, value double"
+
+
+def read_point_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a growing points parquet directory
+    (the local stand-in for a Kafka/queue source; swap `.format` and
+    options for Kafka without touching the aggregation)."""
+    return (
+        spark.readStream.schema(POINTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_rollup_1m(points: DataFrame,
+                     watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked per-conversation 1m bucket aggregate.
+
+    The watermark bounds state: buckets older than (max event time −
+    watermark) finalize and evict from the state store, which is what
+    lets this run forever at 10^12-turn scale — late points inside the
+    watermark still merge into their bucket; later ones are dropped
+    (the batch path's idempotent re-rollup covers reprocessing).
+    """
+    v = F.col("value").cast("double")
+    agg = (
+        points.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(v).alias("vcnt"),
+            F.sum(v).alias("sum"),
+            F.sum(v * v).alias("sum_sq"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("bucket_start"),
+            "cnt", "vcnt", "sum", "sum_sq", "min", "max",
+        )
+    )
+    return _finish_tier(agg, "1m")
+
+
+def start_stream_to_parquet(tiers: DataFrame, out_path: str,
+                            checkpoint_path: str, trigger_secs: int = 1):
+    """Append-mode parquet sink with a streaming checkpoint — finalized
+    (watermark-expired) buckets land exactly once; restart resumes
+    from the checkpoint like the batch path resumes from the catalog
+    snapshot table."""
+    return (
+        tiers.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .start()
+    )
