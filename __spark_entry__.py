@@ -527,7 +527,15 @@ def q_simhash_dups(spark, sf_dir):
 
 
 def q_simhash_hamming(spark, sf_dir):
-    return dedup.simhash_hamming_pairs(_docs(spark, sf_dir), k=2)
+    # 64-bit signatures (the scale default), planted 1-bit twins ON so
+    # the oracle can assert every distance-1 pair is found
+    return dedup.simhash_hamming_pairs(
+        _docs(spark, sf_dir), k=2, bits=64, plant_twins=True
+    )
+
+
+def q_simhash64(spark, sf_dir):
+    return dedup.simhash_sig(_docs(spark, sf_dir), bits=64)
 
 
 def q_ann_lsh_multiprobe(spark, sf_dir):
@@ -537,8 +545,10 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    # plant_twins ON: the oracle asserts perturbed (non-identical)
+    # twins are found; production callers leave it off
     return similarity.embedding_near_dups(
-        _embs(spark, sf_dir), n_planes=8, threshold=0.9
+        _embs(spark, sf_dir), n_planes=8, threshold=0.9, plant_twins=True
     )
 
 
@@ -623,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash64": q_simhash64,
         "simhash_dups": q_simhash_dups,
         "simhash_hamming": q_simhash_hamming,
         "embedding_topk": q_embedding_topk,

@@ -90,9 +90,21 @@ def test_batch_encode_byte_identical():
                   np.full(40, 7.25)))  # all-zero xors
     cases.append((np.arange(5, dtype=np.int64),
                   np.array([0.0, -0.0, np.inf, np.nan, 1e-308])))
+    # empty series in LAST position (start index == total length —
+    # regression: the header gather used to index out of bounds) and
+    # sandwiched between non-empty ones
+    cases.append((np.array([], np.int64), np.array([], np.float64)))
     batch = encode_batch_v2([c[0] for c in cases], [c[1] for c in cases])
     for i, (ts, vals) in enumerate(cases):
         assert batch[i] == encode_series_v2(ts, vals), i
+    mid = [cases[3][0], np.array([], np.int64), cases[4][0]]
+    midv = [cases[3][1], np.array([], np.float64), cases[4][1]]
+    for i, p in enumerate(encode_batch_v2(mid, midv)):
+        assert p == encode_series_v2(mid[i], midv[i]), i
+    # all-empty batch
+    assert encode_batch_v2(
+        [np.array([], np.int64)], [np.array([], np.float64)]
+    ) == [encode_series_v2(np.array([], np.int64), np.array([], np.float64))]
 
 
 def test_vectorized_matches_scalar_decode():

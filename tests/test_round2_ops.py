@@ -55,7 +55,8 @@ def test_simhash_hamming_finds_all_planted(spark):
         [(i, f"alpha beta gamma delta token{i} epsilon") for i in range(60)],
         "doc_id long, text string",
     )
-    pairs = dedup.simhash_hamming_pairs(docs, k=2).collect()
+    pairs = dedup.simhash_hamming_pairs(docs, k=2,
+                                        plant_twins=True).collect()
     found = {(r["doc_a"], r["doc_b"]) for r in pairs}
     # every planted 1-bit-flip twin must be found (pigeonhole: d=1 <= 2)
     for i in range(60):

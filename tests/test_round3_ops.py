@@ -1,0 +1,193 @@
+"""Round-3 operator tests: data-adaptive LSH bucketing (candidate
+volume ~linear in N), per-bucket candidate caps, 64-bit SimHash with
+parameterized pigeonhole blocks (planted d≤k recall at k=3), and
+scoped cache release."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark import caching
+from yahoo_anomaly_detection_spark.operators import dedup, similarity
+
+
+# ------------------------------------------------------- corpora
+def lcg_embeddings(spark, n: int):
+    """Deterministic synthetic embeddings with md5-derived components
+    (iid-uniform-ish). An LCG won't do here: affine in the key, it
+    puts every vector on a line in R^64 — degenerate bucket skew no
+    plane count can fix."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> cast("
+            "cast(conv(substr(md5(concat('v:', id, ':', d)), 1, 8), 16, 10)"
+            " as double) / 4294967296.0 - 0.5 as float))"
+        ).alias("embedding"),
+    )
+
+
+def _candidate_pairs(spark, n: int, n_planes: int) -> int:
+    """Candidate-pair count of the near-dup bucket join = Σ_buckets
+    C(occupancy, 2) — computed from occupancies, no join needed."""
+    b = similarity.lsh_bucket_assignments(lcg_embeddings(spark, n), n_planes)
+    occ = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    row = occ.agg(
+        F.sum(F.expr("n * (n - 1) / 2")).alias("pairs")
+    ).first()
+    return int(row["pairs"])
+
+
+# ------------------------------------------------- adaptive planes
+def test_adaptive_n_planes_formula():
+    assert similarity.adaptive_n_planes(0) == 8
+    assert similarity.adaptive_n_planes(64, target_bucket=64) == 8
+    # floor dominates small corpora
+    assert similarity.adaptive_n_planes(10_000, target_bucket=64) == 8
+    # 10^9 vectors at target occupancy 64 → 24 planes
+    assert similarity.adaptive_n_planes(10**9, target_bucket=64) == 24
+    assert similarity.adaptive_n_planes(2000, target_bucket=8) == 8
+    assert similarity.adaptive_n_planes(8000, target_bucket=8) == 10
+
+
+def test_candidate_volume_linear_with_adaptive_planes(spark):
+    """4× the corpus with adaptive planes must grow candidate pairs
+    ~4× (linear), where fixed planes would grow them ~16×
+    (quadratic). This is the 100 TB guarantee for embedding_near_dups:
+    n_planes ≈ log2(N / target) keeps bucket occupancy constant."""
+    n1, n2 = 2000, 8000
+    p1 = similarity.adaptive_n_planes(n1, target_bucket=8)
+    p2 = similarity.adaptive_n_planes(n2, target_bucket=8)
+    assert p2 > p1
+    c1 = _candidate_pairs(spark, n1, p1)
+    c2_adaptive = _candidate_pairs(spark, n2, p2)
+    c2_fixed = _candidate_pairs(spark, n2, p1)
+    assert c1 > 0
+    # adaptive: ~linear (ratio ≈ 4; allow hash-variance headroom)
+    assert c2_adaptive / c1 < 8, (c1, c2_adaptive)
+    # fixed planes at 4× N: ~quadratic — and adaptive beats it
+    assert c2_fixed / c1 > 10, (c1, c2_fixed)
+    assert c2_adaptive < c2_fixed / 2
+
+
+def test_near_dups_adaptive_planes_planted_recall(spark):
+    """n_planes=None (adaptive from corpus count) keeps planted-twin
+    recall high. Recall is probabilistic with honest random planes (a
+    3%-perturbed twin crosses a hyperplane with small probability per
+    plane — measured 29/30 at 8 planes); the bound asserts ≥ 90%."""
+    embs = lcg_embeddings(spark, 300)
+    out = similarity.embedding_near_dups(
+        embs, n_planes=None, threshold=0.9, plant_twins=True
+    )
+    found = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    expected = {(v, v + 1000000) for v in range(0, 300, 10)}
+    assert len(expected & found) >= 0.9 * len(expected), expected - found
+
+
+def test_near_dups_default_is_off_for_production(spark):
+    """Without plant_twins the operator returns only real pairs — no
+    fabricated vec_ids ≥ 1_000_000 leak into production results."""
+    embs = lcg_embeddings(spark, 200)
+    out = similarity.embedding_near_dups(embs, n_planes=8, threshold=0.9)
+    assert out.where(F.col("vec_a") >= 1000000).count() == 0
+    assert out.where(F.col("vec_b") >= 1000000).count() == 0
+
+
+def test_bucket_cap_bounds_skewed_bucket(spark):
+    """A pathological bucket (identical vectors → one bucket) is split
+    into cap-sized sub-buckets: candidate pairs drop from C(n,2) to
+    ceil(n/cap)·C(cap,2)."""
+    n, cap = 64, 4
+    embs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> cast(0.5 as float))"
+        ).alias("embedding"),
+    )
+    uncapped = similarity.embedding_near_dups(embs, n_planes=8,
+                                              threshold=0.0)
+    capped = similarity.embedding_near_dups(embs, n_planes=8,
+                                            threshold=0.0,
+                                            max_bucket_size=cap)
+    assert uncapped.count() == n * (n - 1) // 2
+    assert capped.count() == (n // cap) * (cap * (cap - 1) // 2)
+
+
+# ------------------------------------------------- 64-bit simhash
+def test_ham_blocks_layouts():
+    assert dedup.ham_blocks(32, 2) == (
+        (0, 0, 2047), (1, 11, 2047), (2, 22, 1023)
+    )
+    b64k2 = dedup.ham_blocks(64, 2)
+    assert [bin(m).count("1") for _, _, m in b64k2] == [22, 21, 21]
+    b64k3 = dedup.ham_blocks(64, 3)
+    assert [bin(m).count("1") for _, _, m in b64k3] == [16, 16, 16, 16]
+    # blocks tile the signature exactly
+    for bits, k in ((32, 2), (64, 2), (64, 3), (64, 5)):
+        covered = 0
+        for _, off, mask in dedup.ham_blocks(bits, k):
+            covered |= mask << off
+        assert covered == (1 << bits) - 1, (bits, k)
+
+
+@pytest.fixture(scope="module")
+def docs200(spark):
+    return spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, 19), "
+            "i -> concat('w', cast(pmod(id * 31 + i * 7, 97) as string))))"
+        ).alias("text"),
+    )
+
+
+def test_simhash64_uses_high_bits(spark, docs200):
+    """64-bit signatures actually populate bits 32-63 (including the
+    int64 sign bit) — not just a widened 32-bit hash."""
+    sims = [r["simhash"] for r in dedup.simhash_sig(
+        docs200, bits=64).collect()]
+    assert any(s < 0 for s in sims), "sign bit (bit 63) never set"
+    assert any((s >> 32) & 0x7FFFFFFF for s in sims), "high bits empty"
+    # low 32 bits match the 32-bit signature (same token lane)
+    sims32 = {r["doc_id"]: r["simhash"]
+              for r in dedup.simhash_sig(docs200, bits=32).collect()}
+    sims64 = {r["doc_id"]: r["simhash"]
+              for r in dedup.simhash_sig(docs200, bits=64).collect()}
+    for d, s in sims32.items():
+        assert sims64[d] & 0xFFFFFFFF == s, d
+
+
+@pytest.mark.parametrize("bits,k", [(64, 2), (64, 3), (32, 3)])
+def test_hamming_index_finds_planted_k_flips(spark, docs200, bits, k):
+    """Planted twins at Hamming distance exactly k are ALL found by
+    the k-block pigeonhole index — the guarantee is exact, not
+    probabilistic (pigeonhole: k flips cannot touch all k+1 blocks)."""
+    sim = dedup.simhash_sig(docs200, bits=bits)
+    planted = dedup.plant_flipped_twins(sim, bits, n_flips=k)
+    pairs = dedup.hamming_pairs_from_sigs(planted, k=k, bits=bits)
+    got = {(r["doc_a"], r["doc_b"]): r["dist"] for r in pairs.collect()}
+    for d in range(200):
+        assert (d, d + 1000000) in got, d
+        assert got[(d, d + 1000000)] == k, (d, got[(d, d + 1000000)])
+
+
+def test_hamming_operator_no_planting_by_default(spark, docs200):
+    out = dedup.simhash_hamming_pairs(docs200, k=2, bits=64)
+    assert out.where(
+        (F.col("doc_a") >= 1000000) | (F.col("doc_b") >= 1000000)
+    ).count() == 0
+
+
+# ------------------------------------------------- cache scoping
+def test_cache_scope_releases_only_own(spark):
+    outer = caching.materialize(spark.range(10).toDF("n"))
+    try:
+        with caching.scope():
+            inner = caching.materialize(spark.range(5).toDF("n"))
+            assert inner.storageLevel.useMemory
+        assert not inner.storageLevel.useMemory, "scope did not release"
+        assert outer.storageLevel.useMemory, "scope released global cache"
+    finally:
+        caching.release_all()
+    assert not outer.storageLevel.useMemory

@@ -7,22 +7,67 @@ re-evaluates the subtree per consumer (measured ~40× slower for the
 shingle explode at sf0.1). Those persists cannot be released inside
 the operator (the returned DataFrame is lazy; the cache must survive
 until the caller's action runs), so they register here and the
-CALLER releases them once its action completes:
+CALLER releases them once its action completes.
 
-    from yahoo_anomaly_detection_spark import caching
-    result = some_query(...).collect()
-    caching.release_all()
+Two release models:
 
-Long-lived sessions (benchmarks, the oracle harness, notebooks) call
-``release_all()`` between queries; short-lived jobs can skip it — the
-caches die with the session.
+1. **Scoped (preferred for concurrent callers)** — registrations made
+   inside a ``with caching.scope():`` block belong to that block (the
+   scope stack is thread-local) and are unpersisted when it exits::
+
+       with caching.scope():
+           result = some_query(...).collect()   # caches released here
+
+   A scope only ever releases caches its own thread registered, so
+   concurrent queries cannot unpersist each other's relations.
+
+2. **Global** — registrations made outside any scope land in a
+   process-wide registry; ``release_all()`` drains it. This is the
+   single-threaded benchmark/oracle-harness model (one query at a
+   time, release between queries). ``release_all()`` does NOT touch
+   scoped registrations.
+
+All registry mutations hold a lock, so mixed-thread use is safe; the
+caveat is semantic, not structural: calling ``release_all()`` while
+another thread's *unscoped* lazy query is still pending can force
+that query to recompute (never to fail) — use scopes when threading.
 """
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
+_LOCK = threading.Lock()
 _LIVE: list[DataFrame] = []
+_TLS = threading.local()
+
+
+def _active_scope() -> list[DataFrame] | None:
+    stack = getattr(_TLS, "stack", None)
+    return stack[-1] if stack else None
+
+
+@contextmanager
+def scope():
+    """Thread-local cache scope: registrations inside the block are
+    unpersisted on exit (and only those — see module docstring)."""
+    stack = getattr(_TLS, "stack", None)
+    if stack is None:
+        stack = _TLS.stack = []
+    mine: list[DataFrame] = []
+    stack.append(mine)
+    try:
+        yield mine
+    finally:
+        stack.pop()
+        for df in mine:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session may already be stopped
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -34,24 +79,33 @@ def materialize(df: DataFrame) -> DataFrame:
     """
     df = df.persist()
     df.count()
-    _LIVE.append(df)
-    return df
+    return register(df)
 
 
 def register(df: DataFrame) -> DataFrame:
     """Register an already-persisted DataFrame for later release
-    (for call sites that persist lazily on purpose)."""
-    _LIVE.append(df)
+    (for call sites that persist lazily on purpose). Lands in the
+    innermost active scope of this thread, else the global registry."""
+    sc = _active_scope()
+    if sc is not None:
+        sc.append(df)
+        return df
+    with _LOCK:
+        _LIVE.append(df)
     return df
 
 
 def release_all() -> int:
-    """Unpersist every registered relation; returns how many."""
+    """Unpersist every GLOBALLY registered relation; returns how many.
+    Scoped registrations are untouched (their scope releases them)."""
     n = 0
-    while _LIVE:
+    while True:
+        with _LOCK:
+            if not _LIVE:
+                return n
+            df = _LIVE.pop()
         try:
-            _LIVE.pop().unpersist()
+            df.unpersist()
         except Exception:
             pass  # session may already be stopped
         n += 1
-    return n

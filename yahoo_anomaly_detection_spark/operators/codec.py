@@ -511,9 +511,13 @@ def encode_batch_v2(ts_list: list, vals_list: list) -> list[bytes]:
     starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
     gid = np.repeat(np.arange(B), lengths)
 
-    # headers, vectorized into byte matrices (per-series row slices)
-    ts0_b = ts_all[starts].astype("<i8").view(np.uint8).reshape(B, 8)
-    v0_b = bits[starts].astype("<u8").view(np.uint8).reshape(B, 8)
+    # headers, vectorized into byte matrices (per-series row slices).
+    # starts is clamped: a trailing zero-length series has start == N
+    # (out of bounds); its header row is garbage but never emitted —
+    # the assembly loop only appends headers when n >= 1.
+    safe_starts = np.minimum(starts, N - 1)
+    ts0_b = ts_all[safe_starts].astype("<i8").view(np.uint8).reshape(B, 8)
+    v0_b = bits[safe_starts].astype("<u8").view(np.uint8).reshape(B, 8)
 
     # first-diffs / xors, boundary positions dropped so the remainder
     # is the dense concatenation of every series' own arrays
@@ -564,13 +568,20 @@ def encode_batch_v2(ts_list: list, vals_list: list) -> list[bytes]:
     if nz.any():
         lz_arr = np.where(nz, _clz64(x_valid), 64)
         tz_arr = np.where(nz, _ctz64(x_valid), 64)
-        red_starts = np.minimum(xoff[:-1], max(len(x_valid) - 1, 0))
+        # reduceat boundaries only through the LAST series with xors:
+        # trailing shorter series have xoff == len(x_valid), and
+        # clamping those into range would steal the final element from
+        # the previous series' segment (regression: empty-last batch).
+        # Mid-batch empties yield [i:i) degenerate segments whose
+        # garbage value is masked by has_nz below.
+        last_ne = int(np.flatnonzero(xcnt > 0)[-1])
+        red_starts = xoff[: last_ne + 1]
         lz_red = np.minimum.reduceat(lz_arr, red_starts)
         tz_red = np.minimum.reduceat(tz_arr, red_starts)
-        has_nz = nzc > 0
-        lz_i[has_nz] = lz_red[has_nz]
-        tz_i[has_nz] = tz_red[has_nz]
-        wbytes_i[has_nz] = (64 - lz_i[has_nz] - tz_i[has_nz] + 7) // 8
+        idx = np.flatnonzero(nzc > 0)  # all ≤ last_ne by construction
+        lz_i[idx] = lz_red[idx]
+        tz_i[idx] = tz_red[idx]
+        wbytes_i[idx] = (64 - lz_i[idx] - tz_i[idx] + 7) // 8
     hdr2 = np.empty((B, 11), np.uint8)
     hdr2[:, :8] = delta0.astype("<i8").view(np.uint8).reshape(B, 8)
     hdr2[:, 8] = lz_i

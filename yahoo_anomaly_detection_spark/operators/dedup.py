@@ -351,26 +351,51 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
 
 
 # ------------------------------------------------------------ simhash
-def simhash32(docs: DataFrame, corpus: DataFrame | None = None) -> DataFrame:
-    """32-bit SimHash over word tokens (frequency-weighted).
+def simhash_sig(docs: DataFrame, bits: int = 32,
+                corpus: DataFrame | None = None) -> DataFrame:
+    """``bits``-bit SimHash over word tokens (frequency-weighted).
 
     bit_j = 1 iff Σ_tokens (2·((h(token)>>j)&1) − 1) > 0. Exploded
     token×bit computation keeps everything JVM-side; at scale the
-    shuffle carries (doc, 32) partial sums via map-side combine."""
+    shuffle carries (doc, bits) partial sums via map-side combine.
+
+    bits ≤ 32 hashes tokens with the first 32 md5 bits; bits ≤ 64
+    adds the next 32 (two independent 32-bit lanes — no 64-bit
+    literal is ever formed, so the same expressions run unmodified
+    on engines whose BIGINT shifts trap on overflow). Bit 63 of the
+    signature is the sign bit of the int64 — all downstream ops
+    (xor, masked shifts, popcount) are bit-pattern ops, unaffected.
+    """
+    assert 1 <= bits <= 64, bits
     src = corpus if corpus is not None else docs.select("doc_id", "text")
     toks = src.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).select("doc_id", hexint(F.col("tok")).alias("x"))
-    bits = toks.select(
+    ).select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
-        "x",
+        hexint(F.col("tok")).alias("xlo"),
+        *(
+            [
+                F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10)
+                .cast("long")
+                .alias("xhi")
+            ]
+            if bits > 32
+            else []
+        ),
+    )
+    lane = "IF(j < 32, xlo, xhi)" if bits > 32 else "xlo"
+    contribs = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        *toks.columns[1:],
     ).select(
         "doc_id",
         "j",
-        F.expr("2 * (shiftright(x, j) & 1) - 1").alias("contrib"),
+        F.expr(f"2 * (shiftright({lane}, j % 32) & 1) - 1").alias("contrib"),
     )
-    per_bit = bits.groupBy("doc_id", "j").agg(F.sum("contrib").alias("s"))
+    per_bit = contribs.groupBy("doc_id", "j").agg(F.sum("contrib").alias("s"))
+    # shiftleft wraps at j=63 (Java semantics): the sum of distinct
+    # powers-of-two equals the signed two's-complement signature
     return per_bit.groupBy("doc_id").agg(
         F.sum(
             F.when(
@@ -380,30 +405,54 @@ def simhash32(docs: DataFrame, corpus: DataFrame | None = None) -> DataFrame:
     )
 
 
-def _simhash_sql(corpus_sql: str) -> str:
+def simhash32(docs: DataFrame, corpus: DataFrame | None = None) -> DataFrame:
+    """32-bit SimHash (back-compat wrapper of :func:`simhash_sig`)."""
+    return simhash_sig(docs, bits=32, corpus=corpus)
+
+
+HEXINT_HI_SQL = "CAST(concat('0x', substr(md5({x}), 9, 8)) AS BIGINT)"
+
+
+def _simhash_sql(corpus_sql: str, bits: int = 32) -> str:
     xs = HEXINT_SQL.format(x="tok")
+    if bits > 32:
+        xhi = HEXINT_HI_SQL.format(x="tok")
+        tok_cols = f"{xs} AS xlo, {xhi} AS xhi"
+        lane = "CASE WHEN j < 32 THEN xlo ELSE xhi END"
+    else:
+        tok_cols = f"{xs} AS xlo"
+        lane = "xlo"
     return f"""
 WITH corpus AS ({corpus_sql}),
 toks AS (
-    SELECT doc_id, {xs} AS x
+    SELECT doc_id, {tok_cols}
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
 ),
 per_bit AS (
-    SELECT doc_id, j, sum(2 * ((x >> j) & 1) - 1) AS s
-    FROM toks, generate_series(0, 31) t(j) GROUP BY 1, 2
+    SELECT doc_id, j, sum(2 * (({lane} >> (j % 32)) & 1) - 1) AS s
+    FROM toks, generate_series(0, {bits - 1}) t(j) GROUP BY 1, 2
 ),
 sim AS (
-    -- CAST AS BIGINT: DuckDB sum() yields HUGEINT; the driver's
-    -- value-hash distinguishes it from Spark's int64
+    -- HUGEINT shift (1::BIGINT << 63 traps in DuckDB), then map the
+    -- unsigned total onto int64 two's complement to match Spark
     SELECT doc_id,
-           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
-                AS BIGINT) AS simhash
-    FROM per_bit GROUP BY 1
+           CAST(CASE WHEN t >= 9223372036854775808
+                THEN t - 18446744073709551616 ELSE t END AS BIGINT)
+               AS simhash
+    FROM (SELECT doc_id,
+                 sum(CASE WHEN s > 0 THEN (1::HUGEINT << j)
+                     ELSE 0::HUGEINT END) AS t
+          FROM per_bit GROUP BY 1)
 )"""
 
 
 _SIMHASH_SQL = (
     _simhash_sql("SELECT doc_id, text FROM documents")
+    + "SELECT doc_id, simhash FROM sim"
+)
+
+_SIMHASH64_SQL = (
+    _simhash_sql("SELECT doc_id, text FROM documents", bits=64)
     + "SELECT doc_id, simhash FROM sim"
 )
 
@@ -435,39 +484,80 @@ FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 )
 
 
-_HAM_BLOCKS = ((0, 0, 2047), (1, 11, 2047), (2, 22, 1023))  # (j, off, mask)
+def ham_blocks(bits: int, k: int) -> tuple[tuple[int, int, int], ...]:
+    """Pigeonhole blocks (j, offset, mask) for Hamming-distance-≤k
+    search over ``bits``-bit signatures: k+1 blocks of ⌈bits/(k+1)⌉ /
+    ⌊bits/(k+1)⌋ bits — two signatures within distance k must agree
+    exactly on ≥ 1 block. (bits=32, k=2) → 11/11/10, the round-2
+    layout; (bits=64, k=2) → 22/21/21; (bits=64, k=3) → 4×16."""
+    nb = k + 1
+    assert 1 <= nb <= bits, (bits, k)
+    base, rem = divmod(bits, nb)
+    sizes = [base + 1] * rem + [base] * (nb - rem)
+    blocks, off = [], 0
+    for j, sz in enumerate(sizes):
+        blocks.append((j, off, (1 << sz) - 1))
+        off += sz
+    return tuple(blocks)
 
 
-def simhash_hamming_pairs(docs: DataFrame, k: int = 2) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance ≤ k (k=2) via
-    the pigeonhole block index — the banded search the distance-0
-    equality join cannot do.
-
-    32 signature bits split into k+1 = 3 blocks (11/11/10 bits); any
-    two signatures differing in ≤ k bits must agree EXACTLY on at
-    least one block, so candidate generation is an equality join per
-    block (bucketed, never all-pairs) and only candidates pay the
-    popcount verify. Same structure scales to 64-bit simhash / larger
-    k by re-slicing.
-
-    The corpus plants a 1-bit-flipped twin of every signature
-    (doc_id+1_000_000, bit ``doc_id % 32`` flipped) so the oracle can
-    assert the index finds every planted distance-1 pair."""
-    sim = simhash32(docs)
-    planted = sim.unionByName(
+def plant_flipped_twins(sim: DataFrame, bits: int,
+                        n_flips: int = 1) -> DataFrame:
+    """Test/oracle corpus builder: signatures ∪ an ``n_flips``-bit-
+    flipped twin of each (doc_id+1_000_000; bits ``(doc_id + i·17) %
+    bits`` for i < n_flips — distinct for n_flips·17 < bits, so the
+    twin sits at Hamming distance exactly n_flips), so the block
+    index can be asserted to find every planted pair. Lives outside
+    the operator — production callers index real signatures
+    unmodified."""
+    flipped = F.col("simhash")
+    for i in range(n_flips):
+        flipped = flipped.bitwiseXOR(
+            F.expr(
+                "shiftleft(cast(1 as bigint), "
+                f"cast(pmod(doc_id + {i * 17}, {bits}) as int))"
+            )
+        )
+    return sim.unionByName(
         sim.select(
             (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.col("simhash")
-            .bitwiseXOR(
-                F.expr(
-                    "shiftleft(cast(1 as bigint), "
-                    "cast(pmod(doc_id, 32) as int))"
-                )
-            )
-            .alias("simhash"),
+            flipped.alias("simhash"),
         )
     )
-    ex = planted.select(
+
+
+def simhash_hamming_pairs(docs: DataFrame, k: int = 2, bits: int = 64,
+                          plant_twins: bool = False) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ≤ k via the
+    pigeonhole block index — the banded search the distance-0
+    equality join cannot do.
+
+    ``bits`` signature bits split into k+1 blocks (:func:`ham_blocks`);
+    any two signatures differing in ≤ k bits must agree EXACTLY on at
+    least one block, so candidate generation is an equality join per
+    block (bucketed, never all-pairs) and only candidates pay the
+    popcount verify. 64-bit signatures are the scale default: at ~10⁹
+    docs, 32-bit blocks (≤ 2^11 distinct values) collide pervasively,
+    bloating the candidate set — 64-bit blocks carry 16-22 bits each.
+
+    ``plant_twins`` unions in the 1-bit-flipped test corpus
+    (:func:`plant_flipped_twins`) — off for production callers.
+
+    Masked arithmetic shift extracts blocks: sign-extension bits from
+    the int64 sign position are masked off, so the sign bit of a
+    64-bit signature needs no special casing."""
+    sim = simhash_sig(docs, bits=bits)
+    if plant_twins:
+        sim = plant_flipped_twins(sim, bits)
+    return hamming_pairs_from_sigs(sim, k=k, bits=bits)
+
+
+def hamming_pairs_from_sigs(sim: DataFrame, k: int,
+                            bits: int) -> DataFrame:
+    """Block-index Hamming-≤k pair search over a prebuilt
+    ``(doc_id, simhash)`` signature relation (the candidate-join +
+    popcount-verify core of :func:`simhash_hamming_pairs`)."""
+    ex = sim.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -479,7 +569,7 @@ def simhash_hamming_pairs(docs: DataFrame, k: int = 2) -> DataFrame:
                         .bitwiseAND(F.lit(mask))
                         .alias("bv"),
                     )
-                    for j, off, mask in _HAM_BLOCKS
+                    for j, off, mask in ham_blocks(bits, k)
                 ]
             )
         ).alias("b"),
@@ -511,22 +601,30 @@ def simhash_hamming_pairs(docs: DataFrame, k: int = 2) -> DataFrame:
     )
 
 
-_blocks_sql = ", ".join(f"({j}, {off}, {mask})" for j, off, mask in _HAM_BLOCKS)
-
-_SIMHASH_HAMMING_SQL = (
-    _simhash_sql("SELECT doc_id, text FROM documents")
-    + f""",
+def _simhash_hamming_sql(bits: int, k: int) -> str:
+    blocks_sql = ", ".join(
+        f"({j}, {off}, {mask})" for j, off, mask in ham_blocks(bits, k)
+    )
+    # 1 << 63 traps in DuckDB BIGINT; route the flip mask through the
+    # same HUGEINT→int64 wrap used for the signature itself
+    flip = (
+        "CAST(CASE WHEN (1::HUGEINT << CAST(doc_id % {b} AS INT)) >= "
+        "9223372036854775808 THEN (1::HUGEINT << CAST(doc_id % {b} AS INT)) "
+        "- 18446744073709551616 ELSE (1::HUGEINT << CAST(doc_id % {b} AS "
+        "INT)) END AS BIGINT)"
+    ).format(b=bits)
+    return (
+        _simhash_sql("SELECT doc_id, text FROM documents", bits=bits)
+        + f""",
 planted AS (
     SELECT doc_id, simhash FROM sim
     UNION ALL
-    SELECT doc_id + 1000000,
-           CAST(xor(simhash, 1::BIGINT << CAST(doc_id % 32 AS INT))
-                AS BIGINT)
+    SELECT doc_id + 1000000, CAST(xor(simhash, {flip}) AS BIGINT)
     FROM sim
 ),
 ex AS (
     SELECT doc_id, simhash, t.j, (simhash >> t.off) & t.mask AS bv
-    FROM planted, (VALUES {_blocks_sql}) t(j, off, mask)
+    FROM planted, (VALUES {blocks_sql}) t(j, off, mask)
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -535,9 +633,12 @@ cand AS (
     ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS dist
-FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+FROM cand WHERE bit_count(xor(sa, sb)) <= {k}
 """
-)
+    )
+
+
+_SIMHASH_HAMMING_SQL = _simhash_hamming_sql(64, 2)
 
 
 _DEDUP_EXACT_SQL = f"""
@@ -552,6 +653,7 @@ ORACLE_SQL = {
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _MINHASH_LSH_SQL,
     "simhash": _SIMHASH_SQL,
+    "simhash64": _SIMHASH64_SQL,
     "simhash_dups": _SIMHASH_DUPS_SQL,
     "simhash_hamming": _SIMHASH_HAMMING_SQL,
 }

@@ -16,12 +16,22 @@ Scale design:
   expressions inside whole-stage codegen — no pandas fallback needed
   for 64-dim vectors.
 
-Hyperplane weights are derived from an LCG over (plane, dim) integer
-ids — deterministic, engine-portable (mirrored in ORACLE_SQL):
-    w(j,d) = ((1103515245·(j·DIM+d) + 12345) mod 2^31) / 2^31 − 0.5
+Hyperplane weights are md5-derived constants computed host-side and
+embedded in the plan as numeric literals:
+    w(j,d) = md5("plane:j:d")[:4 bytes] / 2^32 − 0.5
+Literals are engine-portable by construction (the DuckDB oracle gets
+the identical numbers), and cheaper per row than computing a hash per
+(plane, dim) inside the projection. An affine hash (LCG) is NOT
+usable here: w(j,d) affine in (j·DIM+d) puts every plane on a line in
+R^64, correlating all bucket bits — measured ~30× candidate-pair
+skew vs uniform at 8 planes (tests/test_round3_ops.py pins the
+fixed behavior: candidate volume ~linear in N under adaptive planes).
 """
 
 from __future__ import annotations
+
+import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -30,9 +40,41 @@ from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
 _R = 4
 DIM = 64
-LCG_A = 1103515245
-LCG_C = 12345
-LCG_M = 2147483648  # 2^31
+
+
+def plane_weights(n_planes: int, dim: int = DIM) -> list[list[float]]:
+    """Deterministic near-orthogonal hyperplane weights (md5-derived,
+    uniform on [-0.5, 0.5)); dyadic rationals, so their shortest-repr
+    decimal literals parse to bit-identical doubles in any engine."""
+    return [
+        [
+            int.from_bytes(
+                hashlib.md5(f"plane:{j}:{d}".encode()).digest()[:4], "big"
+            )
+            / 4294967296.0
+            - 0.5
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def adaptive_n_planes(n_rows: int, target_bucket: int = 64,
+                      floor: int = 8) -> int:
+    """Plane count sized to the corpus: ``max(floor, ceil(log2(N /
+    target_bucket)))``.
+
+    At FIXED planes, expected bucket occupancy grows linearly with N
+    and candidate pairs grow ~N²/2^planes — a scale-killer at 10⁹
+    vectors. Scaling planes with log2(N) keeps expected occupancy at
+    ``target_bucket`` and candidate volume ~linear in N (tested in
+    tests/test_round3_ops.py). Callers that know the corpus size pass
+    it; :func:`embedding_near_dups` with ``n_planes=None`` counts the
+    corpus itself (one cheap aggregate) before planning the join.
+    """
+    if n_rows <= target_bucket:
+        return floor
+    return max(floor, math.ceil(math.log2(n_rows / target_bucket)))
 
 
 def _vecd(col: str) -> Column:
@@ -112,38 +154,51 @@ FROM ranked WHERE rk <= {k}
 """
 
 
-def _w_expr(j: str, d: str) -> str:
-    """LCG hyperplane weight as a SQL-portable expression string."""
-    return (
-        f"((({LCG_A} * cast({j} * {DIM} + {d} as bigint) + {LCG_C}) "
-        f"% {LCG_M}) / {LCG_M}.0 - 0.5)"
-    )
+def _bucket_expr(n_planes: int, vec: str) -> str:
+    """Spark expression string for the LSH bucket of array column
+    ``vec``: Σ_j [w_j·vec > 0]·2^j, with the plane weights embedded
+    as literal arrays (computed once at plan time, constant-folded
+    into whole-stage codegen)."""
+    terms = []
+    for j, row in enumerate(plane_weights(n_planes)):
+        arr = "array(" + ", ".join(repr(x) for x in row) + ")"
+        dot = (
+            f"aggregate(zip_with({arr}, {vec}, "
+            f"(w, x) -> w * cast(x as double)), "
+            f"cast(0.0 as double), (a, v) -> a + v)"
+        )
+        terms.append(f"IF({dot} > 0, {1 << j}L, 0L)")
+    return "cast(" + " + ".join(terms) + " as bigint)"
+
+
+def _bucket_sql_expr(n_planes: int, vec: str) -> str:
+    """DuckDB mirror of :func:`_bucket_expr` — identical numeric
+    literals, so the bucket ids match bit-for-bit."""
+    terms = []
+    for j, row in enumerate(plane_weights(n_planes)):
+        arr = "[" + ", ".join(repr(x) for x in row) + "]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"i -> {arr}[i] * CAST({vec}[i] AS DOUBLE)))"
+        )
+        terms.append(
+            f"CASE WHEN {dot} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def lsh_bucket_assignments(embs: DataFrame, n_planes: int = 8) -> DataFrame:
     """Random-hyperplane LSH bucket per vector — one projection, no
-    shuffle, no Python. bucket = Σ_j [w_j·e > 0] << j."""
-    w = _w_expr("j", "d")
-    bucket = F.expr(
-        f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), "
-        f"(acc, j) -> acc + IF("
-        f"aggregate(sequence(0, {DIM - 1}), cast(0.0 as double), "
-        f"(s, d) -> s + {w} * cast(element_at(embedding, d + 1) as double)"
-        f") > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
-    )
+    shuffle, no Python. bucket = Σ_j [w_j·e > 0] << j. Size
+    ``n_planes`` with :func:`adaptive_n_planes` when the corpus size
+    is known; the default 8 matches the pinned DuckDB oracle."""
+    bucket = F.expr(_bucket_expr(n_planes, "embedding"))
     return embs.select("vec_id", bucket.alias("bucket"))
 
 
 def _lsh_bucket_sql(n_planes: int) -> str:
-    w = _w_expr("j", "d")
     return f"""
-SELECT vec_id,
-       -- CAST AS BIGINT: DuckDB list_sum() yields HUGEINT; the
-       -- driver's value-hash distinguishes it from Spark's int64
-       CAST(list_sum(list_transform(generate_series(0, {n_planes - 1}), j ->
-           CASE WHEN list_sum(list_transform(generate_series(0, {DIM - 1}),
-                    d -> {w} * CAST(embedding[d + 1] AS DOUBLE))) > 0
-                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+SELECT vec_id, {_bucket_sql_expr(n_planes, 'embedding')} AS bucket
 FROM embeddings
 """
 
@@ -281,43 +336,77 @@ FROM ranked WHERE rk <= {k}
 """
 
 
-def embedding_near_dups(embs: DataFrame, n_planes: int = 6,
-                        threshold: float = 0.9) -> DataFrame:
-    """Embedding-cosine near-duplicate PAIRS (cosine ≥ threshold):
-    LSH-bucket equality self-join generates candidates, exact cosine
-    verifies — the embedding-space analog of MinHash+LSH dedup. The
-    corpus plants a slightly-perturbed twin of every 10th vector
-    (vec_id+1_000_000, +3% on the first coordinate) so the detector
-    provably finds non-identical near-dups, not just exact copies.
-
-    Scale shape: candidates are bounded by bucket co-occupancy
-    (2^n_planes buckets), never all-pairs; the verify is a map-side
-    expression on candidate rows only."""
-    base = embs.select("vec_id", _vecd("embedding").alias("e"))
+def plant_perturbed_twins(base: DataFrame) -> DataFrame:
+    """Test/oracle corpus builder: base ∪ a slightly-perturbed twin of
+    every 10th vector (vec_id+1_000_000, +3% on the first coordinate),
+    so a near-dup detector provably finds non-identical near-dups.
+    Lives OUTSIDE the operators — production callers get unmodified
+    corpora; the driver queries compose this explicitly."""
     twin = base.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.expr(
             "transform(e, (x, i) -> IF(i = 0, x * 1.03, x))"
         ).alias("e"),
     )
-    corpus = base.unionByName(twin)
-    w = _w_expr("j", "d")
-    bucket = F.expr(
-        f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), "
-        f"(acc, j) -> acc + IF("
-        f"aggregate(sequence(0, {DIM - 1}), cast(0.0 as double), "
-        f"(s, d) -> s + {w} * element_at(e, d + 1)"
-        f") > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
-    )
-    withb = corpus.select("vec_id", "e", bucket.alias("bucket"))
+    return base.unionByName(twin)
+
+
+def _bucket_candidates(withb: DataFrame,
+                       max_bucket_size: int | None) -> DataFrame:
+    """Candidate pairs from an LSH-bucketed relation (vec_id, e,
+    bucket): equality self-join on bucket. With ``max_bucket_size``,
+    oversized (skewed) buckets are split into consecutive sub-buckets
+    of at most that many vectors first, hard-capping the per-bucket
+    join fan-out at cap² — a recall tradeoff (pairs straddling a
+    sub-bucket boundary are missed) that only engages on pathological
+    buckets; the primary linearity guarantee is adaptive n_planes."""
+    if max_bucket_size is not None:
+        rn = F.row_number().over(
+            W.partitionBy("bucket").orderBy("vec_id")
+        )
+        withb = withb.withColumn(
+            "bucket",
+            F.col("bucket") * 4096
+            + ((rn - F.lit(1)) / F.lit(max_bucket_size)).cast("bigint"),
+        )
     a, b = withb.alias("a"), withb.alias("b")
-    cand = a.join(
+    return a.join(
         b,
         on=[
             F.col("a.bucket") == F.col("b.bucket"),
             F.col("a.vec_id") < F.col("b.vec_id"),
         ],
     )
+
+
+def embedding_near_dups(embs: DataFrame, n_planes: int | None = 8,
+                        threshold: float = 0.9,
+                        plant_twins: bool = False,
+                        max_bucket_size: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (cosine ≥ threshold):
+    LSH-bucket equality self-join generates candidates, exact cosine
+    verifies — the embedding-space analog of MinHash+LSH dedup.
+
+    ``n_planes=None`` sizes the plane count from the corpus
+    (:func:`adaptive_n_planes`: one count aggregate, then
+    planes ≈ log2(N / target_bucket)) so candidate volume stays
+    ~linear in N; the default 8 matches the pinned DuckDB oracle.
+    ``plant_twins`` injects the perturbed-twin test corpus
+    (:func:`plant_perturbed_twins`) — off for production callers.
+
+    Scale shape: candidates are bounded by bucket co-occupancy
+    (2^n_planes buckets, occupancy held at target by adaptive
+    planes, worst-case skew capped by ``max_bucket_size``), never
+    all-pairs; the verify is a map-side expression on candidates only.
+    """
+    base = embs.select("vec_id", _vecd("embedding").alias("e"))
+    corpus = plant_perturbed_twins(base) if plant_twins else base
+    if n_planes is None:
+        n_planes = adaptive_n_planes(corpus.count())
+    withb = corpus.select(
+        "vec_id", "e", F.expr(_bucket_expr(n_planes, "e")).alias("bucket")
+    )
+    cand = _bucket_candidates(withb, max_bucket_size)
     cos = _dot("a.e", "b.e") / (_norm("a.e") * _norm("b.e"))
     return (
         cand.select(
@@ -330,7 +419,6 @@ def embedding_near_dups(embs: DataFrame, n_planes: int = 6,
 
 
 def _near_dups_sql(n_planes: int, threshold: float) -> str:
-    w = _w_expr("j", "d")
     dot = _DOT_SQL.format(a="a.e", b="b.e", dim=DIM)
     return f"""
 WITH base AS (SELECT vec_id, {_VECD_SQL.format(e='embedding')} AS e
@@ -342,13 +430,7 @@ twin AS (SELECT vec_id + 1000000 AS vec_id,
          FROM base WHERE vec_id % 10 = 0),
 corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
 withb AS (
-    SELECT vec_id, e,
-           CAST(list_sum(list_transform(generate_series(0, {n_planes - 1}),
-               j -> CASE WHEN list_sum(list_transform(
-                        generate_series(0, {DIM - 1}),
-                        d -> {w} * e[d + 1])) > 0
-                    THEN (1::BIGINT << j) ELSE 0::BIGINT END))
-                AS BIGINT) AS bucket
+    SELECT vec_id, e, {_bucket_sql_expr(n_planes, 'e')} AS bucket
     FROM corpus
 ),
 cand AS (

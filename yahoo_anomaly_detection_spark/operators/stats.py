@@ -118,6 +118,27 @@ def rolling_stats(df: DataFrame, value_col: str = "mean", k: int = 10,
 
 # ---------------------------------------------------------------- EWMA
 EWMA_MAX_ROWS_PER_PARTITION = 2_000_000
+EWMA_MAX_BYTES_PER_PARTITION = 256 << 20  # ~2M tier rows at ~128 B/row
+
+
+def _estimated_partitions(df: DataFrame) -> int:
+    """Partition count from Catalyst's optimized-plan sizeInBytes —
+    free (no job). Estimates are conservative-high for aggregates
+    (stats propagate the child's size), which errs toward MORE
+    partitions: harmless (a few extra ~1ms pandas frames) vs the
+    alternative failure mode of one oversized frame OOMing a worker.
+    Falls back to a count only if stats are unavailable or absurd
+    (e.g. an unestimated join product)."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes().toString()
+        )
+    except Exception:
+        size = -1
+    if 0 <= size < (1 << 50):
+        return -(-size // EWMA_MAX_BYTES_PER_PARTITION)
+    return -(-df.count() // EWMA_MAX_ROWS_PER_PARTITION)
 
 
 def ewma(df: DataFrame, value_col: str, alpha: float,
@@ -170,18 +191,21 @@ def ewma(df: DataFrame, value_col: str, alpha: float,
     # is contiguous and ordered inside exactly one partition, so the
     # recursion never crosses a partition boundary. Partition count is
     # DATA-bound, not parallelism-bound: each partition arrives in the
-    # Python worker as one pandas frame, so rows/partition is capped
-    # (EWMA_MAX_ROWS_PER_PARTITION ≈ low-hundreds MB) — at 100x input
-    # the partition count grows instead of the per-worker frame.
-    # Callers that already know the row count pass n_rows to skip the
-    # counting job (a cheap map-side-combined aggregate otherwise).
-    if n_rows is None:
-        n_rows = df.count()
+    # Python worker as one pandas frame, so data/partition is capped —
+    # at 100x input the partition count grows instead of the
+    # per-worker frame. Callers that know the row count pass n_rows
+    # (exact); otherwise the cap comes from Catalyst's sizeInBytes
+    # estimate of the optimized plan — NO extra job (round 2 ran a
+    # hidden full-pass df.count() here, one whole extra traversal of
+    # the input per call).
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    parts = max(
-        parallelism,
-        -(-n_rows // EWMA_MAX_ROWS_PER_PARTITION),  # ceil div
-    )
+    if n_rows is not None:
+        parts = max(
+            parallelism,
+            -(-n_rows // EWMA_MAX_ROWS_PER_PARTITION),  # ceil div
+        )
+    else:
+        parts = max(parallelism, _estimated_partitions(df))
     return (
         df.repartition(parts, *key_cols)
         .sortWithinPartitions(*key_cols, order_col)
