@@ -84,6 +84,49 @@ def test_checkpoint_resume_skips_done_units(spark, catalog):
     assert (lineage["input_snapshot"] == "snap-a").all()
 
 
+def _file_digests(root):
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[p] = hashlib.sha256(fh.read()).hexdigest()
+    return out
+
+
+def test_eviction_prunes_untouched_dirs(spark, catalog):
+    """TTL eviction must NOT rewrite data dirs with no expired rows:
+    their files stay byte-identical (the shim's analog of Iceberg's
+    metadata-only partition drop)."""
+    catalog.append(_tier_df(spark, [1, 5]), "tier_1m")     # all expire
+    s_new = catalog.append(_tier_df(spark, [20]), "tier_1m")  # all survive
+    new_dir = catalog.snapshots("tier_1m")[-1].summary["added_path"]
+    before_files = _file_digests(new_dir)
+    now = datetime(2025, 1, 21)
+    retention = {"1m": 7 * 86400}
+    evict_tier(catalog, spark, "tier_1m", "1m", now, retention)
+    snap = catalog.snapshots("tier_1m")[-1]
+    assert snap.summary["pruned_dirs"] == 1
+    assert snap.summary["rewritten_dirs"] == 1
+    assert new_dir in snap.paths, "surviving dir must carry over as-is"
+    assert _file_digests(new_dir) == before_files, "survivor dir rewritten"
+    after = catalog.read(spark, "tier_1m")
+    assert after.count() == 2  # only day-20 rows
+    assert verify_evicted(after, cutoff_for("1m", now, retention)) == 0
+    # second eviction with nothing to do: metadata-only commit, every
+    # dir carries over
+    paths_before = list(snap.paths)
+    evict_tier(catalog, spark, "tier_1m", "1m", now, retention)
+    snap2 = catalog.snapshots("tier_1m")[-1]
+    assert snap2.summary["rewritten_dirs"] == 0
+    assert sorted(snap2.paths) == sorted(paths_before)
+    assert s_new  # time travel to pre-eviction still works
+    assert catalog.read(spark, "tier_1m", s_new).count() == 6
+
+
 def test_delete_where_creates_new_snapshot(spark, catalog):
     s1 = catalog.append(_tier_df(spark, [1, 2]), "t")
     s2 = catalog.delete_where(spark, "t", "bucket_start < TIMESTAMP '2025-01-02 00:00:00'")

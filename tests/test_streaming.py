@@ -75,6 +75,175 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     assert t1h.where(F.col("cnt") > 0).count() >= 2
 
 
+def _mk_transcripts(spark, rows):
+    """rows: (conv_id, turn_idx, minute, second)."""
+    return spark.createDataFrame(
+        [
+            (c, t, "user", f"msg {c}{t}", "", f"2024-01-01 00:{m:02d}:{s:02d}")
+            for c, t, m, s in rows
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+
+
+def test_stream_latency_matches_batch(spark, tmp_path):
+    """Streamed latency derivation (applyInPandasWithState) must equal
+    the batch lag window on the same in-order input, INCLUDING turns
+    whose predecessor arrived in an earlier micro-batch (state carries
+    across batches)."""
+    from yahoo_anomaly_detection_spark.operators.rollup import (
+        transcripts_latency,
+    )
+    from yahoo_anomaly_detection_spark.streaming.latency_stream import (
+        read_transcript_stream,
+        start_points_to_parquet,
+        stream_latency,
+    )
+
+    src = str(tmp_path / "tsrc")
+    out = str(tmp_path / "tpts")
+    ckpt = str(tmp_path / "tckpt")
+    os.makedirs(src)
+    f1 = [("a", 0, 0, 1), ("a", 1, 0, 31), ("b", 0, 1, 5)]
+    f2 = [("a", 2, 1, 10), ("b", 1, 1, 50), ("b", 2, 2, 20)]
+
+    _mk_transcripts(spark, f1).coalesce(1).write.mode("append").parquet(src)
+    stream = stream_latency(
+        read_transcript_stream(spark, src, max_files_per_trigger=1)
+    )
+    q = start_points_to_parquet(stream, out, ckpt)
+    # hop 2 chains off hop 1's sink dir. NOTE: that dir has a
+    # _spark_metadata log, so hop 2's file source only sees files the
+    # hop-1 QUERY committed — the watermark-advancing flush row must
+    # flow through hop 1 (a late transcript), not a side batch write.
+    out2 = str(tmp_path / "tiers")
+    ckpt2 = str(tmp_path / "tckpt2")
+    q2 = start_stream_to_parquet(
+        stream_rollup_1m(read_point_stream(spark, out), "10 minutes"),
+        out2, ckpt2,
+    )
+    try:
+        q.processAllAvailable()
+        _mk_transcripts(spark, f2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q2.processAllAvailable()
+        _mk_transcripts(spark, [("zz", 0, 59, 0)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q.stop()
+        q2.stop()
+
+    streamed = {
+        (r["conv_id"], r["ts"]): r["value"]
+        for r in spark.read.parquet(out)
+        .where("conv_id <> 'zz'").collect()
+    }
+    batch = {
+        (r["conv_id"], r["ts"]): r["value"]
+        for r in transcripts_latency(
+            _mk_transcripts(spark, f1 + f2)
+        ).collect()
+    }
+    assert streamed.keys() == batch.keys()
+    for k in batch:
+        if batch[k] is None:
+            assert streamed[k] is None, k
+        else:
+            assert streamed[k] is not None and (
+                abs(streamed[k] - batch[k]) < 1e-9
+            ), (k, streamed[k], batch[k])
+    # cross-batch case really exercised: a.turn2 and b.turn1 latencies
+    # span the file boundary and must be non-null
+    import datetime as dt
+
+    assert streamed[("a", dt.datetime(2024, 1, 1, 0, 1, 10))] == 39.0
+    assert streamed[("b", dt.datetime(2024, 1, 1, 0, 1, 50))] == 45.0
+
+    # hop 2 ran above, chained off the live hop-1 sink; compare its
+    # finalized tiers against batch latency + batch rollup
+    got = spark.read.parquet(out2).where("conv_id <> 'zz'")
+    batch_tiers = rollup_points(
+        transcripts_latency(_mk_transcripts(spark, f1 + f2)), "1m"
+    )
+    j = batch_tiers.alias("b").join(
+        got.alias("s"), on=["conv_id", "bucket_start"], how="inner"
+    )
+    rows = j.select(
+        F.col("b.cnt").alias("bc"), F.col("s.cnt").alias("sc"),
+        F.col("b.mean").alias("bm"), F.col("s.mean").alias("sm"),
+    ).collect()
+    assert len(rows) >= 3, "tiers not finalized"
+    for r in rows:
+        assert r["sc"] == r["bc"], r
+        if r["bm"] is None:
+            assert r["sm"] is None, r
+        else:
+            assert abs(r["sm"] - r["bm"]) < 1e-12, r
+
+
+def test_stream_latency_state_ttl_evicts_idle(spark, tmp_path):
+    """With a processing-time TTL, an idle conversation's state is
+    evicted; its next turn starts a fresh series (NULL latency) —
+    the bound that keeps the state store finite at 10^12 turns.
+
+    noDataMicroBatches is disabled for the query: Spark 4.1's
+    FlatMapGroupsInPandasWithStateExec NPEs when a NO-DATA batch is
+    planned (copy() with a null session), and processing-time timeouts
+    schedule exactly such batches (see latency_stream docstring);
+    with the conf off, timeouts process during data batches."""
+    import time as _time
+
+    from yahoo_anomaly_detection_spark.streaming.latency_stream import (
+        read_transcript_stream,
+        start_points_to_parquet,
+        stream_latency,
+    )
+
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    src = str(tmp_path / "esrc")
+    out = str(tmp_path / "epts")
+    ckpt = str(tmp_path / "eckpt")
+    os.makedirs(src)
+    _mk_transcripts(spark, [("a", 0, 0, 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = stream_latency(
+        read_transcript_stream(spark, src, max_files_per_trigger=1),
+        state_ttl_ms=500,
+    )
+    q = start_points_to_parquet(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+        _time.sleep(1.5)  # let a's TTL lapse
+        # unrelated batch fires the timeout processing
+        _mk_transcripts(spark, [("b", 0, 5, 0)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        # a returns after eviction: latency must be NULL (fresh series)
+        _mk_transcripts(spark, [("a", 1, 9, 0)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        )
+    rows = {
+        (r["conv_id"], r["ts"].minute): r["value"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows[("a", 9)] is None, rows
+
+
 def test_stream_resumes_from_checkpoint(spark, tmp_path):
     src = str(tmp_path / "src2")
     out = str(tmp_path / "out2")

@@ -105,14 +105,53 @@ class ParquetCatalog:
 
     def delete_where(self, spark: SparkSession, table: str, predicate: str,
                      partition_by: list[str] | None = None) -> str:
-        """Iceberg ``DELETE FROM t WHERE p`` → rewrite as new snapshot.
+        """Iceberg ``DELETE FROM t WHERE p`` → new snapshot, touching
+        only affected data dirs (manifest-filtering analog).
 
-        TTL eviction path: at scale this is a metadata-only partition
-        drop in Iceberg; the shim rewrites remaining rows.
+        Each data dir composing the current view is probed with the
+        predicate (``limit(1)`` — partition pruning / parquet min-max
+        pushdown make this a metadata read for partition- and
+        range-predicates, the TTL shape). Dirs with NO matching rows
+        carry over into the new snapshot untouched — their files stay
+        byte-identical on disk (asserted in tests). Only dirs that
+        contain matches are filtered and rewritten. Real Iceberg goes
+        one step further (whole-partition deletes are metadata-only);
+        the shim's unit of pruning is the commit data dir.
         """
-        cur = self.read(spark, table)
-        kept = cur.where(f"NOT ({predicate})")
-        return self.overwrite_table(kept, table, partition_by=partition_by)
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {table!r}")
+        cur_paths = snaps[-1].paths
+        untouched, affected = [], []
+        for p in cur_paths:
+            d = spark.read.parquet(p)
+            if d.where(predicate).limit(1).count() == 0:
+                untouched.append(p)
+            else:
+                affected.append(p)
+        parent = snaps[-1].snapshot_id
+        snap_id = f"{int(time.time() * 1e6)}_{uuid.uuid4().hex[:8]}"
+        if not affected:  # metadata-only no-op commit
+            return self._commit(
+                table,
+                Snapshot(snap_id, parent, "delete_where", list(cur_paths),
+                         {"predicate": predicate, "rewritten_dirs": 0,
+                          "pruned_dirs": len(untouched)}),
+            )
+        data_dir = self._new_data_dir(table, snap_id)
+        kept = spark.read.parquet(*affected).where(f"NOT ({predicate})")
+        w = kept.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        return self._commit(
+            table,
+            Snapshot(snap_id, parent, "delete_where",
+                     untouched + [data_dir],
+                     {"predicate": predicate,
+                      "rewritten_dirs": len(affected),
+                      "pruned_dirs": len(untouched)}),
+        )
 
     # ---------- reads ----------
     def read(self, spark: SparkSession, table: str,

@@ -10,13 +10,12 @@ are handled by an event-time watermark instead of the batch path's
 idempotent bucket re-rollup, and the sink is append-mode parquet with
 a streaming checkpoint.
 
-Scope note: the batch pipeline derives per-turn latency with a lag
-window over `(conv_id, turn_idx)` — an unbounded-partition window that
-Structured Streaming cannot express declaratively. A streaming
-deployment derives the value column upstream (producer-side) or with
-``applyInPandasWithState`` keyed by conv_id (per-conversation
-last-timestamp state); the aggregation below is agnostic to where the
-value came from.
+The per-turn latency derivation that feeds this aggregate is itself
+available as a streaming operator: ``latency_stream.stream_latency``
+(``applyInPandasWithState`` keyed by conv_id carrying last-turn
+state), so the full north-star pipeline runs as a two-hop streaming
+topology — transcripts → latency points → 1m tiers (parity with the
+batch path asserted in tests/test_streaming.py).
 
 Semantics parity: the streamed aggregate carries the same
 (cnt, vcnt, sum, sum_sq, min, max) decomposition as
