@@ -87,3 +87,78 @@ def test_zscore_flags_no_score_shuffle(spark, points):
     # themselves never shuffle
     assert _exchanges(flagged) == 0, _plan(flagged)
     assert _broadcasts(flagged) >= 1
+
+
+# ---------------------------------------------- pipeline operators
+def _no_product_joins(plan: str) -> bool:
+    """No all-pairs join strategy anywhere in the plan — candidate
+    generation must stay an equality (hash/sort-merge) join."""
+    return ("CartesianProduct" not in plan
+            and "BroadcastNestedLoopJoin" not in plan)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta w{i + 1} zeta") for i in range(40)],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.createDataFrame(
+        [(i, [float((i * 31 + d * 7) % 13) - 6.0 for d in range(64)])
+         for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_minhash_lsh_pairs_no_cartesian(spark, docs):
+    """Candidate generation is band-signature equality joins; the
+    verify touches candidates only — a silent regression to an
+    all-pairs strategy must fail here, not at 100 TB."""
+    from yahoo_anomaly_detection_spark import caching
+    from yahoo_anomaly_detection_spark.operators import dedup
+
+    try:
+        out = dedup.minhash_lsh_pairs(docs, n=3, k=16, bands=4,
+                                      threshold=0.5)
+        plan = _plan(out)
+        assert _no_product_joins(plan), plan
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin|"
+                         r"BroadcastHashJoin)", plan), plan
+    finally:
+        caching.release_all()
+
+
+def test_embedding_near_dups_bucket_join(spark, embs):
+    from yahoo_anomaly_detection_spark.operators import similarity
+
+    out = similarity.embedding_near_dups(embs, n_planes=8, threshold=0.9)
+    plan = _plan(out)
+    assert _no_product_joins(plan), plan
+    # the self-join keys on the bucket column
+    assert "bucket" in plan
+
+
+def test_simhash_hamming_block_equality_join(spark, docs):
+    from yahoo_anomaly_detection_spark.operators import dedup
+
+    out = dedup.simhash_hamming_pairs(docs, k=2, bits=64)
+    plan = _plan(out)
+    assert _no_product_joins(plan), plan
+
+
+def test_detector_lifecycle_broadcasts_fitted_threshold(spark):
+    """The 3-phase lifecycle (val-fit → test-apply → metrics) must
+    reach the scores via a broadcast of the 1-row fitted threshold —
+    no driver collect, no score-side shuffle for the join."""
+    import __spark_entry__ as entry
+
+    df = entry.q_detector_lifecycle(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # a BroadcastNestedLoopJoin against the 1-row fitted threshold IS
+    # the intended shape; an unbroadcast CartesianProduct is not
+    assert "CartesianProduct" not in plan, plan
+    assert _broadcasts(df) >= 1, plan
