@@ -10,6 +10,19 @@ transcripts, and prints ONE JSON line:
 
 Every query is materialized with the noop sink so all output columns
 are computed (count() would let Catalyst prune aggregates).
+
+Host-noise robustness: the sandbox host has multi-minute contention /
+memory-backend episodes (BENCH/BASELINE.md documents first-touch page
+faults degrading ~1000x). A single timed pass taken inside such a
+window measures the host, not the engine — round 2's committed bench
+overstated core queries 2-7x exactly this way. So the harness runs
+$SPARK_GRAFT_BENCH_REPEATS (default 2) INTERLEAVED rounds — all
+queries once, then all again — and reports best-of-R per query: a
+degraded window inflates one round's numbers, not the minimum, and
+interleaving means no single query eats the whole bad window. Each
+round also records a memory-canary probe (fresh 240 MB numpy
+first-touch, healthy < 0.5 s) in `canary_sec` so the committed
+artifact carries evidence of host state at measurement time.
 """
 
 from __future__ import annotations
@@ -52,15 +65,31 @@ HEADLINE = [
     "multimodal_features",
 ]
 
+# stages timed inside the transcripts pipeline (input generated once,
+# stages repeated per round like the headline queries)
+PIPELINE = ["transcripts_rollup", "gorilla_encode", "gorilla_decode"]
+
 
 def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _canary() -> float:
+    """First-touch cost of a fresh 240 MB allocation (seconds).
+    Healthy host: ~0.03-0.1 s. Degraded memory-backend episode:
+    10-40 s. Mirrors scripts/run_bench_when_healthy.sh."""
+    import numpy as np
+
+    t0 = time.time()
+    np.arange(30_000_000)
+    return round(time.time() - t0, 3)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "30000"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
 
     import __spark_entry__ as entry
     from yahoo_anomaly_detection_spark.session import get_spark
@@ -78,54 +107,64 @@ def main() -> None:
     from yahoo_anomaly_detection_spark import caching
 
     qs = entry.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        _noop(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-        caching.release_all()  # free operator-internal materializations
+    runs: dict[str, list[float]] = {n: [] for n in HEADLINE + PIPELINE}
+    canary: list[float] = []
 
-    # ---- transcripts rollup throughput (north-rule headline) ----
     tmp = tempfile.mkdtemp(prefix="bench_transcripts_")
     rollup_stats: dict = {}
     try:
+        # generate the transcripts input ONCE (untimed vs the rollup:
+        # generation cost is reported separately, never in a query)
         t0 = time.time()
         gen_transcripts(spark, n_convs=n_convs, seed=42,
                         partitions=cpus * 2).write.mode("overwrite").parquet(tmp)
         rollup_stats["gen_sec"] = round(time.time() - t0, 2)
-
         tr = spark.read.parquet(tmp)
         n_turns = tr.count()
         rollup_stats["n_turns"] = n_turns
 
-        t0 = time.time()
-        points = transcripts_latency(tr)
-        # scratch-parquet handoff between tiers, mirroring
-        # jobs/rollup_job.py: cheaper than the columnar cache build
-        # (~3x the tier compute, measured) and the honest cluster
-        # analog (each tier is committed to storage and read back)
-        t1m_path = os.path.join(tmp, "_tier_1m")
-        rollup_points(points, "1m").write.mode("overwrite").parquet(t1m_path)
-        t1m = spark.read.parquet(t1m_path)
-        t1h = rollup_cascade(t1m, "1h")
-        _noop(t1h)
-        _noop(rollup_cascade(t1h, "1d"))
-        dt = time.time() - t0
-        timings["transcripts_rollup"] = round(dt, 3)
-        rollup_stats["rollup_sec"] = round(dt, 2)
-        rollup_stats["turns_per_sec"] = round(n_turns / dt, 1)
+        for _ in range(repeats):
+            canary.append(_canary())
 
-        t0 = time.time()
-        enc = compress_buckets(points.where("value is not null"), "hour")
-        enc.persist()
-        _noop(enc)
-        timings["gorilla_encode"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        _noop(decompress_buckets(enc))
-        timings["gorilla_decode"] = round(time.time() - t0, 3)
-        enc.unpersist()
+            for name in HEADLINE:
+                t0 = time.time()
+                _noop(qs[name](spark, sf_dir))
+                runs[name].append(round(time.time() - t0, 3))
+                caching.release_all()  # free operator-internal caches
+
+            # ---- transcripts rollup throughput (north-rule headline)
+            t0 = time.time()
+            points = transcripts_latency(tr)
+            # scratch-parquet handoff between tiers, mirroring
+            # jobs/rollup_job.py: cheaper than the columnar cache
+            # build (~3x the tier compute, measured) and the honest
+            # cluster analog (each tier is committed to the
+            # distributed store and read back by the next stage)
+            t1m_path = os.path.join(tmp, "_tier_1m")
+            rollup_points(points, "1m").write.mode("overwrite").parquet(
+                t1m_path)
+            t1m = spark.read.parquet(t1m_path)
+            t1h = rollup_cascade(t1m, "1h")
+            _noop(t1h)
+            _noop(rollup_cascade(t1h, "1d"))
+            runs["transcripts_rollup"].append(round(time.time() - t0, 3))
+
+            t0 = time.time()
+            enc = compress_buckets(points.where("value is not null"), "hour")
+            enc.persist()
+            _noop(enc)
+            runs["gorilla_encode"].append(round(time.time() - t0, 3))
+            t0 = time.time()
+            _noop(decompress_buckets(enc))
+            runs["gorilla_decode"].append(round(time.time() - t0, 3))
+            enc.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    timings = {name: min(ts) for name, ts in runs.items()}
+    dt = timings["transcripts_rollup"]
+    rollup_stats["rollup_sec"] = round(dt, 2)
+    rollup_stats["turns_per_sec"] = round(n_turns / dt, 1)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -138,6 +177,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
+                "repeats": repeats,
+                "canary_sec": canary,
+                "all_runs": runs,
                 "rollup": rollup_stats,
             }
         )
