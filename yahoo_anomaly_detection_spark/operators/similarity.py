@@ -444,8 +444,195 @@ SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {threshold}
 """
 
 
+# ------------------------------------------------------------------ IVF
+def ivf_centroid_array(embs: DataFrame, centroid_mod: int = 100) -> DataFrame:
+    """1-row relation holding the sorted centroid array.
+
+    Centroids are a deterministic corpus subset (``vec_id %
+    centroid_mod == 0``) — the seeded-sample initialization of an IVF
+    index (at 10^12 rows a k-means refinement would iterate this same
+    structure; the *index shape* — coarse cells + cell-equality probe
+    join — is identical). collect_list order is nondeterministic, so
+    the array is sorted by centroid id: the assignment fold's strict
+    ``>`` then keeps the SMALLEST centroid id on an exact cosine tie,
+    matching the oracle's ``ORDER BY cos DESC, cid ASC`` tie-break.
+    """
+    cents = embs.where(F.col("vec_id") % centroid_mod == 0).select(
+        F.struct(
+            F.col("vec_id").cast("long").alias("cid"),
+            _vecd("embedding").alias("ce"),
+        ).alias("c")
+    )
+    return cents.agg(
+        F.array_sort(F.collect_list("c")).alias("cents")
+    )
+
+
+def _cell_scores_expr(vec: str) -> str:
+    """array<struct<cid,cs>> of per-centroid cosine for column ``vec``
+    against the broadcast ``cents`` array — pure higher-order
+    expressions inside whole-stage codegen, no Python, no shuffle."""
+    dot = (
+        f"aggregate(zip_with(c.ce, {vec}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (a, v) -> a + v)"
+    )
+    ncent = "sqrt(aggregate(c.ce, cast(0.0 as double), (a, x) -> a + x * x))"
+    nvec = (
+        f"sqrt(aggregate({vec}, cast(0.0 as double), (a, x) -> a + x * x))"
+    )
+    return (
+        f"transform(cents, c -> named_struct("
+        f"'cid', c.cid, 'cs', {dot} / ({ncent} * {nvec})))"
+    )
+
+
+_ARGMAX_CELL = (
+    "aggregate(cell_scores, "
+    "named_struct('cid', cast(-1 as bigint), 'cs', cast(-1e308 as double)), "
+    "(acc, s) -> IF(s.cs > acc.cs, s, acc)).cid"
+)
+
+
+def ivf_assign(embs: DataFrame, centroid_mod: int = 100) -> DataFrame:
+    """(vec_id, cell): nearest-centroid (max-cosine) cell per vector.
+
+    Scale shape: the centroid array (C×dim doubles) broadcasts; the
+    argmax is a map-side fold per row — ZERO shuffle of the corpus, the
+    same plan shape as :func:`lsh_bucket_assignments`. C grows like
+    corpus/centroid_mod; for 10⁹+ rows size C ≈ √N and probe with
+    nprobe ≪ C (standard IVF operating point)."""
+    base = embs.select("vec_id", _vecd("embedding").alias("e"))
+    return (
+        base.crossJoin(F.broadcast(ivf_centroid_array(embs, centroid_mod)))
+        .withColumn("cell_scores", F.expr(_cell_scores_expr("e")))
+        .select("vec_id", F.expr(_ARGMAX_CELL).alias("cell"))
+    )
+
+
+def ivf_topk(embs: DataFrame, centroid_mod: int = 100, nprobe: int = 2,
+             query_mod: int = 50, k: int = 5) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in their argmax-cosine cell;
+    each query probes its ``nprobe`` highest-cosine cells; scoring is
+    a cell-equality join (broadcast query side) + exact cosine + per-
+    query rank. With ``nprobe`` = number of cells this is EXACTLY
+    brute force (tested), trading recall for probe count below that.
+    """
+    base = embs.select("vec_id", _vecd("embedding").alias("e"))
+    cents = ivf_centroid_array(embs, centroid_mod)
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("cell_scores", F.expr(_cell_scores_expr("e")))
+        .select("vec_id", "e", F.expr(_ARGMAX_CELL).alias("cell"))
+    )
+    # tiny query side: rank this query's cells by cosine, keep nprobe
+    probes = (
+        base.where(F.col("vec_id") % query_mod == 0)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.explode(F.expr(_cell_scores_expr("e"))).alias("s"),
+        )
+        .withColumn(
+            "prk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(
+                    F.desc("s.cs"), F.asc("s.cid")
+                )
+            ),
+        )
+        .where(F.col("prk") <= nprobe)
+        .select("q_id", "qe", F.col("s.cid").alias("cell"))
+    )
+    joined = assigned.join(F.broadcast(probes), on="cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = (_dot("qe", "e") / (_norm("qe") * _norm("e"))).alias("_cos")
+    ranked = joined.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), cos
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rk") <= k).select(
+        "q_id", "neighbor_id",
+        portable_round(F.col("_cos"), _R).alias("cosine"), "rk",
+    )
+
+
+_IVF_ASSIGN_SQL_BODY = """
+base AS (SELECT vec_id, {vecd} AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS ce FROM base
+          WHERE vec_id % {centroid_mod} = 0),
+scored_cells AS (
+    SELECT b.vec_id, c.cid,
+           {dot} / ({ncent} * {nvec}) AS cs
+    FROM base b, cents c
+),
+assign AS (
+    SELECT vec_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cid ASC) AS rn
+    FROM scored_cells
+)
+"""
+
+
+def _ivf_sql_parts(centroid_mod: int) -> str:
+    return _IVF_ASSIGN_SQL_BODY.format(
+        vecd=_VECD_SQL.format(e="embedding"),
+        centroid_mod=centroid_mod,
+        dot=_DOT_SQL.format(a="c.ce", b="b.e", dim=DIM),
+        ncent=_NORM_SQL.format(a="c.ce"),
+        nvec=_NORM_SQL.format(a="b.e"),
+    )
+
+
+def _ivf_assign_sql(centroid_mod: int) -> str:
+    return (
+        "WITH " + _ivf_sql_parts(centroid_mod)
+        + "SELECT vec_id, cell FROM assign WHERE rn = 1"
+    )
+
+
+def _ivf_topk_sql(centroid_mod: int, nprobe: int, query_mod: int,
+                  k: int) -> str:
+    dot = _DOT_SQL.format(a="q.qe", b="c.e", dim=DIM)
+    return f"""
+WITH {_ivf_sql_parts(centroid_mod)},
+cells AS (SELECT b.vec_id, b.e, a.cell FROM base b
+          JOIN assign a ON b.vec_id = a.vec_id AND a.rn = 1),
+probes AS (
+    SELECT vec_id AS q_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cid ASC) AS prk
+    FROM scored_cells WHERE vec_id % {query_mod} = 0
+),
+q AS (SELECT p.q_id, b.e AS qe, p.cell FROM probes p
+      JOIN base b ON b.vec_id = p.q_id WHERE p.prk <= {nprobe}),
+scored AS (
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+           {dot} / ({_NORM_SQL.format(a='q.qe')} * {_NORM_SQL.format(a='c.e')})
+               AS _cos
+    FROM cells c JOIN q ON c.cell = q.cell AND c.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, neighbor_id, _cos,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY _cos DESC, neighbor_id ASC) AS INT) AS rk
+    FROM scored
+)
+SELECT q_id, neighbor_id, round(_cos, 4) AS cosine, rk
+FROM ranked WHERE rk <= {k}
+"""
+
+
 ORACLE_SQL = {
     "embedding_topk": _brute_force_sql(50, 5),
+    "ivf_cells": _ivf_assign_sql(100),
+    "ivf_topk": _ivf_topk_sql(100, 2, 50, 5),
     "embedding_near_dups": _near_dups_sql(8, 0.9),
     "ann_lsh_buckets": _lsh_bucket_sql(8),
     "ann_lsh_topk": _lsh_topk_sql(8, 50, 5),
