@@ -518,6 +518,19 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_dup_clusters(spark, sf_dir):
+    # connected components (min-label propagation) over n-gram
+    # Jaccard pairs on the 3-member chain corpus; oracle = DuckDB
+    # recursive-CTE transitive closure
+    return dedup.dup_clusters(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_dedup_canonical(spark, sf_dir):
+    # the end-to-end dedup operator: chain corpus minus non-canonical
+    # cluster members (keep min doc_id per component)
+    return dedup.canonical_corpus(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash32(_docs(spark, sf_dir))
 
@@ -643,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocsvm_remap": q_ocsvm_remap,
         "best_epoch": q_best_epoch,
         "dedup_exact": q_dedup_exact,
+        "dup_clusters": q_dup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,

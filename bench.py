@@ -51,6 +51,7 @@ HEADLINE = [
     "topk_buckets",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_canonical",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_hamming",
@@ -58,6 +59,7 @@ HEADLINE = [
     "embedding_near_dups",
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
+    "ivf_topk",
     "lang_id",
     "quality_score",
     "token_count",

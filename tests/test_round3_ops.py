@@ -248,3 +248,49 @@ def test_ivf_topk_nprobe_subset_of_brute_force(spark):
                   embs, query_mod=20, k=160).collect()}
     for pair, cos in ivf.items():
         assert pair in bf_all and abs(bf_all[pair] - cos) < 1e-9, pair
+
+
+# ---------------------------------------------- duplicate clustering
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def test_cc_path_graph_transitivity(spark):
+    """A path 1-2-3-4 has NO direct (1,4) edge — the component only
+    closes through repeated propagation; plus a disjoint pair and an
+    isolated triangle to check components never bleed into each
+    other."""
+    cc = dedup.connected_components(
+        _pairs_df(spark, [(1, 2), (2, 3), (3, 4), (10, 11),
+                          (20, 21), (21, 22), (20, 22)])
+    )
+    got = {r["doc_id"]: r["cluster"] for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_cc_long_chain_converges(spark):
+    """A 12-node chain needs ~11 propagation rounds — exercises the
+    fixpoint loop well past the 1-3 rounds typical of dup cliques."""
+    edges = [(i, i + 1) for i in range(12)]
+    cc = dedup.connected_components(_pairs_df(spark, edges))
+    got = {r["doc_id"]: r["cluster"] for r in cc.collect()}
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_canonical_corpus_keeps_min_and_singletons(spark):
+    """canonical_corpus keeps exactly one doc per chain component (the
+    base doc) and passes short docs (no shingles -> singleton)
+    through untouched."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "tiny")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.canonical_corpus(docs).collect()
+    )
+    # chains of 1,2 collapse to the base ids; 'tiny' has no shingles
+    # so all three of its chain copies survive as singletons
+    assert kept == [1, 2, 3, 1000003, 2000003]

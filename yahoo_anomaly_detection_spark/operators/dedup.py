@@ -641,6 +641,157 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {k}
 _SIMHASH_HAMMING_SQL = _simhash_hamming_sql(64, 2)
 
 
+# ----------------------------------------------- duplicate clustering
+def with_dup_chains(docs: DataFrame) -> DataFrame:
+    """documents ∪ drop-first-word copies (+1M) ∪ drop-first-two-words
+    copies (+2M) — 3-member duplicate chains so clustering is
+    non-trivial (components of size 3, canonical = base doc)."""
+    base = docs.select("doc_id", "text")
+    drop1 = F.expr("substring(text, instr(text, ' ') + 1)").alias("text")
+    two = base.select((F.col("doc_id") + 1000000).alias("doc_id"), drop1)
+    three = two.select((F.col("doc_id") + 1000000).alias("doc_id"), drop1)
+    return base.unionByName(two).unionByName(three)
+
+
+_DROP1 = "substr({t}, strpos({t}, ' ') + 1)"
+_D1 = _DROP1.format(t="text")
+_D2 = _DROP1.format(t=f"({_D1})")
+CHAIN_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    f"UNION ALL SELECT doc_id + 1000000, {_D1} FROM documents "
+    f"UNION ALL SELECT doc_id + 2000000, {_D2} FROM documents"
+)
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster) connected components of an undirected pair
+    list; cluster = smallest reachable doc_id (the canonical member).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its own label and its neighbors' labels (one equality
+    join on ``src`` + one map-side-combined min per node), until a
+    fixpoint. Rounds needed = graph diameter — near-dup components
+    are tiny cliques/chains (copies of one source doc), so this
+    converges in 1-3 rounds; for adversarial long-chain graphs swap
+    in large-star/small-star (alternating, O(log n) rounds) — the
+    per-round plan shape (join + min) is identical.
+
+    Scale shape: state is one (node, label) row per distinct node;
+    every round shuffles by node only. ``localCheckpoint`` truncates
+    the iterative lineage so round k's plan does not replay rounds
+    1..k-1. The only driver-side values are the per-round change
+    counts (scalars). Only nodes that appear in ``pairs`` are
+    emitted — singletons are their own implicit cluster."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = caching.materialize(
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "lab")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster")
+    )
+
+
+def dup_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                 max_iter: int = 20) -> DataFrame:
+    """Near-dup clusters over the chain corpus: n-gram Jaccard pairs
+    → connected components. At 100 TB feed :func:`minhash_lsh_pairs`
+    candidates instead of the exact all-pairs baseline — the CC stage
+    is pair-source-agnostic."""
+    pairs = _jaccard_pairs(shingles(with_dup_chains(docs), n), threshold)
+    return connected_components(pairs, max_iter=max_iter)
+
+
+def canonical_corpus(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                     max_iter: int = 20) -> DataFrame:
+    """Deduplicated corpus: every cluster keeps only its canonical
+    (minimum-id) member; docs in no cluster survive untouched. This is
+    the operator a training-data pipeline actually runs — pairs and
+    clusters are its intermediates. Returns surviving ``doc_id``s.
+
+    Scale shape: the loser set is (cluster members − canonicals),
+    vastly smaller than the corpus; the left_anti join shuffles by
+    doc_id (or broadcasts when the loser set fits)."""
+    cc = dup_clusters(docs, n, threshold, max_iter)
+    losers = cc.where(F.col("doc_id") != F.col("cluster")).select("doc_id")
+    return (
+        with_dup_chains(docs)
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
+def _jaccard_pairs_sql_body(n: int, threshold: float) -> str:
+    """CTE chain ``tok, sh, sizes, inter, pairs`` over ``corpus``."""
+    return f"""
+{_shingle_sql(n)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
+          >= {threshold}
+)"""
+
+
+_CC_SQL_BODY = f"""
+WITH RECURSIVE corpus AS ({CHAIN_CORPUS_SQL}),
+{_jaccard_pairs_sql_body(3, 0.5)},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node)
+"""
+
+_DUP_CLUSTERS_SQL = (
+    _CC_SQL_BODY + "SELECT node AS doc_id, cluster FROM cc"
+)
+
+_DEDUP_CANONICAL_SQL = (
+    _CC_SQL_BODY
+    + "SELECT doc_id FROM corpus "
+    + "WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster)"
+)
+
+
 _DEDUP_EXACT_SQL = f"""
 WITH corpus AS ({DUP_CORPUS_SQL})
 SELECT sha256(text) AS text_sha, count(*) AS n_dups, min(doc_id) AS keeper
@@ -656,4 +807,6 @@ ORACLE_SQL = {
     "simhash64": _SIMHASH64_SQL,
     "simhash_dups": _SIMHASH_DUPS_SQL,
     "simhash_hamming": _SIMHASH_HAMMING_SQL,
+    "dup_clusters": _DUP_CLUSTERS_SQL,
+    "dedup_canonical": _DEDUP_CANONICAL_SQL,
 }
