@@ -34,9 +34,13 @@ def docs(spark):
     return spark.createDataFrame(DOCS, "doc_id long, text string")
 
 
-def _pyshingles(text: str, n: int = 3) -> set[str]:
+def _pyshingles(text: str, n: int = 3) -> set[int]:
+    # hashed-shingle sets: the engine stores each gram's 32-bit md5
+    # prefix, not the string (see dedup.shingles)
     w = text.split(" ")
-    return {" ".join(w[i: i + n]) for i in range(len(w) - n + 1)}
+    return {
+        _hexint(" ".join(w[i: i + n])) for i in range(len(w) - n + 1)
+    }
 
 
 def _hexint(s: str) -> int:
@@ -88,7 +92,7 @@ def test_minhash_is_min_over_shingles(docs):
         for r in dedup.minhash_signatures(docs, n=3, k=k).collect()
     }
     for i, t in DOCS:
-        xs = [_hexint(s) % P for s in _pyshingles(t, 3)]
+        xs = [s % P for s in _pyshingles(t, 3)]  # already hashed
         if not xs:
             assert all((i, h) not in sig for h in range(k))
             continue

@@ -90,7 +90,14 @@ def exact_dedup(corpus: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------- shingles
 def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc (exploded rows).
+    """Distinct word n-gram shingles per doc, each stored as its
+    32-bit md5 prefix (a long), not the gram string: the shingle
+    relation is cached and feeds self-/verify-joins, and long keys
+    shuffle ~4× less than ~30-byte gram strings and hash-join faster.
+    Set semantics (distinct, Jaccard) are over the hashed values —
+    standard shingling practice; the DuckDB oracle hashes
+    identically, so parity is exact, and the minhash input
+    ``hexint(gram)`` is unchanged (it IS this hash).
 
     The input is repartitioned to full parallelism first: shingling
     expands each doc ~100× (explode + per-shingle md5), so the cheap
@@ -104,26 +111,30 @@ def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
         F.size(w) >= n,
         F.expr(
             f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+            f"i -> cast(conv(substr(md5("
+            f"concat_ws(' ', slice(split(text, ' '), i, {n}))"
+            f"), 1, 8), 16, 10) as bigint))"
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     return corpus.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
 def _shingle_sql(n: int) -> str:
+    g = HEXINT_SQL.format(x="g")
     return f"""
 tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-sh AS (
-    SELECT DISTINCT doc_id,
+gram AS (
+    SELECT doc_id,
            unnest(CASE WHEN len(w) >= {n}
                        THEN list_transform(
                                generate_series(1, len(w) - {n - 1}),
                                i -> array_to_string(w[i:i + {n - 1}], ' '))
-                       ELSE [] END) AS shingle
+                       ELSE [] END) AS g
     FROM tok
-)"""
+),
+sh AS (SELECT DISTINCT doc_id, {g} AS shingle FROM gram)"""
 
 
 # ------------------------------------------------------------ jaccard
@@ -198,7 +209,8 @@ def _minhash_wide(src: DataFrame, n: int, k: int,
     ``sh`` shingle relation to reuse it across pipeline stages."""
     if sh is None:
         sh = shingles(src, n)
-    x = (hexint(F.col("shingle")) % P31).alias("x")
+    # shingle is already hexint(gram) — see shingles()
+    x = (F.col("shingle") % P31).alias("x")
     return (
         sh.select("doc_id", x)
         .groupBy("doc_id")
@@ -229,7 +241,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 16,
 
 
 def _minhash_sql(corpus_sql: str, n: int, k: int) -> str:
-    xs = HEXINT_SQL.format(x="shingle")
+    xs = "shingle"  # already the 32-bit md5 prefix (see _shingle_sql)
     return f"""
 WITH corpus AS ({corpus_sql}),
 {_shingle_sql(n)},
@@ -289,7 +301,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = 16,
         )
         .distinct()
     )
-    cands = caching.materialize(cands)
+    # cands has exactly ONE consumer (the verify join) and its inputs
+    # are already cached (banded) — materializing it would just add an
+    # eager count job (~1.8 s measured at sf0.1) for nothing
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
