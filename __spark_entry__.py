@@ -595,6 +595,20 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_vocab_topk(spark, sf_dir):
+    # corpus vocab build: map-side-combined token counts + distributed
+    # top-k (TakeOrderedAndProject, never a global sort)
+    return textstats.vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+def q_quality_filter(spark, sf_dir):
+    # end-to-end corpus filter over quality + stopword + language
+    return textstats.quality_filter(
+        _docs(spark, sf_dir), min_quality=0.4, min_stop_ratio=0.01,
+        langs=("en",),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -673,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
+        "vocab_topk": q_vocab_topk,
+        "quality_filter": q_quality_filter,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,

@@ -62,6 +62,8 @@ HEADLINE = [
     "ivf_topk",
     "lang_id",
     "quality_score",
+    "quality_filter",
+    "vocab_topk",
     "token_count",
     "doc_fingerprint",
     "multimodal_features",

@@ -162,3 +162,14 @@ def test_detector_lifecycle_broadcasts_fitted_threshold(spark):
     # the intended shape; an unbroadcast CartesianProduct is not
     assert "CartesianProduct" not in plan, plan
     assert _broadcasts(df) >= 1, plan
+
+
+def test_vocab_topk_is_take_ordered_not_global_sort(spark, docs):
+    """Top-k over token counts must plan as TakeOrderedAndProject
+    (per-partition heap + driver merge), never a full global Sort of
+    the vocabulary."""
+    from yahoo_anomaly_detection_spark.operators import textstats
+
+    out = textstats.vocab_topk(docs, k=10)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan, plan

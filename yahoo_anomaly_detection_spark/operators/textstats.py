@@ -170,9 +170,97 @@ FROM documents
 """
 
 
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency (the vocab-build
+    step of a tokenizer-training pipeline).
+
+    Scale shape: explode → ONE map-side-combined ``groupBy(token)``
+    shuffle whose output is vocab-sized (≪ corpus), then distributed
+    top-k via ``orderBy().limit(k)`` — Spark plans this as
+    TakeOrderedAndProject (per-partition heap of k, driver merges
+    k·P rows), never a global sort. The rank window runs over the
+    ≤k-row result only."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+        .cast("int"),
+    )
+
+
+def _vocab_sql(k: int) -> str:
+    return f"""
+WITH tok AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+ranked AS (
+    SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT)
+               AS rank
+    FROM counts
+)
+SELECT token, cnt, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def quality_filter(docs: DataFrame, min_quality: float = 0.4,
+                   min_stop_ratio: float = 0.01,
+                   langs: tuple[str, ...] = ("en",)) -> DataFrame:
+    """End-to-end corpus filter: keep docs whose composite quality,
+    stopword ratio, and predicted language all pass — the operator a
+    training pipeline actually materializes (lang_id/quality_score
+    are its signals).
+
+    Scale shape: composed as a doc_id equi-join of the two signal
+    projections; both sides are narrow single-pass scans of the same
+    table and the join is on the table's natural key, so at 100 TB
+    this is two column-pruned scans + one co-partitionable shuffle
+    (or zero shuffle if documents is bucketed by doc_id)."""
+    q = quality_score(docs)
+    lid = lang_id(docs)
+    lang_set = list(langs)
+    return (
+        q.join(lid, "doc_id")
+        .where(
+            (F.col("quality") >= min_quality)
+            & (F.col("stopword_ratio") >= min_stop_ratio)
+            & F.col("pred_lang").isin(lang_set)
+        )
+        .select("doc_id", "pred_lang", "n_tokens", "stopword_ratio",
+                "quality")
+    )
+
+
+def _quality_filter_sql(min_quality: float, min_stop_ratio: float,
+                        langs: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""
+WITH q AS ({_quality_sql()}),
+l AS ({_lang_sql()})
+SELECT q.doc_id, l.pred_lang, q.n_tokens, q.stopword_ratio, q.quality
+FROM q JOIN l ON q.doc_id = l.doc_id
+WHERE q.quality >= {min_quality}
+  AND q.stopword_ratio >= {min_stop_ratio}
+  AND l.pred_lang IN ({in_list})
+"""
+
+
 ORACLE_SQL = {
     "lang_id": _lang_sql(),
     "quality_score": _quality_sql(),
     "token_count": _TOKEN_SQL,
     "doc_fingerprint": _FP_SQL,
+    "vocab_topk": _vocab_sql(100),
+    "quality_filter": _quality_filter_sql(0.4, 0.01, ("en",)),
 }
