@@ -635,6 +635,21 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    # 2x2 average-pool resize plumbing (real resize slots into the
+    # same mapInPandas body)
+    return multimodal.resize_pool2x2(
+        multimodal.attach_payload(_docs(spark, sf_dir))
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    # strided frame sampling: 1-row -> k-row Arrow batch explosion
+    return multimodal.frame_sample(
+        multimodal.attach_payload(_docs(spark, sf_dir)), stride=2
+    )
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full tier cascade on sf0.001 events, return 1m tier."""
@@ -694,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 

@@ -124,7 +124,130 @@ FROM px
 """
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("p00", T.DoubleType(), True),
+        T.StructField("p01", T.DoubleType(), True),
+        T.StructField("p10", T.DoubleType(), True),
+        T.StructField("p11", T.DoubleType(), True),
+    ]
+)
+
+
+def resize_pool2x2(with_payload: DataFrame) -> DataFrame:
+    """2×2 average-pool 'resize' of the decoded 4×4 grayscale image —
+    the mapInPandas shape for real image resizing at scale (swap the
+    pooling for PIL's resize on real payloads; batch shape, schema,
+    and partition behavior are identical). All math is one numpy
+    reshape + mean over the whole Arrow batch. Pool means are sums of
+    4 bytes / 4 — exactly representable, so cross-engine rounding is
+    exact."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = np.frombuffer(
+                b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
+            ).reshape(len(pdf), 4, 4)
+            pool = px.reshape(len(pdf), 2, 2, 2, 2).mean(
+                axis=(2, 4), dtype=np.float64
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "p00": np.round(pool[:, 0, 0], _R),
+                    "p01": np.round(pool[:, 0, 1], _R),
+                    "p10": np.round(pool[:, 1, 0], _R),
+                    "p11": np.round(pool[:, 1, 1], _R),
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        fn, schema=RESIZE_SCHEMA
+    )
+
+
+def _pool_sql(idx: list[int]) -> str:
+    terms = " + ".join(f"v[{i + 1}]" for i in idx)  # 1-based lists
+    return f"round(({terms}) / 4.0, {_R})"
+
+
+_RESIZE_SQL = f"""
+WITH px AS (
+    SELECT doc_id,
+           list_transform(generate_series(0, 15),
+               i -> CAST(concat('0x', substr(md5(text), i * 2 + 1, 2))
+                         AS INT)) AS v
+    FROM documents
+)
+SELECT doc_id,
+       {_pool_sql([0, 1, 4, 5])} AS p00,
+       {_pool_sql([2, 3, 6, 7])} AS p01,
+       {_pool_sql([8, 9, 12, 13])} AS p10,
+       {_pool_sql([10, 11, 14, 15])} AS p11
+FROM px
+"""
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def frame_sample(with_payload: DataFrame, stride: int = 2) -> DataFrame:
+    """Strided frame sampling: the 16-byte payload is a 4-frame fake
+    video (4 bytes/frame); emit every ``stride``-th frame's mean —
+    the 1→k row-explosion batch shape of real video frame sampling
+    (ffmpeg keyframe extraction slots into the same UDF body)."""
+    frames = list(range(0, 4, stride))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            px = np.frombuffer(
+                b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
+            ).reshape(n, 4, 4)
+            means = px[:, frames, :].mean(axis=2, dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(dtype="int64"), len(frames)
+                    ),
+                    "frame_idx": np.tile(
+                        np.array(frames, dtype="int32"), n
+                    ),
+                    "frame_mean": np.round(means.ravel(), _R),
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        fn, schema=FRAMES_SCHEMA
+    )
+
+
+_FRAME_SQL = """
+WITH px AS (
+    SELECT doc_id,
+           list_transform(generate_series(0, 15),
+               i -> CAST(concat('0x', substr(md5(text), i * 2 + 1, 2))
+                         AS INT)) AS v
+    FROM documents
+),
+f AS (SELECT doc_id, unnest([0, 2]) AS fi, v FROM px)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       round((v[fi * 4 + 1] + v[fi * 4 + 2] + v[fi * 4 + 3]
+              + v[fi * 4 + 4]) / 4.0, 4) AS frame_mean
+FROM f
+"""
+
+
 ORACLE_SQL = {
     "multimodal_meta": _META_SQL,
     "multimodal_features": _FEATURES_SQL,
+    "multimodal_resize": _RESIZE_SQL,
+    "multimodal_frames": _FRAME_SQL,
 }
