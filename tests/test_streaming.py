@@ -364,3 +364,140 @@ def test_stream_rolling_flags_match_batch(spark, tmp_path):
     r = streamed[("b", dt.datetime(2024, 1, 1, 0, 3))]
     assert abs(r["rolling_mean"] - (5.0 + 5.5 + 6.0) / 3) < 1e-9
     assert r["pred"] == 1
+
+
+def test_streaming_topology_end_to_end(spark, tmp_path):
+    """Full 3-hop streaming topology chained via parquet handoffs
+    (the medallion layout: each hop's sink is the next hop's source):
+
+        transcripts ─▶ stream_latency ─▶ stream_rollup_1m ─▶
+        stream_rolling_flags
+
+    must equal the batch pipeline (transcripts_latency →
+    rollup_points → rolling_stats + flag) on every FINALIZED bucket,
+    with per-conversation latency state, watermark finalization, and
+    the trailing-k flag window all crossing micro-batch boundaries."""
+    import datetime as dt
+
+    from yahoo_anomaly_detection_spark.operators.rollup import (
+        rollup_points,
+        transcripts_latency,
+    )
+    from yahoo_anomaly_detection_spark.operators.stats import rolling_stats
+    from yahoo_anomaly_detection_spark.streaming.latency_stream import (
+        TRANSCRIPTS_DDL,
+        read_transcript_stream,
+        start_points_to_parquet,
+        stream_latency,
+    )
+    from yahoo_anomaly_detection_spark.streaming.flags_stream import (
+        start_flags_to_parquet,
+        stream_rolling_flags,
+    )
+
+    def mk_turns(rows):
+        return spark.createDataFrame(
+            [
+                (c, i, "user", "t", None,
+                 dt.datetime(2024, 1, 1, 0, m, s))
+                for c, i, m, s in rows
+            ],
+            TRANSCRIPTS_DDL,
+        )
+
+    # conv a: steady ~20s cadence, then a 100s stall inside minute 3
+    # (latency spike -> pred=1); conv b: steady 30s cadence
+    f1 = [("a", 0, 0, 10), ("a", 1, 0, 30), ("a", 2, 0, 50),
+          ("a", 3, 1, 10), ("a", 4, 1, 30), ("b", 0, 0, 5),
+          ("b", 1, 0, 35), ("b", 2, 1, 5)]
+    f2 = [("a", 5, 1, 50), ("a", 6, 3, 30), ("a", 7, 3, 50),
+          ("b", 3, 1, 35), ("b", 4, 2, 5), ("b", 5, 2, 35)]
+    # two flush files: the watermark only advances AFTER the batch
+    # that carries the new max event time, and with no-data
+    # micro-batches disabled (session-level state-NPE workaround) the
+    # finalizing emit needs one more DATA batch behind it
+    flush = [("a", 8, 30, 0), ("b", 6, 30, 0)]
+    flush2 = [("a", 9, 31, 0), ("b", 7, 31, 0)]
+
+    src = str(tmp_path / "t_src")
+    pts = str(tmp_path / "points")
+    tiers = str(tmp_path / "tiers")
+    flags = str(tmp_path / "flags")
+    os.makedirs(src)
+
+    mk_turns(f1).coalesce(1).write.mode("append").parquet(src)
+    q1 = start_points_to_parquet(
+        stream_latency(read_transcript_stream(spark, src)),
+        pts, str(tmp_path / "ck1"),
+    )
+    q1.processAllAvailable()  # create pts dir before hop 2 starts
+    q2 = start_stream_to_parquet(
+        stream_rollup_1m(read_point_stream(spark, pts), "2 minutes"),
+        tiers, str(tmp_path / "ck2"),
+    )
+    q2.processAllAvailable()
+    tier_ddl = (
+        "conv_id string, bucket_start timestamp, cnt long, vcnt long,"
+        " sum double, sum_sq double, min double, max double,"
+        " mean double, std double, turn_rate double"
+    )
+    tier_stream = (
+        spark.readStream.schema(tier_ddl)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(tiers)
+    )
+    q3 = start_flags_to_parquet(
+        stream_rolling_flags(tier_stream, threshold=15.0, k=3),
+        flags, str(tmp_path / "ck3"),
+    )
+    try:
+        for batch in (f2, flush, flush2):
+            q3.processAllAvailable()
+            mk_turns(batch).coalesce(1).write.mode("append").parquet(src)
+            q1.processAllAvailable()
+            q2.processAllAvailable()
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        q3.processAllAvailable()
+    finally:
+        q1.stop(); q2.stop(); q3.stop()
+
+    streamed = {
+        (r["conv_id"], r["bucket_start"]): r
+        for r in spark.read.parquet(flags).collect()
+    }
+    # batch expectation over exactly the finalized buckets
+    batch_tiers = rollup_points(
+        transcripts_latency(mk_turns(f1 + f2 + flush)), "1m"
+    )
+    finalized = spark.read.parquet(tiers).select(
+        "conv_id", "bucket_start"
+    )
+    expect = {
+        (r["conv_id"], r["bucket_start"]): r
+        for r in rolling_stats(
+            batch_tiers.join(finalized, ["conv_id", "bucket_start"]),
+            value_col="mean", k=3,
+        )
+        .withColumn(
+            "pred", F.when(F.col("residual") > F.lit(15.0), 1).otherwise(0)
+        )
+        .collect()
+    }
+    assert streamed.keys() == expect.keys() and len(streamed) >= 6
+    # the stall bucket itself must have finalized end-to-end
+    assert ("a", dt.datetime(2024, 1, 1, 0, 3)) in streamed
+    for key, e in expect.items():
+        s = streamed[key]
+        for col, bcol in (("mean_v", "mean"), ("rolling_mean", None),
+                          ("rolling_std", None), ("residual", None)):
+            ev = e[bcol or col]
+            if ev is None:
+                assert s[col] is None, (key, col)
+            else:
+                assert s[col] is not None and abs(s[col] - ev) < 1e-9, (
+                    key, col, s[col], ev,
+                )
+        assert s["pred"] == e["pred"], (key, s["pred"], e["pred"])
+    # the engineered stall must surface as a flagged anomaly
+    assert any(r["pred"] == 1 for r in streamed.values())
