@@ -26,7 +26,7 @@ from yahoo_anomaly_detection_spark.sources import ingest
 from yahoo_anomaly_detection_spark.operators import rollup, stats, gapfill
 from yahoo_anomaly_detection_spark.operators import cascade as cascade_op
 from yahoo_anomaly_detection_spark.operators import dedup, similarity, textstats
-from yahoo_anomaly_detection_spark.operators import multimodal
+from yahoo_anomaly_detection_spark.operators import multimodal, sessions
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
 TRAIN_END = "2024-01-15 00:00:00"
@@ -500,6 +500,23 @@ def _embs(spark, sf_dir):
     return ingest.load_table(spark, sf_dir, "embeddings")
 
 
+def _events_raw(spark, sf_dir):
+    return ingest.load_table(spark, sf_dir, "events")
+
+
+def q_sessionize(spark, sf_dir):
+    # gap-based sessionization: one user_id shuffle, two pipelined
+    # window phases (lag break-detect + running session number)
+    return sessions.sessionize(_events_raw(spark, sf_dir),
+                               gap_seconds=28800)
+
+
+def q_session_stats(spark, sf_dir):
+    # per-session feature aggregates over the same partitioning
+    return sessions.session_stats(_events_raw(spark, sf_dir),
+                                  gap_seconds=28800)
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(dedup.with_synthetic_dups(_docs(spark, sf_dir)))
 
@@ -609,6 +626,14 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    # deterministic salted-hash mixture sampling by length band —
+    # pure map-side filter, zero shuffle
+    return textstats.stratified_sample(
+        _docs(spark, sf_dir), rates=(0.25, 0.5, 1.0), salt="s0"
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -684,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_closed_form": q_kl_closed_form,
         "ocsvm_remap": q_ocsvm_remap,
         "best_epoch": q_best_epoch,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
         "dedup_exact": q_dedup_exact,
         "dup_clusters": q_dup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -704,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "vocab_topk": q_vocab_topk,
         "quality_filter": q_quality_filter,
+        "stratified_sample": q_stratified_sample,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1221,4 +1249,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLE_SQL)
     out.update(textstats.ORACLE_SQL)
     out.update(multimodal.ORACLE_SQL)
+    out.update(sessions.ORACLE_SQL)
     return {k: _epsilonize(v) for k, v in out.items()}

@@ -49,6 +49,9 @@ HEADLINE = [
     "residual_cascade",
     "gapfill_1m",
     "topk_buckets",
+    "sessionize",
+    "session_stats",
+    "stratified_sample",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_canonical",

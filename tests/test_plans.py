@@ -173,3 +173,18 @@ def test_vocab_topk_is_take_ordered_not_global_sort(spark, docs):
     out = textstats.vocab_topk(docs, k=10)
     plan = _plan(out)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sessionize_single_exchange_two_window_phases(spark):
+    """Break-detect lag and running session number share the user_id
+    partitioning — exactly ONE shuffle in the whole plan."""
+    from yahoo_anomaly_detection_spark.operators import sessions
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "c", 1.0, "")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    plan = _plan(sessions.sessionize(df))
+    assert plan.count("Exchange") == 1, plan

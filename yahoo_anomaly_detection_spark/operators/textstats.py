@@ -256,6 +256,64 @@ WHERE q.quality >= {min_quality}
 """
 
 
+def stratified_sample(docs: DataFrame,
+                      rates: tuple[float, float, float] = (0.25, 0.5, 1.0),
+                      salt: str = "s0") -> DataFrame:
+    """Deterministic stratified corpus sampling: strata by document
+    length band (short < 30 tokens ≤ medium < 70 ≤ long), each band
+    sampled at its own rate via a salted md5 of doc_id — the mixture-
+    weighting step of training-data curation (up-weight long docs,
+    down-sample short ones), reproducible bit-for-bit across engines
+    and runs (no RNG state).
+
+    Scale shape: a pure map-side filter — no shuffle, no sort, no
+    driver state; sampling decisions depend only on (doc_id, salt).
+    Changing ``salt`` draws an independent sample."""
+    n_tok = F.expr("size(split(text, ' '))")
+    band = (
+        F.when(n_tok < 30, F.lit(0))
+        .when(n_tok < 70, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt),
+                                             F.col("doc_id"))), 1, 8),
+               16, 10).cast("long")
+        / F.lit(4294967296.0)
+    )
+    rate = (
+        F.when(band == 0, F.lit(rates[0]))
+        .when(band == 1, F.lit(rates[1]))
+        .otherwise(F.lit(rates[2]))
+    )
+    return (
+        docs.select("doc_id", band.alias("band"), u.alias("u"),
+                    rate.alias("rate"))
+        .where(F.col("u") < F.col("rate"))
+        .select("doc_id", "band")
+    )
+
+
+def _stratified_sql(rates: tuple[float, float, float], salt: str) -> str:
+    hexu = (
+        f"CAST(concat('0x', substr(md5(concat('{salt}', ':', "
+        f"CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0"
+    )
+    return f"""
+WITH b AS (
+    SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 30 THEN 0
+                WHEN len(string_split(text, ' ')) < 70 THEN 1
+                ELSE 2 END AS band,
+           {hexu} AS u
+    FROM documents
+)
+SELECT doc_id, band FROM b
+WHERE u < CASE band WHEN 0 THEN {rates[0]} WHEN 1 THEN {rates[1]}
+          ELSE {rates[2]} END
+"""
+
+
 ORACLE_SQL = {
     "lang_id": _lang_sql(),
     "quality_score": _quality_sql(),
@@ -263,4 +321,5 @@ ORACLE_SQL = {
     "doc_fingerprint": _FP_SQL,
     "vocab_topk": _vocab_sql(100),
     "quality_filter": _quality_filter_sql(0.4, 0.01, ("en",)),
+    "stratified_sample": _stratified_sql((0.25, 0.5, 1.0), "s0"),
 }
