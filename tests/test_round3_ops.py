@@ -294,3 +294,21 @@ def test_canonical_corpus_keeps_min_and_singletons(spark):
     # chains of 1,2 collapse to the base ids; 'tiny' has no shingles
     # so all three of its chain copies survive as singletons
     assert kept == [1, 2, 3, 1000003, 2000003]
+
+
+def test_cc_shortcut_converges_in_fewer_rounds(spark):
+    """Pointer doubling must give the same components as plain
+    min-propagation on a 24-node chain, in strictly fewer rounds
+    (O(log d) vs O(d))."""
+    edges = [(i, i + 1) for i in range(24)]
+    plain_stats, sc_stats = {}, {}
+    plain = dedup.connected_components(
+        _pairs_df(spark, edges), max_iter=40, stats=plain_stats)
+    short = dedup.connected_components(
+        _pairs_df(spark, edges), max_iter=40, shortcut=True,
+        stats=sc_stats)
+    p = {r["doc_id"]: r["cluster"] for r in plain.collect()}
+    s = {r["doc_id"]: r["cluster"] for r in short.collect()}
+    assert p == s == {i: 0 for i in range(25)}
+    assert sc_stats["rounds"] < plain_stats["rounds"], (
+        sc_stats, plain_stats)

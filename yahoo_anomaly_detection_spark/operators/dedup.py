@@ -679,7 +679,9 @@ CHAIN_CORPUS_SQL = (
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         shortcut: bool = False,
+                         stats: dict | None = None) -> DataFrame:
     """(doc_id, cluster) connected components of an undirected pair
     list; cluster = smallest reachable doc_id (the canonical member).
 
@@ -688,9 +690,14 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     join on ``src`` + one map-side-combined min per node), until a
     fixpoint. Rounds needed = graph diameter — near-dup components
     are tiny cliques/chains (copies of one source doc), so this
-    converges in 1-3 rounds; for adversarial long-chain graphs swap
-    in large-star/small-star (alternating, O(log n) rounds) — the
-    per-round plan shape (join + min) is identical.
+    converges in 1-3 rounds; for adversarial long-chain graphs pass
+    ``shortcut=True``: each round then also applies pointer doubling
+    (label ← label-of-label, one extra equality join on the
+    label-sized relation), collapsing convergence to O(log diameter)
+    rounds — the standard shortcutting step of large-star/small-star
+    CC. Off by default because dup components are shallow and the
+    extra join costs more than it saves there. ``stats`` (optional
+    dict) receives {"rounds": n} for observability/tests.
 
     Scale shape: state is one (node, label) row per distinct node;
     every round shuffles by node only. ``localCheckpoint`` truncates
@@ -710,7 +717,9 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         .withColumn("lab", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         msgs = edges.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "lab")
@@ -718,8 +727,19 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
         )
+        if shortcut:
+            # pointer doubling: every label is itself a node, so its
+            # own (smaller-or-equal) label is defined — follow it
+            l2 = new.select(
+                F.col("node").alias("lab"), F.col("lab").alias("lab2")
+            )
+            new = new.join(l2, "lab").select(
+                "node", F.least("lab", "lab2").alias("lab")
+            )
+        # lazy checkpoint: the convergence count below is the single
+        # action that materializes it — one job per round, not two
+        new = new.localCheckpoint(eager=False)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")
@@ -729,6 +749,8 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         labels = new
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster")
     )
