@@ -517,6 +517,12 @@ def q_session_stats(spark, sf_dir):
                                   gap_seconds=28800)
 
 
+def q_value_percentiles(spark, sf_dir):
+    # exact interpolated p50/p95/p99 rollup; approx_percentile is the
+    # documented sketch path at scale
+    return sessions.value_percentiles(_events_raw(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(dedup.with_synthetic_dups(_docs(spark, sf_dir)))
 
@@ -711,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_epoch": q_best_epoch,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "value_percentiles": q_value_percentiles,
         "dedup_exact": q_dedup_exact,
         "dup_clusters": q_dup_clusters,
         "dedup_canonical": q_dedup_canonical,

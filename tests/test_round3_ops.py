@@ -312,3 +312,28 @@ def test_cc_shortcut_converges_in_fewer_rounds(spark):
     assert p == s == {i: 0 for i in range(25)}
     assert sc_stats["rounds"] < plain_stats["rounds"], (
         sc_stats, plain_stats)
+
+
+def test_minhash_band_bucket_cap_bounds_candidates(spark):
+    """A 30-copy mega-text floods its band buckets (60 corpus
+    occupants after the near-dup twin union -> ~1770 pairs each);
+    max_band_bucket drops those buckets while ordinary docs keep
+    pairing with their planted twins through small buckets."""
+    mega = [(i, "the same boilerplate text repeated everywhere "
+                "for this mega cluster case") for i in range(30)]
+    normal = [(100 + i,
+               f"distinct document number {i} with its own unique "
+               f"words alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+              for i in range(5)]
+    docs = spark.createDataFrame(mega + normal, "doc_id long, text string")
+
+    uncapped = dedup.minhash_lsh_pairs(docs, threshold=0.5).count()
+    capped_df = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, max_band_bucket=10
+    )
+    capped = {(r["doc_a"], r["doc_b"]) for r in capped_df.collect()}
+    # mega pairs gone, so the capped candidate volume collapses
+    assert uncapped > 1500 and len(capped) < 50, (uncapped, len(capped))
+    # every ordinary doc still finds its near-dup twin
+    for i in range(5):
+        assert (100 + i, 100 + i + 1000000) in capped

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from yahoo_anomaly_detection_spark import caching
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
@@ -261,14 +262,25 @@ _MINHASH_SIG_SQL = (
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = 16,
-                      bands: int = 4, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 4, threshold: float = 0.5,
+                      max_band_bucket: int | None = None) -> DataFrame:
     """MinHash + LSH banding near-dup pipeline: signatures → band
     buckets → candidate pairs (equality join on band signature) →
     exact Jaccard verification of candidates only.
 
     This is the 100 TB-scale dedup shape: the all-pairs join is
     replaced by |bands| equality joins whose keys are band signatures;
-    exact verification touches only candidates."""
+    exact verification touches only candidates.
+
+    ``max_band_bucket`` (skew guard): band buckets with more than
+    this many docs are excluded from candidate generation, bounding
+    the self-join at occupancy² per bucket. A mega-bucket means
+    thousands of docs sharing one band signature — at web scale
+    that is boilerplate/exact-dup mass whose pair enumeration is
+    quadratic garbage; run :func:`exact_dedup` upstream to collapse
+    true copies, then the cap only drops low-information collisions.
+    Capped-out docs still pair through their other ``bands−1``
+    bucket memberships. Default None = exact (no cap)."""
     corpus = with_near_dups(docs)
     # ONE shingle relation feeds both the signatures and the exact
     # Jaccard verify — the explode + per-shingle md5 is the dominant
@@ -291,6 +303,14 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = 16,
     banded = caching.materialize(banded)  # fill cache BEFORE the
     # self-join — both join sides of a not-yet-cached persist() race
     # and each recompute the subtree
+    if max_band_bucket is not None:
+        # occupancy filter shuffles on the SAME (band, band_sig) key
+        # as the self-join below — one extra window stage, no extra
+        # exchange of the banded relation
+        occ_w = W.partitionBy("band", "band_sig")
+        banded = banded.withColumn(
+            "occ", F.count(F.lit(1)).over(occ_w)
+        ).where(F.col("occ") <= max_band_bucket).drop("occ")
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (

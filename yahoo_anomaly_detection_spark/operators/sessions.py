@@ -123,7 +123,42 @@ FROM s GROUP BY 1, 2
     )
 
 
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """p50/p95/p99 of ``value`` per (event_type, day) — the
+    percentile rollup every latency/observability pipeline runs.
+
+    Exact linear-interpolated percentiles (``F.percentile`` ≡ ANSI
+    ``percentile_cont`` ≡ DuckDB ``quantile_cont``) so the oracle
+    matches bit-for-bit after portable rounding. Exact percentile is
+    a sort-based aggregate — it shuffles each group's values to one
+    reducer. That is fine while groups are (type × day)-sized; at
+    100 TB with huge groups swap in ``F.approx_percentile`` — a
+    mergeable KLL-style sketch with map-side partial aggregation —
+    at the cost of oracle exactness (the scale path, same schema)."""
+    day = F.date_trunc("DAY", F.col("ts").cast("timestamp")).alias("day")
+    v = F.col("value")
+    return (
+        events.groupBy("event_type", day)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            portable_round(F.percentile(v, 0.5), _R).alias("p50"),
+            portable_round(F.percentile(v, 0.95), _R).alias("p95"),
+            portable_round(F.percentile(v, 0.99), _R).alias("p99"),
+        )
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY 1, 2
+"""
+
+
 ORACLE_SQL = {
     "sessionize": _sessionize_sql(28800),
     "session_stats": _session_stats_sql(28800),
+    "value_percentiles": _PERCENTILES_SQL,
 }
