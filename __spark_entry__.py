@@ -517,6 +517,12 @@ def q_session_stats(spark, sf_dir):
                                   gap_seconds=28800)
 
 
+def q_events_vs_trailing_p95(spark, sf_dir):
+    # as-of join (union + forward-fill window, one shuffle): each
+    # event vs its type's previous-day p95 baseline
+    return sessions.events_vs_trailing_p95(_events_raw(spark, sf_dir))
+
+
 def q_value_percentiles(spark, sf_dir):
     # exact interpolated p50/p95/p99 rollup; approx_percentile is the
     # documented sketch path at scale
@@ -718,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "value_percentiles": q_value_percentiles,
+        "events_vs_trailing_p95": q_events_vs_trailing_p95,
         "dedup_exact": q_dedup_exact,
         "dup_clusters": q_dup_clusters,
         "dedup_canonical": q_dedup_canonical,

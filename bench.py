@@ -51,6 +51,8 @@ HEADLINE = [
     "topk_buckets",
     "sessionize",
     "session_stats",
+    "value_percentiles",
+    "events_vs_trailing_p95",
     "stratified_sample",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -188,3 +188,20 @@ def test_sessionize_single_exchange_two_window_phases(spark):
              "user_id", "event_type", "value", "props")
     plan = _plan(sessions.sessionize(df))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_asof_join_is_union_window_not_range_join(spark):
+    """The as-of join must plan as union + one window pass — never a
+    range/cartesian join that explodes |l|x|r| per key."""
+    from yahoo_anomaly_detection_spark.operators import sessions
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 05:00:00", 7, "c", 1.0, "")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    plan = _plan(sessions.events_vs_trailing_p95(ev))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan

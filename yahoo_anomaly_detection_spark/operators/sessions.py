@@ -157,8 +157,107 @@ FROM events GROUP BY 1, 2
 """
 
 
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str,
+              value_cols: tuple[str, ...]) -> DataFrame:
+    """Scalable as-of join: every left row picks up the latest right
+    row with ``right_ts <= left_ts`` for the same key.
+
+    Built as the union+window formulation — tag both sides, sort by
+    (key, ts, side) with right rows first on ties, and forward-fill
+    the right-side values with ``last(..., ignorenulls)`` — so the
+    plan is ONE shuffle on the key and a single window pass. The
+    naive range join (``l.ts >= r.ts`` + max-per-row) explodes to
+    |l|×|r| per key and is never planned here; this shape carries
+    straight to 10^12 rows (it is how market-data as-of joins run on
+    Spark)."""
+    lt = left.withColumn("_ts", F.col(left_ts).cast("timestamp")) \
+             .withColumn("_side", F.lit(1))
+    for c in value_cols:
+        lt = lt.withColumn(c, F.lit(None).cast("double"))
+    rt = right.select(
+        key,
+        F.col(right_ts).cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).cast("double").alias(c) for c in value_cols],
+    )
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    u = lt.unionByName(rt.select(*lt.columns))
+    w = (
+        W.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.select(
+        *[c for c in lt.columns if c not in value_cols + ("_ts", "_side")],
+        "_ts", "_side",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return filled.where(F.col("_side") == 1).drop("_side", "_ts")
+
+
+def events_vs_trailing_p95(events: DataFrame) -> DataFrame:
+    """Flag events whose value exceeds their event_type's trailing
+    daily p95 — the percentile rollup applied back onto the raw
+    stream via an as-of join. Each day's rollup becomes effective at
+    the NEXT day's midnight (no same-day leakage); the first day of
+    each type has no trailing baseline (NULL → flag 0)."""
+    p = value_percentiles(events).select(
+        "event_type",
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("effective"),
+        "p95",
+    )
+    ev = events.select("event_id", "event_type", "ts", "value")
+    joined = asof_join(
+        ev, p, key="event_type", left_ts="ts", right_ts="effective",
+        value_cols=("p95",),
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("p95").alias("trail_p95"),
+        F.when(F.col("value") > F.col("p95"), 1).otherwise(0)
+        .alias("above"),
+    )
+
+
+_ASOF_P95_SQL = """
+WITH p AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY 1, 2
+),
+u AS (
+    SELECT NULL::BIGINT AS event_id, event_type,
+           day + INTERVAL 1 DAY AS ts2, NULL::DOUBLE AS value,
+           0 AS side, p95 FROM p
+    UNION ALL
+    SELECT event_id, event_type, ts, value, 1 AS side,
+           NULL::DOUBLE AS p95 FROM events
+),
+f AS (
+    SELECT event_id, event_type, value, side,
+           last_value(p95 IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY ts2, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS trail_p95
+    FROM u
+)
+SELECT event_id, event_type, value, trail_p95,
+       CASE WHEN value > trail_p95 THEN 1 ELSE 0 END AS above
+FROM f WHERE side = 1
+"""
+
+
 ORACLE_SQL = {
     "sessionize": _sessionize_sql(28800),
     "session_stats": _session_stats_sql(28800),
     "value_percentiles": _PERCENTILES_SQL,
+    "events_vs_trailing_p95": _ASOF_P95_SQL,
 }
