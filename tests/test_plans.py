@@ -205,3 +205,18 @@ def test_asof_join_is_union_window_not_range_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_ivf_assign_zero_shuffle_of_corpus(spark, embs):
+    """IVF cell assignment must be a map-side argmax fold against the
+    broadcast centroid array — no Exchange of the corpus relation
+    (the only exchange allowed is the 1-row centroid-array agg)."""
+    from yahoo_anomaly_detection_spark.operators import similarity
+
+    plan = _plan(similarity.ivf_assign(embs, centroid_mod=10))
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower(), plan
+    # corpus-side shuffle would appear as a hash-partitioned Exchange
+    # over the embeddings scan; the centroid agg is a single-partition
+    # collect — allow only exchanges feeding the broadcast side
+    body = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in body, plan
