@@ -337,3 +337,99 @@ def test_minhash_band_bucket_cap_bounds_candidates(spark):
     # every ordinary doc still finds its near-dup twin
     for i in range(5):
         assert (100 + i, 100 + i + 1000000) in capped
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """connected_components vs an independent union-find on a batch
+    of seeded random graphs (dense, sparse, self-loopy, disconnected).
+    One Spark run per graph keeps this fast; the python oracle is a
+    from-scratch union-find, not a reimplementation of the operator."""
+    import random
+
+    def union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical root = min node of the component
+        comp = {}
+        for n in nodes:
+            r = find(n)
+            comp.setdefault(r, []).append(n)
+        return {
+            n: min(members)
+            for members in comp.values()
+            for n in members
+        }
+
+    rng = random.Random(7)
+    for trial, (n_nodes, n_edges) in enumerate(
+        [(8, 4), (12, 25), (20, 10), (30, 15), (6, 1)]
+    ):
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        nodes = sorted({x for e in edges for x in e})
+        got = {
+            r["doc_id"]: r["cluster"]
+            for r in dedup.connected_components(
+                _pairs_df(spark, edges), shortcut=(trial % 2 == 0)
+            ).collect()
+        }
+        assert got == union_find(edges, nodes), (trial, edges)
+
+
+def test_sessionize_matches_python_oracle(spark):
+    """sessionize vs a from-scratch per-user python walk on seeded
+    random event times (ties included via duplicated timestamps)."""
+    import datetime as dt
+    import random
+
+    from yahoo_anomaly_detection_spark.operators import sessions
+
+    rng = random.Random(13)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(6):
+        t = 0
+        for _ in range(rng.randrange(3, 15)):
+            t += rng.choice([60, 600, 4000, 4000, 9000])
+            rows.append((eid, base + dt.timedelta(seconds=t), u,
+                         "e", 1.0, ""))
+            eid += 1
+    # a duplicate-timestamp tie: ordering falls back to event_id
+    rows.append((eid, rows[-1][1], rows[-1][2], "e", 1.0, ""))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    gap = 3600
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessions.sessionize(df, gap_seconds=gap).collect()
+    }
+    by_user: dict = {}
+    for e, ts, u, *_ in rows:
+        by_user.setdefault(u, []).append((ts, e))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, last = 0, None
+        for ts, e in evs:
+            if last is not None and (ts - last).total_seconds() > gap:
+                sid += 1
+            want[e] = sid
+            last = ts
+    assert got == want
