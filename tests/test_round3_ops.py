@@ -281,15 +281,21 @@ def test_cc_long_chain_converges(spark):
 def test_canonical_corpus_keeps_min_and_singletons(spark):
     """canonical_corpus keeps exactly one doc per chain component (the
     base doc) and passes short docs (no shingles -> singleton)
-    through untouched."""
+    through untouched. Pairs are supplied via the exact all-pairs
+    path: these 6-word docs have too few shingles for reliable LSH
+    band collision (the documented short-doc recall caveat)."""
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"),
          (2, "one two three four five six seven"),
          (3, "tiny")],
         "doc_id long, text string",
     )
+    exact_pairs = dedup._jaccard_pairs(
+        dedup.shingles(dedup.with_dup_chains(docs), 3), 0.5
+    )
     kept = sorted(
-        r["doc_id"] for r in dedup.canonical_corpus(docs).collect()
+        r["doc_id"]
+        for r in dedup.canonical_corpus(docs, pairs=exact_pairs).collect()
     )
     # chains of 1,2 collapse to the base ids; 'tiny' has no shingles
     # so all three of its chain copies survive as singletons
