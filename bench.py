@@ -140,6 +140,9 @@ def main() -> None:
                 _noop(qs[name](spark, sf_dir))
                 runs[name].append(round(time.time() - t0, 3))
                 caching.release_all()  # free operator-internal caches
+                # sweep localCheckpoint blocks (CC loop) so they don't
+                # accumulate across queries and skew later timings
+                caching.release_orphan_rdds(spark)
 
             # ---- transcripts rollup throughput (north-rule headline)
             t0 = time.time()

@@ -142,6 +142,7 @@ def main() -> int:
         from yahoo_anomaly_detection_spark import caching
 
         caching.release_all()  # free operator-internal materializations
+        caching.release_orphan_rdds(spark)  # sweep localCheckpoints
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     return 1 if failures else 0
 

@@ -501,3 +501,66 @@ def test_streaming_topology_end_to_end(spark, tmp_path):
         assert s["pred"] == e["pred"], (key, s["pred"], e["pred"])
     # the engineered stall must surface as a flagged anomaly
     assert any(r["pred"] == 1 for r in streamed.values())
+
+
+def test_stream_latency_out_of_order_never_regresses_state(spark, tmp_path):
+    """A micro-batch whose first rows are STALE (turn_idx <= last
+    accepted turn) must emit NULL latency for every stale row, measure
+    the first fresh row against the last ACCEPTED turn (not the stale
+    in-batch predecessor), and never move state backwards."""
+    import datetime as dt
+
+    from yahoo_anomaly_detection_spark.streaming.latency_stream import (
+        TRANSCRIPTS_DDL,
+        read_transcript_stream,
+        start_points_to_parquet,
+        stream_latency,
+    )
+
+    def mk(rows):
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(c, i, "user", "t", None, base + dt.timedelta(seconds=s))
+             for c, i, s in rows],
+            TRANSCRIPTS_DDL,
+        )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    # batch 1: turns 4,5 accepted (state -> turn 5 @ 00:00:50)
+    mk([("a", 4, 40), ("a", 5, 50)]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = start_points_to_parquet(
+        stream_latency(read_transcript_stream(spark, src)),
+        out, str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: turns 3,4 stale (duplicate/late), turn 6 fresh
+        mk([("a", 3, 30), ("a", 4, 41), ("a", 6, 62)]).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # batch 3: ALL stale -> state must not have regressed; turn 7
+        # then measures against turn 6, not any stale row
+        mk([("a", 2, 20)]).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        mk([("a", 7, 70)]).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    base = dt.datetime(2024, 1, 1)
+    got = {
+        (int((r["ts"] - base).total_seconds()),
+         round(r["value"], 3) if r["value"] is not None else None)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (40, None),        # first seen turn
+        (50, 10.0),        # 5 after 4
+        (30, None), (41, None),  # stale rows -> NULL, never revised
+        (62, 12.0),        # turn 6 vs ACCEPTED turn 5 @ 50 (not stale 4 @ 41)
+        (20, None),        # all-stale batch
+        (70, 8.0),         # turn 7 vs turn 6 @ 62 -> state never regressed
+    }, got

@@ -109,3 +109,24 @@ def release_all() -> int:
         except Exception:
             pass  # session may already be stopped
         n += 1
+
+
+def release_orphan_rdds(spark) -> int:
+    """Unpersist EVERY persistent RDD in the session — harness-only
+    (bench / oracle gate, between queries, single-threaded).
+
+    ``localCheckpoint`` (used by the iterative connected-components
+    loop) stores its data as persistent RDD blocks that no registry
+    tracks; across many benchmarked queries in one session they
+    accumulate and squeeze the block manager. Between queries every
+    legitimate registry cache has already been released, so a blanket
+    sweep is safe THERE — never call this while any query's lazy
+    DataFrame is still pending. Returns the number of RDDs swept."""
+    jsc = spark.sparkContext._jsc.sc()
+    rdds = jsc.getPersistentRDDs()
+    it = rdds.iterator()
+    n = 0
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+        n += 1
+    return n

@@ -161,15 +161,20 @@ def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "_raw_j",
+            F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")),
+        )
+        # threshold on the RAW ratio (exact int division, identical in
+        # any engine) — the oracle filters raw too; filtering on the
+        # rounded value would diverge on boundary pairs (0.49995
+        # rounds to 0.5) and a single extra edge merges clusters
+        .where(F.col("_raw_j") >= threshold)
         .select(
             "doc_a",
             "doc_b",
-            portable_round(
-                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")),
-                _R,
-            ).alias("jaccard"),
+            portable_round(F.col("_raw_j"), _R).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -349,15 +354,20 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = 16,
     return (
         inter.join(F.broadcast(za), "doc_a")
         .join(F.broadcast(zb), "doc_b")
+        .withColumn(
+            "_raw_j",
+            F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")),
+        )
+        # threshold on the RAW ratio (exact int division, identical in
+        # any engine) — the oracle filters raw too; filtering on the
+        # rounded value would diverge on boundary pairs (0.49995
+        # rounds to 0.5) and a single extra edge merges clusters
+        .where(F.col("_raw_j") >= threshold)
         .select(
             "doc_a",
             "doc_b",
-            portable_round(
-                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")),
-                _R,
-            ).alias("jaccard"),
+            portable_round(F.col("_raw_j"), _R).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -787,6 +797,14 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         labels = new
         if changed == 0:
             break
+    else:
+        # silent truncation would emit a split component that also
+        # diverges from the transitive-closure oracle — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing); raise "
+            f"max_iter or pass shortcut=True for long-chain graphs"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select(

@@ -28,11 +28,11 @@ from yahoo_anomaly_detection_spark.functions.portable import portable_round
 _R = 4
 
 
-def sessionize(events: DataFrame, gap_seconds: int = 28800) -> DataFrame:
-    """(event_id, user_id, session_id): 0-based session number per
-    user; a new session starts when the gap since the previous event
-    exceeds ``gap_seconds``. First event of a user is session 0
-    (NULL lag compares false, same in ANSI SQL)."""
+def _tagged(events: DataFrame, gap_seconds: int) -> DataFrame:
+    """(event_id, user_id, ts, value, session_id): session-numbered
+    events — the single source of the break-detection/numbering
+    logic shared by :func:`sessionize` and :func:`session_stats`
+    (mirrors the SQL oracle's single ``_session_sql_body``)."""
     order = [F.col("ts"), F.col("event_id")]
     w = W.partitionBy("user_id").orderBy(*order)
     # events.ts is TIMESTAMP_NTZ in the driver parquet; the session
@@ -44,13 +44,22 @@ def sessionize(events: DataFrame, gap_seconds: int = 28800) -> DataFrame:
         .alias("brk")
     )
     run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        events.select("event_id", "user_id", "ts", brk)
-        .select(
-            "event_id",
-            "user_id",
-            F.sum("brk").over(run).cast("long").alias("session_id"),
-        )
+    return events.select("event_id", "user_id", "ts", "value", brk).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum("brk").over(run).cast("long").alias("session_id"),
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 28800) -> DataFrame:
+    """(event_id, user_id, session_id): 0-based session number per
+    user; a new session starts when the gap since the previous event
+    exceeds ``gap_seconds``. First event of a user is session 0
+    (NULL lag compares false, same in ANSI SQL)."""
+    return _tagged(events, gap_seconds).select(
+        "event_id", "user_id", "session_id"
     )
 
 
@@ -58,23 +67,7 @@ def session_stats(events: DataFrame,
                   gap_seconds: int = 28800) -> DataFrame:
     """Per-session aggregates: event count, duration (seconds),
     summed value — the session-level feature table."""
-    order = [F.col("ts"), F.col("event_id")]
-    w = W.partitionBy("user_id").orderBy(*order)
-    # events.ts is TIMESTAMP_NTZ in the driver parquet; the session
-    # runs UTC so the cast is an identity relabel
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    brk = (
-        F.when((us - F.lag(us).over(w)) / F.lit(1e6) > gap_seconds, 1)
-        .otherwise(0)
-        .alias("brk")
-    )
-    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    tagged = events.select("event_id", "user_id", "ts", "value", brk).select(
-        "user_id",
-        "ts",
-        "value",
-        F.sum("brk").over(run).cast("long").alias("session_id"),
-    )
+    tagged = _tagged(events, gap_seconds)
     return tagged.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         ((F.unix_micros(F.max(F.col("ts").cast("timestamp")))
@@ -166,11 +159,19 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     Built as the union+window formulation — tag both sides, sort by
     (key, ts, side) with right rows first on ties, and forward-fill
     the right-side values with ``last(..., ignorenulls)`` — so the
-    plan is ONE shuffle on the key and a single window pass. The
+    plan is ONE shuffle on the key and a single window pass; the
     naive range join (``l.ts >= r.ts`` + max-per-row) explodes to
-    |l|×|r| per key and is never planned here; this shape carries
-    straight to 10^12 rows (it is how market-data as-of joins run on
-    Spark)."""
+    |l|×|r| per key and is never planned here.
+
+    Scale caveat: one window partition per key value, so this shape
+    needs a HIGH-CARDINALITY key (market-data as-of joins partition
+    by symbol). A low-cardinality key (like event_type in
+    :func:`events_vs_trailing_p95`) funnels each key's rows through
+    one task — fine at per-type volumes that fit a task, a straggler
+    beyond that. The scale-out for low-cardinality keys is two-phase:
+    window within (key, coarse time bucket) partitions, then a tiny
+    per-bucket carry-in join of each bucket's last right-side row —
+    same operator contract, one extra bucket-sized shuffle."""
     lt = left.withColumn("_ts", F.col(left_ts).cast("timestamp")) \
              .withColumn("_side", F.lit(1))
     for c in value_cols:

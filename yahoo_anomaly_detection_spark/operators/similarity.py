@@ -36,6 +36,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from yahoo_anomaly_detection_spark import caching
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
 _R = 4
@@ -493,6 +494,16 @@ _ARGMAX_CELL = (
 )
 
 
+def _ivf_assigned(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, e, cell): argmax-cosine cell per vector against the
+    broadcast centroid array — the shared body of ivf_assign/ivf_topk."""
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("cell_scores", F.expr(_cell_scores_expr("e")))
+        .select("vec_id", "e", F.expr(_ARGMAX_CELL).alias("cell"))
+    )
+
+
 def ivf_assign(embs: DataFrame, centroid_mod: int = 100) -> DataFrame:
     """(vec_id, cell): nearest-centroid (max-cosine) cell per vector.
 
@@ -502,11 +513,9 @@ def ivf_assign(embs: DataFrame, centroid_mod: int = 100) -> DataFrame:
     corpus/centroid_mod; for 10⁹+ rows size C ≈ √N and probe with
     nprobe ≪ C (standard IVF operating point)."""
     base = embs.select("vec_id", _vecd("embedding").alias("e"))
-    return (
-        base.crossJoin(F.broadcast(ivf_centroid_array(embs, centroid_mod)))
-        .withColumn("cell_scores", F.expr(_cell_scores_expr("e")))
-        .select("vec_id", F.expr(_ARGMAX_CELL).alias("cell"))
-    )
+    return _ivf_assigned(
+        base, ivf_centroid_array(embs, centroid_mod)
+    ).select("vec_id", "cell")
 
 
 def ivf_topk(embs: DataFrame, centroid_mod: int = 100, nprobe: int = 2,
@@ -518,12 +527,11 @@ def ivf_topk(embs: DataFrame, centroid_mod: int = 100, nprobe: int = 2,
     brute force (tested), trading recall for probe count below that.
     """
     base = embs.select("vec_id", _vecd("embedding").alias("e"))
-    cents = ivf_centroid_array(embs, centroid_mod)
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("cell_scores", F.expr(_cell_scores_expr("e")))
-        .select("vec_id", "e", F.expr(_ARGMAX_CELL).alias("cell"))
-    )
+    # materialize the 1-row centroid array: it feeds TWO crossJoin
+    # consumers (assignment + probes) and is itself a full corpus
+    # pass — uncached, each consumer would recompute that pass
+    cents = caching.materialize(ivf_centroid_array(embs, centroid_mod))
+    assigned = _ivf_assigned(base, cents)
     # tiny query side: rank this query's cells by cosine, keep nprobe
     probes = (
         base.where(F.col("vec_id") % query_mod == 0)

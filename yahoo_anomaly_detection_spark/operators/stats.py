@@ -119,16 +119,26 @@ def rolling_stats(df: DataFrame, value_col: str = "mean", k: int = 10,
 # ---------------------------------------------------------------- EWMA
 EWMA_MAX_ROWS_PER_PARTITION = 2_000_000
 EWMA_MAX_BYTES_PER_PARTITION = 256 << 20  # ~2M tier rows at ~128 B/row
+# sizeInBytes for a parquet SCAN is compressed on-disk bytes; the
+# pandas frame the worker actually holds decodes ~5-15x larger for
+# narrow (key, timestamp, double) tier rows. Inflating the estimate
+# divides the cap by this factor for scans — and merely adds a few
+# ~1ms frames for aggregates, whose stats were already
+# conservative-high
+EWMA_SCAN_INFLATION = 8
 
 
 def _estimated_partitions(df: DataFrame) -> int:
     """Partition count from Catalyst's optimized-plan sizeInBytes —
-    free (no job). Estimates are conservative-high for aggregates
-    (stats propagate the child's size), which errs toward MORE
-    partitions: harmless (a few extra ~1ms pandas frames) vs the
-    alternative failure mode of one oversized frame OOMing a worker.
-    Falls back to a count only if stats are unavailable or absurd
-    (e.g. an unestimated join product)."""
+    free (no job). The estimate is multiplied by EWMA_SCAN_INFLATION
+    so a compressed parquet scan (where sizeInBytes is FILE bytes,
+    not in-memory bytes) still lands under the per-frame cap; every
+    error direction yields MORE partitions, which costs ~1ms of
+    pandas overhead each vs the alternative failure mode of one
+    multi-GB frame OOMing a worker. Falls back to a count only if
+    stats are unavailable or absurd (an unestimated join product —
+    which would otherwise silently yield a huge partition count, so
+    the exact count is worth one job there)."""
     try:
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats()
@@ -136,8 +146,9 @@ def _estimated_partitions(df: DataFrame) -> int:
         )
     except Exception:
         size = -1
-    if 0 <= size < (1 << 50):
-        return -(-size // EWMA_MAX_BYTES_PER_PARTITION)
+    if 0 <= size < (1 << 44):
+        return -(-(size * EWMA_SCAN_INFLATION)
+                 // EWMA_MAX_BYTES_PER_PARTITION)
     return -(-df.count() // EWMA_MAX_ROWS_PER_PARTITION)
 
 

@@ -111,10 +111,22 @@ def stream_latency(transcripts: DataFrame,
         lat[0] = np.nan
         if state.exists:
             last_turn, last_ts = state.get
-            if turns[0] > last_turn:
-                lat[0] = (ts_us[0] - last_ts) / 1e6
-            # else: out-of-order arrival — NULL latency, never revise
-        state.update((int(turns[-1]), int(ts_us[-1])))
+            # EVERY stale row (turn_idx ≤ last accepted turn) gets
+            # NULL latency — not just the batch's first row; the
+            # first fresh row's latency is measured against the last
+            # ACCEPTED turn (state), since its in-batch predecessor
+            # is stale and was never emitted as a real step
+            stale = turns <= last_turn
+            lat[stale] = np.nan
+            fresh = np.flatnonzero(~stale)
+            if fresh.size:
+                lat[fresh[0]] = (ts_us[fresh[0]] - last_ts) / 1e6
+                state.update(
+                    (int(turns[fresh[-1]]), int(ts_us[fresh[-1]]))
+                )
+            # all-stale batch: state never regresses
+        else:
+            state.update((int(turns[-1]), int(ts_us[-1])))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
