@@ -646,6 +646,26 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_curated_corpus(spark, sf_dir):
+    # capstone composition — the full curation DAG as one query:
+    # quality gate ∩ canonical-dedup survivors ∩ stratified sample.
+    # Each stage is an independently-oracled operator; the
+    # composition is two left_semi joins on doc_id (the loser/sample
+    # sets are small → broadcast-able at scale)
+    docs = _docs(spark, sf_dir)
+    quality_ids = textstats.quality_filter(
+        docs, min_quality=0.4, min_stop_ratio=0.01, langs=("en",)
+    ).select("doc_id")
+    canon_ids = dedup.canonical_corpus(docs, n=3, threshold=0.5)
+    sample_ids = textstats.stratified_sample(
+        docs, rates=(0.25, 0.5, 1.0), salt="s0"
+    ).select("doc_id")
+    return (
+        quality_ids.join(canon_ids, "doc_id", "left_semi")
+        .join(sample_ids, "doc_id", "left_semi")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -746,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "quality_filter": q_quality_filter,
         "stratified_sample": q_stratified_sample,
+        "curated_corpus": q_curated_corpus,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1264,4 +1285,12 @@ def oracle_sql() -> dict[str, str]:
     out.update(textstats.ORACLE_SQL)
     out.update(multimodal.ORACLE_SQL)
     out.update(sessions.ORACLE_SQL)
+    # capstone composition: intersection of three independently-
+    # oracled doc_id sets (quality gate, canonical dedup survivors,
+    # stratified sample)
+    out["curated_corpus"] = f"""
+SELECT doc_id FROM ({out['quality_filter']}) q
+WHERE doc_id IN (SELECT doc_id FROM ({out['dedup_canonical']}))
+  AND doc_id IN (SELECT doc_id FROM ({out['stratified_sample']}))
+"""
     return {k: _epsilonize(v) for k, v in out.items()}
