@@ -646,6 +646,12 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_topk_per_band(spark, sf_dir):
+    # best-per-stratum selection: top-20 docs per length band by
+    # composite quality (rank window per band)
+    return textstats.topk_per_band(_docs(spark, sf_dir), k=20)
+
+
 def q_curated_corpus(spark, sf_dir):
     # capstone composition — the full curation DAG as one query:
     # quality gate ∩ canonical-dedup survivors ∩ stratified sample.
@@ -767,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "stratified_sample": q_stratified_sample,
         "curated_corpus": q_curated_corpus,
+        "topk_per_band": q_topk_per_band,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,

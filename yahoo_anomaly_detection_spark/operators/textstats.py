@@ -314,6 +314,59 @@ WHERE u < CASE band WHEN 0 THEN {rates[0]} WHEN 1 THEN {rates[1]}
 """
 
 
+def topk_per_band(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k docs per length band by composite quality (ties → lower
+    doc_id) — best-per-stratum selection, the counterpart of
+    down-sampling in mixture curation.
+
+    Scale shape: ONE hash shuffle on the band key, then a per-group
+    rank window; with only a few bands this is the low-cardinality-
+    key window caveat again (see asof_join) — at 10^12 rows switch
+    to a per-partition top-k heap + band-wise merge (same contract).
+    Here bands are a demo stratum; real pipelines key on
+    (domain, language) — thousands of groups."""
+    n_tok = F.expr("size(split(text, ' '))")
+    band = (
+        F.when(n_tok < 30, F.lit(0))
+        .when(n_tok < 70, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    from pyspark.sql.window import Window
+
+    q = quality_score(docs).select("doc_id", "quality")
+    banded = docs.select("doc_id", band.alias("band")).join(q, "doc_id")
+    rk = F.row_number().over(
+        Window.partitionBy("band").orderBy(
+            F.desc("quality"), F.asc("doc_id")
+        )
+    )
+    return (
+        banded.withColumn("rk", rk.cast("int"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "band", "quality", "rk")
+    )
+
+
+def _topk_per_band_sql(k: int) -> str:
+    return f"""
+WITH q AS ({_quality_sql()}),
+b AS (
+    SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 30 THEN 0
+                WHEN len(string_split(text, ' ')) < 70 THEN 1
+                ELSE 2 END AS band
+    FROM documents
+),
+r AS (
+    SELECT b.doc_id, b.band, q.quality,
+           CAST(row_number() OVER (PARTITION BY b.band
+                ORDER BY q.quality DESC, b.doc_id ASC) AS INT) AS rk
+    FROM b JOIN q ON b.doc_id = q.doc_id
+)
+SELECT doc_id, band, quality, rk FROM r WHERE rk <= {k}
+"""
+
+
 ORACLE_SQL = {
     "lang_id": _lang_sql(),
     "quality_score": _quality_sql(),
@@ -322,4 +375,5 @@ ORACLE_SQL = {
     "vocab_topk": _vocab_sql(100),
     "quality_filter": _quality_filter_sql(0.4, 0.01, ("en",)),
     "stratified_sample": _stratified_sql((0.25, 0.5, 1.0), "s0"),
+    "topk_per_band": _topk_per_band_sql(20),
 }
