@@ -564,3 +564,60 @@ def test_stream_latency_out_of_order_never_regresses_state(spark, tmp_path):
         (20, None),        # all-stale batch
         (70, 8.0),         # turn 7 vs turn 6 @ 62 -> state never regressed
     }, got
+
+
+def test_stream_flags_state_ttl_evicts_window(spark, tmp_path):
+    """Flags-hop TTL: after eviction, a conversation's trailing-k
+    window restarts empty — the returning row gets NULL rolling stats
+    (no history), not stats computed against pre-eviction values.
+    Same noDataMicroBatches workaround as the latency TTL test."""
+    import time as _time
+
+    from yahoo_anomaly_detection_spark.streaming.flags_stream import (
+        start_flags_to_parquet,
+        stream_rolling_flags,
+    )
+
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    src = str(tmp_path / "fsrc2")
+    out = str(tmp_path / "fout2")
+    ckpt = str(tmp_path / "fckpt2")
+    os.makedirs(src)
+    _mk_tier_rows(spark, [("a", 0, 10.0), ("a", 1, 12.0)]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    tiers = (
+        spark.readStream.schema(
+            "conv_id string, bucket_start timestamp, mean double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_flags_to_parquet(
+        stream_rolling_flags(tiers, threshold=4.0, k=3,
+                             state_ttl_ms=500),
+        out, ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        _time.sleep(1.5)  # let a's window state lapse
+        _mk_tier_rows(spark, [("b", 2, 5.0)]).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()  # unrelated batch fires the timeout
+        _mk_tier_rows(spark, [("a", 9, 50.0)]).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        )
+    rows = {
+        (r["conv_id"], r["bucket_start"].minute): r
+        for r in spark.read.parquet(out).collect()
+    }
+    r = rows[("a", 9)]
+    # fresh series: no window history -> NULL stats, unflagged
+    assert r["rolling_mean"] is None and r["residual"] is None
+    assert r["pred"] == 0
+    # pre-eviction rows were emitted normally
+    assert abs(rows[("a", 1)]["rolling_mean"] - 10.0) < 1e-9
