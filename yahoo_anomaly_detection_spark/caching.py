@@ -121,7 +121,19 @@ def release_orphan_rdds(spark) -> int:
     accumulate and squeeze the block manager. Between queries every
     legitimate registry cache has already been released, so a blanket
     sweep is safe THERE — never call this while any query's lazy
-    DataFrame is still pending. Returns the number of RDDs swept."""
+    DataFrame is still pending. Returns the number of RDDs swept.
+
+    Guard: refuses (RuntimeError) while the global registry still
+    holds registered caches — sweeping then would silently drop
+    relations Spark's CacheManager believes cached (the caller gets
+    recomputation, not failure). Call ``release_all()`` first; the
+    check makes the sweep structurally harness-only."""
+    with _LOCK:
+        if _LIVE:
+            raise RuntimeError(
+                f"release_orphan_rdds called with {len(_LIVE)} registered "
+                "cache(s) still live — call release_all() first"
+            )
     jsc = spark.sparkContext._jsc.sc()
     rdds = jsc.getPersistentRDDs()
     it = rdds.iterator()

@@ -725,10 +725,32 @@ CHAIN_CORPUS_SQL = (
 )
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    """Ids of every currently-persisted RDD in the session (JVM map)."""
+    out: set[int] = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        out.add(it.next()._1())
+    return out
+
+
+def _unpersist_rdd_ids(spark, ids: set[int]) -> None:
+    """Release the block-manager storage of the given RDD ids (no-op
+    for ids already gone)."""
+    if not ids:
+        return
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if t._1() in ids:
+            t._2().unpersist(False)
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b",
                          max_iter: int = 20,
                          shortcut: bool = False,
+                         reliable: bool = False,
                          stats: dict | None = None) -> DataFrame:
     """(doc_id, cluster) connected components of an undirected pair
     list; cluster = smallest reachable doc_id (the canonical member).
@@ -748,23 +770,53 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     dict) receives {"rounds": n} for observability/tests.
 
     Scale shape: state is one (node, label) row per distinct node;
-    every round shuffles by node only. ``localCheckpoint`` truncates
-    the iterative lineage so round k's plan does not replay rounds
-    1..k-1. The only driver-side values are the per-round change
-    counts (scalars). Only nodes that appear in ``pairs`` are
-    emitted — singletons are their own implicit cluster."""
+    every round shuffles by node only. Checkpointing truncates the
+    iterative lineage so round k's plan does not replay rounds
+    1..k-1; each round's blocks are released once the next round has
+    materialized, so a long-lived session running many CC calls keeps
+    only the final round's state alive (the caller's orphan-RDD sweep
+    is a backstop, not the mechanism). The only driver-side values
+    are the per-round change counts (scalars). Only nodes that appear
+    in ``pairs`` are emitted — singletons are their own implicit
+    cluster.
+
+    ``reliable=False`` (default) uses ``localCheckpoint`` — blocks
+    live on executors, so losing an executor mid-loop loses the run
+    (fine single-node / short loops). ``reliable=True`` switches to
+    ``DataFrame.checkpoint()`` against the session's configured
+    checkpoint dir (``spark.sparkContext.setCheckpointDir``) — each
+    round's state is committed to the shared store and the loop
+    survives executor loss, the right mode for long CC runs on a real
+    cluster (round files persist until session end unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on)."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    spark = pairs.sparkSession
+    if reliable and spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        raise RuntimeError(
+            "reliable=True needs spark.sparkContext.setCheckpointDir(...)"
+        )
+
+    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        if reliable:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = caching.materialize(
         fwd.unionByName(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
-    labels = (
+    ids_before = _persistent_rdd_ids(spark)
+    labels = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("lab", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("lab", F.col("node")),
+        eager=True,
     )
+    # blocks backing the CURRENT `labels` state (round 0 = the seed)
+    live_ids = _persistent_rdd_ids(spark) - ids_before
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -786,14 +838,23 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                 "node", F.least("lab", "lab2").alias("lab")
             )
         # lazy checkpoint: the convergence count below is the single
-        # action that materializes it — one job per round, not two
-        new = new.localCheckpoint(eager=False)
+        # action that materializes it — one job per round, not two.
+        # (id snapshot taken BEFORE the call: localCheckpoint marks
+        # its RDD persistent immediately, not at materialization)
+        ids_before = _persistent_rdd_ids(spark)
+        new = _ckpt(new, eager=False)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.lab") != F.col("o.lab"))
             .count()
         )
+        # the count materialized `new`'s checkpoint; the previous
+        # round's blocks are now unreachable from any live plan —
+        # release them so repeated CC calls don't accumulate storage
+        new_ids = _persistent_rdd_ids(spark) - ids_before
+        _unpersist_rdd_ids(spark, live_ids)
+        live_ids = new_ids
         labels = new
         if changed == 0:
             break
@@ -814,7 +875,8 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
 
 def dup_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                  max_iter: int = 20,
-                 pairs: DataFrame | None = None) -> DataFrame:
+                 pairs: DataFrame | None = None,
+                 reliable: bool = False) -> DataFrame:
     """Near-dup clusters over the chain corpus: MinHash+LSH candidate
     pairs → exact Jaccard verify → connected components.
 
@@ -830,7 +892,8 @@ def dup_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         pairs = minhash_lsh_pairs(docs, n=n, k=16, bands=4,
                                   threshold=threshold,
                                   corpus=with_dup_chains(docs))
-    return connected_components(pairs, max_iter=max_iter)
+    return connected_components(pairs, max_iter=max_iter,
+                                reliable=reliable)
 
 
 def canonical_corpus(docs: DataFrame, n: int = 3, threshold: float = 0.5,

@@ -360,21 +360,30 @@ def _bucket_candidates(withb: DataFrame,
     of at most that many vectors first, hard-capping the per-bucket
     join fan-out at cap² — a recall tradeoff (pairs straddling a
     sub-bucket boundary are missed) that only engages on pathological
-    buckets; the primary linearity guarantee is adaptive n_planes."""
+    buckets; the primary linearity guarantee is adaptive n_planes.
+
+    The sub-bucket id is a SEPARATE join column, not an arithmetic
+    composite (bucket·M + sub): a composite with a fixed multiplier
+    silently aliases into the next bucket's id space once occupancy
+    exceeds M·cap — exactly the pathological-skew regime the cap
+    exists for — merging unrelated buckets into candidate generation.
+    Two equi-join columns have no such overflow regime."""
     if max_bucket_size is not None:
         rn = F.row_number().over(
             W.partitionBy("bucket").orderBy("vec_id")
         )
         withb = withb.withColumn(
-            "bucket",
-            F.col("bucket") * 4096
-            + ((rn - F.lit(1)) / F.lit(max_bucket_size)).cast("bigint"),
+            "sub",
+            ((rn - F.lit(1)) / F.lit(max_bucket_size)).cast("bigint"),
         )
+    else:
+        withb = withb.withColumn("sub", F.lit(0).cast("bigint"))
     a, b = withb.alias("a"), withb.alias("b")
     return a.join(
         b,
         on=[
             F.col("a.bucket") == F.col("b.bucket"),
+            F.col("a.sub") == F.col("b.sub"),
             F.col("a.vec_id") < F.col("b.vec_id"),
         ],
     )

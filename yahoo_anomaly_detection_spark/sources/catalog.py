@@ -117,6 +117,13 @@ class ParquetCatalog:
         contain matches are filtered and rewritten. Real Iceberg goes
         one step further (whole-partition deletes are metadata-only);
         the shim's unit of pruning is the commit data dir.
+
+        NULL-predicate rows are RETAINED (Iceberg / ANSI DELETE
+        semantics: only predicate=TRUE rows are deleted). The rewrite
+        filter is ``(p) IS NOT TRUE`` — not ``NOT (p)``, which would
+        drop NULL rows from rewritten dirs while the probe (which
+        detects TRUE matches only) left them alive in untouched dirs,
+        making survival depend on physical dir layout.
         """
         snaps = self.snapshots(table)
         if not snaps:
@@ -139,7 +146,9 @@ class ParquetCatalog:
                           "pruned_dirs": len(untouched)}),
             )
         data_dir = self._new_data_dir(table, snap_id)
-        kept = spark.read.parquet(*affected).where(f"NOT ({predicate})")
+        kept = spark.read.parquet(*affected).where(
+            f"({predicate}) IS NOT TRUE"
+        )
         w = kept.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
