@@ -207,6 +207,45 @@ def test_asof_join_is_union_window_not_range_join(spark):
     assert "Window" in plan, plan
 
 
+def test_asof_join_two_phase_windows_on_key_and_bucket(spark):
+    """With bucket_seconds set (the low-cardinality-key scale path,
+    and the default inside events_vs_trailing_p95), the MAIN window —
+    the one the full corpus flows through — must partition on (key,
+    bucket), never on the key alone; only the carry-in window over
+    the bucket-count-sized spine may partition by key alone."""
+    from yahoo_anomaly_detection_spark.operators import sessions
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 05:00:00", 7, "c", 1.0, "")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    plan = _plan(sessions.events_vs_trailing_p95(ev))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+
+    def partition_cols(spec: str) -> list[str]:
+        # leading args up to the first ordered (ASC/DESC) arg
+        cols = []
+        for arg in spec.split(", "):
+            if " ASC" in arg or " DESC" in arg:
+                break
+            cols.append(arg.split("#")[0])
+        return cols
+
+    parts = [partition_cols(s) for s in specs]
+    # the corpus-bearing window keys on (event_type, _bkt) — never
+    # on the low-cardinality key alone
+    assert ["event_type", "_bkt"] in parts, parts
+    # any key-alone window must be the carry-in over the tiny
+    # bucket spine (its ORDER BY is the bucket id)
+    for spec, p in zip(specs, parts):
+        if p == ["event_type"]:
+            order_first = spec.split(", ")[len(p)]
+            assert order_first.startswith("_bkt"), spec
+
+
 def test_ivf_assign_zero_shuffle_of_corpus(spark, embs):
     """IVF cell assignment must be a map-side argmax fold against the
     broadcast centroid array — no Exchange of the corpus relation

@@ -123,3 +123,78 @@ def test_cc_reliable_checkpoint(spark, tmp_path):
     assert "Join" not in plan, plan
     caching.release_all()
     caching.release_orphan_rdds(spark)
+
+
+# ------------------------------------- two-phase as-of join (scale)
+def _asof_fixture(spark, n_days: int):
+    """Two low-cardinality keys, hourly left events over n_days, a
+    daily right baseline effective at next midnight — plus edge
+    cases: events before any baseline (day 0), and a baseline gap
+    (key 'b' has no day-2 baseline, so day-3 events must carry in
+    from day 1 across the empty bucket)."""
+    t0 = 1704067200  # 2024-01-01 00:00:00 UTC
+    left = [
+        (d * 24 + h, k, t0 + d * 86400 + h * 3600, float(d * 100 + h))
+        for k in ("a", "b")
+        for d in range(n_days)
+        for h in (1, 13)
+    ]
+    ldf = spark.createDataFrame(
+        left, "event_id long, key string, sec long, v double"
+    ).select("event_id", "key", F.timestamp_seconds("sec").alias("ts"), "v")
+    right = [
+        (k, t0 + (d + 1) * 86400, float(d * 10))
+        for k in ("a", "b")
+        for d in range(n_days - 1)
+        if not (k == "b" and d == 2)
+    ]
+    rdf = spark.createDataFrame(
+        right, "key string, sec long, base double"
+    ).select("key", F.timestamp_seconds("sec").alias("eff"), "base")
+    return ldf, rdf
+
+
+def test_asof_two_phase_matches_single_phase(spark):
+    """Bucketed (two-phase) as-of join must return exactly the
+    single-phase result — including rows before any baseline (NULL)
+    and carry-ins across buckets with no right rows."""
+    from yahoo_anomaly_detection_spark.operators.sessions import asof_join
+
+    ldf, rdf = _asof_fixture(spark, n_days=6)
+    kw = dict(key="key", left_ts="ts", right_ts="eff",
+              value_cols=("base",))
+    one = asof_join(ldf, rdf, **kw)
+    two = asof_join(ldf, rdf, bucket_seconds=86400, **kw)
+    assert one.exceptAll(two).count() == 0
+    assert two.exceptAll(one).count() == 0
+    got = {r["event_id"]: r["base"]
+           for r in two.where("key = 'b'").collect()}
+    assert got[1] is None          # day 0: no trailing baseline yet
+    assert got[3 * 24 + 1] == 10.0  # day-3 carries day-1 base over gap
+
+
+def test_asof_two_phase_per_task_input_stays_bounded(spark):
+    """Doubling history length must NOT grow the biggest window
+    partition of the two-phase path: (key, bucket) group sizes stay
+    flat while key-alone group sizes double — the straggler the
+    bucketing exists to prevent."""
+    from yahoo_anomaly_detection_spark.operators.sessions import asof_join
+
+    def max_groups(n_days):
+        ldf, rdf = _asof_fixture(spark, n_days)
+        u = ldf.select(
+            "key", "ts").unionByName(rdf.select("key", F.col("eff").alias("ts")))
+        b = u.withColumn("bkt", F.floor(F.unix_micros("ts") / 86400e6))
+        per_key = b.groupBy("key").count().agg(F.max("count")).first()[0]
+        per_kb = b.groupBy("key", "bkt").count().agg(F.max("count")).first()[0]
+        # sanity: results stay correct at both scales
+        out = asof_join(ldf, rdf, key="key", left_ts="ts",
+                        right_ts="eff", value_cols=("base",),
+                        bucket_seconds=86400)
+        assert out.count() == ldf.count()
+        return per_key, per_kb
+
+    key8, kb8 = max_groups(8)
+    key16, kb16 = max_groups(16)
+    assert key16 >= 2 * key8 - 2      # key-alone partitions grow ~2x
+    assert kb16 == kb8                # (key, bucket) partitions do not

@@ -152,7 +152,8 @@ FROM events GROUP BY 1, 2
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
-              value_cols: tuple[str, ...]) -> DataFrame:
+              value_cols: tuple[str, ...],
+              bucket_seconds: int | None = None) -> DataFrame:
     """Scalable as-of join: every left row picks up the latest right
     row with ``right_ts <= left_ts`` for the same key.
 
@@ -163,15 +164,34 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     naive range join (``l.ts >= r.ts`` + max-per-row) explodes to
     |l|×|r| per key and is never planned here.
 
-    Scale caveat: one window partition per key value, so this shape
-    needs a HIGH-CARDINALITY key (market-data as-of joins partition
-    by symbol). A low-cardinality key (like event_type in
-    :func:`events_vs_trailing_p95`) funnels each key's rows through
-    one task — fine at per-type volumes that fit a task, a straggler
-    beyond that. The scale-out for low-cardinality keys is two-phase:
-    window within (key, coarse time bucket) partitions, then a tiny
-    per-bucket carry-in join of each bucket's last right-side row —
-    same operator contract, one extra bucket-sized shuffle."""
+    ``bucket_seconds=None`` windows by the key alone — the right
+    shape for a HIGH-CARDINALITY key (market-data as-of joins
+    partition by symbol). A low-cardinality key (like event_type in
+    :func:`events_vs_trailing_p95`) would funnel each key's full
+    history through ONE window task — fine at per-type volumes that
+    fit a task, a straggler/OOM beyond that. For that regime pass
+    ``bucket_seconds`` (e.g. 86400): the TWO-PHASE formulation
+    windows within (key, coarse time bucket) partitions — per-task
+    input is one key-bucket's rows, bounded regardless of total
+    history length — and covers rows that precede their bucket's
+    first right row via a carry-in join:
+
+    1. per (key, bucket): forward-fill inside the bucket (window
+       partitioned by BOTH columns);
+    2. bucket-last relation: the latest right row of each (key,
+       bucket) — ONE row per key-bucket, corpus-size-independent;
+    3. carry-in: running last over the bucket-last relation,
+       partitioned by key alone — safe, it's bucket-count-sized;
+    4. join carry-in back on (key, bucket) (reuses the phase-1
+       partitioning) and coalesce(in-bucket fill, carry-in).
+
+    Same contract, same results (oracle-verified), one extra
+    bucket-sized shuffle. The two-phase path assumes right-side
+    ``value_cols`` are non-NULL (true for aggregate baselines like
+    percentile rollups): the carry-in carries the last right ROW of
+    an earlier bucket, while in-bucket fill is per-column
+    last-non-null — with NULL-bearing right values the two could
+    disagree with the single-phase per-column semantics."""
     lt = left.withColumn("_ts", F.col(left_ts).cast("timestamp")) \
              .withColumn("_side", F.lit(1))
     for c in value_cols:
@@ -186,20 +206,73 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None))
     u = lt.unionByName(rt.select(*lt.columns))
-    w = (
-        W.partitionBy(key)
+    out_cols = [c for c in lt.columns
+                if c not in value_cols + ("_ts", "_side")]
+
+    if bucket_seconds is None:
+        w = (
+            W.partitionBy(key)
+            .orderBy("_ts", "_side")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        filled = u.select(
+            *out_cols, "_ts", "_side",
+            *[
+                F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+                for c in value_cols
+            ],
+        )
+        return filled.where(F.col("_side") == 1).drop("_side", "_ts")
+
+    # ---- two-phase path (low-cardinality keys) ----
+    u = u.withColumn(
+        "_bkt",
+        F.floor(F.unix_micros("_ts") / F.lit(bucket_seconds * 1_000_000)),
+    )
+    wb = (
+        W.partitionBy(key, "_bkt")
         .orderBy("_ts", "_side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = u.select(
-        *[c for c in lt.columns if c not in value_cols + ("_ts", "_side")],
-        "_ts", "_side",
+    infill = u.select(
+        *out_cols, "_ts", "_side", "_bkt",
         *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            F.last(F.col(c), ignorenulls=True).over(wb).alias(f"_in_{c}")
             for c in value_cols
         ],
     )
-    return filled.where(F.col("_side") == 1).drop("_side", "_ts")
+    # bucket-last: latest right row per (key, bucket); value columns
+    # break right-ts ties so the pick is deterministic on any engine
+    vals = F.struct(*[F.col(c) for c in value_cols])
+    rlast = (
+        u.where(F.col("_side") == 0)
+        .groupBy(key, "_bkt")
+        .agg(F.max_by(vals, F.struct(F.col("_ts"), vals)).alias("_v"))
+    )
+    # complete (key, bucket) spine (buckets with left rows but no
+    # right rows still need a carry-in), then carry forward the last
+    # right-bearing bucket's values — STRICTLY earlier buckets only
+    spine = u.select(key, "_bkt").distinct().join(
+        rlast, on=[key, "_bkt"], how="left"
+    )
+    wc = (
+        W.partitionBy(key)
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = spine.select(
+        key, "_bkt",
+        F.last(F.col("_v"), ignorenulls=True).over(wc).alias("_carry"),
+    )
+    joined = infill.join(carry, on=[key, "_bkt"], how="left")
+    filled = joined.select(
+        *out_cols, "_side",
+        *[
+            F.coalesce(F.col(f"_in_{c}"), F.col(f"_carry.{c}")).alias(c)
+            for c in value_cols
+        ],
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")
 
 
 def events_vs_trailing_p95(events: DataFrame) -> DataFrame:
@@ -207,7 +280,13 @@ def events_vs_trailing_p95(events: DataFrame) -> DataFrame:
     daily p95 — the percentile rollup applied back onto the raw
     stream via an as-of join. Each day's rollup becomes effective at
     the NEXT day's midnight (no same-day leakage); the first day of
-    each type has no trailing baseline (NULL → flag 0)."""
+    each type has no trailing baseline (NULL → flag 0).
+
+    event_type is a LOW-cardinality key, so this runs the two-phase
+    as-of join (1-day buckets): per-task window input is one type's
+    single day, bounded no matter how long the stream grows — the
+    single-phase path would funnel each type's full history through
+    one task (the round-3 scale flag)."""
     p = value_percentiles(events).select(
         "event_type",
         (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("effective"),
@@ -216,7 +295,7 @@ def events_vs_trailing_p95(events: DataFrame) -> DataFrame:
     ev = events.select("event_id", "event_type", "ts", "value")
     joined = asof_join(
         ev, p, key="event_type", left_ts="ts", right_ts="effective",
-        value_cols=("p95",),
+        value_cols=("p95",), bucket_seconds=86400,
     )
     return joined.select(
         "event_id",
