@@ -246,6 +246,22 @@ def test_asof_join_two_phase_windows_on_key_and_bucket(spark):
             assert order_first.startswith("_bkt"), spec
 
 
+def test_topk_per_band_never_exchanges_full_corpus(spark, docs):
+    """Bounded top-k per stratum: the corpus flows into the
+    per-partition MapInPandas heap WITHOUT an exchange; the only
+    band-partitioned exchange sits ABOVE the Python stage, carrying
+    the ≤ k·#bands·P survivors into the final rank window."""
+    from yahoo_anomaly_detection_spark.operators import textstats
+
+    plan = _plan(textstats.topk_per_band(docs, k=5))
+    assert "MapInPandas" in plan, plan
+    band_ex = plan.index("Exchange hashpartitioning(band")
+    # tree prints parents first: the band exchange must be a parent
+    # of (appear before) the MapInPandas stage, never below it
+    assert band_ex < plan.index("MapInPandas"), plan
+    assert plan.count("Exchange hashpartitioning(band") == 1, plan
+
+
 def test_ivf_assign_zero_shuffle_of_corpus(spark, embs):
     """IVF cell assignment must be a map-side argmax fold against the
     broadcast centroid array — no Exchange of the corpus relation

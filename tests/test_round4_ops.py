@@ -198,3 +198,59 @@ def test_asof_two_phase_per_task_input_stays_bounded(spark):
     key16, kb16 = max_groups(16)
     assert key16 >= 2 * key8 - 2      # key-alone partitions grow ~2x
     assert kb16 == kb8                # (key, bucket) partitions do not
+
+
+# -------------------------------------- bounded top-k per stratum
+def test_topk_per_band_bounded_matches_window_path(spark):
+    """The per-partition-heap formulation must return exactly the
+    naive single-window result, across ties and many partitions."""
+    from yahoo_anomaly_detection_spark.operators import textstats
+
+    words = " ".join(f"w{i}" for i in range(40))  # band 1 (30<=40<70)
+    docs = spark.createDataFrame(
+        [(i,
+          " ".join("the" if i % 7 == j % 5 else f"t{i}x{j}"
+                   for j in range(10 + (i * 13) % 90)))
+         for i in range(300)] + [(1000, words), (1001, words)],
+        "doc_id long, text string",
+    ).repartition(8)
+    fast = textstats.topk_per_band(docs, k=6, bounded=True)
+    naive = textstats.topk_per_band(docs, k=6, bounded=False)
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+    # every band that exists yields exactly k (or all) rows, ranks 1..k
+    got = fast.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rk").alias("mx")
+    ).collect()
+    for r in got:
+        assert r["n"] == r["mx"] <= 6
+
+
+# ---------------------------------------- sketch percentile option
+def test_value_percentiles_sketch_within_rank_error(spark):
+    """rel_error=r maps to approx_percentile(accuracy=ceil(1/r)):
+    per group, the sketch's pXX must sit within ±r of the exact rank.
+    Values are a uniform integer grid, so value distance IS rank
+    distance (scaled by n) — the bound checks directly."""
+    from yahoo_anomaly_detection_spark.operators import sessions
+
+    n = 5000
+    rows = [(i, t, 1704067200 + (i * 7919) % 86400, float(i))
+            for t in ("x", "y") for i in range(n)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, sec long, value double"
+    ).select("event_id", "event_type",
+             F.timestamp_seconds("sec").alias("ts"), "value")
+    r = 0.01
+    exact = {(x["event_type"]): x
+             for x in sessions.value_percentiles(ev).collect()}
+    sk = {(x["event_type"]): x
+          for x in sessions.value_percentiles(ev, rel_error=r).collect()}
+    assert set(exact) == set(sk) == {"x", "y"}
+    for t in ("x", "y"):
+        assert sk[t]["n"] == exact[t]["n"] == n
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            # value == rank on the uniform grid; allow r·n rank slack
+            assert abs(sk[t][col] - q * (n - 1)) <= r * n + 1, (t, col, sk[t][col])
+    with pytest.raises(ValueError, match="rel_error"):
+        sessions.value_percentiles(ev, rel_error=0.9)

@@ -116,27 +116,45 @@ FROM s GROUP BY 1, 2
     )
 
 
-def value_percentiles(events: DataFrame) -> DataFrame:
+def value_percentiles(events: DataFrame,
+                      rel_error: float | None = None) -> DataFrame:
     """p50/p95/p99 of ``value`` per (event_type, day) — the
     percentile rollup every latency/observability pipeline runs.
 
-    Exact linear-interpolated percentiles (``F.percentile`` ≡ ANSI
-    ``percentile_cont`` ≡ DuckDB ``quantile_cont``) so the oracle
-    matches bit-for-bit after portable rounding. Exact percentile is
-    a sort-based aggregate — it shuffles each group's values to one
-    reducer. That is fine while groups are (type × day)-sized; at
-    100 TB with huge groups swap in ``F.approx_percentile`` — a
-    mergeable KLL-style sketch with map-side partial aggregation —
-    at the cost of oracle exactness (the scale path, same schema)."""
+    ``rel_error=None`` (default, the oracle path): exact linear-
+    interpolated percentiles (``F.percentile`` ≡ ANSI
+    ``percentile_cont`` ≡ DuckDB ``quantile_cont``), matched
+    bit-for-bit after portable rounding. Exact percentile is a
+    sort-based aggregate — each group's values land on one reducer.
+    Fine while groups are (type × day)-sized; a straggler/OOM once a
+    single group outgrows a task.
+
+    ``rel_error=r`` (the 100 TB path): ``F.approx_percentile`` with
+    ``accuracy = ceil(1/r)`` — a mergeable Greenwald-Khanna-style
+    sketch with map-side partial aggregation, so no group ever
+    concentrates on one reducer and per-task memory is
+    O(accuracy·log n) regardless of group size. Same schema; rank
+    error bounded by r·n per group (bounded-vs-exact pytest on the
+    sf0.001 fixture). Note approx_percentile returns an OBSERVED
+    value (no interpolation), so tolerance is a rank bound, not a
+    value-equality bound."""
     day = F.date_trunc("DAY", F.col("ts").cast("timestamp")).alias("day")
     v = F.col("value")
+    if rel_error is None:
+        pct = [F.percentile(v, q) for q in (0.5, 0.95, 0.99)]
+    else:
+        if not 0.0 < rel_error <= 0.5:
+            raise ValueError(f"rel_error must be in (0, 0.5], got {rel_error}")
+        acc = int(-(-1.0 // rel_error))  # ceil(1/r)
+        pct = [F.approx_percentile(v, F.lit(q), F.lit(acc))
+               for q in (0.5, 0.95, 0.99)]
     return (
         events.groupBy("event_type", day)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            portable_round(F.percentile(v, 0.5), _R).alias("p50"),
-            portable_round(F.percentile(v, 0.95), _R).alias("p95"),
-            portable_round(F.percentile(v, 0.99), _R).alias("p99"),
+            portable_round(pct[0], _R).alias("p50"),
+            portable_round(pct[1], _R).alias("p95"),
+            portable_round(pct[2], _R).alias("p99"),
         )
     )
 

@@ -314,27 +314,62 @@ WHERE u < CASE band WHEN 0 THEN {rates[0]} WHEN 1 THEN {rates[1]}
 """
 
 
-def topk_per_band(docs: DataFrame, k: int = 20) -> DataFrame:
+def topk_per_band(docs: DataFrame, k: int = 20,
+                  bounded: bool = True) -> DataFrame:
     """Top-k docs per length band by composite quality (ties → lower
     doc_id) — best-per-stratum selection, the counterpart of
     down-sampling in mixture curation.
 
-    Scale shape: ONE hash shuffle on the band key, then a per-group
-    rank window; with only a few bands this is the low-cardinality-
-    key window caveat again (see asof_join) — at 10^12 rows switch
-    to a per-partition top-k heap + band-wise merge (same contract).
+    Scale shape (``bounded=True``, default): per-partition top-k
+    heaps + band-wise merge. A ``mapInPandas`` stage keeps, per input
+    partition, only the k best rows of each band it has seen —
+    accumulated ACROSS the partition's Arrow batches, so each task
+    emits ≤ k·#bands rows no matter how many rows it scans — then a
+    single rank window over the ≤ k·#bands·P survivors re-ranks and
+    cuts to the global top-k per band. The full corpus is never
+    exchanged: the only shuffle carries survivor rows. (Any global
+    top-k row is necessarily in its own partition's band top-k, so
+    the survivor set is a superset of the answer — the standard
+    TakeOrderedAndProject argument, per stratum.)
+
+    ``bounded=False`` is the naive formulation — ONE rank window
+    partitioned by the band key — which shuffles the whole corpus
+    into #bands tasks: the low-cardinality-key straggler (the
+    round-3 scale flag). Kept for plan comparison/tests.
+
     Here bands are a demo stratum; real pipelines key on
-    (domain, language) — thousands of groups."""
+    (domain, language) — thousands of groups — where either shape
+    works, but the bounded one is also skew-proof."""
+    from pyspark.sql.window import Window
+
     n_tok = F.expr("size(split(text, ' '))")
     band = (
         F.when(n_tok < 30, F.lit(0))
         .when(n_tok < 70, F.lit(1))
         .otherwise(F.lit(2))
     )
-    from pyspark.sql.window import Window
-
     q = quality_score(docs).select("doc_id", "quality")
     banded = docs.select("doc_id", band.alias("band")).join(q, "doc_id")
+
+    if bounded:
+        def _partition_topk(batches):
+            import pandas as pd
+
+            acc = None
+            for pdf in batches:
+                cand = pdf if acc is None else pd.concat(
+                    (acc, pdf), ignore_index=True
+                )
+                cand = cand.sort_values(
+                    ["band", "quality", "doc_id"],
+                    ascending=[True, False, True],
+                )
+                acc = cand.groupby("band", group_keys=False).head(k)
+            if acc is not None:
+                yield acc
+
+        banded = banded.mapInPandas(_partition_topk, schema=banded.schema)
+
     rk = F.row_number().over(
         Window.partitionBy("band").orderBy(
             F.desc("quality"), F.asc("doc_id")
