@@ -621,3 +621,165 @@ def test_stream_flags_state_ttl_evicts_window(spark, tmp_path):
     assert r["pred"] == 0
     # pre-eviction rows were emitted normally
     assert abs(rows[("a", 1)]["rolling_mean"] - 10.0) < 1e-9
+
+
+def test_streaming_topology_crash_and_resume(spark, tmp_path):
+    """Kill the whole 3-hop topology mid-stream — with the hops at
+    DIFFERENT progress points (hop 2/3 stopped first, hop 1 kept
+    processing, so the downstream checkpoints lag upstream sinks) —
+    then restart every hop from its checkpoint and feed the rest of
+    the data. The final flags sink must equal the uninterrupted batch
+    pipeline on every finalized bucket, with no duplicate rows
+    (exactly-once resume of the chained topology)."""
+    import datetime as dt
+
+    from yahoo_anomaly_detection_spark.operators.rollup import (
+        rollup_points,
+        transcripts_latency,
+    )
+    from yahoo_anomaly_detection_spark.operators.stats import rolling_stats
+    from yahoo_anomaly_detection_spark.streaming.latency_stream import (
+        TRANSCRIPTS_DDL,
+        read_transcript_stream,
+        start_points_to_parquet,
+        stream_latency,
+    )
+    from yahoo_anomaly_detection_spark.streaming.flags_stream import (
+        start_flags_to_parquet,
+        stream_rolling_flags,
+    )
+
+    def mk_turns(rows):
+        return spark.createDataFrame(
+            [
+                (c, i, "user", "t", None,
+                 dt.datetime(2024, 1, 1, 0, m, s))
+                for c, i, m, s in rows
+            ],
+            TRANSCRIPTS_DDL,
+        )
+
+    f1 = [("a", 0, 0, 10), ("a", 1, 0, 30), ("a", 2, 0, 50),
+          ("a", 3, 1, 10), ("a", 4, 1, 30), ("b", 0, 0, 5),
+          ("b", 1, 0, 35), ("b", 2, 1, 5)]
+    f2 = [("a", 5, 1, 50), ("a", 6, 3, 30), ("a", 7, 3, 50),
+          ("b", 3, 1, 35), ("b", 4, 2, 5), ("b", 5, 2, 35)]
+    flush = [("a", 8, 30, 0), ("b", 6, 30, 0)]
+    flush2 = [("a", 9, 31, 0), ("b", 7, 31, 0)]
+
+    src = str(tmp_path / "t_src")
+    pts = str(tmp_path / "points")
+    tiers = str(tmp_path / "tiers")
+    flags = str(tmp_path / "flags")
+    os.makedirs(src)
+    tier_ddl = (
+        "conv_id string, bucket_start timestamp, cnt long, vcnt long,"
+        " sum double, sum_sq double, min double, max double,"
+        " mean double, std double, turn_rate double"
+    )
+
+    def start_q1():
+        return start_points_to_parquet(
+            stream_latency(read_transcript_stream(spark, src)),
+            pts, str(tmp_path / "ck1"),
+        )
+
+    def start_q2():
+        return start_stream_to_parquet(
+            stream_rollup_1m(read_point_stream(spark, pts), "2 minutes"),
+            tiers, str(tmp_path / "ck2"),
+        )
+
+    def start_q3():
+        tier_stream = (
+            spark.readStream.schema(tier_ddl)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(tiers)
+        )
+        return start_flags_to_parquet(
+            stream_rolling_flags(tier_stream, threshold=15.0, k=3),
+            flags, str(tmp_path / "ck3"),
+        )
+
+    # ---- phase 1: process f1 through all hops, then crash the
+    # topology unevenly: downstream hops die first, hop 1 keeps
+    # running long enough to ingest f2 (its sink now LEADS the
+    # downstream checkpoints), then dies too
+    mk_turns(f1).coalesce(1).write.mode("append").parquet(src)
+    q1 = start_q1()
+    q1.processAllAvailable()
+    q2 = start_q2()
+    q2.processAllAvailable()
+    q3 = start_q3()
+    q3.processAllAvailable()
+    q3.stop()
+    q2.stop()
+    mk_turns(f2).coalesce(1).write.mode("append").parquet(src)
+    q1.processAllAvailable()
+    q1.stop()
+
+    # ---- phase 2: restart every hop from its checkpoint; feed the
+    # flush batches; run the chain to quiescence
+    q1 = start_q1()
+    q2 = start_q2()
+    q3 = start_q3()
+    try:
+        for batch in (flush, flush2):
+            q3.processAllAvailable()
+            mk_turns(batch).coalesce(1).write.mode("append").parquet(src)
+            q1.processAllAvailable()
+            q2.processAllAvailable()
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        q3.processAllAvailable()
+    finally:
+        q1.stop(); q2.stop(); q3.stop()
+
+    flag_rows = spark.read.parquet(flags).collect()
+    streamed = {
+        (r["conv_id"], r["bucket_start"]): r for r in flag_rows
+    }
+    # exactly-once: no key appears twice in any sink after the resume
+    assert len(flag_rows) == len(streamed)
+    tier_rows = spark.read.parquet(tiers).select(
+        "conv_id", "bucket_start"
+    ).collect()
+    assert len(tier_rows) == len(set(
+        (r["conv_id"], r["bucket_start"]) for r in tier_rows
+    ))
+
+    batch_tiers = rollup_points(
+        transcripts_latency(mk_turns(f1 + f2 + flush)), "1m"
+    )
+    finalized = spark.read.parquet(tiers).select(
+        "conv_id", "bucket_start"
+    )
+    expect = {
+        (r["conv_id"], r["bucket_start"]): r
+        for r in rolling_stats(
+            batch_tiers.join(finalized, ["conv_id", "bucket_start"]),
+            value_col="mean", k=3,
+        )
+        .withColumn(
+            "pred", F.when(F.col("residual") > F.lit(15.0), 1).otherwise(0)
+        )
+        .collect()
+    }
+    assert streamed.keys() == expect.keys() and len(streamed) >= 6
+    # the f2 data ingested between the downstream crash and the hop-1
+    # crash must have flowed through after resume (minute-3 stall
+    # bucket finalized end-to-end, flagged as an anomaly)
+    assert ("a", dt.datetime(2024, 1, 1, 0, 3)) in streamed
+    for key, e in expect.items():
+        s = streamed[key]
+        for col, bcol in (("mean_v", "mean"), ("rolling_mean", None),
+                          ("rolling_std", None), ("residual", None)):
+            ev = e[bcol or col]
+            if ev is None:
+                assert s[col] is None, (key, col)
+            else:
+                assert s[col] is not None and abs(s[col] - ev) < 1e-9, (
+                    key, col, s[col], ev,
+                )
+        assert s["pred"] == e["pred"], (key, s["pred"], e["pred"])
+    assert any(r["pred"] == 1 for r in streamed.values())
