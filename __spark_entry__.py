@@ -518,14 +518,17 @@ def q_session_stats(spark, sf_dir):
 
 
 def q_events_vs_trailing_p95(spark, sf_dir):
-    # as-of join (union + forward-fill window, one shuffle): each
-    # event vs its type's previous-day p95 baseline
+    # TWO-PHASE as-of join (1-day buckets): window within
+    # (event_type, day) + carry-in join over the bucket spine, so a
+    # low-cardinality key never funnels its full history into one
+    # task; same oracle as the single-phase formulation
     return sessions.events_vs_trailing_p95(_events_raw(spark, sf_dir))
 
 
 def q_value_percentiles(spark, sf_dir):
-    # exact interpolated p50/p95/p99 rollup; approx_percentile is the
-    # documented sketch path at scale
+    # exact interpolated p50/p95/p99 rollup (the oracle path);
+    # rel_error= switches to the mergeable approx_percentile sketch
+    # (map-side partials, no single-reducer group sort) at scale
     return sessions.value_percentiles(_events_raw(spark, sf_dir))
 
 
@@ -648,7 +651,8 @@ def q_stratified_sample(spark, sf_dir):
 
 def q_topk_per_band(spark, sf_dir):
     # best-per-stratum selection: top-20 docs per length band by
-    # composite quality (rank window per band)
+    # composite quality — bounded formulation (per-partition
+    # mapInPandas heaps; only k·#bands·P survivors ever shuffle)
     return textstats.topk_per_band(_docs(spark, sf_dir), k=20)
 
 
