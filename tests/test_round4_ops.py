@@ -8,8 +8,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from yahoo_anomaly_detection_spark import caching
-from yahoo_anomaly_detection_spark.operators import dedup
+from yahoo_anomaly_detection_spark.operators import dedup, similarity
 from yahoo_anomaly_detection_spark.sources.catalog import ParquetCatalog
+
+from tests.test_round3_ops import lcg_embeddings
 
 
 @pytest.fixture()
@@ -254,3 +256,51 @@ def test_value_percentiles_sketch_within_rank_error(spark):
             assert abs(sk[t][col] - q * (n - 1)) <= r * n + 1, (t, col, sk[t][col])
     with pytest.raises(ValueError, match="rel_error"):
         sessions.value_percentiles(ev, rel_error=0.9)
+
+
+# ------------------------------------- IVF Lloyd centroid training
+def test_ivf_lloyd_objective_monotone_and_normalized(spark):
+    """Each Lloyd round's mean assigned-cosine objective (recorded
+    BEFORE that round's update) must be non-decreasing — the
+    spherical-k-means convergence guarantee — and trained centroids
+    come back unit-normalized in the same sorted (cid, ce) array
+    shape as the seed quantizer."""
+    embs = lcg_embeddings(spark, 300)
+    stats = []
+    cents = similarity.ivf_train_centroids(
+        embs, centroid_mod=30, iters=4, stats=stats
+    )
+    assert len(stats) == 4
+    for a, b in zip(stats, stats[1:]):
+        assert b >= a - 1e-9, stats
+    assert stats[-1] > stats[0], stats  # it actually improved
+    arr = cents.first()["cents"]
+    assert [c["cid"] for c in arr] == sorted(c["cid"] for c in arr)
+    for c in arr:
+        nrm = sum(x * x for x in c["ce"]) ** 0.5
+        assert abs(nrm - 1.0) < 1e-9
+
+
+def test_ivf_topk_trained_full_probe_still_equals_brute_force(spark):
+    """Training moves cell boundaries but never the exact rerank:
+    with nprobe = #cells, trained-IVF top-k must equal brute force
+    exactly (the invariance that makes training safe to enable)."""
+    embs = lcg_embeddings(spark, 200)
+    n_cells = embs.where(F.col("vec_id") % 40 == 0).count()
+    bf = similarity.brute_force_topk(embs, query_mod=50, k=3)
+    ivf = similarity.ivf_topk(embs, centroid_mod=40, nprobe=n_cells,
+                              query_mod=50, k=3, train_iters=2)
+    caching.release_all()
+    assert bf.exceptAll(ivf).count() == 0
+    assert ivf.exceptAll(bf).count() == 0
+
+
+def test_ivf_train_iters_zero_is_seed_quantizer(spark):
+    embs = lcg_embeddings(spark, 100)
+    seed = similarity.ivf_centroid_array(embs, 20).first()["cents"]
+    zero = similarity.ivf_train_centroids(embs, 20, iters=0).first()["cents"]
+    assert [c["cid"] for c in seed] == [c["cid"] for c in zero]
+    for a, b in zip(seed, zero):
+        assert list(a["ce"]) == list(b["ce"])
+    with pytest.raises(ValueError, match="iters"):
+        similarity.ivf_train_centroids(embs, 20, iters=-1)
