@@ -783,3 +783,90 @@ def test_streaming_topology_crash_and_resume(spark, tmp_path):
                 )
         assert s["pred"] == e["pred"], (key, s["pred"], e["pred"])
     assert any(r["pred"] == 1 for r in streamed.values())
+
+
+def test_stream_rollup_cascade_matches_batch(spark, tmp_path):
+    """Streaming 1m → 1h recombination (stream_rollup_cascade) over
+    the 1m sink must equal batch rollup_cascade on every finalized
+    hour — the continuous-aggregate tier chain running fully in
+    streaming mode. Exactness holds because the cascade consumes only
+    FINALIZED 1m rows and sums the decomposed tier state."""
+    from yahoo_anomaly_detection_spark.streaming.rollup_stream import (
+        read_tier_stream,
+        stream_rollup_cascade,
+    )
+
+    src = str(tmp_path / "c_src")
+    t1m = str(tmp_path / "c_t1m")
+    t1h = str(tmp_path / "c_t1h")
+    os.makedirs(src)
+
+    def mk(rows):
+        # rows: (conv, hour, minute, value)
+        return spark.createDataFrame(
+            [(c, f"2024-01-01 {h:02d}:{m:02d}:00", v)
+             for c, h, m, v in rows],
+            "conv_id string, ts string, value double",
+        ).select("conv_id", F.col("ts").cast("timestamp").alias("ts"),
+                 "value")
+
+    f1 = [("a", 0, 0, 10.0), ("a", 0, 0, 14.0), ("a", 0, 30, 20.0),
+          ("b", 0, 45, 5.0)]
+    f2 = [("a", 1, 5, 30.0), ("a", 1, 35, 40.0), ("b", 1, 10, 7.0),
+          ("b", 1, 50, None)]
+    # flushes advance 1m finalization (hr 5), then the cascade's
+    # watermark (hr 6), then give the cascade the data batch that
+    # actually emits (hr 7) — no-data micro-batches are disabled
+    # session-wide (Spark 4.1 state-NPE workaround)
+    flushes = ([("a", 5, 0, 0.0)], [("a", 6, 0, 0.0)],
+               [("a", 7, 0, 0.0)])
+
+    mk(f1).coalesce(1).write.mode("append").parquet(src)
+    q1 = start_stream_to_parquet(
+        stream_rollup_1m(read_point_stream(spark, src), "10 minutes"),
+        t1m, str(tmp_path / "c_ck1"),
+    )
+    q1.processAllAvailable()
+    q2 = start_stream_to_parquet(
+        stream_rollup_cascade(read_tier_stream(spark, t1m), "1h",
+                              "2 hours"),
+        t1h, str(tmp_path / "c_ck2"),
+    )
+    try:
+        for batch in (f2,) + flushes:
+            q2.processAllAvailable()
+            mk(batch).coalesce(1).write.mode("append").parquet(src)
+            q1.processAllAvailable()
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q1.stop(); q2.stop()
+
+    got = {
+        (r["conv_id"], r["bucket_start"]): r
+        for r in spark.read.parquet(t1h).collect()
+    }
+    # hours 0 and 1 must have finalized for both convs
+    import datetime as dt
+
+    assert set(got) == {
+        ("a", dt.datetime(2024, 1, 1, 0)), ("a", dt.datetime(2024, 1, 1, 1)),
+        ("b", dt.datetime(2024, 1, 1, 0)), ("b", dt.datetime(2024, 1, 1, 1)),
+    }, set(got)
+    expect = {
+        (r["conv_id"], r["bucket_start"]): r
+        for r in rollup_cascade(spark.read.parquet(t1m), "1h").collect()
+        if r["bucket_start"].hour in (0, 1)
+    }
+    assert got.keys() == expect.keys()
+    for key, e in expect.items():
+        g = got[key]
+        for col in ("cnt", "vcnt", "sum", "sum_sq", "min", "max",
+                    "mean", "std", "turn_rate"):
+            ev, gv = e[col], g[col]
+            if ev is None:
+                assert gv is None, (key, col)
+            else:
+                assert gv is not None and abs(gv - ev) < 1e-9, (
+                    key, col, gv, ev,
+                )

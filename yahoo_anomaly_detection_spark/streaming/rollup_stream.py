@@ -77,6 +77,66 @@ def stream_rollup_1m(points: DataFrame,
     return _finish_tier(agg, "1m")
 
 
+TIER_WINDOW = {"1h": "1 hour", "1d": "1 day"}
+
+TIERS_DDL = (
+    "conv_id string, bucket_start timestamp, cnt long, vcnt long,"
+    " sum double, sum_sq double, min double, max double,"
+    " mean double, std double, turn_rate double"
+)
+
+
+def read_tier_stream(spark: SparkSession, path: str,
+                     max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a growing tier parquet directory (the
+    sink of the tier below — the streaming medallion handoff)."""
+    return (
+        spark.readStream.schema(TIERS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_rollup_cascade(tiers: DataFrame, to_tier: str,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming lower-tier → upper-tier recombination: the streaming
+    twin of ``rollup.rollup_cascade``, completing the continuous-
+    aggregate tier chain in streaming mode (1m sink → 1h stream →
+    1d stream).
+
+    Exactness: the input rows are FINALIZED lower-tier buckets (the
+    append sink only emits watermark-expired buckets), and the
+    recombination sums the decomposed (cnt, vcnt, sum, sum_sq, min,
+    max) state — so a finalized upper bucket equals the batch
+    ``rollup_cascade`` row bit-for-bit (parity-tested). The watermark
+    here rides on ``bucket_start`` of the lower tier: an upper bucket
+    finalizes once lower buckets ``watermark`` past its end have been
+    seen. State is one row per open (conv_id, upper bucket) — already
+    1/60th (or 1/1440th) of the lower tier's key space, evicted on
+    finalization, which is what lets the chain run forever."""
+    agg = (
+        tiers.withWatermark("bucket_start", watermark)
+        .groupBy(
+            "conv_id",
+            F.window("bucket_start", TIER_WINDOW[to_tier]).alias("w"),
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vcnt").alias("vcnt"),
+            F.sum("sum").alias("sum"),
+            F.sum("sum_sq").alias("sum_sq"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("bucket_start"),
+            "cnt", "vcnt", "sum", "sum_sq", "min", "max",
+        )
+    )
+    return _finish_tier(agg, to_tier)
+
+
 def start_stream_to_parquet(tiers: DataFrame, out_path: str,
                             checkpoint_path: str, trigger_secs: int = 1):
     """Append-mode parquet sink with a streaming checkpoint — finalized
