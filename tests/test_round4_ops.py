@@ -295,6 +295,42 @@ def test_ivf_topk_trained_full_probe_still_equals_brute_force(spark):
     assert ivf.exceptAll(bf).count() == 0
 
 
+def test_ivf_lloyd_empty_cell_keeps_previous_centroid(spark):
+    """A centroid that wins no vectors must carry over unchanged
+    (deterministic, no respawn jitter). Every centroid is also a
+    corpus vector (cos to itself = 1), so the only way a cell goes
+    empty is a TIE: seed centroids 0 and 200 are identical vectors,
+    the argmax's strict-> fold keeps the smaller cid, so cell 200
+    receives zero vectors — including its own — and must survive
+    training bit-identical."""
+    def unit(axis, eps_axis=None, eps=0.0):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        if eps_axis is not None:
+            v[eps_axis] = eps
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    rows = [(0, unit(0)), (100, unit(1)), (200, unit(0))]  # 200 == 0
+    for i, vid in enumerate(range(1, 31)):
+        rows.append((vid, unit(i % 2, 2 + (i % 3), 0.05 * (1 + i % 4))))
+    embs = spark.createDataFrame(
+        [(vid, [float(x) for x in v]) for vid, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    seed = {c["cid"]: list(c["ce"])
+            for c in similarity.ivf_centroid_array(embs, 100).first()["cents"]}
+    trained = {c["cid"]: list(c["ce"])
+               for c in similarity.ivf_train_centroids(
+                   embs, 100, iters=2).first()["cents"]}
+    assert set(seed) == set(trained) == {0, 100, 200}
+    # cell 200 lost the tie for every vector (incl. its own seed) —
+    # zero members, carried over exactly
+    assert trained[200] == seed[200]
+    # the populated cells DID move (training happened)
+    assert trained[0] != seed[0] and trained[100] != seed[100]
+
+
 def test_ivf_train_iters_zero_is_seed_quantizer(spark):
     embs = lcg_embeddings(spark, 100)
     seed = similarity.ivf_centroid_array(embs, 20).first()["cents"]
