@@ -870,3 +870,98 @@ def test_stream_rollup_cascade_matches_batch(spark, tmp_path):
                 assert gv is not None and abs(gv - ev) < 1e-9, (
                     key, col, gv, ev,
                 )
+
+
+def test_stream_full_tier_chain_1m_1h_1d(spark, tmp_path):
+    """Complete continuous-aggregate tier chain fully in streaming
+    mode: points → 1m (watermarked rollup) → 1h (streaming cascade)
+    → 1d (streaming cascade). The finalized daily bucket must equal
+    the batch rollup_cascade of the 1h sink — i.e. tier recombination
+    is exact through TWO chained streaming hops. Flushes are spaced
+    3 h apart so each generation advances one hop's watermark and
+    provides the next data batch (no-data micro-batches are disabled
+    session-wide)."""
+    import datetime as dt
+
+    from yahoo_anomaly_detection_spark.streaming.rollup_stream import (
+        read_tier_stream,
+        stream_rollup_cascade,
+    )
+
+    src = str(tmp_path / "d_src")
+    t1m = str(tmp_path / "d_t1m")
+    t1h = str(tmp_path / "d_t1h")
+    t1d = str(tmp_path / "d_t1d")
+    os.makedirs(src)
+
+    def mk(rows):
+        # rows: (conv, day, hour, minute, value)
+        return spark.createDataFrame(
+            [(c, f"2024-01-{d:02d} {h:02d}:{m:02d}:00", v)
+             for c, d, h, m, v in rows],
+            "conv_id string, ts string, value double",
+        ).select("conv_id", F.col("ts").cast("timestamp").alias("ts"),
+                 "value")
+
+    data = [("a", 1, 0, 0, 10.0), ("a", 1, 0, 30, 20.0),
+            ("a", 1, 1, 5, 30.0), ("b", 1, 0, 45, 5.0),
+            ("b", 1, 2, 10, 7.0)]
+    flushes = [[("a", d, h, 0, 0.0)]
+               for d, h in ((1, 5), (1, 8), (1, 11), (1, 14),
+                            (2, 6), (2, 9), (2, 12), (2, 15),
+                            (2, 18), (2, 21))]
+
+    mk(data).coalesce(1).write.mode("append").parquet(src)
+    q1 = start_stream_to_parquet(
+        stream_rollup_1m(read_point_stream(spark, src), "10 minutes"),
+        t1m, str(tmp_path / "d_ck1"),
+    )
+    q1.processAllAvailable()
+    q2 = start_stream_to_parquet(
+        stream_rollup_cascade(read_tier_stream(spark, t1m), "1h",
+                              "2 hours"),
+        t1h, str(tmp_path / "d_ck2"),
+    )
+    q2.processAllAvailable()
+    q3 = start_stream_to_parquet(
+        stream_rollup_cascade(read_tier_stream(spark, t1h), "1d",
+                              "2 hours"),
+        t1d, str(tmp_path / "d_ck3"),
+    )
+    try:
+        for batch in flushes:
+            q3.processAllAvailable()
+            mk(batch).coalesce(1).write.mode("append").parquet(src)
+            q1.processAllAvailable()
+            q2.processAllAvailable()
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        q3.processAllAvailable()
+    finally:
+        q1.stop(); q2.stop(); q3.stop()
+
+    got = {
+        (r["conv_id"], r["bucket_start"]): r
+        for r in spark.read.parquet(t1d).collect()
+    }
+    jan1 = dt.datetime(2024, 1, 1)
+    assert ("a", jan1) in got and ("b", jan1) in got, set(got)
+    expect = {
+        (r["conv_id"], r["bucket_start"]): r
+        for r in rollup_cascade(spark.read.parquet(t1h), "1d").collect()
+        if r["bucket_start"] == jan1
+    }
+    for key, e in expect.items():
+        g = got[key]
+        for col in ("cnt", "vcnt", "sum", "sum_sq", "min", "max",
+                    "mean", "std", "turn_rate"):
+            assert abs(g[col] - e[col]) < 1e-9, (key, col, g[col], e[col])
+    # the day bucket aggregates BOTH real hours and the day-1 flushes
+    # that finalized into the 1h sink — cross-check conv a's count
+    # against the 1h sink directly
+    n_1h = spark.read.parquet(t1h).where(
+        (F.col("conv_id") == "a")
+        & (F.col("bucket_start") >= "2024-01-01")
+        & (F.col("bucket_start") < "2024-01-02")
+    ).agg(F.sum("cnt")).first()[0]
+    assert got[("a", jan1)]["cnt"] == n_1h

@@ -898,7 +898,8 @@ def dup_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 def canonical_corpus(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                      max_iter: int = 20,
-                     pairs: DataFrame | None = None) -> DataFrame:
+                     pairs: DataFrame | None = None,
+                     reliable: bool = False) -> DataFrame:
     """Deduplicated corpus: every cluster keeps only its canonical
     (minimum-id) member; docs in no cluster survive untouched. This is
     the operator a training-data pipeline actually runs — pairs and
@@ -907,7 +908,8 @@ def canonical_corpus(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     Scale shape: the loser set is (cluster members − canonicals),
     vastly smaller than the corpus; the left_anti join shuffles by
     doc_id (or broadcasts when the loser set fits)."""
-    cc = dup_clusters(docs, n, threshold, max_iter, pairs=pairs)
+    cc = dup_clusters(docs, n, threshold, max_iter, pairs=pairs,
+                      reliable=reliable)
     losers = cc.where(F.col("doc_id") != F.col("cluster")).select("doc_id")
     return (
         with_dup_chains(docs)
