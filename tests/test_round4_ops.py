@@ -340,3 +340,52 @@ def test_ivf_train_iters_zero_is_seed_quantizer(spark):
         assert list(a["ce"]) == list(b["ce"])
     with pytest.raises(ValueError, match="iters"):
         similarity.ivf_train_centroids(embs, 20, iters=-1)
+
+
+# ------------------------------------------- curation job (e2e)
+def test_curation_job_end_to_end_and_resume(spark, tmp_path, capsys):
+    """jobs/curation_job.py: full curation DAG through the catalog
+    with per-stage checkpoints — curated ids must equal the operator
+    composition exactly, and a re-run with the same run-id skips
+    every stage (resume) while reading back identical results."""
+    from jobs import curation_job
+    from yahoo_anomaly_detection_spark.operators import textstats
+    from yahoo_anomaly_detection_spark.sources.catalog import (
+        ParquetCatalog as PC,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    wh = str(tmp_path / "cur_wh")
+    argv = ["--input", src, "--catalog-root", wh, "--run-id", "r1"]
+    m1 = curation_job.main(argv)
+    assert m1["skipped_units"] == 0
+    cat = PC(wh)
+    curated = sorted(
+        r["doc_id"] for r in cat.read(spark, "curated_ids").collect()
+    )
+    docs = spark.read.parquet(src)
+    quality = textstats.quality_filter(
+        docs, min_quality=0.4, min_stop_ratio=0.01, langs=("en",)
+    ).select("doc_id")
+    canon = dedup.canonical_corpus(docs, n=3, threshold=0.5)
+    sample = textstats.stratified_sample(
+        docs, rates=(0.25, 0.5, 1.0), salt="s0"
+    ).select("doc_id")
+    expect = sorted(
+        r["doc_id"]
+        for r in quality.join(canon, "doc_id", "left_semi")
+        .join(sample, "doc_id", "left_semi")
+        .collect()
+    )
+    caching.release_all()
+    caching.release_orphan_rdds(spark)
+    assert curated == expect and len(curated) > 0
+    # digest table carries the text-equality invariant for every doc
+    assert m1["stages"]["doc_digest_rows"] == docs.count()
+    # resume: same run-id skips all five stages, same curated set
+    m2 = curation_job.main(argv)
+    assert m2["skipped_units"] == 5
+    curated2 = sorted(
+        r["doc_id"] for r in cat.read(spark, "curated_ids").collect()
+    )
+    assert curated2 == curated
