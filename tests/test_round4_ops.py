@@ -389,3 +389,51 @@ def test_curation_job_end_to_end_and_resume(spark, tmp_path, capsys):
         r["doc_id"] for r in cat.read(spark, "curated_ids").collect()
     )
     assert curated2 == curated
+
+
+def test_asof_two_phase_randomized_equivalence(spark):
+    """Seeded random scenarios: two-phase must equal single-phase on
+    corners the hand-built fixture can't enumerate — several right
+    rows inside one bucket, right rows after the last left row, keys
+    with only left (or only right) rows, bucket-boundary timestamps,
+    and non-day bucket spans."""
+    import random
+
+    from yahoo_anomaly_detection_spark.operators.sessions import asof_join
+
+    t0 = 1704067200
+    for seed in range(6):
+        rng = random.Random(seed)
+        span = rng.choice([3600, 7200, 86400])
+        keys = ["k%d" % i for i in range(rng.randint(1, 4))]
+        left = []
+        for i in range(rng.randint(5, 40)):
+            k = rng.choice(keys + ["left_only"])
+            # include exact bucket-boundary hits
+            sec = t0 + rng.randrange(0, 6 * 86400, rng.choice([1, span]))
+            left.append((i, k, sec, float(i)))
+        right, seen = [], set()
+        for j in range(rng.randint(0, 25)):
+            k = rng.choice(keys + ["right_only"])
+            sec = t0 + rng.randrange(0, 8 * 86400, rng.choice([1, span]))
+            # (key, eff) kept unique: two right rows at the SAME
+            # instant have no defined as-of winner, and the two
+            # paths break that tie differently by design
+            if (k, sec) in seen:
+                continue
+            seen.add((k, sec))
+            right.append((k, sec, float(100 + j)))
+        ldf = spark.createDataFrame(
+            left, "event_id long, key string, sec long, v double"
+        ).select("event_id", "key",
+                 F.timestamp_seconds("sec").alias("ts"), "v")
+        rdf = spark.createDataFrame(
+            right or [("_", t0 - 10**6, 0.0)],
+            "key string, sec long, base double",
+        ).select("key", F.timestamp_seconds("sec").alias("eff"), "base")
+        kw = dict(key="key", left_ts="ts", right_ts="eff",
+                  value_cols=("base",))
+        one = asof_join(ldf, rdf, **kw)
+        two = asof_join(ldf, rdf, bucket_seconds=span, **kw)
+        assert one.exceptAll(two).count() == 0, seed
+        assert two.exceptAll(one).count() == 0, seed
