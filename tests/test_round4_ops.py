@@ -113,12 +113,20 @@ def test_cc_reliable_checkpoint(spark, tmp_path):
     reads the checkpointed RDD, not the round-k join tree."""
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
     edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
-    cc = dedup.connected_components(_pairs_df(spark, edges), reliable=True)
+    stats = {}
+    cc = dedup.connected_components(_pairs_df(spark, edges),
+                                    reliable=True, stats=stats)
     got = {r["doc_id"]: r["cluster"] for r in cc.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
     # reliable checkpoint files were actually written
     ckpt_files = list((tmp_path / "ckpt").rglob("part-*"))
     assert ckpt_files, "no reliable checkpoint files on disk"
+    # superseded round files were pruned as the loop advanced: only
+    # the final round's rdd-* dir survives, not one per round
+    rdd_dirs = [d for d in (tmp_path / "ckpt").rglob("rdd-*")
+                if d.is_dir()]
+    assert stats["rounds"] >= 3
+    assert len(rdd_dirs) == 1, rdd_dirs
     # lineage truncation: the final plan is a scan of the checkpointed
     # RDD — the iterative join/aggregate subtree is gone
     plan = cc._jdf.queryExecution().optimizedPlan().toString()

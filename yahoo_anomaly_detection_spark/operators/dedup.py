@@ -746,6 +746,38 @@ def _unpersist_rdd_ids(spark, ids: set[int]) -> None:
             t._2().unpersist(False)
 
 
+def _ckpt_rdd_dirs(spark) -> set[str]:
+    """URIs of every ``rdd-*`` directory under the session's reliable
+    checkpoint dir, via the Hadoop FileSystem API (works for local
+    paths AND hdfs://-style cluster stores)."""
+    sc = spark.sparkContext
+    opt = sc._jsc.sc().getCheckpointDir()
+    if opt.isEmpty():
+        return set()
+    jvm = sc._jvm
+    root = jvm.org.apache.hadoop.fs.Path(opt.get())
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    out: set[str] = set()
+    if not fs.exists(root):
+        return out
+    for st in fs.listStatus(root):
+        p = st.getPath()
+        if p.getName().startswith("rdd-"):
+            out.add(p.toString())
+    return out
+
+
+def _delete_ckpt_dirs(spark, dirs: set[str]) -> None:
+    if not dirs:
+        return
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    for d in dirs:
+        p = jvm.org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, True)
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b",
                          max_iter: int = 20,
@@ -787,8 +819,10 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     checkpoint dir (``spark.sparkContext.setCheckpointDir``) — each
     round's state is committed to the shared store and the loop
     survives executor loss, the right mode for long CC runs on a real
-    cluster (round files persist until session end unless
-    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on)."""
+    cluster. Superseded round files are deleted from the checkpoint
+    store as the loop advances (Hadoop FS API, so local and hdfs://
+    stores both prune) — only the final round's files outlive the
+    call."""
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     spark = pairs.sparkSession
@@ -809,14 +843,16 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         )
     )
     ids_before = _persistent_rdd_ids(spark)
+    dirs_before = _ckpt_rdd_dirs(spark) if reliable else set()
     labels = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node")),
         eager=True,
     )
-    # blocks backing the CURRENT `labels` state (round 0 = the seed)
+    # blocks/files backing the CURRENT `labels` state (round 0 = seed)
     live_ids = _persistent_rdd_ids(spark) - ids_before
+    live_dirs = (_ckpt_rdd_dirs(spark) - dirs_before) if reliable else set()
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -842,6 +878,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         # (id snapshot taken BEFORE the call: localCheckpoint marks
         # its RDD persistent immediately, not at materialization)
         ids_before = _persistent_rdd_ids(spark)
+        dirs_before = _ckpt_rdd_dirs(spark) if reliable else set()
         new = _ckpt(new, eager=False)
         changed = (
             new.alias("n")
@@ -850,11 +887,16 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
             .count()
         )
         # the count materialized `new`'s checkpoint; the previous
-        # round's blocks are now unreachable from any live plan —
-        # release them so repeated CC calls don't accumulate storage
+        # round's blocks AND reliable round files are now unreachable
+        # from any live plan — release/delete them so repeated or
+        # long CC runs don't accumulate storage
         new_ids = _persistent_rdd_ids(spark) - ids_before
         _unpersist_rdd_ids(spark, live_ids)
         live_ids = new_ids
+        if reliable:
+            new_dirs = _ckpt_rdd_dirs(spark) - dirs_before
+            _delete_ckpt_dirs(spark, live_dirs)
+            live_dirs = new_dirs
         labels = new
         if changed == 0:
             break
