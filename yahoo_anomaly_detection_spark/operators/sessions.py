@@ -204,7 +204,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
        partitioning) and coalesce(in-bucket fill, carry-in).
 
     Same contract, same results (oracle-verified), one extra
-    bucket-sized shuffle. The two-phase path assumes right-side
+    bucket-sized shuffle. The bucket spine is derived by two extra
+    column-pruned scans of the inputs (key + ts only — parquet reads
+    two columns); deriving it from the phase-1 window output would
+    save those scans but force materializing the full corpus between
+    phases, a worse trade at every scale. The two-phase path assumes
+    right-side
     ``value_cols`` are non-NULL (true for aggregate baselines like
     percentile rollups): the carry-in carries the last right ROW of
     an earlier bucket, while in-bucket fill is per-column
