@@ -113,7 +113,20 @@ def stream_rollup_cascade(tiers: DataFrame, to_tier: str,
     finalizes once lower buckets ``watermark`` past its end have been
     seen. State is one row per open (conv_id, upper bucket) — already
     1/60th (or 1/1440th) of the lower tier's key space, evicted on
-    finalization, which is what lets the chain run forever."""
+    finalization, which is what lets the chain run forever.
+
+    Sizing the cushion: the lower hop emits ALL buckets older than
+    its new watermark in one commit, so one upstream commit can span
+    a wide bucket_start range. If the file source then splits that
+    commit across micro-batches (``maxFilesPerTrigger``) and happens
+    to read the newest file first, this hop's watermark can jump past
+    still-unread old buckets and drop them as late. Choose
+    ``watermark`` LARGER than the biggest event-time jump between
+    consecutive upstream commits (for steady ingestion that is the
+    trigger interval — minutes; the 2h default is conservative), or
+    set ``max_files_per_trigger`` high enough that one upstream
+    commit lands in one batch. A queue source (Kafka) with
+    per-partition ordering does not have the file-reorder hazard."""
     agg = (
         tiers.withWatermark("bucket_start", watermark)
         .groupBy(
