@@ -101,6 +101,11 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "30000"))
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    # if EVERY planned repeat lands in a degraded-memory window
+    # (canary > 5 s; healthy < 0.5 s), run up to this many extra
+    # interleaved repeats hoping to catch a healthy window — the
+    # best-of-R minimum then measures the engine, not the host
+    extra_max = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "1")))
 
     import __spark_entry__ as entry
     from yahoo_anomaly_detection_spark.session import get_spark
@@ -134,7 +139,11 @@ def main() -> None:
         n_turns = tr.count()
         rollup_stats["n_turns"] = n_turns
 
-        for _ in range(repeats):
+        done = 0
+        while done < repeats or (
+            done < repeats + extra_max and min(canary) > 5.0
+        ):
+            done += 1
             canary.append(_canary())
 
             for name in HEADLINE:
@@ -190,6 +199,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "repeats": repeats,
+        "repeats_run": len(canary),
         "canary_sec": canary,
         "rollup": rollup_stats,
     }
