@@ -174,7 +174,18 @@ class ParquetCatalog:
             snap = next(s for s in snaps if s.snapshot_id == snapshot_id)
         if not snap.paths:
             return spark.createDataFrame([], schema="dummy string").limit(0)
-        return spark.read.option("mergeSchema", "false").parquet(*snap.paths)
+        # One scan per commit dir, unioned by name: a multi-path
+        # spark.read.parquet() refuses partitionBy'd commit dirs
+        # ("multiple root directories") because hive-style partition
+        # discovery needs a single root per scan. Found by the catalog
+        # contract suite; Catalyst still prunes columns/filters into
+        # every branch of the union.
+        dfs = [spark.read.option("mergeSchema", "false").parquet(p)
+               for p in snap.paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))
