@@ -180,6 +180,14 @@ class ParquetCatalog:
         # discovery needs a single root per scan. Found by the catalog
         # contract suite; Catalyst still prunes columns/filters into
         # every branch of the union.
+        #
+        # Trade: the plan grows O(#append commits since last rewrite),
+        # so a long-lived high-frequency append table wants periodic
+        # compaction (overwrite_table with the current view collapses
+        # paths back to one dir — exactly what the retention/TTL jobs
+        # already do). Iceberg does this in metadata (one manifest
+        # list per snapshot, planned in a single scan node), which is
+        # one of the reasons the real deployment uses sources/iceberg.py.
         dfs = [spark.read.option("mergeSchema", "false").parquet(p)
                for p in snap.paths]
         out = dfs[0]
