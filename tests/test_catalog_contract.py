@@ -22,7 +22,8 @@ from yahoo_anomaly_detection_spark.sources.iceberg import (
 )
 
 CONTRACT_METHODS = ["append", "overwrite_table", "delete_where", "read",
-                    "snapshots", "current_snapshot_id", "exists"]
+                    "snapshots", "current_snapshot_id", "exists",
+                    "expire_snapshots", "compact"]
 
 
 def test_adapter_interface_matches_shim():
@@ -95,6 +96,60 @@ def test_contract_delete_retains_null_predicate_rows(spark, catalog):
     catalog.delete_where(spark, "t4", "v > 5.0")
     got = sorted(r.id for r in catalog.read(spark, "t4").collect())
     assert got == [1, 2, 4]  # 3 deleted; NULL-v rows 2 and 4 retained
+
+
+def test_contract_expire_snapshots(spark, catalog):
+    """expire keeps the newest N snapshots, GCs dead storage, and
+    time travel to an expired id fails loudly (Iceberg maintenance
+    semantics)."""
+    for i in range(3):
+        catalog.append(_df(spark, [(i, f"d{i}", float(i))]), "t6",
+                       partition_by=["day"])
+    old_sid = catalog.snapshots("t6")[0].snapshot_id
+    catalog.expire_snapshots("t6", keep_last=1)
+    got = sorted(r.id for r in catalog.read(spark, "t6").collect())
+    assert got == [0, 1, 2]  # current view untouched
+    assert len(catalog.snapshots("t6")) == 1
+    with pytest.raises(Exception):
+        catalog.read(spark, "t6", snapshot_id=old_sid).collect()
+    with pytest.raises(ValueError):
+        catalog.expire_snapshots("t6", keep_last=0)
+
+
+def test_expire_snapshots_gcs_dead_dirs(spark, tmp_path):
+    """Shim-specific physical check: unreferenced snap= dirs are
+    removed from disk, referenced ones survive."""
+    import os
+    cat = ParquetCatalog(str(tmp_path / "wh"))
+    for i in range(3):
+        cat.append(_df(spark, [(i, f"d{i}", float(i))]), "t")
+    tdir = tmp_path / "wh" / "t"
+    assert sum(1 for n in os.listdir(tdir) if n.startswith("snap=")) == 3
+    out = cat.expire_snapshots("t", keep_last=1)
+    assert out["expired_snapshots"] == 2
+    assert out["removed_dirs"] == 0  # last append references all 3 dirs
+    # compact first, then expire: now only the compacted dir is live
+    cat.compact(spark, "t")
+    out = cat.expire_snapshots("t", keep_last=1)
+    assert out["removed_dirs"] == 3
+    assert sum(1 for n in os.listdir(tdir) if n.startswith("snap=")) == 1
+    assert cat.read(spark, "t").count() == 3
+
+
+def test_contract_compact_collapses_commits(spark, catalog):
+    """compact rewrites the current view into one commit; reads are
+    value-identical and (shim) the snapshot's path list collapses."""
+    for i in range(4):
+        catalog.append(_df(spark, [(i, f"d{i % 2}", float(i))]), "t7",
+                       partition_by=["day"])
+    before = sorted((r.id, r.day, r.v)
+                    for r in catalog.read(spark, "t7").collect())
+    catalog.compact(spark, "t7", partition_by=["day"])
+    after = sorted((r.id, r.day, r.v)
+                   for r in catalog.read(spark, "t7").collect())
+    assert after == before
+    if isinstance(catalog, ParquetCatalog):
+        assert len(catalog.snapshots("t7")[-1].paths) == 1
 
 
 def test_contract_snapshot_log_grows(spark, catalog):

@@ -12,6 +12,7 @@ from yahoo_anomaly_detection_spark.operators.checkpoint import (
 from yahoo_anomaly_detection_spark.operators.retention import (
     cutoff_for,
     evict_tier,
+    vacuum_tier,
     verify_evicted,
     verify_survivors,
 )
@@ -52,6 +53,30 @@ def test_ttl_eviction_and_verification(spark, catalog):
     assert verify_evicted(after, cutoff) == 0
     assert verify_survivors(before, after, cutoff) == 0
     assert after.count() == 2  # cutoff 2025-01-14: only day 20 survives (2 rows)
+
+
+def test_vacuum_reclaims_evicted_storage(spark, catalog, tmp_path):
+    """evict + vacuum: dead pre-eviction dirs are physically removed,
+    the live view is untouched, and the read plan collapses to one
+    commit dir."""
+    import os
+
+    for days in ([1, 5], [10], [20]):
+        catalog.append(_tier_df(spark, days), "tier_1m")
+    now = datetime(2025, 1, 21)
+    retention = {"1m": 7 * 86400}
+    evict_tier(catalog, spark, "tier_1m", "1m", now, retention)
+    tdir = tmp_path / "warehouse" / "tier_1m"
+    n_dirs_before = sum(
+        1 for n in os.listdir(tdir) if n.startswith("snap="))
+    assert n_dirs_before >= 4  # 3 appends + eviction rewrite
+    out = vacuum_tier(catalog, spark, "tier_1m", keep_last=1)
+    assert out["removed_dirs"] >= 3
+    assert len(catalog.snapshots("tier_1m")) == 1
+    assert len(catalog.snapshots("tier_1m")[-1].paths) == 1  # compacted
+    after = catalog.read(spark, "tier_1m")
+    assert verify_evicted(after, cutoff_for("1m", now, retention)) == 0
+    assert after.count() == 2  # day-20 rows survive
 
 
 def test_checkpoint_resume_skips_done_units(spark, catalog):

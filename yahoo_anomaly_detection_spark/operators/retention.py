@@ -39,6 +39,25 @@ def evict_tier(catalog: ParquetCatalog, spark: SparkSession, table: str,
     )
 
 
+def vacuum_tier(catalog: ParquetCatalog, spark: SparkSession, table: str,
+                keep_last: int = 1, compact: bool = True,
+                partition_by: list[str] | None = None) -> dict:
+    """Reclaim the storage TTL eviction only logically releases.
+
+    ``delete_where`` commits a new snapshot but every pre-eviction
+    data dir stays on disk for time travel — run forever and dead
+    storage grows without bound. This is the standard Iceberg
+    maintenance pairing: optionally ``compact`` the live view into a
+    single rewrite (collapsing the O(#commits) read plan), then
+    ``expire_snapshots(keep_last=)`` to GC unreferenced dirs. Call it
+    on the TTL job's cadence, after :func:`evict_tier` +
+    :func:`verify_survivors` have proven the new snapshot correct —
+    expiry is the point of no return for rollback."""
+    if compact:
+        catalog.compact(spark, table, partition_by=partition_by)
+    return catalog.expire_snapshots(table, keep_last=keep_last)
+
+
 def verify_evicted(tier_df: DataFrame, cutoff: datetime) -> int:
     """Rows violating retention (must be 0 after eviction)."""
     return tier_df.where(

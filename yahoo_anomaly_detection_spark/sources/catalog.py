@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -162,6 +163,53 @@ class ParquetCatalog:
                       "pruned_dirs": len(untouched)}),
         )
 
+    # ---------- maintenance ----------
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
+        """Retire all but the newest ``keep_last`` snapshots and delete
+        the data dirs no retained snapshot references (Iceberg's
+        ``expire_snapshots`` maintenance procedure).
+
+        Without this, every append/delete commit dir lives forever —
+        at 100 TB with high-frequency appends that is a multiple of
+        the live data in dead storage. Time travel to an expired id
+        raises afterwards (as in Iceberg). The manifest rewrite is
+        atomic (same tmp+rename as ``_commit``); dir removal happens
+        only after the new manifest is in place, so a crash mid-GC
+        leaves orphan dirs, never a manifest referencing deleted data.
+        """
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {table!r}")
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        if expired:
+            tmp = self._manifest_path(table) + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump([s.__dict__ for s in kept], f, indent=1)
+            os.replace(tmp, self._manifest_path(table))
+        live = {os.path.abspath(p) for s in kept for p in s.paths}
+        tdir = os.path.join(self.root, table)
+        removed = 0
+        for name in os.listdir(tdir):
+            full = os.path.abspath(os.path.join(tdir, name))
+            if name.startswith("snap=") and full not in live:
+                shutil.rmtree(full)
+                removed += 1
+        return {"expired_snapshots": len(expired), "removed_dirs": removed,
+                "retained_snapshots": len(kept)}
+
+    def compact(self, spark: SparkSession, table: str,
+                partition_by: list[str] | None = None) -> str:
+        """Rewrite the current view into a single data dir (Iceberg's
+        ``rewrite_data_files``): collapses the O(#commits) union that
+        ``read`` otherwise plans over a long append history back to
+        one scan node. Commits a normal overwrite snapshot, so time
+        travel to pre-compaction snapshots keeps working until
+        ``expire_snapshots`` retires them."""
+        return self.overwrite_table(self.read(spark, table), table,
+                                    partition_by=partition_by)
+
     # ---------- reads ----------
     def read(self, spark: SparkSession, table: str,
              snapshot_id: str | None = None) -> DataFrame:
@@ -171,7 +219,14 @@ class ParquetCatalog:
         if snapshot_id is None:
             snap = snaps[-1]
         else:
-            snap = next(s for s in snaps if s.snapshot_id == snapshot_id)
+            try:
+                snap = next(s for s in snaps
+                            if s.snapshot_id == snapshot_id)
+            except StopIteration:
+                raise ValueError(
+                    f"snapshot {snapshot_id!r} not found for table "
+                    f"{table!r} (expired or never existed)"
+                ) from None
         if not snap.paths:
             return spark.createDataFrame([], schema="dummy string").limit(0)
         # One scan per commit dir, unioned by name: a multi-path

@@ -167,6 +167,46 @@ class IcebergCatalog:
         spark.sql(f"DELETE FROM {self._fqn(table)} WHERE {predicate}")
         return self.current_snapshot_id(table)
 
+    # ---------- maintenance ----------
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
+        """Iceberg's ``expire_snapshots`` maintenance procedure.
+
+        ``older_than`` is pinned to *now* so exactly the newest
+        ``keep_last`` snapshots survive regardless of age — the shim's
+        semantics (the procedure's default ``older_than`` of 5 days ago
+        would silently retain every recent snapshot).
+        """
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        if not self.exists(table):
+            raise FileNotFoundError(f"no snapshots for table {table!r}")
+        now = self.spark.sql(
+            "SELECT CAST(current_timestamp() AS STRING) AS t"
+        ).collect()[0].t
+        row = self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots("
+            f"table => '{self.namespace}.{table}', "
+            f"older_than => TIMESTAMP '{now}', "
+            f"retain_last => {keep_last})"
+        ).collect()[0].asDict()
+        return {"expired_snapshots": None,  # not reported by the proc
+                "removed_dirs": row.get("deleted_data_files_count"),
+                "retained_snapshots": keep_last,
+                **row}
+
+    def compact(self, spark: SparkSession, table: str,
+                partition_by: list[str] | None = None) -> str:
+        """Iceberg's ``rewrite_data_files`` (bin-packing compaction).
+        ``partition_by`` is accepted for signature parity; Iceberg
+        rewrites within the table's own partition spec."""
+        if not self.exists(table):
+            raise FileNotFoundError(f"no snapshots for table {table!r}")
+        spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{self.namespace}.{table}')"
+        ).collect()
+        return self.current_snapshot_id(table)
+
     # ---------- reads ----------
     def read(self, spark: SparkSession, table: str,
              snapshot_id: str | None = None) -> DataFrame:
