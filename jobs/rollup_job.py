@@ -2,13 +2,16 @@
 
     spark-submit --py-files yads.zip jobs/rollup_job.py \
         --input /path/transcripts_parquet --catalog-root /path/warehouse \
-        [--run-id RUN] [--tiers 1m,1h,1d] [--evict-now '2025-03-01 00:00:00']
+        [--run-id RUN] [--tiers 1m,1h,1d] [--evict-now '2025-03-01 00:00:00'] \
+        [--vacuum-keep-last 1]
 
 Pipeline (north rule): bronze ingest (salt + day partition column) →
 per-turn latency series (lag over stable turn order) → 1m tier →
 1h/1d by exact recombination → tier tables committed through the
 Iceberg-style catalog with per-stage checkpoints, per-partition
-lineage rows and rollup-count metrics → optional TTL eviction.
+lineage rows and rollup-count metrics → optional TTL eviction →
+optional vacuum (compact + expire_snapshots: reclaims the storage
+eviction only logically releases).
 Re-running the same --run-id skips completed stages (resume).
 
 Prints ONE JSON line of metrics to stdout (parsed by the bench
@@ -84,6 +87,12 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--tiers", default="1m,1h,1d")
     ap.add_argument("--evict-now", default=None,
                     help="watermark timestamp enabling TTL eviction")
+    ap.add_argument("--vacuum-keep-last", type=int, default=None,
+                    help="after eviction, compact each tier and expire all "
+                         "but the newest N snapshots (physical storage GC; "
+                         "irreversible — time travel to expired snapshots "
+                         "ends, so run it only on a cadence where the new "
+                         "snapshot has been verified)")
     ap.add_argument("--sink", default="parquet", choices=["parquet", "noop"],
                     help="noop = compute-only (scaling measurement)")
     ap.add_argument("--full", action="store_true",
@@ -249,6 +258,16 @@ def main(argv: list[str] | None = None) -> dict:
             snap = retention.evict_tier(catalog, spark, f"tier_{tier}",
                                         tier, now)
             metrics["stages"][f"evict_{tier}_snapshot"] = snap
+
+    if args.vacuum_keep_last:
+        for tier in tiers:
+            out = retention.vacuum_tier(
+                catalog, spark, f"tier_{tier}",
+                keep_last=args.vacuum_keep_last,
+            )
+            metrics["stages"][f"vacuum_{tier}_removed_dirs"] = (
+                out["removed_dirs"]
+            )
 
     metrics["wall_sec"] = round(time.time() - t_all, 2)
     metrics["turns_per_sec"] = round(n_turns / metrics["wall_sec"], 1)

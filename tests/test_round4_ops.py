@@ -445,3 +445,38 @@ def test_asof_two_phase_randomized_equivalence(spark):
         two = asof_join(ldf, rdf, bucket_seconds=span, **kw)
         assert one.exceptAll(two).count() == 0, seed
         assert two.exceptAll(one).count() == 0, seed
+
+
+def test_rollup_job_vacuum_stage(spark, tmp_path):
+    """jobs/rollup_job.py --vacuum-keep-last: after two runs each tier
+    table carries two overwrite snapshots; vacuum compacts the live
+    view and physically removes every superseded commit dir while the
+    tier contents survive byte-for-row."""
+    import os
+
+    from jobs import rollup_job
+    from yahoo_anomaly_detection_spark.sources.catalog import (
+        ParquetCatalog as PC,
+    )
+    from yahoo_anomaly_detection_spark.synthgen import gen_transcripts
+
+    src = str(tmp_path / "transcripts")
+    gen_transcripts(spark, n_convs=20, partitions=4).write.parquet(src)
+    wh = str(tmp_path / "wh")
+    base = ["--input", src, "--catalog-root", wh, "--tiers", "1m,1h"]
+    rollup_job.main(base + ["--run-id", "v1"])
+    m2 = rollup_job.main(
+        base + ["--run-id", "v2", "--vacuum-keep-last", "1"]
+    )
+    for tier in ("1m", "1h"):
+        # run-1 dir + run-2 pre-compaction dir both GC'd
+        assert m2["stages"][f"vacuum_{tier}_removed_dirs"] == 2
+        cat = PC(wh)
+        snaps = cat.snapshots(f"tier_{tier}")
+        assert len(snaps) == 1 and len(snaps[-1].paths) == 1
+        n_dirs = sum(
+            1 for n in os.listdir(os.path.join(wh, f"tier_{tier}"))
+            if n.startswith("snap="))
+        assert n_dirs == 1
+        assert (cat.read(spark, f"tier_{tier}").count()
+                == m2["stages"][f"tier_{tier}_rows"] > 0)
