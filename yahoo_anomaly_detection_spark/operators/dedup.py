@@ -790,7 +790,14 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     Iterative min-label propagation: each round every node takes the
     minimum of its own label and its neighbors' labels (one equality
     join on ``src`` + one map-side-combined min per node), until a
-    fixpoint. Rounds needed = graph diameter — near-dup components
+    fixpoint. The convergence count rides the same aggregated
+    relation — each node's previous label is carried through the
+    union as an ``own`` column (self-row only, min-ignores-null), so
+    detecting "did any label change" is a filter over the round's
+    checkpointed output, NOT a second old⋈new join: per round the
+    full label relation is shuffled exactly twice (message join +
+    min agg), not three times. Rounds needed = graph diameter —
+    near-dup components
     are tiny cliques/chains (copies of one source doc), so this
     converges in 1-3 rounds; for adversarial long-chain graphs pass
     ``shortcut=True``: each round then also applies pointer doubling
@@ -854,15 +861,24 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     live_ids = _persistent_rdd_ids(spark) - ids_before
     live_dirs = (_ckpt_rdd_dirs(spark) - dirs_before) if reliable else set()
     rounds = 0
+    lab_t = dict(labels.dtypes)["lab"]
     for _ in range(max_iter):
         rounds += 1
         msgs = edges.join(
             labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "lab")
+        ).select(
+            F.col("dst").alias("node"), "lab",
+            F.lit(None).cast(lab_t).alias("own"),
+        )
+        # the self-row carries the node's pre-round label in `own`;
+        # min() ignores the msgs' nulls, and every node has exactly
+        # one self-row, so post-agg `own` IS the previous label —
+        # the convergence count below needs no old⋈new join
         new = (
-            labels.unionByName(msgs)
+            labels.select("node", "lab", F.col("lab").alias("own"))
+            .unionByName(msgs)
             .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
+            .agg(F.min("lab").alias("lab"), F.min("own").alias("own"))
         )
         if shortcut:
             # pointer doubling: every label is itself a node, so its
@@ -871,7 +887,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                 F.col("node").alias("lab"), F.col("lab").alias("lab2")
             )
             new = new.join(l2, "lab").select(
-                "node", F.least("lab", "lab2").alias("lab")
+                "node", F.least("lab", "lab2").alias("lab"), "own"
             )
         # lazy checkpoint: the convergence count below is the single
         # action that materializes it — one job per round, not two.
@@ -880,12 +896,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         ids_before = _persistent_rdd_ids(spark)
         dirs_before = _ckpt_rdd_dirs(spark) if reliable else set()
         new = _ckpt(new, eager=False)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
+        changed = new.where(F.col("lab") != F.col("own")).count()
         # the count materialized `new`'s checkpoint; the previous
         # round's blocks AND reliable round files are now unreachable
         # from any live plan — release/delete them so repeated or
@@ -897,7 +908,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
             new_dirs = _ckpt_rdd_dirs(spark) - dirs_before
             _delete_ckpt_dirs(spark, live_dirs)
             live_dirs = new_dirs
-        labels = new
+        labels = new.select("node", "lab")
         if changed == 0:
             break
     else:
