@@ -67,14 +67,31 @@ def main(argv: list[str] | None = None) -> dict:
     run = CheckpointedRun(catalog, spark, args.run_id)
     langs = tuple(args.langs.split(","))
     rates = tuple(float(r) for r in args.rates.split(","))
+    cc_ckpt_dir = None
     if args.reliable_cc:
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(args.catalog_root, "_cc_checkpoints")
+        # run-scoped scratch: the CC loop prunes superseded round
+        # files itself, and the whole dir is deleted once the run's
+        # stages have committed through the catalog (the checkpointed
+        # RDDs back no surviving lineage after that) — repeated runs
+        # must not accumulate checkpoint files in the warehouse
+        import uuid
+
+        cc_ckpt_dir = os.path.join(
+            args.catalog_root, "_cc_checkpoints",
+            f"{args.run_id}_{uuid.uuid4().hex[:8]}",
         )
+        spark.sparkContext.setCheckpointDir(cc_ckpt_dir)
 
     metrics: dict = {"run_id": args.run_id, "stages": {}}
     t_all = time.time()
     docs = spark.read.parquet(args.input)
+
+    def stage_read(name):
+        """This run's committed output — pinned to the snapshot the
+        run recorded, NOT the table's latest (another run-id sharing
+        the warehouse may have overwritten it under different
+        parameters; an expired pin raises loudly)."""
+        return catalog.read(spark, name, run.output_snapshot(name))
 
     def stage(name, build):
         t0 = time.time()
@@ -85,13 +102,11 @@ def main(argv: list[str] | None = None) -> dict:
             out = catalog.read(spark, name, snap)
             metrics["stages"][f"{name}_rows"] = out.count()
             caching.release_all()
-            return out
+            return out, snap
 
         executed = run.unit(name, "all", unit)
         if not executed:
-            metrics["stages"][f"{name}_rows"] = catalog.read(
-                spark, name
-            ).count()
+            metrics["stages"][f"{name}_rows"] = stage_read(name).count()
         metrics["stages"][name] = round(time.time() - t0, 2)
 
     # the per-row text-equality invariant column (BASELINE input_hint)
@@ -110,11 +125,16 @@ def main(argv: list[str] | None = None) -> dict:
           lambda: textstats.stratified_sample(
               docs, rates=rates, salt=args.salt))
     stage("curated_ids",
-          lambda: catalog.read(spark, "quality_ids").select("doc_id")
-          .join(catalog.read(spark, "canonical_ids").select("doc_id"),
+          lambda: stage_read("quality_ids").select("doc_id")
+          .join(stage_read("canonical_ids").select("doc_id"),
                 "doc_id", "left_semi")
-          .join(catalog.read(spark, "sample_ids").select("doc_id"),
+          .join(stage_read("sample_ids").select("doc_id"),
                 "doc_id", "left_semi"))
+
+    if cc_ckpt_dir is not None:
+        import shutil
+
+        shutil.rmtree(cc_ckpt_dir, ignore_errors=True)
 
     metrics["wall_sec"] = round(time.time() - t_all, 2)
     metrics["skipped_units"] = len(run.skipped)

@@ -9,10 +9,14 @@ Pipeline (north rule): bronze ingest (salt + day partition column) →
 per-turn latency series (lag over stable turn order) → 1m tier →
 1h/1d by exact recombination → tier tables committed through the
 Iceberg-style catalog with per-stage checkpoints, per-partition
-lineage rows and rollup-count metrics → optional TTL eviction →
-optional vacuum (compact + expire_snapshots: reclaims the storage
-eviction only logically releases).
-Re-running the same --run-id skips completed stages (resume).
+lineage rows and rollup-count metrics → optional TTL eviction
+(verified: zero TTL violators AND zero lost survivors before
+anything irreversible) → optional vacuum (compact + expire_snapshots
+over the tiers, the --full stat tables and the checkpoint/lineage
+tables: reclaims the storage eviction only logically releases).
+Re-running the same --run-id skips completed stages (resume), and
+resumed stages read the snapshots THIS run committed (time travel) —
+never another run's overwrites of the same tables.
 
 Prints ONE JSON line of metrics to stdout (parsed by the bench
 harness): rows per tier, turns processed, wall seconds per stage.
@@ -88,11 +92,11 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--evict-now", default=None,
                     help="watermark timestamp enabling TTL eviction")
     ap.add_argument("--vacuum-keep-last", type=int, default=None,
-                    help="after eviction, compact each tier and expire all "
-                         "but the newest N snapshots (physical storage GC; "
+                    help="compact each job table and expire all but the "
+                         "newest N snapshots (physical storage GC; "
                          "irreversible — time travel to expired snapshots "
-                         "ends, so run it only on a cadence where the new "
-                         "snapshot has been verified)")
+                         "ends; gated on eviction verification and a "
+                         "row-count-preserving compaction)")
     ap.add_argument("--sink", default="parquet", choices=["parquet", "noop"],
                     help="noop = compute-only (scaling measurement)")
     ap.add_argument("--full", action="store_true",
@@ -195,7 +199,7 @@ def main(argv: list[str] | None = None) -> dict:
                              lambda df, name: df.write.format("noop")
                              .mode("overwrite").save())
             metrics["n_turns"] = int(
-                first_tier.agg(F.sum("cnt")).collect()[0][0]
+                first_tier.agg(F.sum("cnt")).collect()[0][0] or 0
             )
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
@@ -223,28 +227,29 @@ def main(argv: list[str] | None = None) -> dict:
             out = catalog.read(spark, f"tier_{tier}", snap)
             prev_tier = out
             metrics["stages"][f"tier_{tier}_rows"] = out.count()
-            return out
+            return out, snap
 
         executed = run.unit(f"rollup_{tier}", "all", build,
                             input_snapshot=input_snap)
+        input_snap = run.output_snapshot(f"rollup_{tier}")
         if not executed:
-            prev_tier = catalog.read(spark, f"tier_{tier}")
+            # resume isolation: read THIS run's committed snapshot —
+            # another run-id sharing the warehouse may have
+            # overwritten the latest view from a different --input
+            prev_tier = catalog.read(spark, f"tier_{tier}", input_snap)
+            metrics["stages"][f"tier_{tier}_rows"] = prev_tier.count()
         metrics["stages"][f"tier_{tier}"] = round(time.time() - t0, 2)
-        input_snap = catalog.current_snapshot_id(f"tier_{tier}")
 
     # n_turns from the 1m tier (sum of per-bucket counts) — avoids a
     # second full scan of the raw table just for the metric
     from pyspark.sql import functions as F
 
-    n_turns = (
-        catalog.read(spark, f"tier_{tiers[0]}")
-        .agg(F.sum("cnt"))
-        .collect()[0][0]
-    )
+    t1m_df = catalog.read(spark, f"tier_{tiers[0]}",
+                          run.output_snapshot(f"rollup_{tiers[0]}"))
+    n_turns = t1m_df.agg(F.sum("cnt")).collect()[0][0] or 0
     metrics["n_turns"] = int(n_turns)
 
     if args.full:
-        t1m_df = catalog.read(spark, f"tier_{tiers[0]}")
         _full_stages(
             spark, points, t1m_df, metrics,
             lambda df, name: catalog.overwrite_table(df, name),
@@ -255,17 +260,45 @@ def main(argv: list[str] | None = None) -> dict:
 
         now = datetime.fromisoformat(args.evict_now)
         for tier in tiers:
-            snap = retention.evict_tier(catalog, spark, f"tier_{tier}",
-                                        tier, now)
+            table = f"tier_{tier}"
+            pre_snap = catalog.current_snapshot_id(table)
+            before = catalog.read(spark, table, pre_snap)
+            snap = retention.evict_tier(catalog, spark, table, tier, now)
+            after = catalog.read(spark, table, snap)
+            cutoff = retention.cutoff_for(tier, now)
+            # both invariants must hold BEFORE any irreversible vacuum:
+            # nothing past the TTL survived, and nothing inside the
+            # TTL was lost (rollback via time travel is still possible
+            # here; after expire_snapshots it is not)
+            bad = retention.verify_evicted(after, cutoff)
+            lost = retention.verify_survivors(before, after, cutoff)
+            if bad or lost:
+                raise RuntimeError(
+                    f"eviction verification failed for {table}: "
+                    f"{bad} rows past the TTL survived, {lost} live "
+                    f"rows lost — pre-eviction snapshot {pre_snap} is "
+                    "still time-travelable; NOT vacuuming"
+                )
             metrics["stages"][f"evict_{tier}_snapshot"] = snap
 
-    if args.vacuum_keep_last:
-        for tier in tiers:
+    if args.vacuum_keep_last is not None:
+        # GC every table this job grows, not just the tiers: the
+        # --full stat outputs accumulate one overwrite dir per run and
+        # _checkpoints/_lineage one append commit per unit (the shim
+        # plans O(#commits) scans over those) — compaction preserves
+        # their rows, so resume keeps working
+        tables = [f"tier_{t}" for t in tiers]
+        if args.full:
+            tables += ["stats_flags_1m", "ewma_1m", "encoded_1h"]
+        tables += ["_checkpoints", "_lineage"]
+        for table in tables:
+            if not catalog.exists(table):
+                continue
             out = retention.vacuum_tier(
-                catalog, spark, f"tier_{tier}",
+                catalog, spark, table,
                 keep_last=args.vacuum_keep_last,
             )
-            metrics["stages"][f"vacuum_{tier}_removed_dirs"] = (
+            metrics["stages"][f"vacuum_{table}_removed_dirs"] = (
                 out["removed_dirs"]
             )
 

@@ -23,7 +23,7 @@ from yahoo_anomaly_detection_spark.sources.iceberg import (
 
 CONTRACT_METHODS = ["append", "overwrite_table", "delete_where", "read",
                     "snapshots", "current_snapshot_id", "exists",
-                    "expire_snapshots", "compact"]
+                    "expire_snapshots", "compact", "remove_orphan_files"]
 
 
 def test_adapter_interface_matches_shim():

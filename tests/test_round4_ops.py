@@ -470,7 +470,7 @@ def test_rollup_job_vacuum_stage(spark, tmp_path):
     )
     for tier in ("1m", "1h"):
         # run-1 dir + run-2 pre-compaction dir both GC'd
-        assert m2["stages"][f"vacuum_{tier}_removed_dirs"] == 2
+        assert m2["stages"][f"vacuum_tier_{tier}_removed_dirs"] == 2
         cat = PC(wh)
         snaps = cat.snapshots(f"tier_{tier}")
         assert len(snaps) == 1 and len(snaps[-1].paths) == 1

@@ -12,6 +12,15 @@ skips completed units (longest-prefix skip generalized to any-prefix,
 since units are independent). Each completed unit also appends
 lineage rows: input snapshot id, bucket range, row counts — the
 north rule's "per-partition lineage rows and rollup-count metrics".
+
+Run isolation: a unit's ``fn`` may return ``(df, output_snapshot)``
+to record the catalog snapshot id its output committed as. On resume,
+:meth:`CheckpointedRun.output_snapshot` returns that id so the job
+reads ITS OWN committed state via time travel — not "whatever is
+latest", which a different run-id sharing the warehouse may have
+overwritten with outputs built under different parameters. If the
+pinned snapshot has since been expired by maintenance, the catalog
+read raises loudly instead of silently mixing runs.
 """
 
 from __future__ import annotations
@@ -28,18 +37,25 @@ LINEAGE_TABLE = "_lineage"
 
 
 def completed_units(catalog: ParquetCatalog, spark: SparkSession,
-                    run_id: str) -> set[tuple[str, str]]:
+                    run_id: str) -> dict[tuple[str, str], str | None]:
+    """{(stage, partition_key): output_snapshot} for the run's done
+    units. ``output_snapshot`` is None for units that did not record
+    one (including rows written before the column existed — the shim
+    read null-fills missing columns, Iceberg-style schema evolution).
+    """
     if not catalog.exists(CHECKPOINT_TABLE):
-        return set()
+        return {}
+    df = catalog.read(spark, CHECKPOINT_TABLE)
+    if "output_snapshot" not in df.columns:
+        df = df.withColumn("output_snapshot", F.lit(None).cast("string"))
     rows = (
-        catalog.read(spark, CHECKPOINT_TABLE)
-        .where(F.col("run_id") == run_id)
+        df.where(F.col("run_id") == run_id)
         .where(F.col("status") == "done")
-        .select("stage", "partition_key")
-        .distinct()
+        .select("stage", "partition_key", "output_snapshot")
         .collect()
     )
-    return {(r["stage"], r["partition_key"]) for r in rows}
+    return {(r["stage"], r["partition_key"]): r["output_snapshot"]
+            for r in rows}
 
 
 def lineage_rows(df: DataFrame, stage: str, run_id: str,
@@ -68,28 +84,41 @@ class CheckpointedRun:
         self.executed: list[tuple[str, str]] = []
         self.skipped: list[tuple[str, str]] = []
 
+    def output_snapshot(self, stage: str,
+                        partition_key: str = "all") -> str | None:
+        """Snapshot id the unit's output committed as (this run),
+        whether executed now or in a previous session."""
+        return self._done.get((stage, partition_key))
+
     def unit(self, stage: str, partition_key: str,
-             fn: Callable[[], DataFrame | None],
+             fn: Callable[[], DataFrame | None | tuple],
              input_snapshot: str | None = None) -> bool:
         """Run one work unit unless already checkpointed.
 
         ``fn`` performs the work and may return the output DataFrame
-        for lineage accounting. Returns True if executed."""
+        for lineage accounting, or ``(df, output_snapshot_id)`` to
+        additionally pin the committed snapshot for resume isolation.
+        Returns True if executed."""
         if (stage, partition_key) in self._done:
             self.skipped.append((stage, partition_key))
             return False
         out = fn()
+        out_snap: str | None = None
+        if isinstance(out, tuple):
+            out, out_snap = out
         if out is not None and "bucket_start" in out.columns:
             self.catalog.append(
                 lineage_rows(out, stage, self.run_id, input_snapshot),
                 LINEAGE_TABLE,
             )
         mark = self.spark.createDataFrame(
-            [(self.run_id, stage, partition_key, "done", input_snapshot)],
+            [(self.run_id, stage, partition_key, "done", input_snapshot,
+              out_snap)],
             schema="run_id string, stage string, partition_key string, "
-                   "status string, input_snapshot string",
+                   "status string, input_snapshot string, "
+                   "output_snapshot string",
         )
         self.catalog.append(mark, CHECKPOINT_TABLE)
-        self._done.add((stage, partition_key))
+        self._done[(stage, partition_key)] = out_snap
         self.executed.append((stage, partition_key))
         return True

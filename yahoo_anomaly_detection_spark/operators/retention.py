@@ -41,7 +41,8 @@ def evict_tier(catalog: ParquetCatalog, spark: SparkSession, table: str,
 
 def vacuum_tier(catalog: ParquetCatalog, spark: SparkSession, table: str,
                 keep_last: int = 1, compact: bool = True,
-                partition_by: list[str] | None = None) -> dict:
+                partition_by: list[str] | None = None,
+                verify: bool = True) -> dict:
     """Reclaim the storage TTL eviction only logically releases.
 
     ``delete_where`` commits a new snapshot but every pre-eviction
@@ -52,9 +53,26 @@ def vacuum_tier(catalog: ParquetCatalog, spark: SparkSession, table: str,
     ``expire_snapshots(keep_last=)`` to GC unreferenced dirs. Call it
     on the TTL job's cadence, after :func:`evict_tier` +
     :func:`verify_survivors` have proven the new snapshot correct —
-    expiry is the point of no return for rollback."""
+    expiry is the point of no return for rollback.
+
+    ``verify`` (default on): compaction must preserve the live view
+    exactly — the row count is checked across the rewrite and a
+    mismatch raises BEFORE any snapshot is expired, while every
+    pre-compaction snapshot is still time-travelable. ``partition_by``
+    is rarely needed: the catalog's sticky partition spec already
+    carries the tier's layout through the rewrite."""
     if compact:
-        catalog.compact(spark, table, partition_by=partition_by)
+        n_before = catalog.read(spark, table).count() if verify else None
+        snap = catalog.compact(spark, table, partition_by=partition_by)
+        if verify:
+            n_after = catalog.read(spark, table, snap).count()
+            if n_after != n_before:
+                raise RuntimeError(
+                    f"compaction of {table!r} changed the row count "
+                    f"({n_before} -> {n_after}); snapshot {snap} is "
+                    "suspect and nothing was expired — pre-compaction "
+                    "snapshots remain time-travelable"
+                )
     return catalog.expire_snapshots(table, keep_last=keep_last)
 
 

@@ -12,12 +12,35 @@ Layout on disk::
 
     <root>/<table>/
         _snapshots.json          # ordered commit log
+        _manifest.lock           # exclusive commit mutex (transient)
         snap=<id>/...parquet     # data files of snapshot <id>
 
 Each snapshot is a FULL logical view assembled from parent snapshot
 data minus replaced/deleted partitions plus new files — implemented
 here by listing parquet paths per snapshot in the manifest (classic
 Iceberg manifest-list behavior, simplified).
+
+Concurrency model (mirrors Iceberg's optimistic commits): data files
+are written OUTSIDE any lock (long Spark jobs never serialize); the
+manifest read-modify-write is atomic under a per-table lock file.
+Appends and full overwrites rebase onto whatever parent is current at
+commit time (Iceberg fast-append semantics). ``delete_where`` is a
+copy-on-write operation whose probe/rewrite depend on the snapshot it
+read — if another commit lands in between it raises
+:class:`CommitConflictError` instead of silently dropping that
+commit's rows (Iceberg's serializable-isolation validation; the
+caller retries). ``expire_snapshots`` deletes ONLY data dirs that the
+expired snapshots referenced and no retained snapshot still does —
+never "any dir not in the manifest", because a concurrent append
+writes its data dir before taking the commit lock. Dirs orphaned by
+crashed writers are reclaimed by :meth:`remove_orphan_files` (age-
+guarded, exactly like Iceberg's ``remove_orphan_files`` procedure).
+
+The table partition spec is sticky, as in Iceberg: a write that
+passes ``partition_by`` sets it; later writes/rewrites that don't
+pass one inherit the current spec from the snapshot summary, so
+compaction and TTL rewrites keep the hive layout that partition
+pruning relies on.
 """
 
 from __future__ import annotations
@@ -27,17 +50,25 @@ import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+_LOCK_TIMEOUT_S = 60.0
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent commit invalidated this copy-on-write operation
+    (Iceberg validation failure) — re-read and retry."""
 
 
 @dataclass
 class Snapshot:
     snapshot_id: str
     parent_id: str | None
-    operation: str  # append | overwrite_partitions | delete_where
+    operation: str  # append | overwrite | delete_where
     paths: list[str] = field(default_factory=list)  # parquet dirs composing the view
     summary: dict = field(default_factory=dict)
 
@@ -62,46 +93,110 @@ class ParquetCatalog:
         snaps = self.snapshots(table)
         return snaps[-1].snapshot_id if snaps else None
 
-    def _commit(self, table: str, snap: Snapshot) -> str:
-        snaps = self.snapshots(table)
-        snaps.append(snap)
+    @contextmanager
+    def _lock(self, table: str):
+        """Per-table exclusive commit mutex: O_CREAT|O_EXCL lock file
+        (atomic on POSIX local FS and NFS; a distributed deployment
+        swaps this for the real Iceberg catalog's atomic swap). A
+        crashed holder surfaces as a loud TimeoutError, never a silent
+        lost update."""
         os.makedirs(os.path.join(self.root, table), exist_ok=True)
+        lock = os.path.join(self.root, table, "_manifest.lock")
+        deadline = time.time() + _LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"manifest lock {lock!r} held for > "
+                        f"{_LOCK_TIMEOUT_S}s (crashed writer? delete the "
+                        "lock file after verifying no live commit)"
+                    ) from None
+                time.sleep(0.05)
+        try:
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.close(fd)
+            yield
+        finally:
+            os.unlink(lock)
+
+    def _write_manifest(self, table: str, snaps: list[Snapshot]) -> None:
         tmp = self._manifest_path(table) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump([s.__dict__ for s in snaps], f, indent=1)
         os.replace(tmp, self._manifest_path(table))  # atomic commit
-        return snap.snapshot_id
+
+    def _commit(self, table: str,
+                make_snap: Callable[[list[Snapshot]], Snapshot]) -> str:
+        """Atomic manifest commit: under the table lock, re-read the
+        CURRENT snapshot list and let ``make_snap`` build the new
+        snapshot against it (rebase) or raise CommitConflictError
+        (validate). One manifest parse per commit."""
+        with self._lock(table):
+            snaps = self.snapshots(table)
+            snap = make_snap(snaps)
+            self._write_manifest(table, snaps + [snap])
+            return snap.snapshot_id
+
+    @staticmethod
+    def _new_snap_id() -> str:
+        return f"{int(time.time() * 1e6)}_{uuid.uuid4().hex[:8]}"
 
     def _new_data_dir(self, table: str, snap_id: str) -> str:
         return os.path.join(self.root, table, f"snap={snap_id}")
 
+    def _current_spec(self, table: str) -> list[str] | None:
+        """The table's sticky partition spec (latest snapshot summary)."""
+        snaps = self.snapshots(table)
+        return snaps[-1].summary.get("partition_by") if snaps else None
+
+    def _effective_spec(self, table: str,
+                        partition_by: list[str] | None) -> list[str] | None:
+        # Iceberg semantics: an explicit partition_by (re)sets the
+        # table spec; None follows the current spec — so TTL rewrites
+        # and compaction never silently flatten a partitioned table.
+        return partition_by if partition_by is not None \
+            else self._current_spec(table)
+
     # ---------- writes ----------
-    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
-        snap_id = f"{int(time.time() * 1e6)}_{uuid.uuid4().hex[:8]}"
-        data_dir = self._new_data_dir(table, snap_id)
+    def _write_data(self, df: DataFrame, data_dir: str,
+                    partition_by: list[str] | None) -> None:
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
-        parent = self.current_snapshot_id(table)
-        parent_paths = self.snapshots(table)[-1].paths if parent else []
-        return self._commit(
-            table,
-            Snapshot(snap_id, parent, "append", parent_paths + [data_dir],
-                     {"added_path": data_dir}),
-        )
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
+        snap_id = self._new_snap_id()
+        data_dir = self._new_data_dir(table, snap_id)
+        pb = self._effective_spec(table, partition_by)
+        self._write_data(df, data_dir, pb)
+
+        def make(snaps: list[Snapshot]) -> Snapshot:
+            # rebase: parent/paths come from the manifest AS OF commit
+            # time, not the possibly-stale pre-write read
+            parent = snaps[-1].snapshot_id if snaps else None
+            parent_paths = snaps[-1].paths if snaps else []
+            return Snapshot(snap_id, parent, "append",
+                            parent_paths + [data_dir],
+                            {"added_path": data_dir, "partition_by": pb})
+
+        return self._commit(table, make)
 
     def overwrite_table(self, df: DataFrame, table: str,
                         partition_by: list[str] | None = None) -> str:
-        snap_id = f"{int(time.time() * 1e6)}_{uuid.uuid4().hex[:8]}"
+        snap_id = self._new_snap_id()
         data_dir = self._new_data_dir(table, snap_id)
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(data_dir)
-        parent = self.current_snapshot_id(table)
+        pb = self._effective_spec(table, partition_by)
+        self._write_data(df, data_dir, pb)
         return self._commit(
-            table, Snapshot(snap_id, parent, "overwrite", [data_dir], {})
+            table,
+            lambda snaps: Snapshot(
+                snap_id, snaps[-1].snapshot_id if snaps else None,
+                "overwrite", [data_dir], {"partition_by": pb},
+            ),
         )
 
     def delete_where(self, spark: SparkSession, table: str, predicate: str,
@@ -125,11 +220,20 @@ class ParquetCatalog:
         drop NULL rows from rewritten dirs while the probe (which
         detects TRUE matches only) left them alive in untouched dirs,
         making survival depend on physical dir layout.
+
+        Copy-on-write validation: the probe and rewrite are computed
+        against the snapshot current at entry; if another commit lands
+        before this one, :class:`CommitConflictError` is raised (the
+        rewrite would silently drop the concurrent commit's rows
+        otherwise). Callers retry — Iceberg serializable isolation.
         """
         snaps = self.snapshots(table)
         if not snaps:
             raise FileNotFoundError(f"no snapshots for table {table!r}")
-        cur_paths = snaps[-1].paths
+        base = snaps[-1]
+        cur_paths = base.paths
+        pb = partition_by if partition_by is not None \
+            else base.summary.get("partition_by")
         untouched, affected = [], []
         for p in cur_paths:
             d = spark.read.parquet(p)
@@ -137,74 +241,110 @@ class ParquetCatalog:
                 untouched.append(p)
             else:
                 affected.append(p)
-        parent = snaps[-1].snapshot_id
-        snap_id = f"{int(time.time() * 1e6)}_{uuid.uuid4().hex[:8]}"
+        snap_id = self._new_snap_id()
+
+        def make(op_paths: list[str], summary: dict):
+            def _make(cur: list[Snapshot]) -> Snapshot:
+                if not cur or cur[-1].snapshot_id != base.snapshot_id:
+                    raise CommitConflictError(
+                        f"table {table!r} advanced past "
+                        f"{base.snapshot_id!r} during delete_where — "
+                        "re-run the delete against the new snapshot"
+                    )
+                return Snapshot(snap_id, base.snapshot_id, "delete_where",
+                                op_paths, summary)
+            return _make
+
         if not affected:  # metadata-only no-op commit
-            return self._commit(
-                table,
-                Snapshot(snap_id, parent, "delete_where", list(cur_paths),
-                         {"predicate": predicate, "rewritten_dirs": 0,
-                          "pruned_dirs": len(untouched)}),
-            )
+            return self._commit(table, make(
+                list(cur_paths),
+                {"predicate": predicate, "rewritten_dirs": 0,
+                 "pruned_dirs": len(untouched), "partition_by": pb},
+            ))
         data_dir = self._new_data_dir(table, snap_id)
         kept = spark.read.parquet(*affected).where(
             f"({predicate}) IS NOT TRUE"
         )
-        w = kept.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(data_dir)
-        return self._commit(
-            table,
-            Snapshot(snap_id, parent, "delete_where",
-                     untouched + [data_dir],
-                     {"predicate": predicate,
-                      "rewritten_dirs": len(affected),
-                      "pruned_dirs": len(untouched)}),
-        )
+        self._write_data(kept, data_dir, pb)
+        return self._commit(table, make(
+            untouched + [data_dir],
+            {"predicate": predicate, "rewritten_dirs": len(affected),
+             "pruned_dirs": len(untouched), "partition_by": pb},
+        ))
 
     # ---------- maintenance ----------
     def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
         """Retire all but the newest ``keep_last`` snapshots and delete
-        the data dirs no retained snapshot references (Iceberg's
-        ``expire_snapshots`` maintenance procedure).
+        the data dirs they referenced that no retained snapshot still
+        does (Iceberg's ``expire_snapshots`` maintenance procedure).
 
         Without this, every append/delete commit dir lives forever —
         at 100 TB with high-frequency appends that is a multiple of
         the live data in dead storage. Time travel to an expired id
-        raises afterwards (as in Iceberg). The manifest rewrite is
-        atomic (same tmp+rename as ``_commit``); dir removal happens
-        only after the new manifest is in place, so a crash mid-GC
-        leaves orphan dirs, never a manifest referencing deleted data.
+        raises afterwards (as in Iceberg). The manifest rewrite runs
+        under the commit lock, so a commit landing concurrently is
+        never erased; deletion targets are ONLY dirs the expired
+        snapshots referenced (a concurrent writer's data dir exists on
+        disk before its commit — sweeping "unreferenced" dirs would
+        destroy it; those are :meth:`remove_orphan_files`'s job, with
+        an age guard). Dir removal happens after the new manifest is
+        in place, so a crash mid-GC leaves orphan dirs, never a
+        manifest referencing deleted data.
         """
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-        snaps = self.snapshots(table)
-        if not snaps:
-            raise FileNotFoundError(f"no snapshots for table {table!r}")
-        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
-        if expired:
-            tmp = self._manifest_path(table) + f".tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump([s.__dict__ for s in kept], f, indent=1)
-            os.replace(tmp, self._manifest_path(table))
-        live = {os.path.abspath(p) for s in kept for p in s.paths}
-        tdir = os.path.join(self.root, table)
+        with self._lock(table):
+            snaps = self.snapshots(table)
+            if not snaps:
+                raise FileNotFoundError(f"no snapshots for table {table!r}")
+            kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+            if expired:
+                self._write_manifest(table, kept)
+            live = {os.path.abspath(p) for s in kept for p in s.paths}
+            dead = {os.path.abspath(p) for s in expired
+                    for p in s.paths} - live
         removed = 0
-        for name in os.listdir(tdir):
-            full = os.path.abspath(os.path.join(tdir, name))
-            if name.startswith("snap=") and full not in live:
+        for full in dead:
+            if os.path.exists(full):
                 shutil.rmtree(full)
                 removed += 1
         return {"expired_snapshots": len(expired), "removed_dirs": removed,
                 "retained_snapshots": len(kept)}
+
+    def remove_orphan_files(self, table: str,
+                            older_than_s: float = 3 * 86400) -> dict:
+        """Delete ``snap=`` dirs no snapshot references (Iceberg's
+        ``remove_orphan_files``): leftovers of crashed writers and of
+        GC interrupted between manifest rewrite and dir removal.
+
+        The age guard is load-bearing, exactly as in Iceberg: an
+        in-flight writer's data dir exists on disk BEFORE its manifest
+        commit, so only dirs older than ``older_than_s`` (default 3
+        days — Iceberg's own default) are eligible. The referenced-set
+        snapshot is taken under the commit lock."""
+        with self._lock(table):
+            snaps = self.snapshots(table)
+            referenced = {os.path.abspath(p) for s in snaps for p in s.paths}
+            tdir = os.path.join(self.root, table)
+            cutoff = time.time() - older_than_s
+            orphans = []
+            for name in os.listdir(tdir):
+                full = os.path.abspath(os.path.join(tdir, name))
+                if (name.startswith("snap=") and full not in referenced
+                        and os.path.getmtime(full) < cutoff):
+                    orphans.append(full)
+        for full in orphans:
+            shutil.rmtree(full, ignore_errors=True)
+        return {"removed_dirs": len(orphans)}
 
     def compact(self, spark: SparkSession, table: str,
                 partition_by: list[str] | None = None) -> str:
         """Rewrite the current view into a single data dir (Iceberg's
         ``rewrite_data_files``): collapses the O(#commits) union that
         ``read`` otherwise plans over a long append history back to
-        one scan node. Commits a normal overwrite snapshot, so time
+        one scan node. Commits a normal overwrite snapshot — the
+        table's sticky partition spec is inherited unless overridden,
+        so compaction never flattens a partitioned table — and time
         travel to pre-compaction snapshots keeps working until
         ``expire_snapshots`` retires them."""
         return self.overwrite_table(self.read(spark, table), table,
@@ -234,7 +374,9 @@ class ParquetCatalog:
         # ("multiple root directories") because hive-style partition
         # discovery needs a single root per scan. Found by the catalog
         # contract suite; Catalyst still prunes columns/filters into
-        # every branch of the union.
+        # every branch of the union. allowMissingColumns mirrors
+        # Iceberg schema evolution: columns added by later commits
+        # read as NULL from older data dirs.
         #
         # Trade: the plan grows O(#append commits since last rewrite),
         # so a long-lived high-frequency append table wants periodic
@@ -247,7 +389,7 @@ class ParquetCatalog:
                for p in snap.paths]
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     def exists(self, table: str) -> bool:

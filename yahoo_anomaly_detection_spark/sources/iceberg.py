@@ -194,6 +194,21 @@ class IcebergCatalog:
                 "retained_snapshots": keep_last,
                 **row}
 
+    def remove_orphan_files(self, table: str,
+                            older_than_s: float = 3 * 86400) -> dict:
+        """Iceberg's ``remove_orphan_files`` procedure. The age guard
+        (default 3 days, Iceberg's own) protects in-flight writers
+        whose data files exist before their commit."""
+        if not self.exists(table):
+            raise FileNotFoundError(f"no snapshots for table {table!r}")
+        rows = self.spark.sql(
+            f"CALL {self.catalog}.system.remove_orphan_files("
+            f"table => '{self.namespace}.{table}', "
+            f"older_than => current_timestamp() - "
+            f"INTERVAL {int(older_than_s)} SECONDS)"
+        ).collect()
+        return {"removed_dirs": len(rows)}
+
     def compact(self, spark: SparkSession, table: str,
                 partition_by: list[str] | None = None) -> str:
         """Iceberg's ``rewrite_data_files`` (bin-packing compaction).
