@@ -211,6 +211,8 @@ def main(argv: list[str] | None = None) -> dict:
         print(json.dumps(metrics))
         return metrics
 
+    from pyspark.sql import functions as F
+
     input_snap = None
     prev_tier = None
     for tier in tiers:
@@ -223,7 +225,13 @@ def main(argv: list[str] | None = None) -> dict:
                 if prev_tier is None
                 else rollup_cascade(prev_tier, tier)
             )
-            snap = catalog.overwrite_table(df, f"tier_{tier}")
+            # tier tables are hive-partitioned by day: TTL eviction
+            # prunes whole partitions (metadata-only on Iceberg; dir
+            # probes short-circuit on the shim), and the catalog's
+            # sticky spec carries the layout through rewrites/compaction
+            df = df.withColumn("day", F.to_date("bucket_start"))
+            snap = catalog.overwrite_table(df, f"tier_{tier}",
+                                           partition_by=["day"])
             out = catalog.read(spark, f"tier_{tier}", snap)
             prev_tier = out
             metrics["stages"][f"tier_{tier}_rows"] = out.count()
@@ -242,8 +250,6 @@ def main(argv: list[str] | None = None) -> dict:
 
     # n_turns from the 1m tier (sum of per-bucket counts) — avoids a
     # second full scan of the raw table just for the metric
-    from pyspark.sql import functions as F
-
     t1m_df = catalog.read(spark, f"tier_{tiers[0]}",
                           run.output_snapshot(f"rollup_{tiers[0]}"))
     n_turns = t1m_df.agg(F.sum("cnt")).collect()[0][0] or 0
@@ -263,7 +269,8 @@ def main(argv: list[str] | None = None) -> dict:
             table = f"tier_{tier}"
             pre_snap = catalog.current_snapshot_id(table)
             before = catalog.read(spark, table, pre_snap)
-            snap = retention.evict_tier(catalog, spark, table, tier, now)
+            snap = retention.evict_tier(catalog, spark, table, tier, now,
+                                        partition_col="day")
             after = catalog.read(spark, table, snap)
             cutoff = retention.cutoff_for(tier, now)
             # both invariants must hold BEFORE any irreversible vacuum:

@@ -132,8 +132,9 @@ def test_partition_spec_sticky_through_rewrites(spark, cat):
 def test_read_schema_evolution_null_fills(spark, cat):
     """Columns added by later commits read as NULL from older dirs
     (Iceberg schema evolution), so e.g. the checkpoint table can gain
-    columns without stranding old warehouses."""
-    cat.append(_df(spark, [(1, "d1", 1.0)]), "t")
+    columns without stranding old warehouses — and time travel reads
+    each snapshot under ITS OWN recorded schema."""
+    s1 = cat.append(_df(spark, [(1, "d1", 1.0)]), "t")
     cat.append(
         spark.createDataFrame([(2, "d2", 2.0, "x")],
                               "id int, day string, v double, extra string"),
@@ -141,6 +142,31 @@ def test_read_schema_evolution_null_fills(spark, cat):
     )
     got = {r.id: r.extra for r in cat.read(spark, "t").collect()}
     assert got == {1: None, 2: "x"}
+    assert "extra" not in cat.read(spark, "t", s1).columns
+
+
+def test_empty_partitioned_commit_readable(spark, cat):
+    """Schema lives in snapshot metadata (Iceberg-style): a zero-row
+    commit to a hive-partitioned table — which writes NO parquet
+    footers at all — stays readable with the full schema, for time
+    travel and later appends alike."""
+    empty = spark.createDataFrame(
+        [], "conv_id string, bucket_start timestamp, cnt long, day date")
+    s1 = cat.overwrite_table(empty, "t", partition_by=["day"])
+    got = cat.read(spark, "t", s1)
+    assert got.count() == 0
+    assert got.columns == ["conv_id", "bucket_start", "cnt", "day"]
+    # the sticky spec + metadata schema survive a follow-up append
+    from datetime import date, datetime
+    cat.append(
+        spark.createDataFrame(
+            [("c1", datetime(2025, 1, 1, 0, 0), 3, date(2025, 1, 1))],
+            "conv_id string, bucket_start timestamp, cnt long, day date"),
+        "t",
+    )
+    assert cat.read(spark, "t").count() == 1
+    assert _hive_dirs(cat.snapshots("t")[-1].summary["added_path"]) \
+        == ["day=2025-01-01"]
 
 
 def test_vacuum_verify_aborts_before_expiry(spark, cat, monkeypatch):
@@ -191,6 +217,37 @@ def test_checkpoint_output_snapshot_pinning(spark, cat):
     run3 = CheckpointedRun(cat, spark, "rB")
     assert run3.output_snapshot("s1") is None
     assert not run3.unit("s1", "all", work)  # still counts as done
+
+
+def test_stream_window_stats_numerically_stable():
+    """The streaming rolling-stats kernel must match per-window
+    np.mean/np.std (population) even for large-magnitude values with
+    tiny spread — the raw E[x²]−mean² formulation loses every
+    significant digit there, while the batch operator it claims
+    parity with (F.stddev_pop) is centrally stable."""
+    import numpy as np
+
+    from yahoo_anomaly_detection_spark.streaming.flags_stream import (
+        _window_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    k = 10
+    for scale, spread in ((0.0, 1.0), (1e8, 1e-3), (-5e7, 1e-2)):
+        vals = scale + rng.normal(0.0, spread, 60)
+        vals[7] = np.nan  # NaNs occupy positions, skipped in stats
+        for h in (0, 13):  # fresh conversation and mid-stream batch
+            mean, std = _window_stats(vals, h, k)
+            for i, j in enumerate(range(h, len(vals))):
+                w = vals[max(0, j - k):j]
+                w = w[~np.isnan(w)]
+                if len(w) == 0:
+                    assert np.isnan(mean[i]) and np.isnan(std[i])
+                    continue
+                assert mean[i] == pytest.approx(w.mean(), abs=1e-9,
+                                                rel=1e-12)
+                assert std[i] == pytest.approx(w.std(), abs=1e-9,
+                                               rel=1e-6), (scale, j)
 
 
 def test_rollup_job_resume_isolated_from_other_runs(spark, tmp_path):

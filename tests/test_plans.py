@@ -142,6 +142,27 @@ def test_embedding_near_dups_bucket_join(spark, embs):
     assert "bucket" in plan
 
 
+def test_lsh_topk_single_projection_no_self_join(spark, embs):
+    """Bucket assignment must ride the corpus projection: no vec_id
+    self-join (an extra scan + wide shuffle of the embedding arrays),
+    and the only join is the broadcast of the tiny query side on
+    bucket."""
+    from yahoo_anomaly_detection_spark.operators import similarity
+
+    for out in (
+        similarity.lsh_bucketed_topk(embs, n_planes=8, query_mod=10, k=3),
+        similarity.lsh_multiprobe_topk(embs, n_planes=8, query_mod=10,
+                                       k=3),
+    ):
+        plan = _plan(out)
+        assert _no_product_joins(plan), plan
+        assert "SortMergeJoin" not in plan, plan
+        assert _broadcasts(out) >= 1, plan
+        # the only exchange is the rank window's partition-by-query —
+        # never a corpus-wide join shuffle
+        assert _exchanges(out) <= 1, plan
+
+
 def test_simhash_hamming_block_equality_join(spark, docs):
     from yahoo_anomaly_detection_spark.operators import dedup
 

@@ -59,12 +59,20 @@ def test_release_orphan_rdds_refuses_with_live_registry(spark):
     df = spark.range(10)
     caching.materialize(df)
     try:
-        with pytest.raises(RuntimeError, match="registered cache"):
+        with pytest.raises(RuntimeError, match="still live"):
             caching.release_orphan_rdds(spark)
     finally:
         caching.release_all()
     # registry drained -> sweep is allowed again
     caching.release_orphan_rdds(spark)
+    # scoped registrations (any thread's) also block the sweep — a
+    # global release_all() does NOT make a mid-scope sweep safe
+    with caching.scope():
+        caching.materialize(spark.range(5))
+        caching.release_all()  # global registry empty...
+        with pytest.raises(RuntimeError, match="scoped"):
+            caching.release_orphan_rdds(spark)  # ...but scope is live
+    caching.release_orphan_rdds(spark)  # scope exited -> allowed
 
 
 # ------------------------------------ connected-components hygiene
@@ -404,7 +412,10 @@ def test_asof_two_phase_randomized_equivalence(spark):
     corners the hand-built fixture can't enumerate — several right
     rows inside one bucket, right rows after the last left row, keys
     with only left (or only right) rows, bucket-boundary timestamps,
-    and non-day bucket spans."""
+    non-day bucket spans, and NULL-bearing right value columns (the
+    per-column carry must expose an older non-null value when a
+    bucket's newest right row is NULL in that column, exactly like
+    single-phase last(c, ignorenulls=True))."""
     import random
 
     from yahoo_anomaly_detection_spark.operators.sessions import asof_join
@@ -430,17 +441,20 @@ def test_asof_two_phase_randomized_equivalence(spark):
             if (k, sec) in seen:
                 continue
             seen.add((k, sec))
-            right.append((k, sec, float(100 + j)))
+            base = None if rng.random() < 0.3 else float(100 + j)
+            aux = None if rng.random() < 0.3 else float(200 + j)
+            right.append((k, sec, base, aux))
         ldf = spark.createDataFrame(
             left, "event_id long, key string, sec long, v double"
         ).select("event_id", "key",
                  F.timestamp_seconds("sec").alias("ts"), "v")
         rdf = spark.createDataFrame(
-            right or [("_", t0 - 10**6, 0.0)],
-            "key string, sec long, base double",
-        ).select("key", F.timestamp_seconds("sec").alias("eff"), "base")
+            right or [("_", t0 - 10**6, 0.0, 0.0)],
+            "key string, sec long, base double, aux double",
+        ).select("key", F.timestamp_seconds("sec").alias("eff"),
+                 "base", "aux")
         kw = dict(key="key", left_ts="ts", right_ts="eff",
-                  value_cols=("base",))
+                  value_cols=("base", "aux"))
         one = asof_join(ldf, rdf, **kw)
         two = asof_join(ldf, rdf, bucket_seconds=span, **kw)
         assert one.exceptAll(two).count() == 0, seed
@@ -465,10 +479,14 @@ def test_rollup_job_vacuum_stage(spark, tmp_path):
     wh = str(tmp_path / "wh")
     base = ["--input", src, "--catalog-root", wh, "--tiers", "1m,1h"]
     rollup_job.main(base + ["--run-id", "v1"])
+    # --evict-now far in the past: a no-op eviction that still
+    # exercises the partition-pruned predicate + the verify gate
     m2 = rollup_job.main(
-        base + ["--run-id", "v2", "--vacuum-keep-last", "1"]
+        base + ["--run-id", "v2", "--vacuum-keep-last", "1",
+                "--evict-now", "2020-01-01 00:00:00"]
     )
     for tier in ("1m", "1h"):
+        assert f"evict_{tier}_snapshot" in m2["stages"]
         # run-1 dir + run-2 pre-compaction dir both GC'd
         assert m2["stages"][f"vacuum_tier_{tier}_removed_dirs"] == 2
         cat = PC(wh)
@@ -478,5 +496,9 @@ def test_rollup_job_vacuum_stage(spark, tmp_path):
             1 for n in os.listdir(os.path.join(wh, f"tier_{tier}"))
             if n.startswith("snap="))
         assert n_dirs == 1
+        # tiers are hive-partitioned by day and the layout survived
+        # the no-op eviction + compaction (sticky spec)
+        assert any(n.startswith("day=")
+                   for n in os.listdir(snaps[-1].paths[0]))
         assert (cat.read(spark, f"tier_{tier}").count()
                 == m2["stages"][f"tier_{tier}_rows"] > 0)

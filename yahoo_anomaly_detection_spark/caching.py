@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 _LOCK = threading.Lock()
 _LIVE: list[DataFrame] = []
 _TLS = threading.local()
+_SCOPED_COUNT = 0  # live scoped registrations across ALL threads
 
 
 def _active_scope() -> list[DataFrame] | None:
@@ -62,12 +63,15 @@ def scope():
     try:
         yield mine
     finally:
+        global _SCOPED_COUNT
         stack.pop()
         for df in mine:
             try:
                 df.unpersist()
             except Exception:
                 pass  # session may already be stopped
+        with _LOCK:
+            _SCOPED_COUNT -= len(mine)
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -88,6 +92,9 @@ def register(df: DataFrame) -> DataFrame:
     innermost active scope of this thread, else the global registry."""
     sc = _active_scope()
     if sc is not None:
+        global _SCOPED_COUNT
+        with _LOCK:
+            _SCOPED_COUNT += 1
         sc.append(df)
         return df
     with _LOCK:
@@ -124,15 +131,18 @@ def release_orphan_rdds(spark) -> int:
     DataFrame is still pending. Returns the number of RDDs swept.
 
     Guard: refuses (RuntimeError) while the global registry still
-    holds registered caches — sweeping then would silently drop
-    relations Spark's CacheManager believes cached (the caller gets
-    recomputation, not failure). Call ``release_all()`` first; the
-    check makes the sweep structurally harness-only."""
+    holds registered caches OR any thread has live scoped
+    registrations — sweeping then would silently drop relations
+    Spark's CacheManager believes cached (the caller gets
+    recomputation, not failure), including another thread's
+    mid-query ``scope()`` caches. Call ``release_all()`` / let scopes
+    exit first; the check makes the sweep structurally harness-only."""
     with _LOCK:
-        if _LIVE:
+        if _LIVE or _SCOPED_COUNT:
             raise RuntimeError(
                 f"release_orphan_rdds called with {len(_LIVE)} registered "
-                "cache(s) still live — call release_all() first"
+                f"global cache(s) and {_SCOPED_COUNT} scoped cache(s) "
+                "still live — call release_all() / exit scopes first"
             )
     jsc = spark.sparkContext._jsc.sc()
     rdds = jsc.getPersistentRDDs()

@@ -66,7 +66,9 @@ def lineage_rows(df: DataFrame, stage: str, run_id: str,
     return df.agg(
         F.lit(run_id).alias("run_id"),
         F.lit(stage).alias("stage"),
-        F.lit(input_snapshot).alias("input_snapshot"),
+        # cast: a None literal is VoidType, which parquet stores as
+        # BOOLEAN — later string commits would physically mismatch
+        F.lit(input_snapshot).cast("string").alias("input_snapshot"),
         F.min(bucket_col).alias("bucket_min"),
         F.max(bucket_col).alias("bucket_max"),
         F.count(F.lit(1)).alias("row_count"),

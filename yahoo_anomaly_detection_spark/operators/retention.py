@@ -31,12 +31,23 @@ def cutoff_for(tier: str, now: datetime,
 
 def evict_tier(catalog: ParquetCatalog, spark: SparkSession, table: str,
                tier: str, now: datetime,
-               retention_s: dict[str, int] | None = None) -> str:
-    """Drop buckets older than the tier's TTL; returns new snapshot id."""
+               retention_s: dict[str, int] | None = None,
+               partition_col: str | None = None) -> str:
+    """Drop buckets older than the tier's TTL; returns new snapshot id.
+
+    ``partition_col``: name of a hive-partition date column derived
+    from ``bucket_start`` (the rollup job writes ``day``). When given,
+    the predicate gains the equivalent partition conjunct
+    ``col <= date(cutoff)`` — semantically redundant (implied by the
+    bucket_start bound) but it is what makes the delete prunable by
+    partition metadata: whole-partition drops are metadata-only on
+    Iceberg, and the shim's per-dir probes short-circuit on the hive
+    dir names instead of opening parquet footers."""
     cutoff = cutoff_for(tier, now, retention_s)
-    return catalog.delete_where(
-        spark, table, f"bucket_start < TIMESTAMP '{cutoff.isoformat(sep=' ')}'"
-    )
+    pred = f"bucket_start < TIMESTAMP '{cutoff.isoformat(sep=' ')}'"
+    if partition_col is not None:
+        pred += f" AND {partition_col} <= DATE '{cutoff.date().isoformat()}'"
+    return catalog.delete_where(spark, table, pred)
 
 
 def vacuum_tier(catalog: ParquetCatalog, spark: SparkSession, table: str,

@@ -19,6 +19,8 @@ engine-portable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -145,7 +147,7 @@ def value_percentiles(events: DataFrame,
     else:
         if not 0.0 < rel_error <= 0.5:
             raise ValueError(f"rel_error must be in (0, 0.5], got {rel_error}")
-        acc = int(-(-1.0 // rel_error))  # ceil(1/r)
+        acc = math.ceil(1.0 / rel_error)
         pct = [F.approx_percentile(v, F.lit(q), F.lit(acc))
                for q in (0.5, 0.95, 0.99)]
     return (
@@ -208,13 +210,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     column-pruned scans of the inputs (key + ts only — parquet reads
     two columns); deriving it from the phase-1 window output would
     save those scans but force materializing the full corpus between
-    phases, a worse trade at every scale. The two-phase path assumes
-    right-side
-    ``value_cols`` are non-NULL (true for aggregate baselines like
-    percentile rollups): the carry-in carries the last right ROW of
-    an earlier bucket, while in-bucket fill is per-column
-    last-non-null — with NULL-bearing right values the two could
-    disagree with the single-phase per-column semantics."""
+    phases, a worse trade at every scale. NULL-bearing right values
+    keep the single-phase per-column semantics: the bucket-last
+    relation carries each column's last NON-NULL value per (key,
+    bucket) (``max_by`` with a null-gated ordering key), not the last
+    right row — so a bucket whose newest right row is NULL in one
+    column still exposes that column's older value to later buckets,
+    exactly as ``last(c, ignorenulls=True)`` does in one pass."""
     lt = left.withColumn("_ts", F.col(left_ts).cast("timestamp")) \
              .withColumn("_side", F.lit(1))
     for c in value_cols:
@@ -264,17 +266,27 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
             for c in value_cols
         ],
     )
-    # bucket-last: latest right row per (key, bucket); value columns
-    # break right-ts ties so the pick is deterministic on any engine
+    # bucket-last: each column's latest NON-NULL value per (key,
+    # bucket) — the null-gated ordering key makes max_by skip NULL
+    # rows for that column, matching last(c, ignorenulls=True); value
+    # columns break right-ts ties so the pick is deterministic on any
+    # engine
     vals = F.struct(*[F.col(c) for c in value_cols])
     rlast = (
         u.where(F.col("_side") == 0)
         .groupBy(key, "_bkt")
-        .agg(F.max_by(vals, F.struct(F.col("_ts"), vals)).alias("_v"))
+        .agg(*[
+            F.max_by(
+                F.col(c),
+                F.when(F.col(c).isNotNull(),
+                       F.struct(F.col("_ts"), vals)),
+            ).alias(f"_bl_{c}")
+            for c in value_cols
+        ])
     )
     # complete (key, bucket) spine (buckets with left rows but no
-    # right rows still need a carry-in), then carry forward the last
-    # right-bearing bucket's values — STRICTLY earlier buckets only
+    # right rows still need a carry-in), then carry forward each
+    # column's last non-null bucket value — STRICTLY earlier buckets
     spine = u.select(key, "_bkt").distinct().join(
         rlast, on=[key, "_bkt"], how="left"
     )
@@ -285,13 +297,17 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     )
     carry = spine.select(
         key, "_bkt",
-        F.last(F.col("_v"), ignorenulls=True).over(wc).alias("_carry"),
+        *[
+            F.last(F.col(f"_bl_{c}"), ignorenulls=True).over(wc)
+            .alias(f"_carry_{c}")
+            for c in value_cols
+        ],
     )
     joined = infill.join(carry, on=[key, "_bkt"], how="left")
     filled = joined.select(
         *out_cols, "_side",
         *[
-            F.coalesce(F.col(f"_in_{c}"), F.col(f"_carry.{c}")).alias(c)
+            F.coalesce(F.col(f"_in_{c}"), F.col(f"_carry_{c}")).alias(c)
             for c in value_cols
         ],
     )

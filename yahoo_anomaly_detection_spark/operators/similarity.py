@@ -98,6 +98,29 @@ def _norm(a: str) -> Column:
     )
 
 
+def _rank_topk(joined: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail over a (q_id, qe, vec_id, e) candidate join:
+    cosine score → per-query row_number rank → rk ≤ k → rounded
+    projection. The tie-break (cosine desc, neighbor_id asc) and the
+    portable-rounding contract are pinned by every variant's DuckDB
+    oracle — one definition keeps the four top-k operators from
+    drifting apart."""
+    cos = (_dot("qe", "e") / (_norm("qe") * _norm("e"))).alias("_cos")
+    ranked = joined.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), cos
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("_cos"),
+                                          F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.where(F.col("rk") <= k).select(
+        "q_id", "neighbor_id",
+        portable_round(F.col("_cos"), _R).alias("cosine"), "rk",
+    )
+
+
 def brute_force_topk(embs: DataFrame, query_mod: int = 50,
                      k: int = 5) -> DataFrame:
     """Exact cosine top-k: queries = rows with vec_id % query_mod == 0,
@@ -109,18 +132,7 @@ def brute_force_topk(embs: DataFrame, query_mod: int = 50,
     joined = base.crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("q_id")
     )
-    cos = (_dot("qe", "e") / (_norm("qe") * _norm("e"))).alias("_cos")
-    ranked = joined.select(
-        "q_id", F.col("vec_id").alias("neighbor_id"), cos
-    ).withColumn(
-        "rk",
-        F.row_number().over(
-            W.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
-        ),
-    )
-    return ranked.where(F.col("rk") <= k).select(
-        "q_id", "neighbor_id", portable_round(F.col("_cos"), _R).alias("cosine"), "rk"
-    )
+    return _rank_topk(joined, k)
 
 
 _VECD_SQL = "list_transform({e}, x -> CAST(x AS DOUBLE))"
@@ -207,9 +219,13 @@ FROM embeddings
 def lsh_bucketed_topk(embs: DataFrame, n_planes: int = 8,
                       query_mod: int = 50, k: int = 5) -> DataFrame:
     """ANN top-k restricted to the query's LSH bucket (equality join
-    on bucket instead of an all-pairs scan)."""
-    base = embs.select("vec_id", _vecd("embedding").alias("e")).join(
-        lsh_bucket_assignments(embs, n_planes), "vec_id"
+    on bucket instead of an all-pairs scan). Bucket assignment rides
+    the SAME projection as the vector cast — one corpus scan, no
+    vec_id self-join (the join-on-assignments form re-scanned and
+    wide-shuffled the embeddings)."""
+    base = embs.select(
+        "vec_id", _vecd("embedding").alias("e"),
+        F.expr(_bucket_expr(n_planes, "embedding")).alias("bucket"),
     )
     q = base.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -219,18 +235,7 @@ def lsh_bucketed_topk(embs: DataFrame, n_planes: int = 8,
     joined = base.join(F.broadcast(q), on="bucket").where(
         F.col("vec_id") != F.col("q_id")
     )
-    cos = (_dot("qe", "e") / (_norm("qe") * _norm("e"))).alias("_cos")
-    ranked = joined.select(
-        "q_id", F.col("vec_id").alias("neighbor_id"), cos
-    ).withColumn(
-        "rk",
-        F.row_number().over(
-            W.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
-        ),
-    )
-    return ranked.where(F.col("rk") <= k).select(
-        "q_id", "neighbor_id", portable_round(F.col("_cos"), _R).alias("cosine"), "rk"
-    )
+    return _rank_topk(joined, k)
 
 
 def _lsh_topk_sql(n_planes: int, query_mod: int, k: int) -> str:
@@ -267,9 +272,11 @@ def lsh_multiprobe_topk(embs: DataFrame, n_planes: int = 8,
     (n_planes+1)× on the tiny broadcast query side only; the big side
     still does one equality join on bucket. Each (query, neighbor)
     pair matches at most one probe (a vector lives in exactly one
-    bucket), so no dedup pass is needed."""
-    base = embs.select("vec_id", _vecd("embedding").alias("e")).join(
-        lsh_bucket_assignments(embs, n_planes), "vec_id"
+    bucket), so no dedup pass is needed. Bucket assignment rides the
+    same projection as the vector cast (see lsh_bucketed_topk)."""
+    base = embs.select(
+        "vec_id", _vecd("embedding").alias("e"),
+        F.expr(_bucket_expr(n_planes, "embedding")).alias("bucket"),
     )
     q = base.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -292,19 +299,7 @@ def lsh_multiprobe_topk(embs: DataFrame, n_planes: int = 8,
     joined = base.join(F.broadcast(probes), on="bucket").where(
         F.col("vec_id") != F.col("q_id")
     )
-    cos = (_dot("qe", "e") / (_norm("qe") * _norm("e"))).alias("_cos")
-    ranked = joined.select(
-        "q_id", F.col("vec_id").alias("neighbor_id"), cos
-    ).withColumn(
-        "rk",
-        F.row_number().over(
-            W.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
-        ),
-    )
-    return ranked.where(F.col("rk") <= k).select(
-        "q_id", "neighbor_id",
-        portable_round(F.col("_cos"), _R).alias("cosine"), "rk",
-    )
+    return _rank_topk(joined, k)
 
 
 def _lsh_multiprobe_sql(n_planes: int, query_mod: int, k: int) -> str:
@@ -680,19 +675,7 @@ def ivf_topk(embs: DataFrame, centroid_mod: int = 100, nprobe: int = 2,
     joined = assigned.join(F.broadcast(probes), on="cell").where(
         F.col("vec_id") != F.col("q_id")
     )
-    cos = (_dot("qe", "e") / (_norm("qe") * _norm("e"))).alias("_cos")
-    ranked = joined.select(
-        "q_id", F.col("vec_id").alias("neighbor_id"), cos
-    ).withColumn(
-        "rk",
-        F.row_number().over(
-            W.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
-        ),
-    )
-    return ranked.where(F.col("rk") <= k).select(
-        "q_id", "neighbor_id",
-        portable_round(F.col("_cos"), _R).alias("cosine"), "rk",
-    )
+    return _rank_topk(joined, k)
 
 
 _IVF_ASSIGN_SQL_BODY = """

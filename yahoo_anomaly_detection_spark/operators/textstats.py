@@ -33,6 +33,29 @@ LANG_ORDER = ["en", "es", "fr", "de", "zh"]
 STOPWORDS = LANG_MARKERS["en"]
 
 
+# length-band strata shared by stratified_sample / topk_per_band (and
+# their SQL mirrors): short < BAND_SHORT ≤ medium < BAND_MEDIUM ≤ long.
+# One definition — the sampled strata and the per-stratum top-k must
+# agree on what short/medium/long mean.
+BAND_SHORT = 30
+BAND_MEDIUM = 70
+
+
+def _length_band() -> F.Column:
+    n_tok = F.expr("size(split(text, ' '))")
+    return (
+        F.when(n_tok < BAND_SHORT, F.lit(0))
+        .when(n_tok < BAND_MEDIUM, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+
+
+def _length_band_sql() -> str:
+    return (f"CASE WHEN len(string_split(text, ' ')) < {BAND_SHORT} THEN 0 "
+            f"WHEN len(string_split(text, ' ')) < {BAND_MEDIUM} THEN 1 "
+            "ELSE 2 END")
+
+
 def _marker_count(lang: str) -> F.Column:
     arr = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return F.expr(
@@ -80,12 +103,13 @@ FROM scored
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality: token count, mean token length, stopword
-    ratio, composite score = 0.5·stop_ratio + min(n_tokens,50)/100."""
-    arr = ", ".join(f"'{m}'" for m in STOPWORDS)
+    ratio, composite score = 0.5·stop_ratio + min(n_tokens,50)/100.
+
+    The stopword counter IS the English marker counter (STOPWORDS =
+    LANG_MARKERS['en']) — shared so lang_id's marker counts and the
+    quality stopword ratio can never silently diverge on tokenization."""
     n_tok = F.expr("size(split(text, ' '))")
-    n_stop = F.expr(
-        f"size(filter(split(text, ' '), t -> array_contains(array({arr}), t)))"
-    )
+    n_stop = _marker_count("en")
     n_chars = F.length("text")
     mean_len = (n_chars - (n_tok - 1)) / n_tok
     stop_ratio = n_stop / n_tok
@@ -269,12 +293,7 @@ def stratified_sample(docs: DataFrame,
     Scale shape: a pure map-side filter — no shuffle, no sort, no
     driver state; sampling decisions depend only on (doc_id, salt).
     Changing ``salt`` draws an independent sample."""
-    n_tok = F.expr("size(split(text, ' '))")
-    band = (
-        F.when(n_tok < 30, F.lit(0))
-        .when(n_tok < 70, F.lit(1))
-        .otherwise(F.lit(2))
-    )
+    band = _length_band()
     u = (
         F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt),
                                              F.col("doc_id"))), 1, 8),
@@ -302,9 +321,7 @@ def _stratified_sql(rates: tuple[float, float, float], salt: str) -> str:
     return f"""
 WITH b AS (
     SELECT doc_id,
-           CASE WHEN len(string_split(text, ' ')) < 30 THEN 0
-                WHEN len(string_split(text, ' ')) < 70 THEN 1
-                ELSE 2 END AS band,
+           {_length_band_sql()} AS band,
            {hexu} AS u
     FROM documents
 )
@@ -342,12 +359,7 @@ def topk_per_band(docs: DataFrame, k: int = 20,
     works, but the bounded one is also skew-proof."""
     from pyspark.sql.window import Window
 
-    n_tok = F.expr("size(split(text, ' '))")
-    band = (
-        F.when(n_tok < 30, F.lit(0))
-        .when(n_tok < 70, F.lit(1))
-        .otherwise(F.lit(2))
-    )
+    band = _length_band()
     q = quality_score(docs).select("doc_id", "quality")
     banded = docs.select("doc_id", band.alias("band")).join(q, "doc_id")
 
@@ -387,9 +399,7 @@ def _topk_per_band_sql(k: int) -> str:
 WITH q AS ({_quality_sql()}),
 b AS (
     SELECT doc_id,
-           CASE WHEN len(string_split(text, ' ')) < 30 THEN 0
-                WHEN len(string_split(text, ' ')) < 70 THEN 1
-                ELSE 2 END AS band
+           {_length_band_sql()} AS band
     FROM documents
 ),
 r AS (

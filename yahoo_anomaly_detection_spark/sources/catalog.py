@@ -55,6 +55,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 _LOCK_TIMEOUT_S = 60.0
 
@@ -181,7 +182,8 @@ class ParquetCatalog:
             parent_paths = snaps[-1].paths if snaps else []
             return Snapshot(snap_id, parent, "append",
                             parent_paths + [data_dir],
-                            {"added_path": data_dir, "partition_by": pb})
+                            {"added_path": data_dir, "partition_by": pb,
+                             "schema": df.schema.jsonValue()})
 
         return self._commit(table, make)
 
@@ -195,7 +197,8 @@ class ParquetCatalog:
             table,
             lambda snaps: Snapshot(
                 snap_id, snaps[-1].snapshot_id if snaps else None,
-                "overwrite", [data_dir], {"partition_by": pb},
+                "overwrite", [data_dir],
+                {"partition_by": pb, "schema": df.schema.jsonValue()},
             ),
         )
 
@@ -234,9 +237,10 @@ class ParquetCatalog:
         cur_paths = base.paths
         pb = partition_by if partition_by is not None \
             else base.summary.get("partition_by")
+        base_schema = base.summary.get("schema")
         untouched, affected = [], []
         for p in cur_paths:
-            d = spark.read.parquet(p)
+            d = self._read_dirs(spark, [p], base_schema)
             if d.where(predicate).limit(1).count() == 0:
                 untouched.append(p)
             else:
@@ -255,21 +259,24 @@ class ParquetCatalog:
                                 op_paths, summary)
             return _make
 
+        schema_json = base.summary.get("schema")
         if not affected:  # metadata-only no-op commit
             return self._commit(table, make(
                 list(cur_paths),
                 {"predicate": predicate, "rewritten_dirs": 0,
-                 "pruned_dirs": len(untouched), "partition_by": pb},
+                 "pruned_dirs": len(untouched), "partition_by": pb,
+                 "schema": schema_json},
             ))
         data_dir = self._new_data_dir(table, snap_id)
-        kept = spark.read.parquet(*affected).where(
+        kept = self._read_dirs(spark, affected, base_schema).where(
             f"({predicate}) IS NOT TRUE"
         )
         self._write_data(kept, data_dir, pb)
         return self._commit(table, make(
             untouched + [data_dir],
             {"predicate": predicate, "rewritten_dirs": len(affected),
-             "pruned_dirs": len(untouched), "partition_by": pb},
+             "pruned_dirs": len(untouched), "partition_by": pb,
+             "schema": schema_json or kept.schema.jsonValue()},
         ))
 
     # ---------- maintenance ----------
@@ -351,6 +358,35 @@ class ParquetCatalog:
                                     partition_by=partition_by)
 
     # ---------- reads ----------
+    @staticmethod
+    def _read_dirs(spark: SparkSession, paths: list[str],
+                   schema_json: dict | None) -> DataFrame:
+        """Union of per-commit-dir scans. One scan per dir: a
+        multi-path ``spark.read.parquet()`` refuses partitionBy'd
+        commit dirs ("multiple root directories") because hive-style
+        partition discovery needs a single root per scan. Found by the
+        catalog contract suite; Catalyst still prunes columns/filters
+        into every branch of the union.
+
+        When the snapshot recorded its schema (``schema_json``), the
+        scan applies it explicitly — schema lives in table metadata,
+        as in Iceberg, so (a) empty commits (even hive-partitioned
+        ones, which write NO parquet footers) stay readable, and
+        (b) older dirs null-fill columns added by later commits
+        without per-file inference. Legacy manifests without a
+        recorded schema fall back to inference + allowMissingColumns.
+        """
+        def one(p: str) -> DataFrame:
+            r = spark.read.option("mergeSchema", "false")
+            if schema_json is not None:
+                r = r.schema(StructType.fromJson(schema_json))
+            return r.parquet(p)
+
+        out = one(paths[0])
+        for p in paths[1:]:
+            out = out.unionByName(one(p), allowMissingColumns=True)
+        return out
+
     def read(self, spark: SparkSession, table: str,
              snapshot_id: str | None = None) -> DataFrame:
         snaps = self.snapshots(table)
@@ -367,17 +403,12 @@ class ParquetCatalog:
                     f"snapshot {snapshot_id!r} not found for table "
                     f"{table!r} (expired or never existed)"
                 ) from None
+        schema_json = snap.summary.get("schema")
         if not snap.paths:
+            if schema_json is not None:
+                return spark.createDataFrame(
+                    [], schema=StructType.fromJson(schema_json))
             return spark.createDataFrame([], schema="dummy string").limit(0)
-        # One scan per commit dir, unioned by name: a multi-path
-        # spark.read.parquet() refuses partitionBy'd commit dirs
-        # ("multiple root directories") because hive-style partition
-        # discovery needs a single root per scan. Found by the catalog
-        # contract suite; Catalyst still prunes columns/filters into
-        # every branch of the union. allowMissingColumns mirrors
-        # Iceberg schema evolution: columns added by later commits
-        # read as NULL from older data dirs.
-        #
         # Trade: the plan grows O(#append commits since last rewrite),
         # so a long-lived high-frequency append table wants periodic
         # compaction (overwrite_table with the current view collapses
@@ -385,12 +416,7 @@ class ParquetCatalog:
         # already do). Iceberg does this in metadata (one manifest
         # list per snapshot, planned in a single scan node), which is
         # one of the reasons the real deployment uses sources/iceberg.py.
-        dfs = [spark.read.option("mergeSchema", "false").parquet(p)
-               for p in snap.paths]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d, allowMissingColumns=True)
-        return out
+        return self._read_dirs(spark, snap.paths, schema_json)
 
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))

@@ -65,6 +65,33 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def _window_stats(vals: np.ndarray, h: int, k: int):
+    """Trailing-k window mean/std for rows h.. of ``vals`` (prior rows
+    only, NaNs skipped) via prefix sums over SHIFTED values: variance
+    is shift-invariant, and centering on the global mean first keeps
+    E[x²]−mean² away from catastrophic cancellation (raw values with
+    mean ~1e8 and spread ~1e-3 lose every significant digit in the
+    unshifted subtraction; Spark's stddev_pop — the batch operator
+    this kernel must match — uses a stable central-moment update).
+    Returns (mean, std) arrays for rows h..len(vals)."""
+    valid = ~np.isnan(vals)
+    ref = float(vals[valid].mean()) if valid.any() else 0.0
+    v0 = np.where(valid, vals - ref, 0.0)
+    c1 = np.concatenate([[0.0], np.cumsum(v0)])
+    c2 = np.concatenate([[0.0], np.cumsum(v0 * v0)])
+    cn = np.concatenate([[0], np.cumsum(valid)])
+    j = np.arange(h, len(vals))
+    lo = np.maximum(0, j - k)
+    nv = (cn[j] - cn[lo]).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_s = np.where(nv > 0, (c1[j] - c1[lo]) / nv, np.nan)
+        var = np.where(
+            nv > 0, (c2[j] - c2[lo]) / nv - mean_s * mean_s, np.nan
+        )
+    std = np.sqrt(np.maximum(var, 0.0))
+    return mean_s + ref, std
+
+
 def stream_rolling_flags(tiers: DataFrame, threshold: float, k: int = 10,
                          value_col: str = "mean",
                          state_ttl_ms: int | None = None) -> DataFrame:
@@ -99,22 +126,10 @@ def stream_rolling_flags(tiers: DataFrame, threshold: float, k: int = 10,
         vals = np.concatenate([hist, new])
         h = len(hist)
 
-        # trailing-k window stats for each new row via prefix sums:
-        # row at global index j windows over vals[max(0, j-k) : j]
-        valid = ~np.isnan(vals)
-        v0 = np.where(valid, vals, 0.0)
-        c1 = np.concatenate([[0.0], np.cumsum(v0)])
-        c2 = np.concatenate([[0.0], np.cumsum(v0 * v0)])
-        cn = np.concatenate([[0], np.cumsum(valid)])
-        j = np.arange(h, len(vals))
-        lo = np.maximum(0, j - k)
-        nv = (cn[j] - cn[lo]).astype(np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            mean = np.where(nv > 0, (c1[j] - c1[lo]) / nv, np.nan)
-            var = np.where(
-                nv > 0, (c2[j] - c2[lo]) / nv - mean * mean, np.nan
-            )
-        std = np.sqrt(np.maximum(var, 0.0))
+        # trailing-k window stats for each new row: row at global
+        # index j windows over vals[max(0, j-k) : j] (shift-stable
+        # prefix sums — see _window_stats)
+        mean, std = _window_stats(vals, h, k)
         resid = np.abs(new - mean)
         pred = ((resid > thr) & ~np.isnan(resid)).astype(np.int32)
 
