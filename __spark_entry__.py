@@ -98,7 +98,7 @@ def q_rollup_1d(spark, sf_dir):
 def q_latency_1m(spark, sf_dir):
     """lag-based inter-arrival latency per conversation → 1m tier
     (SURVEY §2.5 ranking note; rollup of the latency series)."""
-    ev = _series(spark, sf_dir).withColumnRenamed("value", "v0")
+    ev = _series(spark, sf_dir)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("conv_id").orderBy("ts")

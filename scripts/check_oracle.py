@@ -40,7 +40,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("float64")  # unify int widths for compare
+            # unify int widths EXACTLY (int64) — float64 would round
+            # away the low ~11 bits of full-range int64 values (64-bit
+            # simhash signatures) and mask real mismatches as OK; the
+            # float fallback only for nullable ints, which can't hold
+            # exact-int-sensitive values anyway
+            df[c] = s.astype("float64") if s.isna().any() \
+                else s.astype("int64")
         elif pd.api.types.is_bool_dtype(s):
             df[c] = s.astype("float64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(
@@ -111,6 +117,8 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    from yahoo_anomaly_detection_spark import caching
+
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
@@ -118,31 +126,34 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        # release in finally: an erroring query (which may have
+        # already persisted shingle relations / CC localCheckpoints)
+        # must not leak its blocks into every later query's timings
         try:
-            spark_pdf = fn(spark, sf_dir).toPandas()
-        except Exception as e:
-            print(f"{name}: SPARK ERROR {e}")
-            failures.append(name)
-            continue
-        if name not in oracles:
-            print(f"{name}: rows-only ({len(spark_pdf)} rows, "
+            try:
+                spark_pdf = fn(spark, sf_dir).toPandas()
+            except Exception as e:
+                print(f"{name}: SPARK ERROR {e}")
+                failures.append(name)
+                continue
+            if name not in oracles:
+                print(f"{name}: rows-only ({len(spark_pdf)} rows, "
+                      f"{time.time()-t0:.1f}s)")
+                continue
+            try:
+                duck_pdf = con.execute(oracles[name]).fetchdf()
+            except Exception as e:
+                print(f"{name}: DUCKDB ERROR {str(e)[:200]}")
+                failures.append(name)
+                continue
+            verdict = compare(name, spark_pdf, duck_pdf)
+            print(f"{name}: {verdict} ({len(spark_pdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
-            continue
-        try:
-            duck_pdf = con.execute(oracles[name]).fetchdf()
-        except Exception as e:
-            print(f"{name}: DUCKDB ERROR {str(e)[:200]}")
-            failures.append(name)
-            continue
-        verdict = compare(name, spark_pdf, duck_pdf)
-        print(f"{name}: {verdict} ({len(spark_pdf)} rows, "
-              f"{time.time()-t0:.1f}s)")
-        if verdict != "OK":
-            failures.append(name)
-        from yahoo_anomaly_detection_spark import caching
-
-        caching.release_all()  # free operator-internal materializations
-        caching.release_orphan_rdds(spark)  # sweep localCheckpoints
+            if verdict != "OK":
+                failures.append(name)
+        finally:
+            caching.release_all()  # free operator-internal caches
+            caching.release_orphan_rdds(spark)  # sweep localCheckpoints
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     return 1 if failures else 0
 

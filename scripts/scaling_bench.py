@@ -90,9 +90,17 @@ def hardware_probe(per_level: int = 3) -> dict[int, float]:
 
 
 def ensure_input(n_convs: int, path: str) -> int:
+    # marker records BOTH requested convs and resulting row count —
+    # a cached input generated for a different --convs must not be
+    # silently benched as if it were the requested size
     marker = os.path.join(path, "_COUNT")
     if os.path.exists(marker):
-        return int(open(marker).read())
+        parts = open(marker).read().split()
+        if len(parts) == 2 and int(parts[0]) == n_convs:
+            return int(parts[1])
+        print(f"cached input at {path} was generated for "
+              f"--convs {parts[0] if parts else '?'}; regenerating "
+              f"for {n_convs}", flush=True)
     from yahoo_anomaly_detection_spark.session import get_spark
     from yahoo_anomaly_detection_spark.synthgen import gen_transcripts
 
@@ -101,7 +109,7 @@ def ensure_input(n_convs: int, path: str) -> int:
     df.write.mode("overwrite").parquet(path)
     n = spark.read.parquet(path).count()
     with open(marker, "w") as f:
-        f.write(str(n))
+        f.write(f"{n_convs} {n}")
     spark.stop()
     return n
 
@@ -121,8 +129,16 @@ def run_job(cpus: int, input_path: str, run_id: str, sink: str,
     try:
         out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                              timeout=3600)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            # surface the real traceback instead of an IndexError that
+            # discards hours of interleaved runs with no diagnostic
+            raise RuntimeError(
+                f"rollup_job (local[{cpus}]) exited {out.returncode} "
+                f"with no metrics line; stderr tail:\n"
+                + "\n".join(out.stderr.splitlines()[-30:])
+            )
+        return json.loads(lines[-1])
     finally:
         shutil.rmtree(cat, ignore_errors=True)
 
@@ -146,11 +162,17 @@ def measure(tag: str, sink: str, full: bool, input_path: str,
 
 
 def _eff(res, key) -> float:
+    # the divisor is the actual core ratio of the configured pair —
+    # hardcoding 4 would overstate efficiency for e.g. SCALING_LEVELS=4,32
+    if len(LEVELS) < 2:
+        raise ValueError(f"need two scaling levels, got {LEVELS}")
+    ratio = LEVELS[1] / LEVELS[0]
     a = res[LEVELS[0]]
     b = res[LEVELS[1]]
     if key == "best":
-        return b["best"]["turns_per_sec"] / (4 * a["best"]["turns_per_sec"])
-    return b["median_tps"] / (4 * a["median_tps"])
+        return b["best"]["turns_per_sec"] / (
+            ratio * a["best"]["turns_per_sec"])
+    return b["median_tps"] / (ratio * a["median_tps"])
 
 
 def _table(res) -> str:

@@ -502,3 +502,58 @@ def test_rollup_job_vacuum_stage(spark, tmp_path):
                    for n in os.listdir(snaps[-1].paths[0]))
         assert (cat.read(spark, f"tier_{tier}").count()
                 == m2["stages"][f"tier_{tier}_rows"] > 0)
+
+
+# ----------------------------- loud-failure guards (review pass 3)
+def test_minhash_lsh_rejects_non_divisible_bands(spark):
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.minhash_lsh_pairs(docs, k=18, bands=4)
+
+
+def test_salted_agg_rejects_non_decomposable_alias(spark):
+    from yahoo_anomaly_detection_spark.operators.rollup import salted_agg
+
+    df = spark.createDataFrame([("c1", 1.0)], "conv_id string, value double")
+    with pytest.raises(ValueError, match="cannot recombine"):
+        salted_agg(df, "conv_id", [F.avg("value").alias("mean")])
+    # the decomposable shape still works
+    out = salted_agg(
+        df, "conv_id",
+        [F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum")],
+    ).collect()
+    assert out[0]["cnt"] == 1 and out[0]["sum"] == 1.0
+
+
+def test_multimodal_decode_batch_shapes():
+    """Zero-row Arrow batches decode to (0, 16) instead of raising,
+    and ragged payloads fail loudly instead of misaligning rows."""
+    import numpy as np
+
+    from yahoo_anomaly_detection_spark.operators.multimodal import (
+        PAYLOAD_BYTES,
+        _decode_batch,
+    )
+
+    assert _decode_batch([]).shape == (0, PAYLOAD_BYTES)
+    two = _decode_batch([bytes(range(16)), bytes(range(16, 32))])
+    assert two.shape == (2, PAYLOAD_BYTES)
+    assert two[1, 0] == 16
+    with pytest.raises(ValueError):
+        _decode_batch([bytes(range(16)), b"\x00" * 15])  # ragged
+
+
+def test_streaming_rollup_requires_utc(spark):
+    """F.window() buckets are epoch/UTC-aligned while batch date_trunc
+    follows the session zone — a non-UTC session must fail loudly
+    instead of silently shifting streamed 1h/1d buckets."""
+    from yahoo_anomaly_detection_spark.streaming import rollup_stream
+
+    df = spark.range(1)
+    rollup_stream._require_utc(df)  # session is UTC: passes
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        with pytest.raises(ValueError, match="timeZone"):
+            rollup_stream._require_utc(df)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -60,14 +60,17 @@ def completed_units(catalog: ParquetCatalog, spark: SparkSession,
 
 def lineage_rows(df: DataFrame, stage: str, run_id: str,
                  input_snapshot: str | None,
-                 bucket_col: str = "bucket_start") -> DataFrame:
+                 bucket_col: str = "bucket_start",
+                 partition_key: str | None = None) -> DataFrame:
     """One lineage row per output partition-ish slice: bucket range +
-    row count keyed by the stage and input snapshot."""
+    row count keyed by the stage, unit partition key and input
+    snapshot."""
     return df.agg(
         F.lit(run_id).alias("run_id"),
         F.lit(stage).alias("stage"),
         # cast: a None literal is VoidType, which parquet stores as
         # BOOLEAN — later string commits would physically mismatch
+        F.lit(partition_key).cast("string").alias("partition_key"),
         F.lit(input_snapshot).cast("string").alias("input_snapshot"),
         F.min(bucket_col).alias("bucket_min"),
         F.max(bucket_col).alias("bucket_max"),
@@ -85,6 +88,18 @@ class CheckpointedRun:
         self._done = completed_units(catalog, spark, run_id)
         self.executed: list[tuple[str, str]] = []
         self.skipped: list[tuple[str, str]] = []
+
+    def _lineage_exists(self, stage: str, partition_key: str) -> bool:
+        """True if this run already committed lineage for the unit
+        (crash between the lineage append and the checkpoint mark) —
+        one tiny probe per EXECUTED unit, nothing on the skip path."""
+        if not self.catalog.exists(LINEAGE_TABLE):
+            return False
+        df = self.catalog.read(self.spark, LINEAGE_TABLE)
+        cond = (F.col("run_id") == self.run_id) & (F.col("stage") == stage)
+        if "partition_key" in df.columns:
+            cond = cond & (F.col("partition_key") == partition_key)
+        return df.where(cond).limit(1).count() > 0
 
     def output_snapshot(self, stage: str,
                         partition_key: str = "all") -> str | None:
@@ -109,10 +124,16 @@ class CheckpointedRun:
         if isinstance(out, tuple):
             out, out_snap = out
         if out is not None and "bucket_start" in out.columns:
-            self.catalog.append(
-                lineage_rows(out, stage, self.run_id, input_snapshot),
-                LINEAGE_TABLE,
-            )
+            # lineage lands BEFORE the checkpoint mark, so a crash
+            # between the two appends re-executes the unit on resume —
+            # the probe keeps that re-execution from double-counting
+            # the same (run, stage, unit) in _lineage
+            if not self._lineage_exists(stage, partition_key):
+                self.catalog.append(
+                    lineage_rows(out, stage, self.run_id, input_snapshot,
+                                 partition_key=partition_key),
+                    LINEAGE_TABLE,
+                )
         mark = self.spark.createDataFrame(
             [(self.run_id, stage, partition_key, "done", input_snapshot,
               out_snap)],

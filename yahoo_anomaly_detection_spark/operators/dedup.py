@@ -296,6 +296,15 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = 16,
 
     ``corpus`` overrides the default near-dup twin corpus (e.g. the
     3-member chain corpus for clustering)."""
+    if bands < 1 or k % bands != 0:
+        # trailing k % bands hashes would be silently dropped from
+        # banding (reduced recall vs the requested k) AND the SQL
+        # oracle's h_idx // rows_per_band banding would put them in an
+        # extra band — fail loudly instead (no-silent-caps practice)
+        raise ValueError(
+            f"k must be a positive multiple of bands, got k={k}, "
+            f"bands={bands}"
+        )
     if corpus is None:
         corpus = with_near_dups(docs)
     # ONE shingle relation feeds both the signatures and the exact
@@ -880,13 +889,20 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
             .groupBy("node")
             .agg(F.min("lab").alias("lab"), F.min("own").alias("own"))
         )
+        pre = None
         if shortcut:
             # pointer doubling: every label is itself a node, so its
-            # own (smaller-or-equal) label is defined — follow it
-            l2 = new.select(
+            # own (smaller-or-equal) label is defined — follow it.
+            # Fill the cache BEFORE the self-join: both sides of a
+            # cold persist() race and each replay the round's
+            # message-join + aggregate subtree (same race the banded
+            # LSH self-join guards against)
+            pre = new.persist()
+            pre.count()
+            l2 = pre.select(
                 F.col("node").alias("lab"), F.col("lab").alias("lab2")
             )
-            new = new.join(l2, "lab").select(
+            new = pre.join(l2, "lab").select(
                 "node", F.least("lab", "lab2").alias("lab"), "own"
             )
         # lazy checkpoint: the convergence count below is the single
@@ -902,6 +918,10 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         # from any live plan — release/delete them so repeated or
         # long CC runs don't accumulate storage
         new_ids = _persistent_rdd_ids(spark) - ids_before
+        if pre is not None:
+            # the doubling cache was persisted BEFORE the ids_before
+            # snapshot, so it is never in new_ids — release it now
+            pre.unpersist()
         _unpersist_rdd_ids(spark, live_ids)
         live_ids = new_ids
         if reliable:

@@ -51,9 +51,12 @@ def gapfill_linear(tier_df: DataFrame, tier: str = "1m",
     Output: (key, bucket_start, <value_col> observed-or-null,
     <value_col>_filled, gap_filled boolean).
     """
-    # feeds both the skeleton bounds and the join; caller releases
-    # via caching.release_all()
-    tier_df = caching.register(tier_df.persist())
+    # feeds both the skeleton bounds and the join — materialize (fill
+    # the cache eagerly) so the two consumers can't race a cold
+    # persist() and each recompute the tier subtree (the same race
+    # dedup's banded self-join fixes); caller releases via
+    # caching.release_all()
+    tier_df = caching.materialize(tier_df)
     skel = bucket_skeleton(tier_df, tier, key, bucket_col)
     obs = tier_df.select(key, bucket_col, F.col(value_col).alias("_v"))
     joined = skel.join(obs, on=[key, bucket_col], how="left")

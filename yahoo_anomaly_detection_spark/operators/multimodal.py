@@ -6,7 +6,8 @@ sandbox, so the DECODE step is a clearly-marked deterministic fake
 (md5-derived bytes) — the Spark-side plumbing (binary schema, Arrow
 batch shape, ``mapInPandas`` signature, partition behavior) is real
 and oracle-checked. A production deployment swaps
-:func:`_fake_decode` for PIL/ffmpeg inside the same UDF body.
+:func:`_decode_batch` — the ONE decode call site every UDF here goes
+through — for PIL/ffmpeg decoding of the same Arrow batch.
 """
 
 from __future__ import annotations
@@ -66,14 +67,25 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(payload: bytes) -> np.ndarray:
-    """STUB decode — production code would call the real codec here:
+PAYLOAD_BYTES = 16
 
-        raise NotImplementedError("PIL/ffmpeg not available in sandbox")
 
-    The deterministic fake interprets the payload bytes as a flat
-    grayscale pixel array so the downstream feature math is real."""
-    return np.frombuffer(payload, dtype=np.uint8)
+def _decode_batch(payloads) -> np.ndarray:
+    """STUB batch decode → (n, PAYLOAD_BYTES) uint8 pixel matrix —
+    the single decode call site of every UDF in this module, and the
+    production swap point (real code decodes each payload with
+    PIL/ffmpeg here, or raises
+    ``NotImplementedError("PIL/ffmpeg not available in sandbox")``).
+
+    The deterministic fake interprets the payload bytes as flat
+    grayscale pixels so the downstream feature math is real. The
+    explicit width matters: a zero-row Arrow batch reshapes cleanly
+    to (0, 16) where ``reshape(n, -1)`` would raise, and a ragged
+    payload fails loudly instead of silently misaligning rows."""
+    buf = b"".join(bytes(p) for p in payloads)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(
+        len(payloads), PAYLOAD_BYTES
+    )
 
 
 def extract_features(with_payload: DataFrame) -> DataFrame:
@@ -84,14 +96,11 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # columnar decode: payloads are fixed 16-byte blobs, so one
-            # concatenated buffer reshapes to an (n, 16) uint8 matrix
-            # and the feature math is three vectorized reductions — no
-            # per-row Python (was ~20s/500k docs as list comprehensions,
-            # now sub-second)
-            px = np.frombuffer(
-                b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
-            ).reshape(len(pdf), -1)
+            # columnar decode (see _decode_batch): one (n, 16) matrix,
+            # then three vectorized reductions — no per-row Python
+            # (was ~20s/500k docs as list comprehensions, now
+            # sub-second)
+            px = _decode_batch(pdf["payload"])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -146,9 +155,7 @@ def resize_pool2x2(with_payload: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            px = np.frombuffer(
-                b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
-            ).reshape(len(pdf), 4, 4)
+            px = _decode_batch(pdf["payload"]).reshape(len(pdf), 4, 4)
             pool = px.reshape(len(pdf), 2, 2, 2, 2).mean(
                 axis=(2, 4), dtype=np.float64
             )
@@ -208,9 +215,7 @@ def frame_sample(with_payload: DataFrame, stride: int = 2) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            px = np.frombuffer(
-                b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
-            ).reshape(n, 4, 4)
+            px = _decode_batch(pdf["payload"]).reshape(n, 4, 4)
             means = px[:, frames, :].mean(axis=2, dtype=np.float64)
             yield pd.DataFrame(
                 {

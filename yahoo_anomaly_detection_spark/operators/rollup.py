@@ -133,10 +133,23 @@ def salted_agg(df: DataFrame, key: str, aggs: list, salt_col: str = "salt",
     if salt_col not in df.columns:
         salted = df.withColumn(salt_col, F.pmod(F.hash(F.col(key)), F.lit(buckets)))
     partial = salted.groupBy(key, salt_col).agg(*aggs)
-    sums = [
-        F.sum(c).alias(c) if c.startswith(("cnt", "sum", "vcnt")) else
-        (F.min(c).alias(c) if c.startswith("min") else F.max(c).alias(c))
-        for c in partial.columns
-        if c not in (key, salt_col)
-    ]
+
+    def combiner(c: str):
+        # recombination is inferred from the alias prefix; anything
+        # outside the decomposable set must fail LOUDLY — silently
+        # max()-ing a partial mean/std would return plausible garbage
+        if c.startswith(("cnt", "sum", "vcnt")):
+            return F.sum(c).alias(c)
+        if c.startswith("min"):
+            return F.min(c).alias(c)
+        if c.startswith("max"):
+            return F.max(c).alias(c)
+        raise ValueError(
+            f"salted_agg cannot recombine aggregate {c!r}: alias must "
+            "start with cnt/sum/vcnt/min/max (decomposable shapes); "
+            "express mean/std as sum+cnt/sum_sq and derive them after"
+        )
+
+    sums = [combiner(c) for c in partial.columns
+            if c not in (key, salt_col)]
     return partial.groupBy(key).agg(*sums)

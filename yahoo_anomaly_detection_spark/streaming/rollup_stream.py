@@ -56,6 +56,7 @@ def stream_rollup_1m(points: DataFrame,
     watermark still merge into their bucket; later ones are dropped
     (the batch path's idempotent re-rollup covers reprocessing).
     """
+    _require_utc(points)
     v = F.col("value").cast("double")
     agg = (
         points.withWatermark("ts", watermark)
@@ -78,6 +79,22 @@ def stream_rollup_1m(points: DataFrame,
 
 
 TIER_WINDOW = {"1h": "1 hour", "1d": "1 day"}
+
+
+def _require_utc(df: DataFrame) -> None:
+    """The streaming hops bucket with ``F.window()`` (epoch/UTC
+    aligned — the only groupBy shape whose state the watermark can
+    evict), while the batch tiers bucket with ``date_trunc`` in the
+    SESSION timezone. get_spark pins the session to UTC so the two
+    agree bit-for-bit; any other zone would silently shift streamed
+    1h/1d bucket_starts by the zone offset — fail loudly instead."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz.upper() not in ("UTC", "GMT", "ETC/UTC", "Z"):
+        raise ValueError(
+            f"streaming tier rollups require spark.sql.session.timeZone"
+            f"=UTC for batch parity (window() is epoch-aligned, batch "
+            f"date_trunc is session-zone); got {tz!r}"
+        )
 
 TIERS_DDL = (
     "conv_id string, bucket_start timestamp, cnt long, vcnt long,"
@@ -127,6 +144,7 @@ def stream_rollup_cascade(tiers: DataFrame, to_tier: str,
     set ``max_files_per_trigger`` high enough that one upstream
     commit lands in one batch. A queue source (Kafka) with
     per-partition ordering does not have the file-reorder hazard."""
+    _require_utc(tiers)
     agg = (
         tiers.withWatermark("bucket_start", watermark)
         .groupBy(

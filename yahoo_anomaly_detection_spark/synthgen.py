@@ -109,7 +109,7 @@ def _conv_timestamps(n_turns, start_off_s, params, runs, silence_at, rng):
         base
         + a_lin * x
         + a_sin * np.sin(w_sin * x + p_sin)
-        + a_gau * np.exp(-np.abs(0.01 * (x - c_gau) ** 2))
+        + a_gau * np.exp(-0.01 * (x - c_gau) ** 2)
         + a_sat * (1.0 - np.exp(-x / tau))
         + rng.exponential(1.0, n_turns)
     )
