@@ -238,13 +238,25 @@ class ParquetCatalog:
         pb = partition_by if partition_by is not None \
             else base.summary.get("partition_by")
         base_schema = base.summary.get("schema")
-        untouched, affected = [], []
-        for p in cur_paths:
+
+        # probe dirs CONCURRENTLY (Spark job submission is
+        # thread-safe): each probe is a metadata-cheap limit(1) scan,
+        # but a long-history table has one dir per un-compacted commit
+        # and a sequential driver loop would serialize that many tiny
+        # jobs — the pool bounds TTL-eviction latency by ceil(dirs/8)
+        # round-trips instead of dirs
+        def _empty(p: str) -> bool:
             d = self._read_dirs(spark, [p], base_schema)
-            if d.where(predicate).limit(1).count() == 0:
-                untouched.append(p)
-            else:
-                affected.append(p)
+            return d.where(predicate).limit(1).count() == 0
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(8, len(cur_paths)))
+        ) as ex:
+            empties = list(ex.map(_empty, cur_paths))
+        untouched = [p for p, e in zip(cur_paths, empties) if e]
+        affected = [p for p, e in zip(cur_paths, empties) if not e]
         snap_id = self._new_snap_id()
 
         def make(op_paths: list[str], summary: dict):
