@@ -198,6 +198,11 @@ def main() -> None:
     ap.add_argument("--tiers-only", action="store_true",
                     help="measure only the tier cascade (skip full and "
                          "parquet variants)")
+    ap.add_argument("--out",
+                    default=os.path.join(REPO, "BENCH", "BASELINE.md"),
+                    help="report path — OVERWRITTEN; point elsewhere for "
+                         "validation runs so committed evidence (and its "
+                         "hand-written addenda) survives")
     args = ap.parse_args()
 
     os.makedirs(os.path.dirname(args.input), exist_ok=True)
@@ -225,8 +230,8 @@ def main() -> None:
         pq = measure("parquet", "parquet", True, args.input,
                      max(2, args.repeats // 2))
 
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
         f.write(f"""# BENCH — scaling efficiency evidence (north rule)
 
 Same job (`jobs/rollup_job.py`: bronze scan → per-turn latency window →
@@ -342,7 +347,7 @@ Per-stage seconds (best runs, {'full' if full is not None else 'tiers'}-noop):
         if rows:
             f.write("\nTier row counts (identical at both levels — "
                     f"determinism across parallelism): {rows}\n")
-    print("wrote BENCH/BASELINE.md")
+    print(f"wrote {args.out}")
     print(f"tiers eff best={_eff(tiers,'best'):.3f}"
           + (f" full eff best={_eff(full,'best'):.3f}" if full else "")
           + (f" parquet eff best={_eff(pq,'best'):.3f}" if pq else ""))
