@@ -67,6 +67,14 @@ def main(argv: list[str] | None = None) -> dict:
     run = CheckpointedRun(catalog, spark, args.run_id)
     langs = tuple(args.langs.split(","))
     rates = tuple(float(r) for r in args.rates.split(","))
+    if len(rates) != 3:
+        # fail before any stage runs — stratified_sample indexes three
+        # band rates, and a wrong count would otherwise crash (or
+        # silently truncate) after the expensive dedup stage committed
+        raise ValueError(
+            f"--rates needs exactly 3 comma-separated values "
+            f"(short,medium,long bands), got {args.rates!r}"
+        )
     cc_ckpt_dir = None
     if args.reliable_cc:
         # run-scoped scratch: the CC loop prunes superseded round
@@ -90,8 +98,19 @@ def main(argv: list[str] | None = None) -> dict:
         """This run's committed output — pinned to the snapshot the
         run recorded, NOT the table's latest (another run-id sharing
         the warehouse may have overwritten it under different
-        parameters; an expired pin raises loudly)."""
-        return catalog.read(spark, name, run.output_snapshot(name))
+        parameters; an expired or missing pin raises loudly)."""
+        snap = run.output_snapshot(name)
+        if snap is None:
+            # a done-marked unit with no recorded snapshot (checkpoint
+            # row predates snapshot pinning): reading "latest" here
+            # would silently mix in another run's overwrites
+            raise RuntimeError(
+                f"stage {name!r} is checkpointed for run-id "
+                f"{args.run_id!r} but recorded no output snapshot — "
+                "resume isolation cannot be guaranteed; re-run with a "
+                "fresh --run-id"
+            )
+        return catalog.read(spark, name, snap)
 
     def stage(name, build):
         t0 = time.time()
@@ -109,32 +128,36 @@ def main(argv: list[str] | None = None) -> dict:
             metrics["stages"][f"{name}_rows"] = stage_read(name).count()
         metrics["stages"][name] = round(time.time() - t0, 2)
 
-    # the per-row text-equality invariant column (BASELINE input_hint)
-    stage("doc_digest",
-          lambda: docs.select(
-              "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")))
-    stage("quality_ids",
-          lambda: textstats.quality_filter(
-              docs, min_quality=args.min_quality,
-              min_stop_ratio=args.min_stop_ratio, langs=langs))
-    stage("canonical_ids",
-          lambda: dedup.canonical_corpus(
-              docs, n=args.ngram, threshold=args.threshold,
-              reliable=args.reliable_cc))
-    stage("sample_ids",
-          lambda: textstats.stratified_sample(
-              docs, rates=rates, salt=args.salt))
-    stage("curated_ids",
-          lambda: stage_read("quality_ids").select("doc_id")
-          .join(stage_read("canonical_ids").select("doc_id"),
-                "doc_id", "left_semi")
-          .join(stage_read("sample_ids").select("doc_id"),
-                "doc_id", "left_semi"))
+    try:
+        # per-row text-equality invariant column (BASELINE input_hint)
+        stage("doc_digest",
+              lambda: docs.select(
+                  "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")))
+        stage("quality_ids",
+              lambda: textstats.quality_filter(
+                  docs, min_quality=args.min_quality,
+                  min_stop_ratio=args.min_stop_ratio, langs=langs))
+        stage("canonical_ids",
+              lambda: dedup.canonical_corpus(
+                  docs, n=args.ngram, threshold=args.threshold,
+                  reliable=args.reliable_cc))
+        stage("sample_ids",
+              lambda: textstats.stratified_sample(
+                  docs, rates=rates, salt=args.salt))
+        stage("curated_ids",
+              lambda: stage_read("quality_ids").select("doc_id")
+              .join(stage_read("canonical_ids").select("doc_id"),
+                    "doc_id", "left_semi")
+              .join(stage_read("sample_ids").select("doc_id"),
+                    "doc_id", "left_semi"))
+    finally:
+        # also on failure: the dir is run-scoped (fresh uuid per run,
+        # never resumed from), so a crashed run must not leak its CC
+        # round files into the warehouse forever
+        if cc_ckpt_dir is not None:
+            import shutil
 
-    if cc_ckpt_dir is not None:
-        import shutil
-
-        shutil.rmtree(cc_ckpt_dir, ignore_errors=True)
+            shutil.rmtree(cc_ckpt_dir, ignore_errors=True)
 
     metrics["wall_sec"] = round(time.time() - t_all, 2)
     metrics["skipped_units"] = len(run.skipped)

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import statistics
 import sys
 import time
 
@@ -31,7 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from scaling_bench import ensure_input, hardware_probe, run_job  # noqa: E402
+from scaling_bench import ensure_input, hardware_probe, measure  # noqa: E402
 
 LEVELS = (1, 2, 4, 8, 16)
 PAIRS = ((1, 4), (2, 8), (4, 16))
@@ -56,18 +55,12 @@ def main() -> None:
     print("hw ceilings:", {f"{a}->{b}": round(v, 3)
                            for (a, b), v in hw_effs.items()}, flush=True)
 
-    runs: dict[int, list[dict]] = {c: [] for c in LEVELS}
-    for r in range(args.repeats):
-        for cpus in LEVELS:  # interleaved so host drift hits all levels
-            m = run_job(cpus, args.input, f"mp_{cpus}_{r}", "noop",
-                        full=False)
-            runs[cpus].append(m)
-            print(f"[tiers] local[{cpus}] run {r}: wall={m['wall_sec']}s "
-                  f"tps={m['turns_per_sec']}", flush=True)
-
-    best = {c: max(m["turns_per_sec"] for m in runs[c]) for c in LEVELS}
-    med = {c: statistics.median(m["turns_per_sec"] for m in runs[c])
-           for c in LEVELS}
+    # one shared run matrix (scaling_bench.measure): interleaved,
+    # best-of-R, separate JVMs — noise-control fixes propagate here
+    res = measure("mp", "noop", False, args.input, args.repeats,
+                  levels=LEVELS)
+    best = {c: res[c]["best"]["turns_per_sec"] for c in LEVELS}
+    med = {c: res[c]["median_tps"] for c in LEVELS}
 
     lines = [
         "",
@@ -86,7 +79,7 @@ def main() -> None:
         "| --- | --- | --- | --- |",
     ]
     for c in LEVELS:
-        allr = [round(m["turns_per_sec"]) for m in runs[c]]
+        allr = [round(t) for t in res[c]["all_tps"]]
         lines.append(f"| local[{c}] | {best[c]:,.0f} | {med[c]:,.0f} | "
                      f"{allr} |")
     lines += [

@@ -144,16 +144,20 @@ def run_job(cpus: int, input_path: str, run_id: str, sink: str,
 
 
 def measure(tag: str, sink: str, full: bool, input_path: str,
-            repeats: int) -> dict:
-    runs: dict[int, list[dict]] = {c: [] for c in LEVELS}
+            repeats: int, levels: tuple[int, ...] | None = None) -> dict:
+    """Interleaved best-of-R run matrix over ``levels`` (default: the
+    module's configured pair). Shared by the single-pair report AND
+    scripts/multipair_bench.py — noise-control changes land once."""
+    levels = levels or LEVELS
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
     for r in range(repeats):
-        for cpus in LEVELS:  # interleaved
+        for cpus in levels:  # interleaved so host drift hits all levels
             m = run_job(cpus, input_path, f"s_{tag}_{cpus}_{r}", sink, full)
             runs[cpus].append(m)
             print(f"[{tag}] local[{cpus}] run {r}: wall={m['wall_sec']}s "
                   f"tps={m['turns_per_sec']}", flush=True)
     out = {}
-    for cpus in LEVELS:
+    for cpus in levels:
         tps = [m["turns_per_sec"] for m in runs[cpus]]
         best = max(runs[cpus], key=lambda m: m["turns_per_sec"])
         out[cpus] = {"best": best, "all_tps": tps,

@@ -557,3 +557,37 @@ def test_streaming_rollup_requires_utc(spark):
             rollup_stream._require_utc(df)
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_text_invariant_table_antijoin(spark):
+    """The per-turn text-equality invariant (BASELINE input_hint):
+    two datasets are turn-equal iff their invariant tables anti-join
+    to zero rows both ways; a single corrupted turn is caught; rn
+    equals turn_idx under stable ordering for dense indices."""
+    from yahoo_anomaly_detection_spark.sources.ingest import (
+        text_invariant_table,
+    )
+    from yahoo_anomaly_detection_spark.synthgen import gen_transcripts
+
+    a = gen_transcripts(spark, n_convs=6, partitions=2)
+    inv_a = text_invariant_table(a)
+    inv_b = text_invariant_table(gen_transcripts(spark, n_convs=6,
+                                                 partitions=3))
+    on = ["conv_id", "turn_idx", "text_sha"]
+    assert inv_a.join(inv_b, on, "left_anti").count() == 0
+    assert inv_b.join(inv_a, on, "left_anti").count() == 0
+    # stable-order invariant: row_number-1 == dense turn_idx
+    assert inv_a.where(F.col("rn") != F.col("turn_idx")).count() == 0
+    # one corrupted turn text -> exactly one mismatch row each way
+    c = a.withColumn(
+        "text",
+        F.when((F.col("turn_idx") == 1)
+               & (F.col("conv_id") == "conv_00000000"),
+               F.lit("CORRUPTED")).otherwise(F.col("text")),
+    )
+    inv_c = text_invariant_table(c)
+    assert a.where(
+        "conv_id = 'conv_00000000' and turn_idx = 1"
+    ).count() == 1, "fixture lacks the corrupted coordinate"
+    assert inv_a.join(inv_c, on, "left_anti").count() == 1
+    assert inv_c.join(inv_a, on, "left_anti").count() == 1

@@ -28,9 +28,18 @@ def get_spark(
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    builder = SparkSession.builder.appName(app_name)
+    # honor a spark-submit-provided master (--master yarn/k8s/...):
+    # builder options override submit conf at context creation, so
+    # unconditionally setting local[] here would silently collapse a
+    # cluster deploy onto the driver. Standalone (tests/bench) has no
+    # spark.master in the system conf -> local mode as before.
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
