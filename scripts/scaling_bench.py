@@ -144,17 +144,21 @@ def run_job(cpus: int, input_path: str, run_id: str, sink: str,
 
 
 def measure(tag: str, sink: str, full: bool, input_path: str,
-            repeats: int, levels: tuple[int, ...] | None = None) -> dict:
+            repeats: int, levels: tuple[int, ...] | None = None,
+            runner=None) -> dict:
     """Interleaved best-of-R run matrix over ``levels`` (default: the
-    module's configured pair). Shared by the single-pair report AND
-    scripts/multipair_bench.py — noise-control changes land once."""
+    module's configured pair). Shared by the single-pair report,
+    scripts/multipair_bench.py AND scripts/cluster_scaling_bench.py
+    (which passes its own spark-submit ``runner``) — noise-control
+    changes land once."""
     levels = levels or LEVELS
+    runner = runner or run_job
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for r in range(repeats):
         for cpus in levels:  # interleaved so host drift hits all levels
-            m = run_job(cpus, input_path, f"s_{tag}_{cpus}_{r}", sink, full)
+            m = runner(cpus, input_path, f"s_{tag}_{cpus}_{r}", sink, full)
             runs[cpus].append(m)
-            print(f"[{tag}] local[{cpus}] run {r}: wall={m['wall_sec']}s "
+            print(f"[{tag}] level {cpus}: run {r}: wall={m['wall_sec']}s "
                   f"tps={m['turns_per_sec']}", flush=True)
     out = {}
     for cpus in levels:

@@ -29,14 +29,18 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     builder = SparkSession.builder.appName(app_name)
-    # honor a spark-submit-provided master (--master yarn/k8s/...):
-    # builder options override submit conf at context creation, so
-    # unconditionally setting local[] here would silently collapse a
-    # cluster deploy onto the driver. Standalone (tests/bench) has no
-    # spark.master in the system conf -> local mode as before.
-    from pyspark import SparkConf
-
-    if not SparkConf().contains("spark.master"):
+    # honor a spark-submit-provided master (--master yarn/k8s/
+    # local-cluster/...): builder options override submit conf at
+    # context creation, so unconditionally setting local[] here would
+    # silently collapse a cluster deploy onto the driver. Detection
+    # must NOT go through SparkConf(): before the JVM gateway exists,
+    # pyspark's SparkConf is a pure-Python empty dict (always says "no
+    # master"), and after forcing gateway init a spark-defaults.conf
+    # master would leak into plain-python runs and break core pinning.
+    # PYSPARK_GATEWAY_PORT is set iff this process was launched by
+    # spark-submit's PythonRunner — exactly the case where the submit
+    # conf owns the master.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
         builder = builder.master(f"local[{cores}]")
     builder = (
         builder
