@@ -51,13 +51,13 @@ import subprocess
 import sys
 import tempfile
 import time
-import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scaling_bench import ensure_input, hardware_probe, measure  # noqa: E402
+from submit_common import build_pyfiles_zip, find_spark_submit  # noqa: E402
 
 EXEC_LEVELS = (1, 4)  # executors: N and 4N
 CORES_PER_EXEC = 2  # 1->4 executors = 2->8 cores, the host's healthy pair
@@ -71,30 +71,13 @@ SCRATCH = "/dev/shm/spark-scratch"
 def make_pyfiles_zip(out: str) -> str:
     """Zip the package exactly as a user would ship it to spark-submit:
     `python scripts/cluster_scaling_bench.py --make-zip-only` emits the
-    same artifact for a real cluster."""
-    pkg = os.path.join(REPO, "yahoo_anomaly_detection_spark")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
-        for root, dirs, files in os.walk(pkg):
-            dirs[:] = [d for d in dirs if d != "__pycache__"]
-            for fn in sorted(files):
-                if fn.endswith(".py"):
-                    p = os.path.join(root, fn)
-                    z.write(p, os.path.relpath(p, REPO))
-    return out
+    same artifact for a real cluster. Shared builder with
+    scripts/submit_smoke.py (submit_common)."""
+    return build_pyfiles_zip(out)
 
 
 def _submit_bin() -> str:
-    import pyspark
-
-    cand = os.path.join(os.path.dirname(pyspark.__file__), "bin",
-                        "spark-submit")
-    if os.path.exists(cand):
-        return cand
-    found = shutil.which("spark-submit")
-    if not found:
-        raise RuntimeError("no spark-submit on PATH or in the pyspark dist")
-    return found
+    return find_spark_submit()
 
 
 def _submit_env() -> dict:
@@ -276,10 +259,10 @@ def main() -> None:
 
     print("hardware probe (pure-CPU multiprocessing ceiling)...",
           flush=True)
-    hw = hardware_probe(per_level=2)
     ratio = EXEC_LEVELS[1] / EXEC_LEVELS[0]  # never hardcode the 4
     core_a = EXEC_LEVELS[0] * CORES_PER_EXEC
     core_b = EXEC_LEVELS[1] * CORES_PER_EXEC
+    hw = hardware_probe(per_level=2, levels=(core_a, core_b))
     hw_ceiling = hw[core_b] / (ratio * hw[core_a])
     print(f"hardware {core_a}->{core_b}-thread ceiling: {hw_ceiling:.3f}",
           flush=True)
@@ -310,11 +293,17 @@ def main() -> None:
             print(f"[cl_full] {n_exec} executors: wall={m['wall_sec']}s "
                   f"rows={full_rows[n_exec]}", flush=True)
         a, b = (full_rows[lv] for lv in EXEC_LEVELS)
-        if a != b:
-            raise RuntimeError(
-                f"tier row counts differ across cluster sizes: {a} vs {b}"
-            )
-        print("tier/stat row counts identical across cluster sizes")
+        rows_match = a == b
+        if rows_match:
+            print("tier/stat row counts identical across cluster sizes")
+        else:
+            # don't raise yet: the report write below must not lose a
+            # session's worth of interleaved tier measurements — the
+            # mismatch is recorded IN the report, then raised after
+            print(f"ROW-COUNT MISMATCH across cluster sizes: {a} vs {b}",
+                  flush=True)
+    else:
+        rows_match = True
 
     def _table(res):
         rows = []
@@ -389,8 +378,7 @@ range measured in `BENCH/BASELINE.md`.
 """)
         if full_rows:
             f.write(f"""
-## Full pipeline determinism across cluster sizes ({args.full_convs:,}
-convs, catalog parquet sink, --full)
+## Full pipeline determinism across cluster sizes ({args.full_convs:,} convs, catalog parquet sink, --full)
 
 The complete north-star pipeline — tiers + rolling stats/z-flags +
 EWMA (`applyInPandas`) + Gorilla encode (`mapInPandas`), all Python
@@ -400,18 +388,31 @@ both cluster sizes. Row counts per committed table:
 | table | 1 executor | 4 executors |
 | --- | --- | --- |
 """)
-            for k in sorted(full_rows[EXEC_LEVELS[0]]):
-                f.write(f"| {k[:-5]} | {full_rows[EXEC_LEVELS[0]][k]} | "
-                        f"{full_rows[EXEC_LEVELS[1]][k]} |\n")
+            all_keys = sorted(set(full_rows[EXEC_LEVELS[0]])
+                              | set(full_rows[EXEC_LEVELS[1]]))
+            for k in all_keys:
+                f.write(f"| {k[:-5]} | {full_rows[EXEC_LEVELS[0]].get(k)} | "
+                        f"{full_rows[EXEC_LEVELS[1]].get(k)} |\n")
             f.write(
-                "\nIdentical at both sizes (asserted by the harness): "
-                "physical parallelism does not change committed results.\n"
-                f"\nWall: {full_metrics[EXEC_LEVELS[0]]['wall_sec']}s at 1 "
-                f"executor, {full_metrics[EXEC_LEVELS[1]]['wall_sec']}s at "
-                "4 executors (catalog commits share the sandbox's single "
-                "disk, so this section evidences determinism + the "
+                ("\nIdentical at both sizes (asserted by the harness): "
+                 "physical parallelism does not change committed results.\n"
+                 if rows_match else
+                 "\n**ROW-COUNT MISMATCH across cluster sizes** — the "
+                 "harness raised after writing this report; do not use "
+                 "this session as determinism evidence.\n")
+                + f"\nWall: {full_metrics[EXEC_LEVELS[0]]['wall_sec']}s at "
+                f"1 executor, {full_metrics[EXEC_LEVELS[1]]['wall_sec']}s "
+                "at 4 executors (catalog commits share the sandbox's "
+                "single disk, so this section evidences determinism + the "
                 "--py-files Python path, not the scaling claim).\n")
     print(f"wrote {args.out}")
+    if not rows_match:
+        raise RuntimeError(
+            "tier row counts differ across cluster sizes: "
+            f"{full_rows[EXEC_LEVELS[0]]} vs {full_rows[EXEC_LEVELS[1]]} "
+            f"(report with all measurements was still written to "
+            f"{args.out})"
+        )
 
 
 if __name__ == "__main__":

@@ -69,16 +69,20 @@ def _probe_work(_):
         h = hashlib.sha256(h).digest()
 
 
-def hardware_probe(per_level: int = 3) -> dict[int, float]:
+def hardware_probe(per_level: int = 3,
+                   levels: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+                   ) -> dict[int, float]:
     """Host parallel-capacity curve: pure-userspace CPU work (sha256
     chains) under multiprocessing — no JVM, no Spark, no I/O. The
     resulting throughput ratios are the PHYSICAL ceiling any engine
-    can show on this guest."""
+    can show on this guest. ``levels`` restricts the probed proc
+    counts (the 16/32 levels dominate probe wall time; callers that
+    only need one pair should not pay for them)."""
     from multiprocessing import Pool
 
     work = _probe_work
     out = {}
-    for n in (1, 2, 4, 8, 16, 32):
+    for n in levels:
         best = float("inf")
         for _ in range(per_level):
             with Pool(n) as p:

@@ -28,38 +28,18 @@ import shutil
 import subprocess
 import sys
 import tempfile
-import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-PKG = "yahoo_anomaly_detection_spark"
+from submit_common import build_pyfiles_zip, find_spark_submit  # noqa: E402
 
 
 def build_zip(dest: str) -> str:
-    """Zip the package the way a deploy pipeline would (py files only)."""
-    zpath = os.path.join(dest, "yads.zip")
-    root = os.path.join(REPO, PKG)
-    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
-        for dirpath, _, files in os.walk(root):
-            for fn in files:
-                if fn.endswith(".py"):
-                    full = os.path.join(dirpath, fn)
-                    z.write(full, os.path.relpath(full, REPO))
-    return zpath
-
-
-def find_spark_submit() -> str:
-    found = shutil.which("spark-submit")
-    if found:
-        return found
-    import pyspark
-
-    cand = os.path.join(os.path.dirname(pyspark.__file__), "bin",
-                        "spark-submit")
-    if os.path.exists(cand):
-        return cand
-    raise FileNotFoundError("spark-submit not found on PATH or in pyspark")
+    """Zip the package the way a deploy pipeline would — shared
+    builder with the cluster evidence harness (submit_common)."""
+    return build_pyfiles_zip(os.path.join(dest, "yads.zip"))
 
 
 def main() -> None:
