@@ -95,6 +95,24 @@ def q_rollup_1d(spark, sf_dir):
     return _tier_select(rollup.rollup_cascade(t1h, "1d"))
 
 
+def q_tier_merge_refresh(spark, sf_dir):
+    """Continuous-aggregate REFRESH math (operators/rollup.merge_tiers,
+    the primitive behind jobs/refresh_job.py): the series is split by
+    timestamp parity — so nearly every (conv, minute) bucket has points
+    in BOTH halves — each half is rolled to 1m partials independently,
+    the partials are merged (decomposable-state recombination) and
+    cascaded to 1h. Oracle: direct 1h aggregation over the unsplit
+    series. Parity proves a delta's partials merge into existing tier
+    rows exactly, which is what lets an incremental refresh replace
+    only affected day partitions at 10^12-turn scale."""
+    ev = _series(spark, sf_dir)
+    parity = F.unix_micros("ts") % 2
+    halves = [ev.where(parity == i) for i in (0, 1)]
+    merged_1m = rollup.merge_tiers(
+        [rollup.rollup_points(h, "1m") for h in halves], "1m")
+    return _tier_select(rollup.rollup_cascade(merged_1m, "1h"))
+
+
 def q_latency_1m(spark, sf_dir):
     """lag-based inter-arrival latency per conversation → 1m tier
     (SURVEY §2.5 ranking note; rollup of the latency series)."""
@@ -726,11 +744,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness gate checks
     # exactly the FIRST 50 entries. The 10 entries that had never (or
-    # only in round 2) received a driver-green row lead the dict; the
-    # 10 pushed past the window are all round-3-driver-green and
-    # redundant with in-window entries (32-bit simhash vs simhash64,
-    # signature/bucket/cell intermediates vs their end-to-end ops,
-    # closed-form scalars vs the lifecycle/confusion queries).
+    # only in round 2) received a driver-green row lead the dict,
+    # followed by the round-4 tier_merge_refresh; the 11 pushed past
+    # the window are all previously-driver-green and redundant with
+    # in-window entries (32-bit simhash vs simhash64, signature/
+    # bucket/cell intermediates vs their end-to-end ops, closed-form
+    # scalars vs the lifecycle/confusion queries, quality_filter vs
+    # the curated_corpus capstone that composes it).
     return {
         # -- never driver-checked before round 4
         "stratified_sample": q_stratified_sample,
@@ -744,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        # -- new in round 4: incremental-refresh merge math
+        "tier_merge_refresh": q_tier_merge_refresh,
         # -- round-3-green core set
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
@@ -1276,6 +1298,7 @@ def _epsilonize(sql: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "tier_merge_refresh": _tier_sql("hour", 3600),
         "rollup_1m": _tier_sql("minute", 60),
         "rollup_1h": _tier_sql("hour", 3600),
         "rollup_1d": _tier_sql("day", 86400),

@@ -40,6 +40,7 @@ HEADLINE = [
     "rollup_1m",
     "rollup_1h",
     "rollup_1d",
+    "tier_merge_refresh",
     "latency_1m",
     "rolling_stats",
     "zscore_flags",

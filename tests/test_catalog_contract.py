@@ -23,7 +23,8 @@ from yahoo_anomaly_detection_spark.sources.iceberg import (
 
 CONTRACT_METHODS = ["append", "overwrite_table", "delete_where", "read",
                     "snapshots", "current_snapshot_id", "exists",
-                    "expire_snapshots", "compact", "remove_orphan_files"]
+                    "expire_snapshots", "compact", "remove_orphan_files",
+                    "replace_where", "read_appended"]
 
 
 def test_adapter_interface_matches_shim():
@@ -150,6 +151,48 @@ def test_contract_compact_collapses_commits(spark, catalog):
     assert after == before
     if isinstance(catalog, ParquetCatalog):
         assert len(catalog.snapshots("t7")[-1].paths) == 1
+
+
+def test_contract_replace_where(spark, catalog):
+    """Dynamic predicate overwrite: rows matching the predicate are
+    replaced by the new frame in ONE commit; non-matching rows —
+    including NULL-predicate rows — carry over untouched."""
+    catalog.append(_df(spark, [(1, "d1", 1.0), (2, "d2", 2.0)]), "t8",
+                   partition_by=["day"])
+    catalog.append(_df(spark, [(3, "d2", 3.0), (4, None, 4.0)]), "t8")
+    n0 = len(catalog.snapshots("t8"))
+    catalog.replace_where(spark, _df(spark, [(9, "d2", 9.0)]), "t8",
+                          "day = 'd2'")
+    got = sorted((r.id, r.day) for r in catalog.read(spark, "t8").collect())
+    # 2 and 3 replaced by 9; NULL-day row 4 retained; d1 untouched
+    assert got == [(1, "d1"), (4, None), (9, "d2")]
+    assert len(catalog.snapshots("t8")) == n0 + 1  # atomic: ONE commit
+    with pytest.raises(FileNotFoundError):
+        catalog.replace_where(spark, _df(spark, [(1, "d", 1.0)]),
+                              "never_created", "day = 'd'")
+
+
+def test_contract_read_appended(spark, catalog):
+    """Incremental scan: rows appended in (since, until]; since=None
+    reads the full view; a non-append snapshot in the range raises."""
+    catalog.append(_df(spark, [(1, "d1", 1.0)]), "t9")
+    s1 = catalog.current_snapshot_id("t9")
+    catalog.append(_df(spark, [(2, "d2", 2.0)]), "t9")
+    s2 = catalog.current_snapshot_id("t9")
+    catalog.append(_df(spark, [(3, "d3", 3.0)]), "t9")
+
+    inc = catalog.read_appended(spark, "t9", s1)
+    assert sorted(r.id for r in inc.collect()) == [2, 3]
+    window = catalog.read_appended(spark, "t9", s1, until_snapshot_id=s2)
+    assert [r.id for r in window.collect()] == [2]
+    assert catalog.read_appended(spark, "t9", s2, s2).count() == 0
+    full = catalog.read_appended(spark, "t9", None)
+    assert sorted(r.id for r in full.collect()) == [1, 2, 3]
+
+    catalog.delete_where(spark, "t9", "id = 1")
+    with pytest.raises(Exception):
+        # overwrite/delete in the range: "rows added since" undefined
+        catalog.read_appended(spark, "t9", s1).collect()
 
 
 def test_contract_snapshot_log_grows(spark, catalog):

@@ -1,0 +1,140 @@
+"""Incremental continuous-aggregate refresh: exact tier maintenance
+over an append-only transcripts table without ever recomputing
+history.
+
+North-rule component ("continuous-aggregate tiers ... resumable from
+Iceberg snapshot checkpoints"): at 10^12 turns a tier refresh must
+touch only the appended delta plus the tier rows it lands in. The
+machinery:
+
+- ``catalog.read_appended`` scans ONLY the commits after the last
+  processed snapshot (Iceberg incremental scan / the shim's new-dir
+  union);
+- the one stateful derivation — per-turn latency, a ``lag`` over
+  (conv_id, turn_idx) — crosses batch boundaries, so a compact
+  per-conversation TAILS table carries each conversation's last
+  (turn_idx, ts) forward; :func:`incremental_latency` windows over
+  delta ∪ carried tails and is EXACTLY equal to what a full recompute
+  would assign the delta rows (pytest parity);
+- tier partials of the delta merge into existing rows via
+  :func:`operators.rollup.merge_tiers` (tiers carry decomposable
+  state) and land with ``catalog.replace_where`` on the affected day
+  partitions only — one atomic commit per tier, cost ∝ delta;
+- the tails table is hive-partitioned by a conv_id hash bucket so
+  its update is also a ``replace_where`` on the affected buckets, not
+  a full rewrite (#convs grows with the corpus).
+
+Out-of-order appends (a turn arriving with ``turn_idx`` ≤ the
+conversation's recorded tail) would silently corrupt latency values;
+:func:`validate_in_order` makes the refresh fail LOUDLY instead — the
+operator contract is in-order appends per conversation, the natural
+shape of a transcript log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .rollup import transcripts_latency
+
+TAILS_BUCKETS = 64
+
+
+def conv_tails(df: DataFrame) -> DataFrame:
+    """Per-conversation tail: the last (turn_idx, ts) under stable
+    turn ordering, plus the hash bucket the tails table is
+    partitioned by. One map-side-combined shuffle of 3 columns."""
+    return df.groupBy("conv_id").agg(
+        F.max("turn_idx").alias("last_turn_idx"),
+        F.max_by("ts", "turn_idx").alias("last_ts"),
+    ).withColumn(
+        "bucket", F.pmod(F.hash(F.col("conv_id")), F.lit(TAILS_BUCKETS))
+    )
+
+
+def merge_tails(old: DataFrame | None, delta_tails: DataFrame) -> DataFrame:
+    """Newest tail per conversation across old state and the delta."""
+    u = delta_tails if old is None \
+        else old.select(*delta_tails.columns).unionByName(delta_tails)
+    return u.groupBy("conv_id").agg(
+        F.max("last_turn_idx").alias("last_turn_idx"),
+        F.max_by("last_ts", "last_turn_idx").alias("last_ts"),
+        F.first("bucket").alias("bucket"),  # hash of conv_id: constant
+    )
+
+
+def validate_in_order(delta: DataFrame, tails: DataFrame) -> int:
+    """Number of conversations whose delta violates the in-order-append
+    contract (some delta turn_idx ≤ the recorded tail). The caller
+    raises on > 0 — continuing would assign wrong latencies silently."""
+    mins = delta.groupBy("conv_id").agg(F.min("turn_idx").alias("mn"))
+    return (
+        mins.join(tails.select("conv_id", "last_turn_idx"), "conv_id")
+        .where(F.col("mn") <= F.col("last_turn_idx"))
+        .count()
+    )
+
+
+def incremental_latency(delta: DataFrame,
+                        tails: DataFrame | None) -> DataFrame:
+    """Latency points for EXACTLY the delta rows, equal to what a full
+    recompute would assign them.
+
+    The carried tail row supplies the ``lag`` predecessor for each
+    conversation's first delta turn; a conversation with no tail (its
+    global first turns are in this delta) gets NULL on its first turn,
+    as in :func:`transcripts_latency`. Tails are pruned to the delta's
+    conversations with a left_semi join before the union, so the
+    window shuffles delta-sized data plus one carried row per active
+    conversation — never the full tails table.
+    """
+    if tails is None:
+        return transcripts_latency(delta)
+    active = delta.select("conv_id").distinct()
+    carry = (
+        tails.join(active, "conv_id", "left_semi")
+        .select(
+            "conv_id",
+            F.col("last_ts").alias("ts"),
+            F.col("last_turn_idx").alias("turn_idx"),
+            F.lit(True).alias("_carry"),
+        )
+    )
+    aug = delta.select(
+        "conv_id", "ts", "turn_idx", F.lit(False).alias("_carry")
+    ).unionByName(carry)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts"))
+    return (
+        aug.select(
+            "conv_id",
+            "ts",
+            "_carry",
+            ((us - F.lag(us).over(w)) / F.lit(1e6)).alias("value"),
+        )
+        .where(~F.col("_carry"))
+        .drop("_carry")
+    )
+
+
+def affected_days(delta_points: DataFrame, ts_col: str = "ts") -> list[str]:
+    """Distinct days the delta touches — the partitions every tier
+    refresh replaces. Driver-side list by design: a refresh batch
+    spans hours-to-days of event time (bounded), never table history."""
+    rows = (
+        delta_points.select(
+            F.to_date(F.col(ts_col)).cast("string").alias("day")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r.day for r in rows)
+
+
+def day_predicate(days: list[str], col: str = "day") -> str:
+    """``day IN (...)`` predicate for replace_where on day partitions."""
+    if not days:
+        raise ValueError("no affected days — nothing to replace")
+    quoted = ", ".join(f"DATE'{d}'" for d in days)
+    return f"{col} IN ({quoted})"

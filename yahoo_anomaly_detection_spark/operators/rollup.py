@@ -111,6 +111,32 @@ def rollup_cascade(tier_df: DataFrame, to_tier: str) -> DataFrame:
     return _finish_tier(agg, to_tier)
 
 
+# the decomposable merge state every tier carries (everything else —
+# mean/std/turn_rate — is derived from these by _finish_tier)
+TIER_STATE_COLS = ("conv_id", "bucket_start", "cnt", "vcnt", "sum",
+                   "sum_sq", "min", "max")
+
+
+def merge_tiers(parts: list[DataFrame], tier: str) -> DataFrame:
+    """Exact merge of tier tables/partials of the SAME tier.
+
+    Because tiers carry the decomposable state (cnt, vcnt, sum,
+    sum_sq, min, max), merging is just recombination grouped by the
+    (conv_id, bucket_start) key — ``rollup_cascade`` onto the same
+    tier (``date_trunc`` is the identity on aligned buckets). This is
+    the continuous-aggregate REFRESH primitive: an incremental delta's
+    partials merge into existing tier rows without touching raw
+    history, so refresh cost scales with the delta, never with the
+    10^12-turn table. One map-side-combined shuffle over the parts.
+    """
+    if not parts:
+        raise ValueError("merge_tiers needs at least one part")
+    u = parts[0].select(*TIER_STATE_COLS)
+    for p in parts[1:]:
+        u = u.unionByName(p.select(*TIER_STATE_COLS))
+    return rollup_cascade(u, tier)
+
+
 def rollup_all_tiers(points: DataFrame, value_col: str = "value") -> dict[str, DataFrame]:
     """raw → {1m, 1h, 1d} cascade."""
     t1m = rollup_points(points, "1m", value_col)

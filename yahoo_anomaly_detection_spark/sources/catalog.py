@@ -291,6 +291,77 @@ class ParquetCatalog:
              "schema": schema_json or kept.schema.jsonValue()},
         ))
 
+    def replace_where(self, spark: SparkSession, df: DataFrame, table: str,
+                      predicate: str,
+                      partition_by: list[str] | None = None) -> str:
+        """Iceberg ``writeTo(t).overwrite(p)`` — dynamic predicate
+        overwrite in ONE commit: rows matching ``predicate`` are
+        replaced by ``df``; everything else carries over untouched.
+
+        This is the continuous-aggregate refresh primitive: an
+        incremental tier refresh replaces ONLY the affected day
+        partitions (``day IN (...)``) with freshly merged rows, so
+        commit cost scales with the delta, never with table history.
+
+        Same copy-on-write machinery as :meth:`delete_where` (probe
+        dirs, rewrite only dirs containing matches, NULL-predicate
+        rows retained, CommitConflictError if the table advanced), plus
+        the new data as one extra dir in the same snapshot — the
+        delete and the insert are atomic together, so a reader never
+        sees the gap between them.
+        """
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(
+                f"no snapshots for table {table!r} — create it with "
+                "append()/overwrite_table() first"
+            )
+        base = snaps[-1]
+        pb = partition_by if partition_by is not None \
+            else base.summary.get("partition_by")
+        base_schema = base.summary.get("schema")
+
+        def _empty(p: str) -> bool:
+            d = self._read_dirs(spark, [p], base_schema)
+            return d.where(predicate).limit(1).count() == 0
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(8, len(base.paths)))
+        ) as ex:
+            empties = list(ex.map(_empty, base.paths))
+        untouched = [p for p, e in zip(base.paths, empties) if e]
+        affected = [p for p, e in zip(base.paths, empties) if not e]
+
+        snap_id = self._new_snap_id()
+        new_paths = list(untouched)
+        if affected:
+            rewrite_dir = self._new_data_dir(table, snap_id) + "_rw"
+            kept = self._read_dirs(spark, affected, base_schema).where(
+                f"({predicate}) IS NOT TRUE"
+            )
+            self._write_data(kept, rewrite_dir, pb)
+            new_paths.append(rewrite_dir)
+        data_dir = self._new_data_dir(table, snap_id)
+        self._write_data(df, data_dir, pb)
+        new_paths.append(data_dir)
+
+        def make(cur: list[Snapshot]) -> Snapshot:
+            if not cur or cur[-1].snapshot_id != base.snapshot_id:
+                raise CommitConflictError(
+                    f"table {table!r} advanced past {base.snapshot_id!r} "
+                    "during replace_where — re-run against the new snapshot"
+                )
+            return Snapshot(
+                snap_id, base.snapshot_id, "replace_where", new_paths,
+                {"predicate": predicate, "rewritten_dirs": len(affected),
+                 "pruned_dirs": len(untouched), "partition_by": pb,
+                 "schema": base_schema or df.schema.jsonValue()},
+            )
+
+        return self._commit(table, make)
+
     # ---------- maintenance ----------
     def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
         """Retire all but the newest ``keep_last`` snapshots and delete
@@ -429,6 +500,65 @@ class ParquetCatalog:
         # list per snapshot, planned in a single scan node), which is
         # one of the reasons the real deployment uses sources/iceberg.py.
         return self._read_dirs(spark, snap.paths, schema_json)
+
+    def read_appended(self, spark: SparkSession, table: str,
+                      since_snapshot_id: str | None,
+                      until_snapshot_id: str | None = None) -> DataFrame:
+        """Incremental read: ONLY the rows appended after
+        ``since_snapshot_id`` up to ``until_snapshot_id`` (default:
+        current). Iceberg's incremental scan
+        (``start-snapshot-id``/``end-snapshot-id`` read options);
+        ``since`` is EXCLUSIVE, matching Iceberg.
+
+        ``since_snapshot_id=None`` reads the full ``until`` view (first
+        refresh of a consumer). Raises ``ValueError`` if any snapshot
+        in the range is not an append — an overwrite/delete rewrote
+        history, so "rows added since" is undefined and the consumer
+        must fall back to a full recompute (Iceberg's incremental scan
+        refuses the same way).
+        """
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {table!r}")
+        ids = [s.snapshot_id for s in snaps]
+        if until_snapshot_id is None:
+            until_snapshot_id = ids[-1]
+        if until_snapshot_id not in ids:
+            raise ValueError(
+                f"snapshot {until_snapshot_id!r} not found for table "
+                f"{table!r} (expired or never existed)")
+        if since_snapshot_id is None:
+            return self.read(spark, table, until_snapshot_id)
+        if since_snapshot_id not in ids:
+            raise ValueError(
+                f"snapshot {since_snapshot_id!r} not found for table "
+                f"{table!r} (expired or never existed)")
+        lo, hi = ids.index(since_snapshot_id), ids.index(until_snapshot_id)
+        if hi < lo:
+            raise ValueError(
+                f"until snapshot {until_snapshot_id!r} predates since "
+                f"snapshot {since_snapshot_id!r} for table {table!r}")
+        rng = snaps[lo + 1: hi + 1]
+        non_append = [s.snapshot_id for s in rng if s.operation != "append"]
+        if non_append:
+            raise ValueError(
+                f"incremental read of table {table!r} is undefined: "
+                f"snapshots {non_append} in ({since_snapshot_id!r}, "
+                f"{until_snapshot_id!r}] are not appends — fall back to "
+                "a full recompute from the current view")
+        since_paths = set(snaps[lo].paths)
+        new_paths: list[str] = []
+        for s in rng:
+            for p in s.paths:
+                if p not in since_paths and p not in new_paths:
+                    new_paths.append(p)
+        schema_json = snaps[hi].summary.get("schema")
+        if not new_paths:
+            if schema_json is not None:
+                return spark.createDataFrame(
+                    [], schema=StructType.fromJson(schema_json))
+            return spark.createDataFrame([], schema="dummy string").limit(0)
+        return self._read_dirs(spark, new_paths, schema_json)
 
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))

@@ -167,6 +167,25 @@ class IcebergCatalog:
         spark.sql(f"DELETE FROM {self._fqn(table)} WHERE {predicate}")
         return self.current_snapshot_id(table)
 
+    def replace_where(self, spark: SparkSession, df: DataFrame, table: str,
+                      predicate: str,
+                      partition_by: list[str] | None = None) -> str:
+        """Iceberg dynamic predicate overwrite:
+        ``df.writeTo(t).overwrite(expr(p))`` — rows matching the
+        predicate are replaced by ``df`` in one atomic commit (the
+        continuous-aggregate refresh primitive). ``partition_by`` is
+        accepted for signature parity; Iceberg keeps the table's own
+        partition spec."""
+        from pyspark.sql import functions as F
+
+        if not self.exists(table):
+            raise FileNotFoundError(
+                f"no snapshots for table {table!r} — create it with "
+                "append()/overwrite_table() first"
+            )
+        df.writeTo(self._fqn(table)).overwrite(F.expr(predicate))
+        return self.current_snapshot_id(table)
+
     # ---------- maintenance ----------
     def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
         """Iceberg's ``expire_snapshots`` maintenance procedure.
@@ -230,6 +249,24 @@ class IcebergCatalog:
         r = spark.read
         if snapshot_id is not None:
             r = r.option("snapshot-id", int(snapshot_id))
+        return r.table(self._fqn(table))
+
+    def read_appended(self, spark: SparkSession, table: str,
+                      since_snapshot_id: str | None,
+                      until_snapshot_id: str | None = None) -> DataFrame:
+        """Iceberg incremental scan: rows appended in
+        (``since``, ``until``] via the ``start-snapshot-id`` /
+        ``end-snapshot-id`` read options (``since`` exclusive).
+        ``since=None`` reads the full ``until`` view. Iceberg itself
+        raises if the range contains a non-append snapshot — same
+        contract as the shim."""
+        if not self.exists(table):
+            raise FileNotFoundError(f"no snapshots for table {table!r}")
+        if since_snapshot_id is None:
+            return self.read(spark, table, until_snapshot_id)
+        r = spark.read.option("start-snapshot-id", int(since_snapshot_id))
+        if until_snapshot_id is not None:
+            r = r.option("end-snapshot-id", int(until_snapshot_id))
         return r.table(self._fqn(table))
 
     def exists(self, table: str) -> bool:
