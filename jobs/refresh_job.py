@@ -30,7 +30,18 @@ identical merged rows and replaces the same partitions; the meta-row
 append is the commit point that makes the delta processed. If history
 was rewritten under the consumer (TTL delete / compaction of the
 bronze table), ``read_appended`` refuses and the job falls back to a
-verified full recompute (``mode=full`` in the metrics).
+verified full recompute (``mode=full`` in the metrics) — including
+when the rewrite emptied the bronze table (tiers are rebuilt empty,
+never left serving deleted history). Growing ``--tiers`` on an
+existing consumer also triggers the full rebuild: an incremental
+merge could only give the new tier the delta's days. Appends that
+violate the per-conversation contract (turn_idx at/below the recorded
+tail, or duplicated within a batch) fail loudly before any commit.
+
+The job maintains its own tables: the ``_refresh_meta`` log self-
+compacts past 32 snapshots, and ``--vacuum-keep-last N`` (N >= 2 so
+the crash-retry pins stay readable) compacts + expires the tier/tails
+tables after each refresh that wrote new snapshots.
 
 Prints ONE JSON line of metrics (parsed by harnesses/tests).
 """
@@ -51,6 +62,7 @@ from yahoo_anomaly_detection_spark.session import get_spark  # noqa: E402
 from yahoo_anomaly_detection_spark.sources.catalog import ParquetCatalog  # noqa: E402
 from yahoo_anomaly_detection_spark.sources.ingest import bronze_transcripts  # noqa: E402
 from yahoo_anomaly_detection_spark.operators.rollup import (  # noqa: E402
+    TIERS,
     merge_tiers,
     rollup_cascade,
     rollup_points,
@@ -59,6 +71,8 @@ from yahoo_anomaly_detection_spark.operators import refresh as R  # noqa: E402
 
 META_TABLE = "_refresh_meta"
 TAILS_TABLE = "_conv_tails"
+# self-compact the meta log past this many snapshots (one per refresh)
+META_COMPACT_THRESHOLD = 32
 
 
 def _latest_meta(catalog, spark, consumer: str):
@@ -73,11 +87,34 @@ def _latest_meta(catalog, spark, consumer: str):
     return rows[0] if rows else None
 
 
+def _validate_tiers(tiers: tuple[str, ...]) -> None:
+    """A coarser tier cascading into a finer one is the identity on
+    bucket_start (``date_trunc('minute')`` of hour-aligned buckets),
+    so '1h,1m' would silently commit one-row-per-hour data labeled as
+    1m buckets — fail loudly at entry instead."""
+    unknown = [t for t in tiers if t not in TIERS]
+    if unknown:
+        raise ValueError(
+            f"unknown tiers {unknown!r}: --tiers must be drawn from {TIERS}")
+    idx = [TIERS.index(t) for t in tiers]
+    if not idx or idx != sorted(set(idx)):
+        raise ValueError(
+            f"--tiers must be a non-empty strictly ascending subset of "
+            f"{TIERS}, got {tuple(tiers)!r}")
+
+
 def refresh_once(spark, catalog, bronze_table: str = "transcripts",
                  tiers: tuple[str, ...] = ("1m", "1h", "1d"),
-                 consumer: str = "tiers") -> dict:
+                 consumer: str = "tiers",
+                 vacuum_keep_last: int | None = None) -> dict:
     """One refresh cycle. Returns the metrics dict."""
     t_all = time.time()
+    _validate_tiers(tiers)
+    if vacuum_keep_last is not None and vacuum_keep_last < 2:
+        raise ValueError(
+            "vacuum_keep_last must be >= 2: the meta row pins each "
+            "output table's pre-compaction snapshot, which the "
+            "crash-retry path still reads")
     metrics: dict = {"consumer": consumer, "stages": {}}
 
     meta = _latest_meta(catalog, spark, consumer)
@@ -94,27 +131,51 @@ def refresh_once(spark, catalog, bronze_table: str = "transcripts",
         return metrics
 
     mode = "incremental" if meta is not None else "initial"
-    try:
-        delta = catalog.read_appended(spark, bronze_table, since, cur)
-    except ValueError:
-        # bronze history rewritten under us (TTL delete / compaction):
-        # incremental is undefined; rebuild from the current view
-        mode = "full"
+    if mode == "incremental":
+        unpinned = [f"tier_{t}" for t in tiers if f"tier_{t}" not in pinned]
+        clash = [u for u in unpinned if catalog.exists(u)]
+        if clash:
+            # another consumer's (or an unmanaged) table: merging blind
+            # or replacing its days with delta-only rows would both
+            # corrupt it silently
+            raise RuntimeError(
+                f"tables {clash} exist but are not pinned by consumer "
+                f"{consumer!r} — refresh owns its tier tables; use a "
+                "fresh consumer/warehouse or rebuild full"
+            )
+        if unpinned:
+            # the consumer's tier set grew (or a prior run pinned no
+            # tiers): an incremental merge would create the new tiers
+            # from the delta's days only, silently losing all
+            # historical days — rebuild everything from the full view
+            mode = "full"
+
+    if mode == "full":
         delta = catalog.read(spark, bronze_table, cur)
         pinned = {}
+    else:
+        try:
+            delta = catalog.read_appended(spark, bronze_table, since, cur)
+        except ValueError:
+            # bronze history rewritten under us (TTL delete /
+            # compaction): incremental is undefined; rebuild from the
+            # current view
+            mode = "full"
+            delta = catalog.read(spark, bronze_table, cur)
+            pinned = {}
 
     tails = None
     if mode == "incremental" and TAILS_TABLE in pinned:
         tails = catalog.read(spark, TAILS_TABLE, pinned[TAILS_TABLE])
-        bad = R.validate_in_order(delta, tails)
-        if bad:
-            raise RuntimeError(
-                f"{bad} conversations in the delta violate the "
-                "in-order-append contract (turn_idx <= recorded tail); "
-                "refusing to assign silently wrong latencies. Rebuild "
-                "with a full recompute (rewrite the bronze table) or "
-                "fix the producer."
-            )
+    bad = R.validate_in_order(delta, tails)
+    if bad:
+        raise RuntimeError(
+            f"{bad} conversations in the delta violate the "
+            "in-order-append contract (turn_idx <= recorded tail, or "
+            "duplicated turn_idx within the batch); refusing to assign "
+            "silently wrong latencies. Rebuild with a full recompute "
+            "(rewrite the bronze table) or fix the producer."
+        )
 
     t0 = time.time()
     lat = R.incremental_latency(delta, tails)
@@ -122,29 +183,24 @@ def refresh_once(spark, catalog, bronze_table: str = "transcripts",
     days = R.affected_days(d1m, ts_col="bucket_start")
     metrics["stages"]["delta_1m"] = round(time.time() - t0, 2)
     metrics["affected_days"] = len(days)
+    cached = [d1m]
     try:
-        if not days:  # delta had zero rows (empty append commits)
+        if not days and mode == "incremental":
+            # delta had zero rows (empty append commits): nothing to
+            # merge; carry the pins forward
             new_tails_snap = pinned.get(TAILS_TABLE)
             out_snaps = {f"tier_{t}": pinned.get(f"tier_{t}")
                          for t in tiers}
         else:
-            pred = R.day_predicate(days)
+            # initial/full still lands with zero days: the tiers must
+            # reflect the (possibly TTL-emptied) bronze view — keeping
+            # the stale tables would silently serve deleted history
+            pred = R.day_predicate(days) if days else None
             prev = None  # merged rows of the lower tier, affected days
             out_snaps = {}
             for tier in tiers:
                 t0 = time.time()
                 table = f"tier_{tier}"
-                if (mode == "incremental" and catalog.exists(table)
-                        and table not in pinned):
-                    # a tier table this consumer never pinned: merging
-                    # blind or replacing its days with delta-only rows
-                    # would both corrupt it silently
-                    raise RuntimeError(
-                        f"table {table!r} exists but is not pinned by "
-                        f"consumer {consumer!r} — refresh owns its tier "
-                        "tables; use a fresh consumer/warehouse or "
-                        "rebuild full"
-                    )
                 if prev is not None:
                     # upper tiers cascade from the COMMITTED merged
                     # lower-tier rows of the affected days — already
@@ -152,7 +208,8 @@ def refresh_once(spark, catalog, bronze_table: str = "transcripts",
                     # REPLACE; merging with existing again would
                     # double-count the pre-delta contribution
                     merged = rollup_cascade(prev, tier)
-                elif mode == "incremental" and table in pinned:
+                elif mode == "incremental":
+                    # every tier is pinned here (checked at entry)
                     existing = catalog.read(
                         spark, table, pinned[table]
                     ).where(pred)
@@ -161,7 +218,7 @@ def refresh_once(spark, catalog, bronze_table: str = "transcripts",
                     merged = d1m
                 merged = merged.withColumn(
                     "day", F.to_date("bucket_start"))
-                if mode != "incremental" or not catalog.exists(table):
+                if mode != "incremental":
                     # initial/full: take ownership with a full view
                     snap = catalog.overwrite_table(
                         merged, table, partition_by=["day"])
@@ -170,11 +227,17 @@ def refresh_once(spark, catalog, bronze_table: str = "transcripts",
                         spark, merged, table, pred)
                 out_snaps[table] = snap
                 # next tier cascades from the COMMITTED merged rows of
-                # the affected days (complete for those days)
-                prev = catalog.read(spark, table, snap).where(pred)
+                # the affected days (complete for those days); cached —
+                # it is both counted below and scanned by the cascade
+                prev = catalog.read(spark, table, snap)
+                if mode == "incremental":
+                    prev = prev.where(pred)
+                prev = prev.persist()
+                cached.append(prev)
                 metrics["stages"][f"tier_{tier}"] = round(
                     time.time() - t0, 2)
-                metrics["stages"][f"tier_{tier}_rows"] = prev.count()
+                metrics["stages"][f"tier_{tier}_affected_rows"] = \
+                    prev.count()
 
             t0 = time.time()
             delta_tails = R.conv_tails(delta)
@@ -196,7 +259,8 @@ def refresh_once(spark, catalog, bronze_table: str = "transcripts",
                     partition_by=["bucket"])
             metrics["stages"]["tails"] = round(time.time() - t0, 2)
     finally:
-        d1m.unpersist()
+        for c in cached:
+            c.unpersist()
 
     outputs = {**{t: s for t, s in out_snaps.items() if s is not None}}
     if new_tails_snap is not None:
@@ -208,6 +272,28 @@ def refresh_once(spark, catalog, bronze_table: str = "transcripts",
                "outputs map<string,string>, mode string, refresh_seq long",
     )
     catalog.append(mark, META_TABLE)
+
+    # the meta log grows one append commit per refresh; under the
+    # ParquetCatalog shim _latest_meta then plans an O(#refreshes)
+    # union just to fetch one row — fold it back to a single dir
+    # periodically. Meta snapshots are never pinned by anything, so
+    # keep_last=1 is always safe.
+    if len(catalog.snapshots(META_TABLE)) > META_COMPACT_THRESHOLD:
+        catalog.compact(spark, META_TABLE)
+        catalog.expire_snapshots(META_TABLE, keep_last=1)
+
+    # optional output-table maintenance. Guarded to runs that wrote
+    # fresh snapshots: a zero-delta refresh carries OLD pins forward,
+    # and compact+expire here could retire exactly those pinned
+    # snapshots. When we did write, the pins are the tables' current
+    # snapshots — compaction pushes them to position -2, which
+    # keep_last >= 2 (validated at entry) retains for crash-retry.
+    wrote_outputs = bool(days) or mode != "incremental"
+    if vacuum_keep_last is not None and wrote_outputs:
+        for t in [*(f"tier_{t}" for t in tiers), TAILS_TABLE]:
+            if catalog.exists(t):
+                catalog.compact(spark, t)
+                catalog.expire_snapshots(t, keep_last=vacuum_keep_last)
 
     metrics.update(
         mode=mode,
@@ -228,6 +314,11 @@ def main(argv: list[str] | None = None) -> dict:
                          "to the bronze table before refreshing")
     ap.add_argument("--tiers", default="1m,1h,1d")
     ap.add_argument("--consumer", default="tiers")
+    ap.add_argument("--vacuum-keep-last", type=int, default=None,
+                    help="after a refresh that wrote new snapshots, "
+                         "compact + expire the job's own output tables "
+                         "to this many snapshots (>= 2: the meta pins "
+                         "the pre-compaction snapshot for crash-retry)")
     ap.add_argument("--shuffle-partitions", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")))
     args = ap.parse_args(argv)
@@ -240,7 +331,9 @@ def main(argv: list[str] | None = None) -> dict:
         catalog.append(bronze_transcripts(raw), args.bronze_table,
                        partition_by=["day"])
     return refresh_once(spark, catalog, args.bronze_table,
-                        tuple(args.tiers.split(",")), args.consumer)
+                        tuple(t.strip() for t in args.tiers.split(",")),
+                        args.consumer,
+                        vacuum_keep_last=args.vacuum_keep_last)
 
 
 if __name__ == "__main__":

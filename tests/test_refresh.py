@@ -193,6 +193,109 @@ def test_crash_before_meta_commit_retries_exactly_once(spark, warehouse):
         assert_tier_equal(got, expected[tier], tier)
 
 
+def test_tiers_argument_validated(spark, warehouse):
+    warehouse.append(_mini_bronze_one(spark), "transcripts")
+    for bad in (("1h", "1m"), ("1m", "1m"), ("2m",), ()):
+        with pytest.raises(ValueError):
+            refresh_once(spark, warehouse, tiers=bad)
+    with pytest.raises(ValueError, match="vacuum_keep_last"):
+        refresh_once(spark, warehouse, vacuum_keep_last=1)
+
+
+def _mini_bronze_one(spark):
+    import datetime as dt
+    return _mini_bronze(spark, [("c", 0, dt.datetime(2024, 1, 1))])
+
+
+def test_tier_set_growth_triggers_full_rebuild(spark, warehouse):
+    """Extending --tiers on an existing consumer must NOT create the
+    new tier from the delta's days only — it rebuilds full, so the new
+    tier covers ALL historical days."""
+    raw = gen_transcripts(spark, n_convs=16, partitions=2)
+    b1, b2 = _split_by_time(raw, 2)
+    warehouse.append(bronze_transcripts(b1), "transcripts",
+                     partition_by=["day"])
+    refresh_once(spark, warehouse, tiers=("1m",))
+    warehouse.append(bronze_transcripts(b2), "transcripts",
+                     partition_by=["day"])
+    m = refresh_once(spark, warehouse, tiers=("1m", "1h"))
+    assert m["mode"] == "full"
+    expected = rollup_all_tiers(
+        transcripts_latency(bronze_transcripts(raw)))
+    for tier in ("1m", "1h"):
+        got = warehouse.read(spark, f"tier_{tier}").drop("day")
+        assert_tier_equal(got, expected[tier], tier)
+    # and the rebuild re-established incremental maintenance
+    warehouse.append(bronze_transcripts(b2.limit(0)), "transcripts")
+    assert refresh_once(spark, warehouse,
+                        tiers=("1m", "1h"))["mode"] == "incremental"
+
+
+def test_bronze_emptied_rebuilds_empty_tiers(spark, warehouse):
+    """TTL delete of ALL bronze rows: the tiers must be rebuilt empty
+    (not keep serving deleted history) and the pipeline must not wedge
+    on the next refresh."""
+    raw = gen_transcripts(spark, n_convs=8, partitions=2)
+    warehouse.append(bronze_transcripts(raw), "transcripts",
+                     partition_by=["day"])
+    refresh_once(spark, warehouse)
+    warehouse.delete_where(spark, "transcripts", "turn_idx >= 0")
+    m = refresh_once(spark, warehouse)
+    assert m["mode"] == "full"
+    for tier in TIERS:
+        assert warehouse.read(spark, f"tier_{tier}").count() == 0
+    assert warehouse.read(spark, TAILS_TABLE).count() == 0
+    # not wedged: new data arrives and refreshes cleanly
+    warehouse.append(bronze_transcripts(raw), "transcripts",
+                     partition_by=["day"])
+    m2 = refresh_once(spark, warehouse)
+    # the rewrite was processed by the full rebuild, so the new append
+    # is a clean incremental range (merging into the emptied tiers)
+    assert m2["mode"] == "incremental"
+    expected = rollup_all_tiers(
+        transcripts_latency(bronze_transcripts(raw)))
+    for tier in TIERS:
+        got = warehouse.read(spark, f"tier_{tier}").drop("day")
+        assert_tier_equal(got, expected[tier], tier)
+
+
+def test_duplicate_turn_within_batch_fails_loudly(spark, warehouse):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    warehouse.append(
+        _mini_bronze(spark, [("c", 0, t)]), "transcripts")
+    refresh_once(spark, warehouse)
+    dup = [("c", 5, t + dt.timedelta(seconds=50)),
+           ("c", 5, t + dt.timedelta(seconds=51))]  # producer retry
+    warehouse.append(_mini_bronze(spark, dup), "transcripts")
+    with pytest.raises(RuntimeError, match="duplicated turn_idx"):
+        refresh_once(spark, warehouse)
+
+
+def test_vacuum_and_meta_compaction(spark, warehouse, monkeypatch):
+    """--vacuum-keep-last bounds the output tables' snapshot logs
+    without breaking incremental parity or crash-retry pins; the meta
+    log self-compacts past the threshold."""
+    from jobs import refresh_job
+
+    monkeypatch.setattr(refresh_job, "META_COMPACT_THRESHOLD", 2)
+    raw = gen_transcripts(spark, n_convs=24, partitions=2)
+    batches = _split_by_time(raw, 4)
+    for b in batches:
+        warehouse.append(bronze_transcripts(b), "transcripts",
+                         partition_by=["day"])
+        refresh_once(spark, warehouse, vacuum_keep_last=2)
+    expected = rollup_all_tiers(
+        transcripts_latency(bronze_transcripts(raw)))
+    for tier in TIERS:
+        got = warehouse.read(spark, f"tier_{tier}").drop("day")
+        assert_tier_equal(got, expected[tier], tier)
+        # bounded: compact+expire keeps at most keep_last snapshots
+        assert len(warehouse.snapshots(f"tier_{tier}")) <= 2
+    assert len(warehouse.snapshots(refresh_job.META_TABLE)) <= 2
+
+
 def test_incremental_latency_carry_in(spark):
     import datetime as dt
 

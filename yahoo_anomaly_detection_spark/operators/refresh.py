@@ -64,14 +64,27 @@ def merge_tails(old: DataFrame | None, delta_tails: DataFrame) -> DataFrame:
     )
 
 
-def validate_in_order(delta: DataFrame, tails: DataFrame) -> int:
-    """Number of conversations whose delta violates the in-order-append
-    contract (some delta turn_idx ≤ the recorded tail). The caller
-    raises on > 0 — continuing would assign wrong latencies silently."""
-    mins = delta.groupBy("conv_id").agg(F.min("turn_idx").alias("mn"))
+def validate_in_order(delta: DataFrame,
+                      tails: DataFrame | None = None) -> int:
+    """Number of conversations whose delta violates the append
+    contract: a delta turn_idx at or below the recorded tail, OR a
+    duplicated ``turn_idx`` WITHIN the delta itself (producer retries
+    — the ``lag`` window would tie nondeterministically and ``cnt``
+    would inflate). The caller raises on > 0 — continuing would assign
+    wrong latencies silently. One delta-sized aggregation; ``tails``
+    is None on an initial/full run (only the duplicate check applies).
+    """
+    per_conv = delta.groupBy("conv_id").agg(
+        F.min("turn_idx").alias("mn"),
+        (F.count("*") > F.count_distinct("turn_idx")).alias("dup"),
+    )
+    if tails is None:
+        return per_conv.where("dup").count()
     return (
-        mins.join(tails.select("conv_id", "last_turn_idx"), "conv_id")
-        .where(F.col("mn") <= F.col("last_turn_idx"))
+        per_conv.join(tails.select("conv_id", "last_turn_idx"),
+                      "conv_id", "left")
+        # NULL last_turn_idx (conv not in tails) fails the <= branch
+        .where(F.col("dup") | (F.col("mn") <= F.col("last_turn_idx")))
         .count()
     )
 

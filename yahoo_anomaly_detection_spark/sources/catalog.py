@@ -234,30 +234,11 @@ class ParquetCatalog:
         if not snaps:
             raise FileNotFoundError(f"no snapshots for table {table!r}")
         base = snaps[-1]
-        cur_paths = base.paths
         pb = partition_by if partition_by is not None \
             else base.summary.get("partition_by")
-        base_schema = base.summary.get("schema")
-
-        # probe dirs CONCURRENTLY (Spark job submission is
-        # thread-safe): each probe is a metadata-cheap limit(1) scan,
-        # but a long-history table has one dir per un-compacted commit
-        # and a sequential driver loop would serialize that many tiny
-        # jobs — the pool bounds TTL-eviction latency by ceil(dirs/8)
-        # round-trips instead of dirs
-        def _empty(p: str) -> bool:
-            d = self._read_dirs(spark, [p], base_schema)
-            return d.where(predicate).limit(1).count() == 0
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(
-            max_workers=max(1, min(8, len(cur_paths)))
-        ) as ex:
-            empties = list(ex.map(_empty, cur_paths))
-        untouched = [p for p, e in zip(cur_paths, empties) if e]
-        affected = [p for p, e in zip(cur_paths, empties) if not e]
         snap_id = self._new_snap_id()
+        untouched, rewrite_dir, n_affected, schema_json = \
+            self._cow_rewrite(spark, base, predicate, pb, table, snap_id)
 
         def make(op_paths: list[str], summary: dict):
             def _make(cur: list[Snapshot]) -> Snapshot:
@@ -271,25 +252,56 @@ class ParquetCatalog:
                                 op_paths, summary)
             return _make
 
-        schema_json = base.summary.get("schema")
-        if not affected:  # metadata-only no-op commit
-            return self._commit(table, make(
-                list(cur_paths),
-                {"predicate": predicate, "rewritten_dirs": 0,
-                 "pruned_dirs": len(untouched), "partition_by": pb,
-                 "schema": schema_json},
-            ))
-        data_dir = self._new_data_dir(table, snap_id)
+        summary = {"predicate": predicate, "rewritten_dirs": n_affected,
+                   "pruned_dirs": len(untouched), "partition_by": pb,
+                   "schema": schema_json}
+        if rewrite_dir is None:  # metadata-only no-op commit
+            return self._commit(table, make(list(untouched), summary))
+        return self._commit(table, make(untouched + [rewrite_dir], summary))
+
+    def _cow_rewrite(self, spark: SparkSession, base: "Snapshot",
+                     predicate: str, pb: list[str] | None, table: str,
+                     snap_id: str, dir_suffix: str = ""):
+        """Copy-on-write core shared by :meth:`delete_where` and
+        :meth:`replace_where`: probe every data dir of ``base`` for
+        predicate matches, rewrite ONLY the affected dirs filtered to
+        ``(p) IS NOT TRUE`` (NULL-predicate rows retained — see
+        delete_where's docstring for why not ``NOT (p)``), carry
+        untouched dirs over by reference.
+
+        Dirs are probed CONCURRENTLY (Spark job submission is
+        thread-safe): each probe is a metadata-cheap limit(1) scan,
+        but a long-history table has one dir per un-compacted commit
+        and a sequential driver loop would serialize that many tiny
+        jobs — the pool bounds latency by ceil(dirs/8) round-trips
+        instead of dirs.
+
+        Returns ``(untouched_paths, rewrite_dir_or_None, n_affected,
+        schema_json)``.
+        """
+        base_schema = base.summary.get("schema")
+
+        def _empty(p: str) -> bool:
+            d = self._read_dirs(spark, [p], base_schema)
+            return d.where(predicate).limit(1).count() == 0
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(8, len(base.paths)))
+        ) as ex:
+            empties = list(ex.map(_empty, base.paths))
+        untouched = [p for p, e in zip(base.paths, empties) if e]
+        affected = [p for p, e in zip(base.paths, empties) if not e]
+        if not affected:
+            return untouched, None, 0, base_schema
+        rewrite_dir = self._new_data_dir(table, snap_id) + dir_suffix
         kept = self._read_dirs(spark, affected, base_schema).where(
             f"({predicate}) IS NOT TRUE"
         )
-        self._write_data(kept, data_dir, pb)
-        return self._commit(table, make(
-            untouched + [data_dir],
-            {"predicate": predicate, "rewritten_dirs": len(affected),
-             "pruned_dirs": len(untouched), "partition_by": pb,
-             "schema": schema_json or kept.schema.jsonValue()},
-        ))
+        self._write_data(kept, rewrite_dir, pb)
+        return (untouched, rewrite_dir, len(affected),
+                base_schema or kept.schema.jsonValue())
 
     def replace_where(self, spark: SparkSession, df: DataFrame, table: str,
                       predicate: str,
@@ -319,29 +331,13 @@ class ParquetCatalog:
         base = snaps[-1]
         pb = partition_by if partition_by is not None \
             else base.summary.get("partition_by")
-        base_schema = base.summary.get("schema")
-
-        def _empty(p: str) -> bool:
-            d = self._read_dirs(spark, [p], base_schema)
-            return d.where(predicate).limit(1).count() == 0
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(
-            max_workers=max(1, min(8, len(base.paths)))
-        ) as ex:
-            empties = list(ex.map(_empty, base.paths))
-        untouched = [p for p, e in zip(base.paths, empties) if e]
-        affected = [p for p, e in zip(base.paths, empties) if not e]
 
         snap_id = self._new_snap_id()
+        untouched, rewrite_dir, n_affected, schema_json = \
+            self._cow_rewrite(spark, base, predicate, pb, table, snap_id,
+                              dir_suffix="_rw")
         new_paths = list(untouched)
-        if affected:
-            rewrite_dir = self._new_data_dir(table, snap_id) + "_rw"
-            kept = self._read_dirs(spark, affected, base_schema).where(
-                f"({predicate}) IS NOT TRUE"
-            )
-            self._write_data(kept, rewrite_dir, pb)
+        if rewrite_dir is not None:
             new_paths.append(rewrite_dir)
         data_dir = self._new_data_dir(table, snap_id)
         self._write_data(df, data_dir, pb)
@@ -355,9 +351,9 @@ class ParquetCatalog:
                 )
             return Snapshot(
                 snap_id, base.snapshot_id, "replace_where", new_paths,
-                {"predicate": predicate, "rewritten_dirs": len(affected),
+                {"predicate": predicate, "rewritten_dirs": n_affected,
                  "pruned_dirs": len(untouched), "partition_by": pb,
-                 "schema": base_schema or df.schema.jsonValue()},
+                 "schema": schema_json or df.schema.jsonValue()},
             )
 
         return self._commit(table, make)
