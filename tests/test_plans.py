@@ -296,3 +296,32 @@ def test_ivf_assign_zero_shuffle_of_corpus(spark, embs):
     # collect — allow only exchanges feeding the broadcast side
     body = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in body, plan
+
+
+def test_merge_tiers_single_merge_shuffle(spark, points):
+    """The refresh primitive: merging same-tier partials must cost
+    ONE map-side-combined regroup on top of each part's own rollup
+    exchange — 2 parts -> exactly 3 exchanges, nothing extra."""
+    pts = points.select("conv_id", "ts", "value")
+    parity = F.unix_micros("ts") % 2
+    halves = [pts.where(parity == i) for i in (0, 1)]
+    merged = rollup.merge_tiers(
+        [rollup.rollup_points(h, "1m") for h in halves], "1m")
+    assert _exchanges(merged) == 3, _plan(merged)
+
+
+def test_incremental_latency_semi_prunes_tails(spark, points):
+    """The carry-in must prune the (corpus-sized) tails relation with
+    a LEFT SEMI join on the delta's active conversations before the
+    union — never a cartesian/nested-loop — so the conv_id window
+    shuffles delta-sized data plus one carried row per active conv."""
+    from yahoo_anomaly_detection_spark.operators import refresh as R
+
+    delta = points.select("conv_id", "ts", "turn_idx")
+    tails = R.conv_tails(delta)  # stands in for the big state table
+    plan = _plan(R.incremental_latency(delta, tails))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the stateful hop itself stays one conv_id-keyed window exchange
+    assert "Exchange hashpartitioning(conv_id" in plan, plan
