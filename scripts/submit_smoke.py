@@ -13,7 +13,13 @@ end-to-end, not just in a docstring:
 3. generates a small deterministic transcripts input,
 4. runs real ``spark-submit --master local[4] --py-files yads.zip``
    and asserts the job's JSON metrics line reports all three tiers
-   with rows > 0 and zero skipped units.
+   with rows > 0 and zero skipped units,
+5. runs ``jobs/refresh_job.py`` the same way, twice, over an
+   event-time split of the input (per conv, ts order == turn order,
+   so a global ts split keeps every conversation's appends in order):
+   cycle 1 must report ``mode=initial``, cycle 2 ``mode=incremental``
+   with affected days and merged tier rows — the incremental-refresh
+   deploy story, not just its pytest.
 
 Usage: python scripts/submit_smoke.py [--convs N]
 Exit code 0 = the cluster packaging story works.
@@ -57,10 +63,19 @@ def main() -> None:
         from yahoo_anomaly_detection_spark.session import get_spark
         from yahoo_anomaly_detection_spark.synthgen import gen_transcripts
 
+        from pyspark.sql import functions as F
+
         spark = get_spark("submit-smoke-gen", cores=4, shuffle_partitions=8)
         inp = os.path.join(tmp, "transcripts")
-        gen_transcripts(spark, n_convs=args.convs, seed=7,
-                        partitions=8).write.mode("overwrite").parquet(inp)
+        raw = gen_transcripts(spark, n_convs=args.convs, seed=7,
+                              partitions=8)
+        raw.write.mode("overwrite").parquet(inp)
+        # event-time halves for the refresh job's two cycles
+        mid = raw.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+        inp_a = os.path.join(tmp, "batch_a")
+        inp_b = os.path.join(tmp, "batch_b")
+        raw.where(F.col("ts") <= F.lit(mid)).write.parquet(inp_a)
+        raw.where(F.col("ts") > F.lit(mid)).write.parquet(inp_b)
         spark.stop()
 
         # bare dir: only the job file — imports MUST come from the zip
@@ -95,10 +110,44 @@ def main() -> None:
             rows = m["stages"].get(f"tier_{tier}_rows", 0)
             assert rows > 0, f"tier_{tier} empty: {m}"
         assert m["skipped_units"] == 0, m
+        # refresh job through the identical packaging path
+        rjob = os.path.join(jobdir, "refresh_job.py")
+        shutil.copy(os.path.join(REPO, "jobs", "refresh_job.py"), rjob)
+        rcat = os.path.join(tmp, "warehouse_refresh")
+
+        def submit_refresh(batch: str) -> dict:
+            rcmd = [
+                find_spark_submit(),
+                "--master", f"local[{args.cores}]",
+                "--py-files", zpath,
+                rjob,
+                "--catalog-root", rcat,
+                "--append", batch,
+                "--shuffle-partitions", "8",
+            ]
+            print("running:", " ".join(rcmd), flush=True)
+            r = subprocess.run(rcmd, capture_output=True, text=True,
+                               timeout=600, cwd=jobdir, env=env)
+            if r.returncode != 0:
+                sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:])
+                raise SystemExit(
+                    f"refresh spark-submit failed rc={r.returncode}")
+            return json.loads([l for l in r.stdout.splitlines()
+                               if l.startswith("{")][-1])
+
+        m1 = submit_refresh(inp_a)
+        assert m1["mode"] == "initial", m1
+        m2 = submit_refresh(inp_b)
+        assert m2["mode"] == "incremental", m2
+        assert m2["affected_days"] >= 1, m2
+        assert m2["stages"]["tier_1m_affected_rows"] > 0, m2
+
         print(json.dumps({"submit_smoke": "ok",
                           "n_turns": m["n_turns"],
                           "tiers": {t: m["stages"][f"tier_{t}_rows"]
                                     for t in ("1m", "1h", "1d")},
+                          "refresh_modes": [m1["mode"], m2["mode"]],
+                          "refresh_affected_days": m2["affected_days"],
                           "wall_sec": m["wall_sec"]}))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
