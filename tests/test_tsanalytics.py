@@ -1,0 +1,255 @@
+"""Unit + plan-shape tests for the timeseries analytics layer
+(operators/tsanalytics.py): MAD envelopes, counter rate, turn-taking,
+time-weighted averages."""
+
+import math
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark.operators import tsanalytics as tsa
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(df) -> int:
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", _plan(df)))
+
+
+def _ts(sec: float):
+    return F.timestamp_seconds(F.lit(1700000000) + F.lit(float(sec)))
+
+
+def _pts(spark, rows):
+    """rows: (conv_id, sec_offset, value) with value None allowed."""
+    df = spark.createDataFrame(
+        [(c, i, float(s), v) for i, (c, s, v) in enumerate(rows)],
+        "conv_id string, event_id long, off double, value double",
+    )
+    return df.select(
+        "conv_id",
+        "event_id",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("off")).alias("ts"),
+        "value",
+    )
+
+
+# ------------------------------------------------------------ counter_rate
+def test_counter_rate_resets_and_first_sample(spark):
+    # counter: 10 → 15 → 3 (reset, climbed to 3) → 9, all in one minute
+    df = _pts(spark, [("a", 0, 10.0), ("a", 10, 15.0),
+                      ("a", 20, 3.0), ("a", 30, 9.0)])
+    out = tsa.counter_rate(df, 60, order_cols=("event_id",)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # increases: NULL(first), 5, 3(reset), 6 → 14; n counts baselined
+    assert r["n"] == 3
+    assert r["increase"] == pytest.approx(14.0)
+    assert r["rate"] == pytest.approx(14.0 / 60.0, abs=1e-4)
+
+
+def test_counter_rate_first_only_bucket_null(spark):
+    # first sample lands alone in its minute: bucket appears with
+    # n=0, increase NULL (no baseline ever observed in it)
+    df = _pts(spark, [("a", 0, 100.0), ("a", 70, 110.0)])
+    rows = {r["n"]: r for r in
+            tsa.counter_rate(df, 60, order_cols=("event_id",)).collect()}
+    assert rows[0]["increase"] is None
+    assert rows[1]["increase"] == pytest.approx(10.0)
+
+
+def test_counter_rate_nulls_dropped_not_resets(spark):
+    # NULL sample between 10 and 12 is a missed scrape: increase
+    # stays 2, not a reset to 12
+    df = _pts(spark, [("a", 0, 10.0), ("a", 10, None), ("a", 20, 12.0)])
+    out = tsa.counter_rate(df, 60, order_cols=("event_id",)).collect()
+    assert out[0]["increase"] == pytest.approx(2.0)
+
+
+def test_counter_rate_one_shuffle(spark):
+    df = _pts(spark, [("a", i, float(i)) for i in range(20)])
+    out = tsa.counter_rate(df, 60, order_cols=("event_id",))
+    # the conv_id lag-window exchange also serves the
+    # (conv_id, bucket) groupBy — exactly one shuffle
+    assert _exchanges(out) == 1, _plan(out)
+
+
+# ------------------------------------------------------------ robust_flags
+def test_robust_flags_matches_numpy(spark):
+    vals = [1.0, 1.2, 0.9, 1.1, 1.0, 8.0, 1.05, 0.95]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)],
+        "conv_id string, i int, x double",
+    )
+    out = {r["i"]: r for r in
+           tsa.robust_flags(df, "x", k=3.0).collect()}
+    med = float(np.median(vals))
+    mad = float(np.median(np.abs(np.array(vals) - med)))
+    for i, v in enumerate(vals):
+        r = out[i]
+        assert r["med"] == pytest.approx(med)
+        assert r["mad"] == pytest.approx(mad)
+        want = 1 if abs(v - med) > 3.0 * tsa.MAD_SIGMA * mad else 0
+        assert r["flag"] == want, (i, v)
+    # the spike is flagged, nothing else
+    assert sum(r["flag"] for r in out.values()) == 1 and out[5]["flag"] == 1
+
+
+def test_robust_flags_single_row_series(spark):
+    df = spark.createDataFrame([("a", 5.0)], "conv_id string, x double")
+    r = tsa.robust_flags(df, "x").collect()[0]
+    assert r["med"] == 5.0 and r["mad"] == 0.0 and r["flag"] == 0
+
+
+def test_robust_flags_sketch_close_to_exact(spark):
+    rng = np.random.default_rng(7)
+    vals = rng.normal(10.0, 2.0, 500).tolist()
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(vals)],
+        "conv_id string, i int, x double",
+    )
+    exact = tsa.robust_flags(df, "x").select("med", "mad").first()
+    approx = tsa.robust_flags(df, "x", rel_error=0.01).select(
+        "med", "mad").first()
+    # approx_percentile returns an observed value within rank error
+    # r·n of the true quantile — on N(10,2) that is a small value gap
+    assert abs(exact["med"] - approx["med"]) < 0.3
+    assert abs(exact["mad"] - approx["mad"]) < 0.3
+
+
+def test_robust_flags_rejects_bad_rel_error(spark):
+    df = spark.createDataFrame([("a", 1.0)], "conv_id string, x double")
+    with pytest.raises(ValueError):
+        tsa.robust_flags(df, "x", rel_error=0.7).collect()
+
+
+def test_robust_flags_no_window_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [("c%d" % (i % 3), i, float(i)) for i in range(30)],
+        "conv_id string, i int, x double",
+    )
+    out = tsa.robust_flags(df, "x")
+    p = _plan(out)
+    # group stats travel via grouped aggregates + hash joins — never
+    # a per-key window sort of the full relation, never a cartesian
+    assert "CartesianProduct" not in p and "Window" not in p, p
+
+
+# ------------------------------------------------------------ turn_taking
+def test_turn_taking_counts(spark):
+    rows = [
+        # conv 1: user → assistant → assistant → tool → user
+        (1, 0, 0.0, "user"), (1, 1, 2.0, "assistant"),
+        (1, 2, 4.0, "assistant"), (1, 3, 10.0, "tool"),
+        (1, 4, 16.0, "user"),
+        # conv 2: single turn
+        (2, 5, 0.0, "user"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, off double, event_type string"
+    ).select(
+        "user_id", "event_id",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("off")).alias("ts"),
+        "event_type",
+    )
+    out = {r["user_id"]: r for r in tsa.turn_taking(df).collect()}
+    c1 = out[1]
+    assert c1["n_turns"] == 5 and c1["n_roles"] == 3
+    assert c1["n_switches"] == 3  # u→a, a→t, t→u (a→a is not a switch)
+    assert c1["mean_gap_s"] == pytest.approx(4.0)  # gaps 2,2,6,6
+    assert c1["max_gap_s"] == pytest.approx(6.0)
+    c2 = out[2]
+    assert c2["n_turns"] == 1 and c2["n_switches"] == 0
+    assert c2["mean_gap_s"] is None and c2["max_gap_s"] is None
+
+
+def test_turn_taking_one_shuffle(spark):
+    df = spark.createDataFrame(
+        [(i % 3, i, float(i), "r%d" % (i % 2)) for i in range(30)],
+        "user_id long, event_id long, off double, event_type string",
+    ).select(
+        "user_id", "event_id",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("off")).alias("ts"),
+        "event_type",
+    )
+    out = tsa.turn_taking(df)
+    assert _exchanges(out) == 1, _plan(out)
+
+
+# ------------------------------------------------------- time_weighted_avg
+def test_twa_trapezoid_hand_computed(spark):
+    # one hour bucket: (t=0,v=0), (t=10,v=10), (t=30,v=10)
+    # integral = (0+10)/2*10 + (10+10)/2*20 = 50+200 = 250; span 30
+    df = _pts(spark, [("a", 0, 0.0), ("a", 10, 10.0), ("a", 30, 10.0)])
+    r = tsa.time_weighted_avg(df, 3600, order_cols=("event_id",)).collect()[0]
+    assert r["n"] == 3
+    assert r["span_s"] == pytest.approx(30.0)
+    assert r["twa"] == pytest.approx(250.0 / 30.0, abs=1e-4)
+
+
+def test_twa_single_point_and_tied_ts_fallback(spark):
+    # zero-span buckets fall back to the plain mean
+    df = _pts(spark, [("a", 0, 4.0),             # alone in hour 0
+                      ("b", 0, 2.0), ("b", 0, 6.0)])  # tied ts
+    out = {r["conv_id"]: r for r in
+           tsa.time_weighted_avg(df, 3600, order_cols=("event_id",))
+           .collect()}
+    assert out["a"]["twa"] == pytest.approx(4.0)
+    assert out["b"]["span_s"] == 0.0
+    assert out["b"]["twa"] == pytest.approx(4.0)
+
+
+def test_twa_constant_series_is_constant(spark):
+    # offsets stay inside one hour bucket (the test epoch is hh:13:20,
+    # so the bucket boundary is ~2800 s away)
+    df = _pts(spark, [("a", s, 7.5) for s in (0, 13, 59, 600, 2700)])
+    r = tsa.time_weighted_avg(df, 3600, order_cols=("event_id",)).collect()[0]
+    assert r["twa"] == pytest.approx(7.5)
+
+
+def test_twa_linear_series_is_midpoint(spark):
+    # v(t) = t/10 sampled unevenly: time-weighted mean of a linear
+    # function over [0, T] is exactly (v(0)+v(T))/2
+    samples = [0, 7, 100, 777, 1500, 2500]
+    df = _pts(spark, [("a", s, s / 10.0) for s in samples])
+    r = tsa.time_weighted_avg(df, 3600, order_cols=("event_id",)).collect()[0]
+    assert r["twa"] == pytest.approx((0.0 + 250.0) / 2, abs=1e-4)
+
+
+def test_twa_buckets_split_and_one_shuffle(spark):
+    # samples straddling two hours land in two independent buckets.
+    # NOTE: plan audits run BEFORE collect() — a finalized AQE plan
+    # string repeats every node in its "Initial Plan" section, which
+    # would double the exchange count
+    df = _pts(spark, [("a", 100, 1.0), ("a", 200, 3.0),
+                      ("a", 3700, 5.0), ("a", 3800, 9.0)])
+    out = tsa.time_weighted_avg(df, 3600, order_cols=("event_id",))
+    assert _exchanges(out) == 1, _plan(out)
+    # the window partitions on (key, bucket): per-task input is one
+    # bucket of one series, not a conversation's full history
+    assert re.search(
+        r"hashpartitioning\(conv_id[^)]*bucket_start", _plan(out)
+    ), _plan(out)
+    rows = sorted(out.collect(), key=lambda r: r["bucket_start"])
+    assert [r["twa"] for r in rows] == [
+        pytest.approx(2.0), pytest.approx(7.0)
+    ]
+
+
+def test_twa_non_calendar_bucket_epoch_floor(spark):
+    # 90-second buckets exercise the epoch-floor path of _bucket_expr;
+    # the test epoch is ≡ 80 (mod 90), so boundaries fall at
+    # offsets 10, 100, 190, …
+    df = _pts(spark, [("a", 20, 2.0), ("a", 80, 4.0), ("a", 110, 10.0)])
+    rows = sorted(
+        tsa.time_weighted_avg(df, 90, order_cols=("event_id",)).collect(),
+        key=lambda r: r["bucket_start"],
+    )
+    assert len(rows) == 2
+    assert rows[0]["n"] == 2 and rows[1]["n"] == 1
+    assert rows[0]["twa"] == pytest.approx(3.0)
+    assert rows[1]["twa"] == pytest.approx(10.0)

@@ -1,0 +1,364 @@
+"""Timeseries analytics layer: robust (MAD) anomaly envelopes,
+counter-rate with reset handling, turn-taking statistics, and
+time-weighted bucket averages.
+
+Extends the reference's statistical detector family
+(/root/reference/StatsTesting/arma_anm_detc.py's mean/std z-score
+envelope) with the robust-statistics and observability-rollup
+operators a production timeseries engine ships next to them — the
+same layer TimescaleDB (time_weight), Prometheus (rate/increase with
+counter resets), and anomaly-detection toolkits (MAD envelopes, a
+standard robust alternative to the reference's mean/std threshold)
+provide. No reference counterpart; engine extension per SURVEY §2.11.
+
+Scale shapes (plan-audited in tests/test_plans.py):
+
+- ``robust_flags``: two grouped exact-percentile aggregates + two
+  hash joins back on the series key — group stats travel as one row
+  per key, never a per-key window sort of the full relation. Exact
+  median (the oracle path) is a sort-based aggregate per group, the
+  same caveat as ``sessions.value_percentiles``; ``rel_error=``
+  switches both percentiles to the mergeable ``approx_percentile``
+  sketch for groups that outgrow a task.
+- ``counter_rate`` / ``turn_taking``: ONE hash exchange on the
+  series key serves both the lag window and the downstream groupBy
+  (hash-partitioning on ``conv_id`` satisfies the clustered
+  distribution of ``(conv_id, bucket)``), so the raw relation
+  shuffles exactly once.
+- ``time_weighted_avg``: the window partitions on
+  ``(conv_id, bucket)`` — per-task input is one bucket of one
+  series, bounded regardless of how long a hot conversation runs —
+  and the groupBy reuses the same exchange.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from yahoo_anomaly_detection_spark.functions.portable import portable_round
+
+_R = 4
+
+# consistency constant: MAD·1.4826 estimates σ for Gaussian data, so
+# k keeps its familiar "k sigmas" reading (scipy/statsmodels default)
+MAD_SIGMA = 1.4826
+
+_CAL_UNIT = {60: "minute", 3600: "hour", 86400: "day"}
+
+
+def _bucket_expr(ts_col: str, secs: int):
+    """Event-time bucket start. Calendar-aligned seconds use
+    ``date_trunc`` (the tier idiom rollup.py uses, oracle-proven);
+    anything else floors the epoch directly."""
+    ts = F.col(ts_col).cast("timestamp")
+    if secs in _CAL_UNIT:
+        return F.date_trunc(_CAL_UNIT[secs], ts)
+    return F.timestamp_seconds(
+        F.floor(F.unix_micros(ts) / F.lit(secs * 1_000_000)) * F.lit(secs)
+    )
+
+
+def _percentile(col, q: float, rel_error: float | None):
+    if rel_error is None:
+        return F.percentile(col, q)
+    if not 0.0 < rel_error <= 0.5:
+        raise ValueError(f"rel_error must be in (0, 0.5], got {rel_error}")
+    return F.approx_percentile(col, F.lit(q), F.lit(math.ceil(1.0 / rel_error)))
+
+
+def robust_flags(df: DataFrame, value_col: str, k: float = 3.0,
+                 keys: tuple[str, ...] = ("conv_id",),
+                 rel_error: float | None = None) -> DataFrame:
+    """Robust per-series anomaly envelope: flag where
+    |x − median| > k · 1.4826 · MAD.
+
+    The median/MAD twin of the reference's mean/std z-score envelope
+    (/root/reference/StatsTesting/arma_anm_detc.py:62-65) — immune to
+    the outliers it is hunting, which inflate a mean/std threshold
+    and mask each other. Output: input columns + ``med``, ``mad``,
+    ``flag`` (0/1; 0 when MAD is NULL — a single-row series has no
+    deviation scale, matching the SQL ``CASE … > NULL`` → 0).
+
+    ``rel_error=None`` (oracle path): exact linear-interpolated
+    percentiles (≡ DuckDB ``median``/``quantile_cont``). ``rel_error=r``:
+    mergeable ``approx_percentile`` sketch — no per-group reducer
+    sort, for series that outgrow a task.
+    """
+    key_cols = list(keys)
+    v = F.col(value_col)
+    med = df.groupBy(*key_cols).agg(
+        _percentile(v, 0.5, rel_error).alias("med")
+    )
+    dev = df.join(med, on=key_cols).withColumn(
+        "_adev", F.abs(v - F.col("med"))
+    )
+    mad = dev.groupBy(*key_cols).agg(
+        _percentile(F.col("_adev"), 0.5, rel_error).alias("mad")
+    )
+    thr = F.lit(float(k)) * F.lit(MAD_SIGMA) * F.col("mad")
+    return (
+        dev.join(mad, on=key_cols)
+        .withColumn(
+            "flag",
+            F.when(F.col("_adev") > thr, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .drop("_adev")
+    )
+
+
+def counter_rate(events: DataFrame, bucket_seconds: int = 60,
+                 key: str = "conv_id", ts_col: str = "ts",
+                 value_col: str = "value",
+                 order_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Prometheus-style ``increase``/``rate`` over a cumulative
+    counter series, with counter-reset handling.
+
+    Per series ordered by ``(ts, *order_cols)``: the per-sample
+    increase is ``v − lag(v)`` when the counter moved forward, else
+    ``v`` itself (a reset — the counter restarted from 0 and climbed
+    to ``v``, the Prometheus convention). The first sample of a
+    series has no baseline and is excluded (NULL increase). Buckets
+    with only NULL increases still appear with ``increase = NULL``
+    (their sample count ``n`` counts baselined samples only).
+
+    Output: (key, bucket_start, n, increase, rate) with
+    ``rate = increase / bucket_seconds``. NULL counter values are
+    dropped up front — a missed scrape, not a reset.
+    """
+    pts = events.where(F.col(value_col).isNotNull())
+    w = W.partitionBy(key).orderBy(ts_col, *order_cols)
+    v = F.col(value_col).cast("double")
+    prev = F.lag(v).over(w)
+    inc = (
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .when(v >= prev, v - prev)
+        .otherwise(v)
+    )
+    secs = int(bucket_seconds)
+    bucket = _bucket_expr(ts_col, secs)
+    return (
+        pts.select(F.col(key), F.col(ts_col), inc.alias("_inc"))
+        .groupBy(F.col(key), bucket.alias("bucket_start"))
+        .agg(
+            F.count("_inc").alias("n"),
+            portable_round(F.sum("_inc"), _R).alias("increase"),
+            portable_round(F.sum("_inc") / F.lit(float(secs)), _R)
+            .alias("rate"),
+        )
+    )
+
+
+def turn_taking(events: DataFrame, key: str = "user_id",
+                role_col: str = "event_type", ts_col: str = "ts",
+                order_cols: tuple[str, ...] = ("event_id",)) -> DataFrame:
+    """Per-conversation turn-taking profile over a transcript-shaped
+    event log (BASELINE input_hint: turns carry a ``role``; the
+    driver's ``events.event_type`` plays that column).
+
+    Output per key: ``n_turns``, ``n_roles`` (distinct), an exact
+    ``n_switches`` (adjacent turns whose role differs, under the
+    stable ``(ts, *order_cols)`` total order), and inter-turn gap
+    stats ``mean_gap_s`` / ``max_gap_s`` (NULL for single-turn
+    conversations).
+    """
+    w = W.partitionBy(key).orderBy(ts_col, *order_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    role = F.col(role_col)
+    gap = (us - F.lag(us).over(w)) / F.lit(1e6)
+    switch = F.when(
+        F.lag(role).over(w).isNotNull() & (F.lag(role).over(w) != role), 1
+    ).otherwise(0)
+    return (
+        events.select(
+            F.col(key), role, switch.alias("_sw"), gap.alias("_gap")
+        )
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.countDistinct(role).alias("n_roles"),
+            F.sum("_sw").alias("n_switches"),
+            portable_round(F.avg("_gap"), _R).alias("mean_gap_s"),
+            portable_round(F.max("_gap"), _R).alias("max_gap_s"),
+        )
+    )
+
+
+def time_weighted_avg(events: DataFrame, bucket_seconds: int = 3600,
+                      key: str = "conv_id", ts_col: str = "ts",
+                      value_col: str = "value",
+                      order_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Time-weighted average per (series, bucket) — the TimescaleDB
+    ``time_weight('linear')`` shape: trapezoidal integral of the
+    linearly-interpolated series over the bucket, divided by the
+    observed span.
+
+    Weighting is within-bucket only (no cross-bucket carry): for
+    samples t₁…tₙ in a bucket, twa = Σ (vᵢ+vᵢ₊₁)/2 · (tᵢ₊₁−tᵢ) /
+    (tₙ−t₁). A bucket whose samples all share one timestamp (n=1, or
+    exact duplicates) has zero span; twa falls back to the plain mean
+    of those samples. Duplicate timestamps contribute zero-width
+    trapezoids (weight 0) BETWEEN the tied rows, but the pairing
+    across a tie group's boundary depends on order — pass
+    ``order_cols`` (e.g. the event id) to make the order total and
+    the result deterministic and engine-portable. NULL values are
+    dropped.
+
+    Output: (key, bucket_start, n, span_s, twa).
+    """
+    pts = events.where(F.col(value_col).isNotNull())
+    secs = int(bucket_seconds)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = _bucket_expr(ts_col, secs)
+    v = F.col(value_col).cast("double")
+    base = pts.select(
+        F.col(key),
+        bucket.alias("bucket_start"),
+        us.alias("_us"),
+        v.alias("_v"),
+        *[F.col(c) for c in order_cols],
+    )
+    w = W.partitionBy(key, "bucket_start").orderBy("_us", *order_cols)
+    nxt_us = F.lead("_us").over(w)
+    nxt_v = F.lead("_v").over(w)
+    area = F.when(
+        nxt_us.isNotNull(),
+        (F.col("_v") + nxt_v) / 2.0 * (nxt_us - F.col("_us")) / F.lit(1e6),
+    )
+    return (
+        base.select(
+            F.col(key), "bucket_start", "_us", "_v", area.alias("_area")
+        )
+        .groupBy(key, "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            ((F.max("_us") - F.min("_us")) / F.lit(1e6)).alias("span_s"),
+            F.avg("_v").alias("_mean"),
+            F.sum("_area").alias("_int"),
+        )
+        .select(
+            F.col(key),
+            "bucket_start",
+            "n",
+            portable_round(F.col("span_s"), _R).alias("span_s"),
+            portable_round(
+                F.when(F.col("span_s") > 0, F.col("_int") / F.col("span_s"))
+                .otherwise(F.col("_mean")),
+                _R,
+            ).alias("twa"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ oracles
+# Driver events table: (event_id, ts, user_id, event_type, value, props);
+# conv_id := user_id per the engine's series adaptation (ingest.py).
+
+_MAD_SQL = """
+WITH ev AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, value FROM events
+),
+t1m AS (
+    SELECT conv_id, date_trunc('minute', ts) AS bucket_start,
+           avg(value) AS mean_v
+    FROM ev WHERE value IS NOT NULL GROUP BY 1, 2
+),
+med AS (
+    SELECT conv_id, quantile_cont(mean_v, 0.5) AS med FROM t1m GROUP BY 1
+),
+dev AS (
+    SELECT t.conv_id, t.bucket_start, t.mean_v, m.med,
+           abs(t.mean_v - m.med) AS adev
+    FROM t1m t JOIN med m USING (conv_id)
+),
+mad AS (
+    SELECT conv_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.conv_id, d.bucket_start,
+       round(d.mean_v, 4) AS mean_v,
+       round(d.med, 4) AS med,
+       round(a.mad, 4) AS mad,
+       CASE WHEN d.adev > 3.0 * 1.4826 * a.mad THEN 1 ELSE 0 END AS flag
+FROM dev d JOIN mad a USING (conv_id)
+"""
+
+_COUNTER_RATE_SQL = """
+WITH pts AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, ts,
+           CAST(value AS DOUBLE) AS v
+    FROM events WHERE value IS NOT NULL
+),
+inc AS (
+    SELECT conv_id, ts,
+           CASE
+               WHEN lag(v) OVER w IS NULL THEN NULL
+               WHEN v >= lag(v) OVER w THEN v - lag(v) OVER w
+               ELSE v
+           END AS inc
+    FROM pts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)
+)
+SELECT conv_id,
+       date_trunc('minute', ts) AS bucket_start,
+       count(inc) AS n,
+       round(sum(inc), 4) AS increase,
+       round(sum(inc) / 60.0, 4) AS rate
+FROM inc GROUP BY 1, 2
+"""
+
+_TURN_TAKING_SQL = """
+WITH t AS (
+    SELECT user_id, event_type,
+           CASE WHEN lag(event_type) OVER w IS NOT NULL
+                     AND lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS sw,
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6 AS gap
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_turns,
+       count(DISTINCT event_type) AS n_roles,
+       CAST(sum(sw) AS BIGINT) AS n_switches,
+       round(avg(gap), 4) AS mean_gap_s,
+       round(max(gap), 4) AS max_gap_s
+FROM t GROUP BY 1
+"""
+
+_TWA_SQL = """
+WITH pts AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id,
+           date_trunc('hour', ts) AS bucket_start,
+           epoch_us(ts) AS us, CAST(value AS DOUBLE) AS v
+    FROM events WHERE value IS NOT NULL
+),
+seg AS (
+    SELECT conv_id, bucket_start, us, v,
+           CASE WHEN lead(us) OVER w IS NOT NULL
+                THEN (v + lead(v) OVER w) / 2.0
+                     * (lead(us) OVER w - us) / 1e6
+           END AS area
+    FROM pts
+    WINDOW w AS (
+        PARTITION BY conv_id, bucket_start ORDER BY us, event_id
+    )
+),
+agg AS (
+    SELECT conv_id, bucket_start, count(*) AS n,
+           (max(us) - min(us)) / 1e6 AS span_s,
+           avg(v) AS mean_v, sum(area) AS integral
+    FROM seg GROUP BY 1, 2
+)
+SELECT conv_id, bucket_start, n,
+       round(span_s, 4) AS span_s,
+       round(CASE WHEN span_s > 0 THEN integral / span_s
+                  ELSE mean_v END, 4) AS twa
+FROM agg
+"""
+
+ORACLE_SQL = {
+    "mad_flags": _MAD_SQL,
+    "counter_rate_1m": _COUNTER_RATE_SQL,
+    "turn_taking": _TURN_TAKING_SQL,
+    "time_weighted_1h": _TWA_SQL,
+}
