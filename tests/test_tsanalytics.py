@@ -1,6 +1,6 @@
 """Unit + plan-shape tests for the timeseries analytics layer
 (operators/tsanalytics.py): MAD envelopes, counter rate, turn-taking,
-time-weighted averages."""
+time-weighted averages, Holt smoothing, AR(2) Yule-Walker residuals."""
 
 import math
 import re
@@ -253,3 +253,137 @@ def test_twa_non_calendar_bucket_epoch_floor(spark):
     assert rows[0]["n"] == 2 and rows[1]["n"] == 1
     assert rows[0]["twa"] == pytest.approx(3.0)
     assert rows[1]["twa"] == pytest.approx(10.0)
+
+
+# ------------------------------------------------------------ holt
+def _holt_loop(vals, a, b):
+    l, t = vals[0], 0.0
+    out = [(l, t)]
+    for x in vals[1:]:
+        nl = a * x + (1 - a) * (l + t)
+        nt = b * (nl - l) + (1 - b) * t
+        l, t = nl, nt
+        out.append((l, t))
+    return out
+
+
+def test_segmented_holt_matches_loop():
+    rng = np.random.default_rng(11)
+    lens = [1, 2, 5, 17, 40]
+    vals = rng.normal(0, 3, sum(lens))
+    starts = np.cumsum([0] + lens[:-1])
+    lvl, trd = tsa.segmented_holt(vals, starts, 0.3, 0.1)
+    i = 0
+    for L in lens:
+        want = _holt_loop(vals[i: i + L].tolist(), 0.3, 0.1)
+        got = list(zip(lvl[i: i + L], trd[i: i + L]))
+        for (wl, wt), (gl, gt) in zip(want, got):
+            assert gl == pytest.approx(wl, rel=1e-12)
+            assert gt == pytest.approx(wt, rel=1e-12, abs=1e-12)
+        i += L
+
+
+def test_segmented_holt_empty():
+    lvl, trd = tsa.segmented_holt(np.empty(0), np.empty(0, np.int64), 0.3, 0.1)
+    assert len(lvl) == 0 and len(trd) == 0
+
+
+def test_holt_operator_parity(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    for c, L in (("a", 7), ("b", 1), ("c", 23)):
+        for i in range(L):
+            rows.append((c, i, float(rng.normal(5, 2))))
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_start int, mean_v double"
+    )
+    got = {
+        (r["conv_id"], r["bucket_start"]): (r["level"], r["trend"])
+        for r in tsa.holt(df, "mean_v", alpha=0.3, beta=0.1).collect()
+    }
+    by_conv = {}
+    for c, i, v in rows:
+        by_conv.setdefault(c, []).append(v)
+    for c, vals in by_conv.items():
+        want = _holt_loop(vals, 0.3, 0.1)
+        for i, (wl, wt) in enumerate(want):
+            gl, gt = got[(c, i)]
+            assert gl == pytest.approx(wl, rel=1e-12)
+            assert gt == pytest.approx(wt, rel=1e-12, abs=1e-12)
+
+
+# ------------------------------------------------------------ ar2
+def _ar2_reference(vals):
+    x = np.asarray(vals, float)
+    n = len(x)
+    d = x - x.mean()
+    c0 = (d * d).sum() / n
+    c1 = (d[1:] * d[:-1]).sum() / n
+    c2 = (d[2:] * d[:-2]).sum() / n
+    denom = c0 * c0 - c1 * c1
+    if denom == 0:
+        return None, None, [None] * n
+    p1 = c1 * (c0 - c2) / denom
+    p2 = (c0 * c2 - c1 * c1) / denom
+    resid = [None, None] + [
+        d[t] - p1 * d[t - 1] - p2 * d[t - 2] for t in range(2, n)
+    ]
+    return p1, p2, resid
+
+
+def test_ar2_matches_reference_formula(spark):
+    rng = np.random.default_rng(5)
+    # an actual AR(2) process so the fit is well-conditioned
+    x = [0.0, 0.1]
+    for _ in range(60):
+        x.append(0.6 * x[-1] - 0.3 * x[-2] + rng.normal(0, 1))
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(x)],
+        "conv_id string, bucket_start int, mean_v double",
+    )
+    out = sorted(tsa.ar2_residuals(df, "mean_v").collect(),
+                 key=lambda r: r["bucket_start"])
+    p1, p2, resid = _ar2_reference(x)
+    assert out[0]["phi1"] == pytest.approx(p1, rel=1e-9)
+    assert out[0]["phi2"] == pytest.approx(p2, rel=1e-9)
+    # the estimated coefficients recover the generating process
+    assert abs(p1 - 0.6) < 0.25 and abs(p2 + 0.3) < 0.25
+    for r, want in zip(out, resid):
+        if want is None:
+            assert r["resid"] is None
+        else:
+            assert r["resid"] == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+def test_ar2_degenerate_series(spark):
+    df = spark.createDataFrame(
+        # constant series (denom 0) and a 2-sample series (c2 empty)
+        [("const", i, 4.0) for i in range(10)]
+        + [("short", 0, 1.0), ("short", 1, 2.0)],
+        "conv_id string, bucket_start int, mean_v double",
+    )
+    rows = tsa.ar2_residuals(df, "mean_v").collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r["phi1"] is None and r["phi2"] is None
+        assert r["resid"] is None
+
+
+def test_ar2_one_physical_exchange(spark):
+    df = spark.createDataFrame(
+        [("c%d" % (i % 3), i, float(i % 7)) for i in range(60)],
+        "conv_id string, bucket_start int, mean_v double",
+    )
+    out = tsa.ar2_residuals(df, "mean_v")
+    # the lagged subtree feeds both the residual branch and the
+    # covariance branch; the static plan prints its exchange twice,
+    # but at runtime AQE's exchange reuse collapses them — execute,
+    # then audit the FINAL plan: one physical shuffle of the series
+    # relation, the duplicate read as ReusedExchange, and the tiny
+    # per-series coefficient relation broadcast, never a cartesian
+    out.collect()
+    final = _plan(out).split("== Initial Plan ==")[0]
+    assert len(re.findall(
+        r"\+- Exchange hashpartitioning", final)) == 1, final
+    assert "ReusedExchange" in final, final
+    assert "CartesianProduct" not in final

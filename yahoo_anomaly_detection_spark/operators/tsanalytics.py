@@ -35,8 +35,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
@@ -253,6 +256,179 @@ def time_weighted_avg(events: DataFrame, bucket_seconds: int = 3600,
     )
 
 
+def segmented_holt(values: np.ndarray, seg_starts: np.ndarray,
+                   alpha: float, beta: float) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized Holt double-exponential smoothing over many
+    variable-length segments.
+
+    l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1});
+    b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}; l_0 = x_0, b_0 = 0.
+
+    Same position-major block-scan layout as
+    :func:`stats.segmented_ewma` (segments ordered by length DESC so
+    the rows at position t are an aligned prefix of position t−1),
+    carrying TWO state vectors per step. The scalar-tail hybrid that
+    segmented_ewma adds for few-long-segments inputs is omitted here
+    — add it per that function if a hot-conversation profile ever
+    dominates a Holt job.
+    """
+    n = len(values)
+    if n == 0:
+        return np.empty(0, np.float64), np.empty(0, np.float64)
+    x = np.asarray(values, np.float64)
+    starts = np.asarray(seg_starts, np.int64)
+    lengths = np.diff(np.append(starts, n))
+    g = len(starts)
+    gid = np.repeat(np.arange(g), lengths)
+    pos = np.arange(n) - starts[gid]
+    order = np.argsort(-lengths, kind="stable")
+    rank_of = np.empty(g, np.int64)
+    rank_of[order] = np.arange(g)
+    r = rank_of[gid]
+    perm = np.lexsort((r, pos))
+    xs = x[perm]
+    max_len = int(lengths.max())
+    sorted_lens = lengths[order]
+    k = np.searchsorted(-sorted_lens, -np.arange(max_len), side="left")
+    k[0] = g
+    bs = np.concatenate(([0], np.cumsum(k)))
+    ls = xs.copy()
+    ts = np.zeros(n, np.float64)
+    a, b = float(alpha), float(beta)
+    for t in range(1, max_len):
+        kt = k[t]
+        lo, plo = bs[t], bs[t - 1]
+        prev_l = ls[plo: plo + kt]
+        prev_b = ts[plo: plo + kt]
+        new_l = a * xs[lo: lo + kt] + (1.0 - a) * (prev_l + prev_b)
+        ls[lo: lo + kt] = new_l
+        ts[lo: lo + kt] = b * (new_l - prev_l) + (1.0 - b) * prev_b
+    out_l = np.empty(n, np.float64)
+    out_b = np.empty(n, np.float64)
+    out_l[perm] = ls
+    out_b[perm] = ts
+    return out_l, out_b
+
+
+def holt(df: DataFrame, value_col: str, alpha: float = 0.3,
+         beta: float = 0.1, keys: tuple[str, ...] = ("conv_id",),
+         order_col: str = "bucket_start") -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) per series —
+    the two-state member of the recursive-scan family (SURVEY W5)
+    next to :func:`stats.ewma`'s one-state recursion.
+
+    Same execution shape as stats.ewma: repartition by full key +
+    sortWithinPartitions, then ONE ``mapInPandas`` per partition
+    running the recursion as a position-major numpy block scan —
+    state never resets mid-series, partition count is data-bound via
+    the same Catalyst sizeInBytes estimate. Adds ``level`` and
+    ``trend`` columns.
+    """
+    from yahoo_anomaly_detection_spark.operators.stats import (
+        EWMA_MAX_ROWS_PER_PARTITION, _estimated_partitions,
+    )
+
+    schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("level", T.DoubleType(), True),
+           T.StructField("trend", T.DoubleType(), True)]
+    )
+    key_cols = list(keys)
+
+    def fn(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            yield pdf.assign(
+                level=pd.Series(dtype="float64"),
+                trend=pd.Series(dtype="float64"),
+            )
+            return
+        newseg = pdf[key_cols].ne(pdf[key_cols].shift()).any(axis=1)
+        lvl, trd = segmented_holt(
+            pdf[value_col].to_numpy(np.float64),
+            np.flatnonzero(newseg.to_numpy()),
+            alpha, beta,
+        )
+        pdf["level"] = lvl
+        pdf["trend"] = trd
+        yield pdf
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    parts = max(parallelism, _estimated_partitions(df))
+    return (
+        df.repartition(parts, *key_cols)
+        .sortWithinPartitions(*key_cols, order_col)
+        .mapInPandas(fn, schema=schema)
+    )
+
+
+def ar2_residuals(df: DataFrame, value_col: str,
+                  keys: tuple[str, ...] = ("conv_id",),
+                  order_col: str = "bucket_start") -> DataFrame:
+    """Per-series AR(2) fit (Yule-Walker, closed form) + one-step
+    residuals — the distributed echo of the reference's ARIMA
+    detector shape (/root/reference/StatsTesting/arma_anm_detc.py:
+    50-53: fit a low-order AR model, residual = |prediction − value|
+    feeds the envelope). The reference fits per-series with
+    statsmodels on one machine; here the Yule-Walker equations are
+    solved in-plan from lag-product AGGREGATES, so the fit is one
+    shuffle of per-series sufficient statistics, never a per-series
+    Python model object.
+
+    Biased autocovariances c_k = Σ (x_t−μ)(x_{t−k}−μ) / n; AR(2)
+    closed form φ1 = c1(c0−c2)/(c0²−c1²), φ2 = (c0c2−c1²)/(c0²−c1²).
+    residual_t = d_t − φ1 d_{t−1} − φ2 d_{t−2} on the demeaned
+    series (NULL for the first two samples of a series, for series
+    shorter than 3, and for degenerate fits where c0²=c1², e.g.
+    constant series). Adds ``phi1``, ``phi2``, ``resid``.
+
+    Scale shape: ONE hash exchange on the series key serves
+    everything — the per-series mean runs as an unbounded window
+    aggregate (not a groupBy + join-back, which would scan and
+    shuffle the input twice), the lag windows and the covariance
+    aggregate reuse the same clustering, and the tiny per-series
+    coefficient relation joins back without a new exchange.
+    """
+    key_cols = list(keys)
+    v = F.col(value_col).cast("double")
+    w_key = W.partitionBy(*key_cols)
+    w = w_key.orderBy(order_col)
+    d = (v - F.avg(v).over(w_key)).alias("_d")
+    lagged = (
+        df.select("*", d)
+        .select(
+            "*",
+            F.lag("_d", 1).over(w).alias("_d1"),
+            F.lag("_d", 2).over(w).alias("_d2"),
+        )
+    )
+    cov = lagged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_s0"),
+        F.sum(F.col("_d") * F.col("_d1")).alias("_s1"),
+        F.sum(F.col("_d") * F.col("_d2")).alias("_s2"),
+    )
+    c0 = F.col("_s0") / F.col("_n")
+    c1 = F.col("_s1") / F.col("_n")
+    c2 = F.col("_s2") / F.col("_n")
+    denom = c0 * c0 - c1 * c1
+    coef = cov.select(
+        *key_cols,
+        F.when(denom != 0, c1 * (c0 - c2) / denom).alias("phi1"),
+        F.when(denom != 0, (c0 * c2 - c1 * c1) / denom).alias("phi2"),
+    )
+    out = lagged.join(coef, on=key_cols).withColumn(
+        "resid",
+        F.col("_d")
+        - F.col("phi1") * F.col("_d1")
+        - F.col("phi2") * F.col("_d2"),
+    )
+    return out.drop("_d", "_d1", "_d2")
+
+
 # ------------------------------------------------------------------ oracles
 # Driver events table: (event_id, ts, user_id, event_type, value, props);
 # conv_id := user_id per the engine's series adaptation (ingest.py).
@@ -356,9 +532,93 @@ SELECT conv_id, bucket_start, n,
 FROM agg
 """
 
+# shared base for the 1m-mean-series detectors (mad/holt/ar2)
+_T1M_BASE = """
+ev AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, value FROM events
+),
+t1m AS (
+    SELECT conv_id, date_trunc('minute', ts) AS bucket_start,
+           avg(value) AS mean_v
+    FROM ev WHERE value IS NOT NULL GROUP BY 1, 2
+)
+"""
+
+_HOLT_SQL = f"""
+WITH RECURSIVE {_T1M_BASE},
+seq AS (
+    SELECT conv_id, bucket_start, mean_v,
+           row_number() OVER (PARTITION BY conv_id ORDER BY bucket_start)
+               AS rn
+    FROM t1m
+),
+holt AS (
+    SELECT conv_id, rn, bucket_start, mean_v,
+           CAST(mean_v AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.conv_id, s.rn, s.bucket_start, s.mean_v,
+           0.3 * s.mean_v + 0.7 * (h.level + h.trend) AS level,
+           0.1 * (0.3 * s.mean_v + 0.7 * (h.level + h.trend) - h.level)
+               + 0.9 * h.trend AS trend
+    FROM holt h JOIN seq s ON s.conv_id = h.conv_id AND s.rn = h.rn + 1
+)
+SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
+       round(level, 4) AS level, round(trend, 4) AS trend
+FROM holt
+"""
+
+_AR2_SQL = f"""
+WITH {_T1M_BASE},
+dm AS (
+    SELECT conv_id, bucket_start, mean_v,
+           mean_v - avg(mean_v) OVER (PARTITION BY conv_id) AS d
+    FROM t1m
+),
+dd AS (
+    SELECT conv_id, bucket_start, mean_v, d,
+           lag(d) OVER wo AS d1, lag(d, 2) OVER wo AS d2
+    FROM dm
+    WINDOW wo AS (PARTITION BY conv_id ORDER BY bucket_start)
+),
+cov AS (
+    SELECT conv_id, count(*) AS n,
+           sum(d * d) AS s0, sum(d * d1) AS s1, sum(d * d2) AS s2
+    FROM dd GROUP BY 1
+),
+coef AS (
+    SELECT conv_id,
+           CASE WHEN (s0/n)*(s0/n) - (s1/n)*(s1/n) <> 0 THEN
+               (s1/n) * ((s0/n) - (s2/n))
+               / ((s0/n)*(s0/n) - (s1/n)*(s1/n))
+           END AS phi1,
+           CASE WHEN (s0/n)*(s0/n) - (s1/n)*(s1/n) <> 0 THEN
+               ((s0/n)*(s2/n) - (s1/n)*(s1/n))
+               / ((s0/n)*(s0/n) - (s1/n)*(s1/n))
+           END AS phi2
+    FROM cov
+),
+res AS (
+    SELECT d.conv_id, d.bucket_start, d.mean_v, c.phi1, c.phi2,
+           d.d - c.phi1 * d.d1 - c.phi2 * d.d2 AS resid
+    FROM dd d JOIN coef c USING (conv_id)
+),
+st AS (
+    SELECT avg(abs(resid)) AS mu_s, stddev_pop(abs(resid)) AS sd_s
+    FROM res
+)
+SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
+       round(phi1, 4) AS phi1, round(phi2, 4) AS phi2,
+       round(resid, 4) AS resid,
+       CASE WHEN abs(resid) > 3.0 * mu_s + sd_s THEN 1 ELSE 0 END AS pred
+FROM res CROSS JOIN st
+"""
+
 ORACLE_SQL = {
     "mad_flags": _MAD_SQL,
     "counter_rate_1m": _COUNTER_RATE_SQL,
     "turn_taking": _TURN_TAKING_SQL,
     "time_weighted_1h": _TWA_SQL,
+    "holt_1m": _HOLT_SQL,
+    "ar2_flags": _AR2_SQL,
 }
