@@ -1,6 +1,7 @@
 """Timeseries analytics layer: robust (MAD) anomaly envelopes,
-counter-rate with reset handling, turn-taking statistics, and
-time-weighted bucket averages.
+counter-rate with reset handling, turn-taking statistics,
+time-weighted bucket averages, Holt double-exponential smoothing,
+and distributed AR(2) residuals.
 
 Extends the reference's statistical detector family
 (/root/reference/StatsTesting/arma_anm_detc.py's mean/std z-score
@@ -11,7 +12,7 @@ counter resets), and anomaly-detection toolkits (MAD envelopes, a
 standard robust alternative to the reference's mean/std threshold)
 provide. No reference counterpart; engine extension per SURVEY §2.11.
 
-Scale shapes (plan-audited in tests/test_plans.py):
+Scale shapes (plan-audited in tests/test_tsanalytics.py):
 
 - ``robust_flags``: two grouped exact-percentile aggregates + two
   hash joins back on the series key — group stats travel as one row
@@ -29,6 +30,12 @@ Scale shapes (plan-audited in tests/test_plans.py):
   ``(conv_id, bucket)`` — per-task input is one bucket of one
   series, bounded regardless of how long a hot conversation runs —
   and the groupBy reuses the same exchange.
+- ``holt``: the two-state sibling of ``stats.ewma`` — one
+  vectorized ``mapInPandas`` pass over key-partitioned, key-sorted
+  data; partition count is data-bound, never one frame per group.
+- ``ar2_residuals``: Yule-Walker from lag-product aggregates; ONE
+  physical exchange (AQE reuses the shared lagged subtree's
+  shuffle; the per-series coefficient relation broadcasts back).
 """
 
 from __future__ import annotations
@@ -325,7 +332,7 @@ def holt(df: DataFrame, value_col: str, alpha: float = 0.3,
     ``trend`` columns.
     """
     from yahoo_anomaly_detection_spark.operators.stats import (
-        EWMA_MAX_ROWS_PER_PARTITION, _estimated_partitions,
+        _estimated_partitions,
     )
 
     schema = T.StructType(
