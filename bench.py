@@ -60,6 +60,8 @@ HEADLINE = [
     "time_weighted_1h",
     "holt_1m",
     "ar2_flags",
+    "candles_1h",
+    "seasonal_zscore",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

@@ -387,3 +387,67 @@ def test_ar2_one_physical_exchange(spark):
         r"\+- Exchange hashpartitioning", final)) == 1, final
     assert "ReusedExchange" in final, final
     assert "CartesianProduct" not in final
+
+
+# ------------------------------------------------------------ candles
+def test_candles_ohlc(spark):
+    # hour bucket: values 5 (first), 9 (high), 2 (low), 7 (last)
+    df = _pts(spark, [("a", 0, 5.0), ("a", 10, 9.0),
+                      ("a", 20, 2.0), ("a", 30, 7.0)])
+    r = tsa.candles(df, 3600, order_cols=("event_id",)).collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"]) == (5.0, 9.0, 2.0, 7.0)
+    assert r["n"] == 4
+
+
+def test_candles_tie_broken_by_order_col(spark):
+    # two samples at the SAME timestamp: event_id decides open/close
+    df = _pts(spark, [("a", 0, 3.0), ("a", 0, 8.0)])
+    r = tsa.candles(df, 3600, order_cols=("event_id",)).collect()[0]
+    assert r["open"] == 3.0 and r["close"] == 8.0
+
+
+def test_candles_one_shuffle_no_window(spark):
+    df = _pts(spark, [("a", i, float(i)) for i in range(20)])
+    out = tsa.candles(df, 3600, order_cols=("event_id",))
+    p = _plan(out)
+    assert _exchanges(out) == 1, p
+    assert "Window" not in p, p
+
+
+# ------------------------------------------------------------ seasonal
+def test_seasonal_zscore_phase_profile(spark):
+    # minute-of-hour phase 0: 15 quiet hours at 10 plus one 100 —
+    # z = (100−15.625)/21.79 ≈ 3.87 > 3 even though the spike
+    # inflates its own phase σ (a single outlier among n samples
+    # caps at z = √(n−1), so history must be ≥10 for a 3σ flag);
+    # phase 1 constant -> no flags
+    rows = []
+    for h, v in enumerate([10.0] * 15 + [100.0]):
+        rows.append(("a", h * 3600, v))          # minute 0 of each hour
+    for h in range(4):
+        rows.append(("a", h * 3600 + 60, 5.0))   # minute 1, constant
+    df = spark.createDataFrame(
+        [(c, F_off, v) for c, F_off, v in rows],
+        "conv_id string, off long, value double",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.lit(1699999200) + F.col("off")).alias(
+            "bucket_start"),  # hour-aligned epoch
+        F.col("value").alias("mean_v"),
+    )
+    out = tsa.seasonal_zscore(df, "mean_v", ts_col="bucket_start",
+                              phase="minute_of_hour", k=3.0).collect()
+    flagged = [r for r in out if r["flag"] == 1]
+    assert len(flagged) == 1
+    assert flagged[0]["mean_v"] == 100.0 and flagged[0]["phase"] == 0
+    # constant phase: std 0, flag 0 everywhere
+    for r in out:
+        if r["phase"] == 1:
+            assert r["phase_std"] == 0.0 and r["flag"] == 0
+
+
+def test_seasonal_zscore_rejects_unknown_phase(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0)], "conv_id string, mean_v double")
+    with pytest.raises(ValueError):
+        tsa.seasonal_zscore(df, "mean_v", phase="day_of_century")

@@ -436,6 +436,84 @@ def ar2_residuals(df: DataFrame, value_col: str,
     return out.drop("_d", "_d1", "_d2")
 
 
+def candles(events: DataFrame, bucket_seconds: int = 3600,
+            key: str = "conv_id", ts_col: str = "ts",
+            value_col: str = "value",
+            order_cols: tuple[str, ...] = ()) -> DataFrame:
+    """OHLC candle rollup per (series, bucket): open (first value),
+    high, low, close (last value), sample count — the downsample
+    every timeseries dashboard renders.
+
+    One map-side-combined aggregate: open/close via ``min_by`` /
+    ``max_by`` on the total order ``(ts, *order_cols)`` (pass a
+    tie-break column; with duplicate keys the winner is undefined
+    and engine-dependent). No window, no sort — the shuffle carries
+    one combined row per (key, bucket) from each map task.
+
+    Output: (key, bucket_start, n, open, high, low, close).
+    """
+    pts = events.where(F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("double")
+    ord_key = F.struct(F.col(ts_col), *[F.col(c) for c in order_cols])
+    return (
+        pts.groupBy(
+            F.col(key), _bucket_expr(ts_col, int(bucket_seconds))
+            .alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            portable_round(F.min_by(v, ord_key), _R).alias("open"),
+            portable_round(F.max(v), _R).alias("high"),
+            portable_round(F.min(v), _R).alias("low"),
+            portable_round(F.max_by(v, ord_key), _R).alias("close"),
+        )
+    )
+
+
+def seasonal_zscore(df: DataFrame, value_col: str,
+                    ts_col: str = "bucket_start",
+                    phase: str = "minute_of_hour", k: float = 3.0,
+                    keys: tuple[str, ...] = ("conv_id",)) -> DataFrame:
+    """Seasonal-profile anomaly flags: compare each sample against
+    the mean/std of its own seasonal phase (same minute-of-hour /
+    hour-of-day across the series' history), so a recurring daily
+    spike stops looking anomalous and a deviation from the usual
+    pattern does.
+
+    Per (key, phase): population mean/std over the whole series;
+    flag where |x − phase_mean| > k · phase_std (0 when the phase
+    has no spread — a single-sample or constant phase defines no
+    scale). Plain grouped aggregate + hash join back on
+    (key, phase) — group stats travel as one row per (key, phase),
+    never a per-key window sort.
+
+    Output: input columns + ``phase``, ``phase_mean``, ``phase_std``,
+    ``flag``.
+    """
+    extract = {"minute_of_hour": F.minute, "hour_of_day": F.hour}
+    if phase not in extract:
+        raise ValueError(
+            f"phase must be one of {sorted(extract)}, got {phase!r}")
+    key_cols = list(keys)
+    v = F.col(value_col).cast("double")
+    base = df.withColumn(
+        "phase", extract[phase](F.col(ts_col).cast("timestamp"))
+    )
+    prof = base.groupBy(*key_cols, "phase").agg(
+        F.avg(v).alias("phase_mean"),
+        F.stddev_pop(v).alias("phase_std"),
+    )
+    flagged = base.join(prof, on=key_cols + ["phase"]).withColumn(
+        "flag",
+        F.when(
+            F.abs(v - F.col("phase_mean"))
+            > F.lit(float(k)) * F.col("phase_std"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged
+
+
 # ------------------------------------------------------------------ oracles
 # Driver events table: (event_id, ts, user_id, event_type, value, props);
 # conv_id := user_id per the engine's series adaptation (ingest.py).
@@ -621,6 +699,50 @@ SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
 FROM res CROSS JOIN st
 """
 
+_CANDLES_SQL = """
+WITH pts AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id,
+           date_trunc('hour', ts) AS bucket_start, ts,
+           CAST(value AS DOUBLE) AS v
+    FROM events WHERE value IS NOT NULL
+),
+rk AS (
+    SELECT conv_id, bucket_start, v,
+           row_number() OVER wa AS rn_a, row_number() OVER wd AS rn_d
+    FROM pts
+    WINDOW wa AS (PARTITION BY conv_id, bucket_start
+                  ORDER BY ts, event_id),
+           wd AS (PARTITION BY conv_id, bucket_start
+                  ORDER BY ts DESC, event_id DESC)
+)
+SELECT conv_id, bucket_start, count(*) AS n,
+       round(max(CASE WHEN rn_a = 1 THEN v END), 4) AS open,
+       round(max(v), 4) AS high,
+       round(min(v), 4) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN v END), 4) AS close
+FROM rk GROUP BY 1, 2
+"""
+
+_SEASONAL_SQL = f"""
+WITH {_T1M_BASE},
+ph AS (
+    SELECT conv_id, bucket_start, mean_v,
+           minute(bucket_start) AS phase
+    FROM t1m
+),
+prof AS (
+    SELECT conv_id, phase, avg(mean_v) AS phase_mean,
+           stddev_pop(mean_v) AS phase_std
+    FROM ph GROUP BY 1, 2
+)
+SELECT p.conv_id, p.bucket_start, round(p.mean_v, 4) AS mean_v,
+       p.phase, round(f.phase_mean, 4) AS phase_mean,
+       round(f.phase_std, 4) AS phase_std,
+       CASE WHEN abs(p.mean_v - f.phase_mean) > 3.0 * f.phase_std
+            THEN 1 ELSE 0 END AS flag
+FROM ph p JOIN prof f USING (conv_id, phase)
+"""
+
 ORACLE_SQL = {
     "mad_flags": _MAD_SQL,
     "counter_rate_1m": _COUNTER_RATE_SQL,
@@ -628,4 +750,6 @@ ORACLE_SQL = {
     "time_weighted_1h": _TWA_SQL,
     "holt_1m": _HOLT_SQL,
     "ar2_flags": _AR2_SQL,
+    "candles_1h": _CANDLES_SQL,
+    "seasonal_zscore": _SEASONAL_SQL,
 }
