@@ -62,6 +62,8 @@ HEADLINE = [
     "ar2_flags",
     "candles_1h",
     "seasonal_zscore",
+    "stl_lite_1m",
+    "lttb_check",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

@@ -451,3 +451,115 @@ def test_seasonal_zscore_rejects_unknown_phase(spark):
         [("a", 1.0)], "conv_id string, mean_v double")
     with pytest.raises(ValueError):
         tsa.seasonal_zscore(df, "mean_v", phase="day_of_century")
+
+
+# ------------------------------------------------------------ stl_lite
+def test_stl_lite_decomposition_identity_and_trend(spark):
+    rng = np.random.default_rng(9)
+    rows = [("a", i, float(10 + 0.1 * i + rng.normal(0, 0.5)))
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, i long, mean_v double"
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.lit(1699999200) + F.col("i") * 60).alias(
+            "bucket_start"),
+        "mean_v",
+    )
+    out = sorted(
+        tsa.stl_lite(df, "mean_v", trend_halfwidth=5).collect(),
+        key=lambda r: r["bucket_start"],
+    )
+    vals = [v for _, _, v in rows]
+    for i, r in enumerate(out):
+        # identity: value == trend + seasonal + resid
+        assert r["mean_v"] == pytest.approx(
+            r["trend"] + r["seasonal"] + r["resid"], abs=1e-9)
+        # trend is the centered rolling mean over available rows
+        lo, hi = max(0, i - 5), min(len(vals), i + 6)
+        assert r["trend"] == pytest.approx(
+            sum(vals[lo:hi]) / (hi - lo), abs=1e-9)
+
+
+def test_stl_lite_one_exchange(spark):
+    df = spark.createDataFrame(
+        [("c%d" % (i % 3), i, float(i)) for i in range(30)],
+        "conv_id string, i long, mean_v double",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.lit(1699999200) + F.col("i") * 60).alias(
+            "bucket_start"),
+        "mean_v",
+    )
+    out = tsa.stl_lite(df, "mean_v")
+    # the (key, phase) window's clustered distribution is satisfied
+    # by the key partitioning: one exchange, two window ops
+    assert _exchanges(out) == 1, _plan(out)
+
+
+def test_stl_lite_rejects_unknown_phase(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0)], "conv_id string, mean_v double")
+    with pytest.raises(ValueError):
+        tsa.stl_lite(df, "mean_v", phase="fortnight")
+
+
+# ------------------------------------------------------------ lttb
+def _lttb_spark(spark, vals, n_out):
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(vals)],
+        "conv_id string, i long, mean_v double",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.lit(1699999200) + F.col("i") * 60).alias(
+            "bucket_start"),
+        "mean_v",
+    )
+    rows = sorted(tsa.lttb(df, "mean_v", n_out=n_out,
+                           ts_col="bucket_start").collect(),
+                  key=lambda r: r["bucket_start"])
+    return rows
+
+
+def test_lttb_short_series_kept_whole(spark):
+    rows = _lttb_spark(spark, range(10), 20)
+    assert all(r["selected"] for r in rows)
+
+
+def test_lttb_counts_endpoints_and_spike(spark):
+    # 100-point flat series with one huge spike: LTTB must keep the
+    # endpoints, exactly n_out points, and the spike
+    vals = [1.0] * 100
+    vals[43] = 500.0
+    rows = _lttb_spark(spark, vals, 20)
+    sel = [i for i, r in enumerate(rows) if r["selected"]]
+    assert len(sel) == 20
+    assert 0 in sel and 99 in sel and 43 in sel
+
+
+def test_lttb_rejects_tiny_n_out(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0)], "conv_id string, mean_v double")
+    with pytest.raises(ValueError):
+        tsa.lttb(df, "mean_v", n_out=2)
+
+
+def test_lttb_multi_series_independent(spark):
+    rng = np.random.default_rng(13)
+    rows = []
+    for c, L in (("a", 5), ("b", 120), ("c", 21)):
+        for i in range(L):
+            rows.append((c, i, float(rng.normal(0, 1))))
+    df = spark.createDataFrame(
+        rows, "conv_id string, i long, mean_v double"
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.lit(1699999200) + F.col("i") * 60).alias(
+            "bucket_start"),
+        "mean_v",
+    )
+    out = tsa.lttb(df, "mean_v", n_out=20, ts_col="bucket_start").collect()
+    n_sel = {}
+    for r in out:
+        n_sel[r["conv_id"]] = n_sel.get(r["conv_id"], 0) + int(r["selected"])
+    assert n_sel == {"a": 5, "b": 20, "c": 20}

@@ -514,6 +514,142 @@ def seasonal_zscore(df: DataFrame, value_col: str,
     return flagged
 
 
+def stl_lite(df: DataFrame, value_col: str,
+             trend_halfwidth: int = 5,
+             phase: str = "minute_of_hour",
+             ts_col: str = "bucket_start",
+             keys: tuple[str, ...] = ("conv_id",)) -> DataFrame:
+    """STL-lite decomposition: value = trend + seasonal + resid.
+
+    The classical-decomposition skeleton (what
+    ``statsmodels.seasonal_decompose`` computes before the reference
+    plots it) expressed in three window passes:
+
+    - ``trend``: centered rows-based rolling mean over
+      ``[−h, +h]`` per series (edges average whatever rows exist —
+      rows-frame semantics are identical across engines);
+    - ``seasonal``: mean of the detrended value per (series,
+      seasonal phase);
+    - ``resid``: what's left.
+
+    Scale shape: ONE hash exchange on the series key — the phase
+    window's (key, phase) clustered distribution is satisfied by the
+    key partitioning, so the second window adds only a sort, and a
+    third window is avoided entirely by deriving resid in the same
+    projection.
+    """
+    extract = {"minute_of_hour": F.minute, "hour_of_day": F.hour}
+    if phase not in extract:
+        raise ValueError(
+            f"phase must be one of {sorted(extract)}, got {phase!r}")
+    key_cols = list(keys)
+    v = F.col(value_col).cast("double")
+    h = int(trend_halfwidth)
+    w_trend = (
+        W.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(-h, h)
+    )
+    base = df.withColumn("trend", F.avg(v).over(w_trend)).withColumn(
+        "phase", extract[phase](F.col(ts_col).cast("timestamp"))
+    )
+    w_phase = W.partitionBy(*key_cols, "phase")
+    detr = v - F.col("trend")
+    return base.withColumn(
+        "seasonal", F.avg(detr).over(w_phase)
+    ).withColumn("resid", detr - F.col("seasonal"))
+
+
+def lttb(df: DataFrame, value_col: str, n_out: int = 20,
+         keys: tuple[str, ...] = ("conv_id",),
+         ts_col: str = "bucket_start") -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per series — the
+    standard dashboard decimation (Steinarsson 2013): keep the first
+    and last points, split the interior into ``n_out − 2`` equal
+    index-buckets, and from each bucket keep the point forming the
+    largest triangle with the PREVIOUSLY SELECTED point and the next
+    bucket's centroid.
+
+    The choice chain is sequential per series (each pick depends on
+    the previous one), so like the EWMA/Holt recursions it runs as
+    one vectorized ``mapInPandas`` over key-partitioned, key-sorted
+    data — per-series numpy, no per-row Python, no driver state.
+    Series with ≤ ``n_out`` points are kept whole. Output: the input
+    rows with a ``selected`` boolean (filter on it for the
+    downsampled view — keeping the full relation lets callers verify
+    subset/endpoint invariants in-plan).
+    """
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    from yahoo_anomaly_detection_spark.operators.stats import (
+        _estimated_partitions,
+    )
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("selected", T.BooleanType(), False)]
+    )
+    key_cols = list(keys)
+
+    def _lttb_one(ts: np.ndarray, vs: np.ndarray) -> np.ndarray:
+        n = len(ts)
+        sel = np.zeros(n, bool)
+        if n <= n_out:
+            sel[:] = True
+            return sel
+        sel[0] = sel[n - 1] = True
+        # equal-count index buckets over the interior [1, n-1)
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        prev = 0
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            if hi <= lo:  # integer edges can collide on short interiors
+                continue
+            nlo, nhi = (hi, n) if b == n_out - 3 else (hi, edges[b + 2])
+            if nhi <= nlo:  # empty next bucket: aim at the last point
+                nlo, nhi = n - 1, n
+            # next bucket's centroid (last "bucket" is the final point)
+            cx = ts[nlo:nhi].mean()
+            cy = vs[nlo:nhi].mean()
+            ax, ay = ts[prev], vs[prev]
+            area = np.abs(
+                (ax - cx) * (vs[lo:hi] - ay) - (ax - ts[lo:hi]) * (cy - ay)
+            )
+            pick = lo + int(np.argmax(area))
+            sel[pick] = True
+            prev = pick
+        return sel
+
+    def fn(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            yield pdf.assign(selected=pd.Series(dtype="bool"))
+            return
+        newseg = pdf[key_cols].ne(pdf[key_cols].shift()).any(axis=1)
+        starts = np.flatnonzero(newseg.to_numpy())
+        bounds = np.append(starts, len(pdf))
+        tcol = pdf[ts_col]
+        if pd.api.types.is_datetime64_any_dtype(tcol):
+            ts_all = tcol.astype("int64").to_numpy().astype(np.float64)
+        else:
+            ts_all = tcol.to_numpy(np.float64)
+        vs_all = pdf[value_col].to_numpy(np.float64)
+        sel = np.zeros(len(pdf), bool)
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            sel[lo:hi] = _lttb_one(ts_all[lo:hi], vs_all[lo:hi])
+        pdf["selected"] = sel
+        yield pdf
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    parts = max(parallelism, _estimated_partitions(df))
+    return (
+        df.repartition(parts, *key_cols)
+        .sortWithinPartitions(*key_cols, ts_col)
+        .mapInPandas(fn, schema=schema)
+    )
+
+
 # ------------------------------------------------------------------ oracles
 # Driver events table: (event_id, ts, user_id, event_type, value, props);
 # conv_id := user_id per the engine's series adaptation (ingest.py).
@@ -699,6 +835,41 @@ SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
 FROM res CROSS JOIN st
 """
 
+_STL_SQL = f"""
+WITH {{base}},
+tr AS (
+    SELECT conv_id, bucket_start, mean_v,
+           avg(mean_v) OVER (PARTITION BY conv_id ORDER BY bucket_start
+               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS trend,
+           minute(bucket_start) AS phase
+    FROM t1m
+),
+sea AS (
+    SELECT conv_id, bucket_start, mean_v, trend, phase,
+           avg(mean_v - trend) OVER (PARTITION BY conv_id, phase)
+               AS seasonal
+    FROM tr
+)
+SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
+       round(trend, 4) AS trend, phase,
+       round(seasonal, 4) AS seasonal,
+       round(mean_v - trend - seasonal, 4) AS resid
+FROM sea
+"""
+
+# LTTB picks are sequential per series (not SQL-expressible); the
+# oracle verifies the selection INVARIANTS from the input alone:
+# exactly least(n, n_out) points kept, endpoints always kept. The
+# `selected` flag lives on input rows, so subset-ness holds by
+# construction.
+_LTTB_CHECK_SQL = f"""
+WITH {{base}}
+SELECT conv_id, count(*) AS n_in,
+       least(count(*), 20) AS n_sel,
+       1 AS first_sel, 1 AS last_sel
+FROM t1m GROUP BY 1
+"""
+
 _CANDLES_SQL = """
 WITH pts AS (
     SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id,
@@ -752,4 +923,6 @@ ORACLE_SQL = {
     "ar2_flags": _AR2_SQL,
     "candles_1h": _CANDLES_SQL,
     "seasonal_zscore": _SEASONAL_SQL,
+    "stl_lite_1m": _STL_SQL.format(base=_T1M_BASE),
+    "lttb_check": _LTTB_CHECK_SQL.format(base=_T1M_BASE),
 }
