@@ -152,63 +152,54 @@ def _estimated_partitions(df: DataFrame) -> int:
     return -(-df.count() // EWMA_MAX_ROWS_PER_PARTITION)
 
 
-def ewma(df: DataFrame, value_col: str, alpha: float,
-         keys: tuple[str, ...] = ("conv_id",),
-         order_col: str = "bucket_start",
-         out_col: str = "ewma",
-         n_rows: int | None = None) -> DataFrame:
-    """Exponentially-weighted moving average per series.
+def segmented_scan(df: DataFrame, keys: tuple[str, ...], order_col: str,
+                   out_fields: list[tuple[str, "T.DataType", str]],
+                   kernel, n_rows: int | None = None) -> DataFrame:
+    """Shared scaffold for per-series sequential recursions (EWMA,
+    Holt, LTTB, …): repartition by full key + sortWithinPartitions,
+    then ONE vectorized ``mapInPandas`` per partition.
 
-    Recursion y_t = (1−α)·y_{t−1} + α·x_t with y_0 = x_0
-    (pandas ``ewm(alpha, adjust=False)``) — inherently sequential per
-    series, so it runs as ONE vectorized ``applyInPandas`` per key
-    group (SURVEY W5: the reference's AR(1) recursive scan at
-    /root/reference/Network/ITF/noise.py:16-19 is the model for any
-    recursive stat). State never resets mid-series because grouping is
-    by full key, not by partition chunk.
+    ``kernel(pdf, seg_starts) -> dict[col_name, np.ndarray]`` runs
+    once per partition frame; ``out_fields`` is
+    ``[(name, spark_type, pandas_dtype), …]`` for the appended
+    columns. One call per PARTITION (mapInPandas), not per group — a
+    per-group applyInPandas pays ~1ms of Python/pandas overhead per
+    conversation, which at 10^5+ conversations dominates the whole
+    job. State never resets mid-series because grouping is by full
+    key, not by partition chunk.
+
+    Partition count is DATA-bound, not parallelism-bound: each
+    partition arrives in the Python worker as one pandas frame, so
+    data/partition is capped — at 100x input the partition count
+    grows instead of the per-worker frame. Callers that know the row
+    count pass n_rows (exact); otherwise the cap comes from
+    Catalyst's sizeInBytes estimate of the optimized plan — NO extra
+    job (round 2 ran a hidden full-pass df.count() here, one whole
+    extra traversal of the input per call).
     """
     schema = T.StructType(
-        df.schema.fields + [T.StructField(out_col, T.DoubleType(), True)]
+        df.schema.fields
+        + [T.StructField(name, dtype, True) for name, dtype, _ in out_fields]
     )
     key_cols = list(keys)
 
-    def fn(batches) -> "pd.DataFrame":
-        # one call per PARTITION (mapInPandas), not per group — a
-        # per-group applyInPandas pays ~1ms of Python/pandas overhead
-        # per conversation, which at 10^5+ conversations dominates the
-        # whole job. Arrow batches of one partition arrive in order;
-        # concat restores the partition, then the recursion runs via
-        # segmented_ewma's position-major block scan (pandas'
-        # groupby().ewm() pays ~200µs/group — ~100x slower at 10^5
-        # groups/partition, measured). NaN values propagate through
-        # the tail of their segment, matching the SQL-oracle
-        # list_reduce semantics.
+    def fn(batches):
         chunks = list(batches)
         if not chunks:  # empty partition — no Arrow batches at all
             return
         pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
-            yield pdf.assign(**{out_col: pd.Series(dtype="float64")})
+            yield pdf.assign(**{
+                name: pd.Series(dtype=pd_dtype)
+                for name, _, pd_dtype in out_fields
+            })
             return
         newseg = pdf[key_cols].ne(pdf[key_cols].shift()).any(axis=1)
-        pdf[out_col] = segmented_ewma(
-            pdf[value_col].to_numpy(np.float64),
-            np.flatnonzero(newseg.to_numpy()),
-            alpha,
-        )
+        out_cols = kernel(pdf, np.flatnonzero(newseg.to_numpy()))
+        for name, _, _ in out_fields:
+            pdf[name] = out_cols[name]
         yield pdf
 
-    # repartition by key + sort within partitions: every conversation
-    # is contiguous and ordered inside exactly one partition, so the
-    # recursion never crosses a partition boundary. Partition count is
-    # DATA-bound, not parallelism-bound: each partition arrives in the
-    # Python worker as one pandas frame, so data/partition is capped —
-    # at 100x input the partition count grows instead of the
-    # per-worker frame. Callers that know the row count pass n_rows
-    # (exact); otherwise the cap comes from Catalyst's sizeInBytes
-    # estimate of the optimized plan — NO extra job (round 2 ran a
-    # hidden full-pass df.count() here, one whole extra traversal of
-    # the input per call).
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if n_rows is not None:
         parts = max(
@@ -221,6 +212,35 @@ def ewma(df: DataFrame, value_col: str, alpha: float,
         df.repartition(parts, *key_cols)
         .sortWithinPartitions(*key_cols, order_col)
         .mapInPandas(fn, schema=schema)
+    )
+
+
+def ewma(df: DataFrame, value_col: str, alpha: float,
+         keys: tuple[str, ...] = ("conv_id",),
+         order_col: str = "bucket_start",
+         out_col: str = "ewma",
+         n_rows: int | None = None) -> DataFrame:
+    """Exponentially-weighted moving average per series.
+
+    Recursion y_t = (1−α)·y_{t−1} + α·x_t with y_0 = x_0
+    (pandas ``ewm(alpha, adjust=False)``) — inherently sequential per
+    series, so it runs through :func:`segmented_scan` (SURVEY W5: the
+    reference's AR(1) recursive scan at
+    /root/reference/Network/ITF/noise.py:16-19 is the model for any
+    recursive stat). The recursion itself is segmented_ewma's
+    position-major block scan (pandas' groupby().ewm() pays
+    ~200µs/group — ~100x slower at 10^5 groups/partition, measured).
+    NaN values propagate through the tail of their segment, matching
+    the SQL-oracle list_reduce semantics.
+    """
+    def kernel(pdf, starts):
+        return {out_col: segmented_ewma(
+            pdf[value_col].to_numpy(np.float64), starts, alpha,
+        )}
+
+    return segmented_scan(
+        df, keys, order_col,
+        [(out_col, T.DoubleType(), "float64")], kernel, n_rows=n_rows,
     )
 
 

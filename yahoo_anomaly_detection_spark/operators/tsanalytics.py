@@ -59,6 +59,16 @@ MAD_SIGMA = 1.4826
 
 _CAL_UNIT = {60: "minute", 3600: "hour", 86400: "day"}
 
+_PHASE_EXTRACT = {"minute_of_hour": F.minute, "hour_of_day": F.hour}
+
+
+def _phase_expr(phase: str, ts_col: str):
+    """Seasonal-phase column shared by seasonal_zscore / stl_lite."""
+    if phase not in _PHASE_EXTRACT:
+        raise ValueError(
+            f"phase must be one of {sorted(_PHASE_EXTRACT)}, got {phase!r}")
+    return _PHASE_EXTRACT[phase](F.col(ts_col).cast("timestamp"))
+
 
 def _bucket_expr(ts_col: str, secs: int):
     """Event-time bucket start. Calendar-aligned seconds use
@@ -90,16 +100,28 @@ def robust_flags(df: DataFrame, value_col: str, k: float = 3.0,
     (/root/reference/StatsTesting/arma_anm_detc.py:62-65) — immune to
     the outliers it is hunting, which inflate a mean/std threshold
     and mask each other. Output: input columns + ``med``, ``mad``,
-    ``flag`` (0/1; 0 when MAD is NULL — a single-row series has no
-    deviation scale, matching the SQL ``CASE … > NULL`` → 0).
+    ``flag`` (0/1; a single-row series yields MAD 0.0 and flag 0 —
+    ``0 > 0`` is false; MAD is NULL only when every value in the
+    series is NULL, and NULL comparisons also flag 0).
+
+    The input relation feeds three consumers (the median aggregate,
+    the MAD aggregate, and the final probe), so it is materialized
+    through the caching registry — the CALLER releases it after its
+    action (``caching.scope()`` / ``release_all()``), the same
+    contract as the dedup/gap-fill operators.
 
     ``rel_error=None`` (oracle path): exact linear-interpolated
     percentiles (≡ DuckDB ``median``/``quantile_cont``). ``rel_error=r``:
     mergeable ``approx_percentile`` sketch — no per-group reducer
     sort, for series that outgrow a task.
     """
+    from yahoo_anomaly_detection_spark import caching
+
+    if rel_error is not None and not 0.0 < rel_error <= 0.5:
+        raise ValueError(f"rel_error must be in (0, 0.5], got {rel_error}")
     key_cols = list(keys)
     v = F.col(value_col)
+    df = caching.materialize(df)
     med = df.groupBy(*key_cols).agg(
         _percentile(v, 0.5, rel_error).alias("med")
     )
@@ -322,53 +344,23 @@ def holt(df: DataFrame, value_col: str, alpha: float = 0.3,
          order_col: str = "bucket_start") -> DataFrame:
     """Holt double-exponential smoothing (level + trend) per series —
     the two-state member of the recursive-scan family (SURVEY W5)
-    next to :func:`stats.ewma`'s one-state recursion.
-
-    Same execution shape as stats.ewma: repartition by full key +
-    sortWithinPartitions, then ONE ``mapInPandas`` per partition
-    running the recursion as a position-major numpy block scan —
-    state never resets mid-series, partition count is data-bound via
-    the same Catalyst sizeInBytes estimate. Adds ``level`` and
-    ``trend`` columns.
+    next to :func:`stats.ewma`'s one-state recursion. Runs through
+    the shared :func:`stats.segmented_scan` scaffold; adds ``level``
+    and ``trend`` columns.
     """
-    from yahoo_anomaly_detection_spark.operators.stats import (
-        _estimated_partitions,
-    )
+    from yahoo_anomaly_detection_spark.operators.stats import segmented_scan
 
-    schema = T.StructType(
-        df.schema.fields
-        + [T.StructField("level", T.DoubleType(), True),
-           T.StructField("trend", T.DoubleType(), True)]
-    )
-    key_cols = list(keys)
-
-    def fn(batches):
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        if pdf.empty:
-            yield pdf.assign(
-                level=pd.Series(dtype="float64"),
-                trend=pd.Series(dtype="float64"),
-            )
-            return
-        newseg = pdf[key_cols].ne(pdf[key_cols].shift()).any(axis=1)
+    def kernel(pdf, starts):
         lvl, trd = segmented_holt(
-            pdf[value_col].to_numpy(np.float64),
-            np.flatnonzero(newseg.to_numpy()),
-            alpha, beta,
+            pdf[value_col].to_numpy(np.float64), starts, alpha, beta,
         )
-        pdf["level"] = lvl
-        pdf["trend"] = trd
-        yield pdf
+        return {"level": lvl, "trend": trd}
 
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    parts = max(parallelism, _estimated_partitions(df))
-    return (
-        df.repartition(parts, *key_cols)
-        .sortWithinPartitions(*key_cols, order_col)
-        .mapInPandas(fn, schema=schema)
+    return segmented_scan(
+        df, keys, order_col,
+        [("level", T.DoubleType(), "float64"),
+         ("trend", T.DoubleType(), "float64")],
+        kernel,
     )
 
 
@@ -490,15 +482,9 @@ def seasonal_zscore(df: DataFrame, value_col: str,
     Output: input columns + ``phase``, ``phase_mean``, ``phase_std``,
     ``flag``.
     """
-    extract = {"minute_of_hour": F.minute, "hour_of_day": F.hour}
-    if phase not in extract:
-        raise ValueError(
-            f"phase must be one of {sorted(extract)}, got {phase!r}")
     key_cols = list(keys)
     v = F.col(value_col).cast("double")
-    base = df.withColumn(
-        "phase", extract[phase](F.col(ts_col).cast("timestamp"))
-    )
+    base = df.withColumn("phase", _phase_expr(phase, ts_col))
     prof = base.groupBy(*key_cols, "phase").agg(
         F.avg(v).alias("phase_mean"),
         F.stddev_pop(v).alias("phase_std"),
@@ -538,10 +524,7 @@ def stl_lite(df: DataFrame, value_col: str,
     third window is avoided entirely by deriving resid in the same
     projection.
     """
-    extract = {"minute_of_hour": F.minute, "hour_of_day": F.hour}
-    if phase not in extract:
-        raise ValueError(
-            f"phase must be one of {sorted(extract)}, got {phase!r}")
+    phase_col = _phase_expr(phase, ts_col)  # validates phase up front
     key_cols = list(keys)
     v = F.col(value_col).cast("double")
     h = int(trend_halfwidth)
@@ -549,7 +532,7 @@ def stl_lite(df: DataFrame, value_col: str,
         W.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(-h, h)
     )
     base = df.withColumn("trend", F.avg(v).over(w_trend)).withColumn(
-        "phase", extract[phase](F.col(ts_col).cast("timestamp"))
+        "phase", phase_col
     )
     w_phase = W.partitionBy(*key_cols, "phase")
     detr = v - F.col("trend")
@@ -569,24 +552,17 @@ def lttb(df: DataFrame, value_col: str, n_out: int = 20,
     bucket's centroid.
 
     The choice chain is sequential per series (each pick depends on
-    the previous one), so like the EWMA/Holt recursions it runs as
-    one vectorized ``mapInPandas`` over key-partitioned, key-sorted
-    data — per-series numpy, no per-row Python, no driver state.
-    Series with ≤ ``n_out`` points are kept whole. Output: the input
-    rows with a ``selected`` boolean (filter on it for the
-    downsampled view — keeping the full relation lets callers verify
+    the previous one), so like the EWMA/Holt recursions it runs
+    through the shared :func:`stats.segmented_scan` scaffold —
+    per-series numpy, no per-row Python, no driver state. Series
+    with ≤ ``n_out`` points are kept whole. Output: the input rows
+    with a ``selected`` boolean (filter on it for the downsampled
+    view — keeping the full relation lets callers verify
     subset/endpoint invariants in-plan).
     """
     if n_out < 3:
         raise ValueError(f"n_out must be >= 3, got {n_out}")
-    from yahoo_anomaly_detection_spark.operators.stats import (
-        _estimated_partitions,
-    )
-
-    schema = T.StructType(
-        df.schema.fields + [T.StructField("selected", T.BooleanType(), False)]
-    )
-    key_cols = list(keys)
+    from yahoo_anomaly_detection_spark.operators.stats import segmented_scan
 
     def _lttb_one(ts: np.ndarray, vs: np.ndarray) -> np.ndarray:
         n = len(ts)
@@ -617,16 +593,7 @@ def lttb(df: DataFrame, value_col: str, n_out: int = 20,
             prev = pick
         return sel
 
-    def fn(batches):
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        if pdf.empty:
-            yield pdf.assign(selected=pd.Series(dtype="bool"))
-            return
-        newseg = pdf[key_cols].ne(pdf[key_cols].shift()).any(axis=1)
-        starts = np.flatnonzero(newseg.to_numpy())
+    def kernel(pdf, starts):
         bounds = np.append(starts, len(pdf))
         tcol = pdf[ts_col]
         if pd.api.types.is_datetime64_any_dtype(tcol):
@@ -638,15 +605,11 @@ def lttb(df: DataFrame, value_col: str, n_out: int = 20,
         for i in range(len(starts)):
             lo, hi = bounds[i], bounds[i + 1]
             sel[lo:hi] = _lttb_one(ts_all[lo:hi], vs_all[lo:hi])
-        pdf["selected"] = sel
-        yield pdf
+        return {"selected": sel}
 
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    parts = max(parallelism, _estimated_partitions(df))
-    return (
-        df.repartition(parts, *key_cols)
-        .sortWithinPartitions(*key_cols, ts_col)
-        .mapInPandas(fn, schema=schema)
+    return segmented_scan(
+        df, keys, ts_col,
+        [("selected", T.BooleanType(), "bool")], kernel,
     )
 
 
@@ -654,15 +617,20 @@ def lttb(df: DataFrame, value_col: str, n_out: int = 20,
 # Driver events table: (event_id, ts, user_id, event_type, value, props);
 # conv_id := user_id per the engine's series adaptation (ingest.py).
 
-_MAD_SQL = """
-WITH ev AS (
+# shared base for the 1m-mean-series detectors (mad/holt/ar2/…)
+_T1M_BASE = """
+ev AS (
     SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, value FROM events
 ),
 t1m AS (
     SELECT conv_id, date_trunc('minute', ts) AS bucket_start,
            avg(value) AS mean_v
     FROM ev WHERE value IS NOT NULL GROUP BY 1, 2
-),
+)
+"""
+
+_MAD_SQL = f"""
+WITH {_T1M_BASE},
 med AS (
     SELECT conv_id, quantile_cont(mean_v, 0.5) AS med FROM t1m GROUP BY 1
 ),
@@ -751,18 +719,6 @@ SELECT conv_id, bucket_start, n,
        round(CASE WHEN span_s > 0 THEN integral / span_s
                   ELSE mean_v END, 4) AS twa
 FROM agg
-"""
-
-# shared base for the 1m-mean-series detectors (mad/holt/ar2)
-_T1M_BASE = """
-ev AS (
-    SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, value FROM events
-),
-t1m AS (
-    SELECT conv_id, date_trunc('minute', ts) AS bucket_start,
-           avg(value) AS mean_v
-    FROM ev WHERE value IS NOT NULL GROUP BY 1, 2
-)
 """
 
 _HOLT_SQL = f"""
