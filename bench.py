@@ -64,6 +64,7 @@ HEADLINE = [
     "seasonal_zscore",
     "stl_lite_1m",
     "lttb_check",
+    "cusum_flags",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

@@ -563,3 +563,52 @@ def test_lttb_multi_series_independent(spark):
     for r in out:
         n_sel[r["conv_id"]] = n_sel.get(r["conv_id"], 0) + int(r["selected"])
     assert n_sel == {"a": 5, "b": 20, "c": 20}
+
+
+# ------------------------------------------------------------ cusum
+def test_segmented_cusum_matches_loop():
+    rng = np.random.default_rng(17)
+    lens = [1, 3, 8, 30]
+    dev = rng.normal(-0.2, 1.0, sum(lens))
+    starts = np.cumsum([0] + lens[:-1])
+    got = tsa.segmented_cusum(dev, starts)
+    i = 0
+    for L in lens:
+        s = 0.0
+        for j in range(L):
+            s = max(0.0, s + dev[i + j])
+            assert got[i + j] == pytest.approx(s, rel=1e-12, abs=1e-15)
+        i += L
+
+
+def test_cusum_detects_level_shift_zscore_misses(spark):
+    # 60 samples at 10, then 40 samples at 10 + 1.2σ-ish: each point
+    # is individually unremarkable, but the accumulated positive
+    # deviations cross h·σ — the drift case CUSUM exists for
+    rng = np.random.default_rng(21)
+    vals = list(rng.normal(10.0, 1.0, 60)) + list(rng.normal(12.5, 1.0, 40))
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(vals)],
+        "conv_id string, bucket_start int, mean_v double",
+    )
+    out = sorted(tsa.cusum_flags(df, "mean_v").collect(),
+                 key=lambda r: r["bucket_start"])
+    # with a pooled per-series mean BOTH regimes drift from μ, so
+    # flags appear on each side — but only after accumulation: the
+    # earliest flag needs many same-sign deviations, never the first
+    # few samples (a point-wise envelope would flag nothing at all
+    # here: max |x−μ| ≈ 2σ of the pooled spread)
+    first_flag = next(i for i, r in enumerate(out) if r["flag"])
+    assert first_flag > 10
+    # the post-shift regime drives the POSITIVE side over threshold
+    assert any(r["flag"] and r["s_pos"] > r["s_neg"] for r in out[60:])
+
+
+def test_cusum_constant_series_never_flags(spark):
+    df = spark.createDataFrame(
+        [("a", i, 7.0) for i in range(20)],
+        "conv_id string, bucket_start int, mean_v double",
+    )
+    out = tsa.cusum_flags(df, "mean_v").collect()
+    assert all(r["flag"] == 0 for r in out)
+    assert all(r["s_pos"] == 0.0 and r["s_neg"] == 0.0 for r in out)

@@ -19,6 +19,40 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def position_major_layout(seg_starts: np.ndarray, n: int):
+    """Shared layout for vectorized segmented recursions
+    (segmented_ewma / segmented_holt / segmented_cusum).
+
+    Orders segments by length DESC (stable) and rows by
+    (position, segment-rank): the rows at position t are exactly the
+    first k_t segments, an aligned prefix of the rows at position
+    t−1, so any one-step recurrence runs as max_len numpy vector ops
+    over shrinking prefixes — O(n) total work, no per-group Python.
+
+    Returns (perm, k, bs, sorted_lens, max_len): ``perm`` permutes
+    input rows into position-major order; ``k[t]`` is the number of
+    segments still alive at position t; ``bs`` are the block start
+    offsets (block t is ``[bs[t], bs[t]+k[t])``); ``sorted_lens`` are
+    the segment lengths in rank order.
+    """
+    starts = np.asarray(seg_starts, np.int64)
+    lengths = np.diff(np.append(starts, n))
+    g = len(starts)
+    gid = np.repeat(np.arange(g), lengths)
+    pos = np.arange(n) - starts[gid]
+    order = np.argsort(-lengths, kind="stable")
+    rank_of = np.empty(g, np.int64)
+    rank_of[order] = np.arange(g)
+    r = rank_of[gid]
+    perm = np.lexsort((r, pos))
+    max_len = int(lengths.max())
+    sorted_lens = lengths[order]
+    k = np.searchsorted(-sorted_lens, -np.arange(max_len), side="left")
+    k[0] = g
+    bs = np.concatenate(([0], np.cumsum(k)))
+    return perm, k, bs, sorted_lens, max_len
+
+
 def segmented_ewma(values: np.ndarray, seg_starts: np.ndarray,
                    alpha: float) -> np.ndarray:
     """Vectorized EWMA over many variable-length segments.
@@ -40,26 +74,9 @@ def segmented_ewma(values: np.ndarray, seg_starts: np.ndarray,
     if n == 0:
         return np.empty(0, np.float64)
     x = np.asarray(values, np.float64)
-    starts = np.asarray(seg_starts, np.int64)
-    lengths = np.diff(np.append(starts, n))
-    g = len(starts)
-    gid = np.repeat(np.arange(g), lengths)
-    pos = np.arange(n) - starts[gid]
-    # rank segments by length desc (stable) so position-blocks are
-    # aligned prefixes
-    order = np.argsort(-lengths, kind="stable")
-    rank_of = np.empty(g, np.int64)
-    rank_of[order] = np.arange(g)
-    r = rank_of[gid]
-    # permutation: position-major, then segment-rank
-    perm = np.lexsort((r, pos))
+    perm, k, bs, sorted_lens, max_len = position_major_layout(seg_starts, n)
+    g = int(k[0])
     xs = x[perm]
-    max_len = int(lengths.max())
-    # k[t] = number of segments with length > t (rows at position t)
-    sorted_lens = lengths[order]
-    k = np.searchsorted(-sorted_lens, -np.arange(max_len), side="left")
-    k[0] = g
-    bs = np.concatenate(([0], np.cumsum(k)))  # block start offsets
     w = 1.0 - alpha
     ys = xs.copy()
     # hybrid: vector block-scan while many segments are alive; once

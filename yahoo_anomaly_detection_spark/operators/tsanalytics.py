@@ -301,26 +301,16 @@ def segmented_holt(values: np.ndarray, seg_starts: np.ndarray,
     — add it per that function if a hot-conversation profile ever
     dominates a Holt job.
     """
+    from yahoo_anomaly_detection_spark.operators.stats import (
+        position_major_layout,
+    )
+
     n = len(values)
     if n == 0:
         return np.empty(0, np.float64), np.empty(0, np.float64)
     x = np.asarray(values, np.float64)
-    starts = np.asarray(seg_starts, np.int64)
-    lengths = np.diff(np.append(starts, n))
-    g = len(starts)
-    gid = np.repeat(np.arange(g), lengths)
-    pos = np.arange(n) - starts[gid]
-    order = np.argsort(-lengths, kind="stable")
-    rank_of = np.empty(g, np.int64)
-    rank_of[order] = np.arange(g)
-    r = rank_of[gid]
-    perm = np.lexsort((r, pos))
+    perm, k, bs, _, max_len = position_major_layout(seg_starts, n)
     xs = x[perm]
-    max_len = int(lengths.max())
-    sorted_lens = lengths[order]
-    k = np.searchsorted(-sorted_lens, -np.arange(max_len), side="left")
-    k[0] = g
-    bs = np.concatenate(([0], np.cumsum(k)))
     ls = xs.copy()
     ts = np.zeros(n, np.float64)
     a, b = float(alpha), float(beta)
@@ -362,6 +352,89 @@ def holt(df: DataFrame, value_col: str, alpha: float = 0.3,
          ("trend", T.DoubleType(), "float64")],
         kernel,
     )
+
+
+def segmented_cusum(dev: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Vectorized one-sided CUSUM over many variable-length segments:
+    S_t = max(0, S_{t−1} + dev_t), S_0 = 0 — so S_1 = max(0, dev_1).
+
+    Same position-major block-scan layout as the EWMA/Holt kernels;
+    the deviations (x − μ − slack, already per-row) come in as one
+    array, so the recursion is one ``np.maximum`` per position block.
+    """
+    from yahoo_anomaly_detection_spark.operators.stats import (
+        position_major_layout,
+    )
+
+    n = len(dev)
+    if n == 0:
+        return np.empty(0, np.float64)
+    x = np.asarray(dev, np.float64)
+    perm, k, bs, _, max_len = position_major_layout(seg_starts, n)
+    xs = x[perm]
+    ss = np.maximum(0.0, xs)  # position 0 of every segment
+    for t in range(1, max_len):
+        kt = k[t]
+        lo, plo = bs[t], bs[t - 1]
+        ss[lo: lo + kt] = np.maximum(
+            0.0, ss[plo: plo + kt] + xs[lo: lo + kt]
+        )
+    out = np.empty(n, np.float64)
+    out[perm] = ss
+    return out
+
+
+def cusum_flags(df: DataFrame, value_col: str, slack_k: float = 0.5,
+                threshold_h: float = 5.0,
+                keys: tuple[str, ...] = ("conv_id",),
+                order_col: str = "bucket_start") -> DataFrame:
+    """Two-sided tabular CUSUM drift detection per series (Page 1954,
+    the standard change-point chart): S⁺_t = max(0, S⁺_{t−1} + x_t −
+    μ − kσ), S⁻_t = max(0, S⁻_{t−1} + μ − x_t − kσ), flag when
+    either side exceeds h·σ. Detects sustained LEVEL SHIFTS that
+    point-wise envelopes (z-score/MAD) miss: many small same-sign
+    deviations accumulate where no single one trips a threshold.
+
+    μ/σ are per-series (population), computed as unbounded window
+    aggregates over the SAME key partitioning the scan repartitions
+    to; the per-row deviations stay JVM-side, so the Python kernel is
+    just the max-recursion. Adds ``s_pos``, ``s_neg``, ``flag``.
+    """
+    from yahoo_anomaly_detection_spark.operators.stats import segmented_scan
+
+    key_cols = list(keys)
+    v = F.col(value_col).cast("double")
+    w_key = W.partitionBy(*key_cols)
+    slack = F.lit(float(slack_k)) * F.stddev_pop(v).over(w_key)
+    mu = F.avg(v).over(w_key)
+    base = (
+        df.withColumn("_sigma", F.stddev_pop(v).over(w_key))
+        .withColumn("_devp", v - mu - slack)
+        .withColumn("_devn", mu - v - slack)
+    )
+
+    def kernel(pdf, starts):
+        return {
+            "s_pos": segmented_cusum(
+                pdf["_devp"].to_numpy(np.float64), starts),
+            "s_neg": segmented_cusum(
+                pdf["_devn"].to_numpy(np.float64), starts),
+        }
+
+    scanned = segmented_scan(
+        base, keys, order_col,
+        [("s_pos", T.DoubleType(), "float64"),
+         ("s_neg", T.DoubleType(), "float64")],
+        kernel,
+    )
+    h_sigma = F.lit(float(threshold_h)) * F.col("_sigma")
+    return scanned.withColumn(
+        "flag",
+        F.when(
+            (F.col("s_pos") > h_sigma) | (F.col("s_neg") > h_sigma),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).drop("_devp", "_devn", "_sigma")
 
 
 def ar2_residuals(df: DataFrame, value_col: str,
@@ -870,6 +943,38 @@ SELECT p.conv_id, p.bucket_start, round(p.mean_v, 4) AS mean_v,
 FROM ph p JOIN prof f USING (conv_id, phase)
 """
 
+_CUSUM_SQL = f"""
+WITH RECURSIVE {_T1M_BASE},
+st AS (
+    SELECT conv_id, avg(mean_v) AS mu, stddev_pop(mean_v) AS sigma
+    FROM t1m GROUP BY 1
+),
+seq AS (
+    SELECT t.conv_id, t.bucket_start, t.mean_v, s.mu, s.sigma,
+           row_number() OVER (PARTITION BY t.conv_id
+                              ORDER BY t.bucket_start) AS rn
+    FROM t1m t JOIN st s USING (conv_id)
+),
+cu AS (
+    SELECT conv_id, rn, bucket_start, mean_v, mu, sigma,
+           greatest(0, mean_v - mu - 0.5 * sigma) AS s_pos,
+           greatest(0, mu - mean_v - 0.5 * sigma) AS s_neg
+    FROM seq WHERE rn = 1
+    UNION ALL
+    -- dev is parenthesized to match the engine's float association
+    -- (the kernel adds a precomputed per-row deviation to the state)
+    SELECT s.conv_id, s.rn, s.bucket_start, s.mean_v, s.mu, s.sigma,
+           greatest(0, c.s_pos + (s.mean_v - s.mu - 0.5 * s.sigma)),
+           greatest(0, c.s_neg + (s.mu - s.mean_v - 0.5 * s.sigma))
+    FROM cu c JOIN seq s ON s.conv_id = c.conv_id AND s.rn = c.rn + 1
+)
+SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
+       round(s_pos, 4) AS s_pos, round(s_neg, 4) AS s_neg,
+       CASE WHEN s_pos > 5.0 * sigma OR s_neg > 5.0 * sigma
+            THEN 1 ELSE 0 END AS flag
+FROM cu
+"""
+
 ORACLE_SQL = {
     "mad_flags": _MAD_SQL,
     "counter_rate_1m": _COUNTER_RATE_SQL,
@@ -881,4 +986,5 @@ ORACLE_SQL = {
     "seasonal_zscore": _SEASONAL_SQL,
     "stl_lite_1m": _STL_SQL.format(base=_T1M_BASE),
     "lttb_check": _LTTB_CHECK_SQL.format(base=_T1M_BASE),
+    "cusum_flags": _CUSUM_SQL,
 }
