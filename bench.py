@@ -65,6 +65,9 @@ HEADLINE = [
     "stl_lite_1m",
     "lttb_check",
     "cusum_flags",
+    "hist_quantile_1d",
+    "alert_states",
+    "xcorr_1d",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

@@ -612,3 +612,182 @@ def test_cusum_constant_series_never_flags(spark):
     out = tsa.cusum_flags(df, "mean_v").collect()
     assert all(r["flag"] == 0 for r in out)
     assert all(r["s_pos"] == 0.0 and r["s_neg"] == 0.0 for r in out)
+
+
+# ---------------------------------------------------- hist_quantile
+def test_hist_quantile_known_interpolation(spark):
+    # rank = 0.5·5 = 2.5 lands in (5, 10]: cum_prev=2, cum=3 →
+    # 5 + (10−5)·(2.5−2)/(3−2) = 7.5
+    df = _pts(spark, [("m", i, v)
+                      for i, v in enumerate([0.5, 3.0, 7.0, 20.0, 40.0])])
+    out = tsa.hist_quantile(
+        df.withColumnRenamed("conv_id", "event_type"), q=0.5,
+        key="event_type").collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 5
+    assert out[0]["q_est"] == pytest.approx(7.5)
+
+
+def test_hist_quantile_first_bucket_and_overflow(spark):
+    # first bucket interpolates from lower edge 0; a rank falling in
+    # the +Inf overflow bucket returns the highest finite boundary
+    lo = _pts(spark, [("a", 0, 0.2), ("a", 1, 0.4)])
+    hi = _pts(spark, [("b", 0, 500.0), ("b", 1, 900.0)])
+    out = {
+        r["event_type"]: r["q_est"]
+        for r in tsa.hist_quantile(
+            lo.union(hi).withColumnRenamed("conv_id", "event_type"),
+            q=0.5, key="event_type").collect()
+    }
+    assert out["a"] == pytest.approx(0.5)  # 0 + (1−0)·(1−0)/(2−0)
+    assert out["b"] == pytest.approx(tsa.HIST_BOUNDARIES[-1])
+
+
+def test_hist_quantile_validation(spark):
+    df = _pts(spark, [("m", 0, 1.0)])
+    with pytest.raises(ValueError, match="q must be"):
+        tsa.hist_quantile(df, q=1.0, key="conv_id")
+    with pytest.raises(ValueError, match="strictly increasing"):
+        tsa.hist_quantile(df, boundaries=(5.0, 5.0), key="conv_id")
+
+
+# ----------------------------------------------------- alert_states
+def _series(spark, vals, buckets=None):
+    bs = buckets if buckets is not None else list(range(len(vals)))
+    return spark.createDataFrame(
+        [("a", int(b), float(v)) for b, v in zip(bs, vals)],
+        "conv_id string, bucket_start int, mean_v double",
+    )
+
+
+def test_alert_states_run_length(spark):
+    # breach pattern F T T T F T with for_k=3:
+    # ok, pending, pending, firing, ok, pending
+    df = _series(spark, [1, 11, 12, 13, 1, 14])
+    out = sorted(
+        tsa.alert_states(df, "mean_v", threshold=10.0, for_k=3).collect(),
+        key=lambda r: r["bucket_start"])
+    assert [r["state"] for r in out] == [
+        "ok", "pending", "pending", "firing", "ok", "pending"]
+    assert [r["run_pos"] for r in out] == [0, 1, 2, 3, 0, 1]
+    assert [r["breach"] for r in out] == [0, 1, 1, 1, 0, 1]
+
+
+def test_alert_states_fires_from_k_onward(spark):
+    # once held for k the alert STAYS firing while the breach holds
+    df = _series(spark, [11, 12, 13, 14, 15])
+    out = sorted(
+        tsa.alert_states(df, "mean_v", threshold=10.0, for_k=2).collect(),
+        key=lambda r: r["bucket_start"])
+    assert [r["state"] for r in out] == [
+        "pending", "firing", "firing", "firing", "firing"]
+
+
+def test_alert_states_gap_resets_run(spark):
+    # same breach values, but a hole in the series: sample-consecutive
+    # mode bridges it, gap-aware mode restarts the run after the hole
+    ts0 = 1700000000
+    buckets = [ts0, ts0 + 60, ts0 + 300, ts0 + 360]
+    df = spark.createDataFrame(
+        [("a", b, 99.0) for b in buckets],
+        "conv_id string, epoch long, mean_v double",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.col("epoch")).alias("bucket_start"),
+        "mean_v",
+    )
+    bridged = sorted(
+        tsa.alert_states(df, "mean_v", threshold=10.0, for_k=2).collect(),
+        key=lambda r: r["bucket_start"])
+    assert [r["state"] for r in bridged] == [
+        "pending", "firing", "firing", "firing"]
+    gapped = sorted(
+        tsa.alert_states(df, "mean_v", threshold=10.0, for_k=2,
+                         max_gap_seconds=60).collect(),
+        key=lambda r: r["bucket_start"])
+    assert [r["state"] for r in gapped] == [
+        "pending", "firing", "pending", "firing"]
+    assert [r["run_pos"] for r in gapped] == [1, 2, 1, 2]
+
+
+def test_alert_states_single_exchange(spark):
+    # three pipelined window phases over ONE hash exchange on the
+    # series key — the (key, run) window's clustering is satisfied by
+    # hash(key), so no second exchange (sessionize idiom)
+    df = _series(spark, [1, 11, 12, 13, 1, 14])
+    out = tsa.alert_states(df, "mean_v", threshold=10.0, for_k=3)
+    assert _exchanges(out) == 1, _plan(out)
+
+
+# ------------------------------------------------------ metric_corr
+def _metric_events(spark, series):
+    """series: {metric: [(hour, value), ...]} on one calendar day."""
+    rows = []
+    for m, pts in series.items():
+        for h, v in pts:
+            rows.append((m, 1704067200 + 3600 * h + 7, float(v)))
+    return spark.createDataFrame(
+        rows, "event_type string, epoch long, value double"
+    ).select(
+        "event_type",
+        F.timestamp_seconds(F.col("epoch")).alias("ts"),
+        "value",
+    )
+
+
+def test_metric_corr_perfect_and_anti(spark):
+    hours = list(range(6))
+    df = _metric_events(spark, {
+        "a": [(h, float(h)) for h in hours],
+        "b": [(h, 2.0 * h + 3.0) for h in hours],
+        "c": [(h, -1.0 * h) for h in hours],
+    })
+    out = {
+        (r["metric_a"], r["metric_b"]): r
+        for r in tsa.metric_corr(df, ("a", "b", "c")).collect()
+    }
+    assert out[("a", "b")]["r"] == pytest.approx(1.0)
+    assert out[("a", "c")]["r"] == pytest.approx(-1.0)
+    assert out[("b", "c")]["r"] == pytest.approx(-1.0)
+    assert all(r["n_pts"] == 6 for r in out.values())
+
+
+def test_metric_corr_masks_to_shared_hours(spark):
+    # metric b is missing at hours 3-5; the pair (a, b) correlates
+    # over the 3 shared hours only, and a constant metric yields NULL
+    df = _metric_events(spark, {
+        "a": [(h, float(h)) for h in range(6)],
+        "b": [(0, 5.0), (1, 7.0), (2, 9.0)],
+        "k": [(h, 4.0) for h in range(6)],
+    })
+    out = {
+        (r["metric_a"], r["metric_b"]): r
+        for r in tsa.metric_corr(df, ("a", "b", "k")).collect()
+    }
+    assert out[("a", "b")]["n_pts"] == 3
+    assert out[("a", "b")]["r"] == pytest.approx(1.0)
+    assert out[("a", "k")]["r"] is None  # zero variance on k
+    assert out[("a", "k")]["n_pts"] == 6
+
+
+def test_metric_corr_validation(spark):
+    df = _metric_events(spark, {"a": [(0, 1.0)]})
+    with pytest.raises(ValueError, match="at least 2"):
+        tsa.metric_corr(df, ("a",))
+
+
+def test_hist_quantile_single_exchange(spark):
+    # cumulative counts are conditional sums inside ONE map-side-
+    # combined groupBy; interpolation is a CASE on the aggregated row
+    df = _pts(spark, [("m", i, float(i)) for i in range(8)])
+    out = tsa.hist_quantile(
+        df.withColumnRenamed("conv_id", "event_type"), key="event_type")
+    assert _exchanges(out) == 1, _plan(out)
+
+
+def test_metric_corr_two_exchanges(spark):
+    # raw events → grid rollup (heavy exchange, |metrics| doubles per
+    # bucket) → pair-sum rollup over the tiny grid relation
+    df = _metric_events(spark, {"a": [(0, 1.0)], "b": [(0, 2.0)]})
+    out = tsa.metric_corr(df, ("a", "b"))
+    assert _exchanges(out) == 2, _plan(out)

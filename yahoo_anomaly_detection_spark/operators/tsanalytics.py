@@ -686,6 +686,209 @@ def lttb(df: DataFrame, value_col: str, n_out: int = 20,
     )
 
 
+HIST_BOUNDARIES = (1.0, 5.0, 10.0, 25.0, 50.0, 100.0, 200.0, 400.0)
+
+
+def hist_quantile(events: DataFrame, q: float = 0.95,
+                  boundaries: tuple[float, ...] = HIST_BOUNDARIES,
+                  bucket_seconds: int = 86400, key: str = "event_type",
+                  ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """Prometheus-style ``histogram_quantile``: estimate a quantile
+    per (series, bucket) from fixed cumulative ``le`` buckets by
+    linear interpolation inside the bucket the rank lands in.
+
+    Conventions match Prometheus: the first bucket's lower edge is 0
+    (non-negative observations assumed), and a rank falling in the
+    +Inf overflow bucket returns the highest finite boundary. The
+    rank is ``q·n`` against cumulative counts ``cum_i = #{x ≤ bᵢ}``;
+    the estimate for the smallest i with ``cum_i ≥ rank`` is
+    ``lo + (bᵢ − lo)·(rank − cum_{i−1})/(cum_i − cum_{i−1})``.
+
+    Scale shape: the cumulative counts are N conditional sums inside
+    ONE map-side-combined groupBy — each task emits one row of N+1
+    longs per live (key, bucket) group, so the exchange carries
+    histograms, never samples; the interpolation is a chained CASE on
+    the aggregated row (pure JVM, whole-stage codegen). This is the
+    sketch-rollup idiom real monitoring stores use for quantiles over
+    data too big to sort.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    bs = [float(b) for b in boundaries]
+    if len(bs) < 1 or any(b2 <= b1 for b1, b2 in zip(bs, bs[1:])):
+        raise ValueError(
+            f"boundaries must be strictly increasing, got {boundaries}")
+    v = F.col(value_col).cast("double")
+    pts = events.where(v.isNotNull())
+    cums = [
+        F.sum((v <= F.lit(b)).cast("long")).alias(f"_le{i}")
+        for i, b in enumerate(bs)
+    ]
+    agg = pts.groupBy(
+        F.col(key), _bucket_expr(ts_col, int(bucket_seconds)).alias(
+            "bucket_start")
+    ).agg(F.count(v).alias("n"), *cums)
+    rank = F.lit(float(q)) * F.col("n").cast("double")
+    chain = None
+    for i, b in enumerate(bs):
+        ci = F.col(f"_le{i}").cast("double")
+        cprev = F.lit(0.0) if i == 0 else F.col(f"_le{i - 1}").cast("double")
+        lo = F.lit(0.0) if i == 0 else F.lit(bs[i - 1])
+        est = lo + (F.lit(b) - lo) * ((rank - cprev) / (ci - cprev))
+        chain = (F.when(ci >= rank, est) if chain is None
+                 else chain.when(ci >= rank, est))
+    q_est = chain.otherwise(F.lit(bs[-1]))
+    return agg.select(
+        F.col(key), "bucket_start", "n",
+        portable_round(q_est, _R).alias("q_est"),
+    )
+
+
+def alert_states(df: DataFrame, value_col: str, threshold: float,
+                 for_k: int = 3, keys: tuple[str, ...] = ("conv_id",),
+                 order_col: str = "bucket_start",
+                 max_gap_seconds: int | None = None) -> DataFrame:
+    """Flap-free FOR-duration alerting (the Prometheus ``for:``
+    clause): a threshold breach must HOLD for ``for_k`` consecutive
+    samples before the alert fires — states per row are ``ok`` (no
+    breach), ``pending`` (breach run shorter than ``for_k`` so far),
+    ``firing`` (run reached ``for_k``). One transient spike never
+    pages anyone; a sustained breach pages exactly once it has held.
+
+    ``max_gap_seconds=None`` counts consecutive SAMPLES of the series
+    (alerts evaluated per scrape); setting it to the sampling period
+    makes runs gap-aware — a hole in the series resets the run, so an
+    outage doesn't bridge two short breaches into a firing alert.
+
+    Run-length is three pipelined window phases over ONE hash
+    exchange on the series key (the sessionize idiom,
+    ``operators/sessions.py``): lag → new-run indicator, running sum
+    → run id, count-of-breaches within (key, run) → position; the
+    (key, run) window's clustering is satisfied by hash(key), so no
+    second exchange. Adds ``breach`` (0/1), ``run_pos`` (1-based
+    within the breach run, 0 on ok rows), ``state``.
+    """
+    if for_k < 1:
+        raise ValueError(f"for_k must be >= 1, got {for_k}")
+    v = F.col(value_col).cast("double")
+    breach = (v > F.lit(float(threshold))).cast("int")
+    w1 = W.partitionBy(*keys).orderBy(order_col)
+    prev_breach = F.lag(breach).over(w1)
+    if max_gap_seconds is None:
+        adjacent = prev_breach.isNotNull()
+    else:
+        us = F.unix_micros(F.col(order_col).cast("timestamp"))
+        adjacent = prev_breach.isNotNull() & (
+            us - F.lag(us).over(w1)
+            <= F.lit(int(max_gap_seconds) * 1_000_000)
+        )
+    new_run = (
+        (breach == 1) & ~(adjacent & (prev_breach == 1))
+    ).cast("int")
+    wcum = w1.rowsBetween(W.unboundedPreceding, W.currentRow)
+    base = (
+        df.withColumn("_breach", breach)
+        .withColumn("_seg", F.sum(new_run).over(wcum))
+    )
+    w2 = (
+        W.partitionBy(*keys, "_seg").orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run_pos = F.sum("_breach").over(w2)
+    return (
+        base.withColumn(
+            "run_pos",
+            F.when(F.col("_breach") == 1, run_pos).otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "state",
+            F.when(F.col("_breach") == 0, "ok")
+            .when(F.col("run_pos") >= for_k, "firing")
+            .otherwise("pending"),
+        )
+        .withColumnRenamed("_breach", "breach")
+        .drop("_seg")
+    )
+
+
+def metric_corr(events: DataFrame, metrics: tuple[str, ...],
+                metric_col: str = "event_type", ts_col: str = "ts",
+                value_col: str = "value", grid_seconds: int = 3600,
+                corr_seconds: int = 86400) -> DataFrame:
+    """Cross-metric co-movement: align every metric on a common time
+    grid (per-grid-bucket mean per metric, one wide row per bucket),
+    then Pearson r per coarse bucket for every metric PAIR over the
+    grid points where both metrics are present — the "which metrics
+    move together" panel of an observability dashboard, and the
+    correlation-matrix primitive of feature-drift monitors.
+
+    r is computed from the six decomposable sums (n, Σx, Σy, Σxy,
+    Σx², Σy²), masked to both-present grid points, so the whole job
+    is TWO map-side-combined groupBys: raw events → #grid-buckets
+    wide rows (the heavy exchange carries |metrics| doubles per live
+    bucket), wide rows → #coarse-buckets rows of pair sums (a
+    negligible second exchange over the already-tiny grid relation).
+    Degenerate pairs (fewer than two shared points, or zero variance
+    on either side) yield r = NULL. Output: one row per
+    (bucket_start, metric_a, metric_b) with ``n_pts`` and ``r``.
+    """
+    ms = list(metrics)
+    if len(ms) < 2:
+        raise ValueError(f"need at least 2 metrics, got {metrics}")
+    v = F.col(value_col).cast("double")
+    grid = (
+        events.where(v.isNotNull() & F.col(metric_col).isin(ms))
+        .groupBy(_bucket_expr(ts_col, int(grid_seconds)).alias("_grid"))
+        .agg(*[
+            F.avg(F.when(F.col(metric_col) == m, v)).alias(f"_m{i}")
+            for i, m in enumerate(ms)
+        ])
+    )
+    pairs = [
+        (i, j) for i in range(len(ms)) for j in range(len(ms)) if i < j
+    ]
+    aggs = []
+    for i, j in pairs:
+        x, y = F.col(f"_m{i}"), F.col(f"_m{j}")
+        both = x.isNotNull() & y.isNotNull()
+        xm, ym = F.when(both, x), F.when(both, y)
+        p = f"_{i}_{j}"
+        aggs += [
+            F.count(xm).alias(f"n{p}"),
+            F.sum(xm).alias(f"sx{p}"),
+            F.sum(ym).alias(f"sy{p}"),
+            F.sum(xm * ym).alias(f"sxy{p}"),
+            F.sum(xm * xm).alias(f"sxx{p}"),
+            F.sum(ym * ym).alias(f"syy{p}"),
+        ]
+    agg = grid.groupBy(
+        _bucket_expr("_grid", int(corr_seconds)).alias("bucket_start")
+    ).agg(*aggs)
+    rows = []
+    for i, j in pairs:
+        p = f"_{i}_{j}"
+        n = F.col(f"n{p}").cast("double")
+        sx, sy = F.col(f"sx{p}"), F.col(f"sy{p}")
+        sxy, sxx, syy = F.col(f"sxy{p}"), F.col(f"sxx{p}"), F.col(f"syy{p}")
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        r = F.when(
+            (varx > 0) & (vary > 0),
+            (n * sxy - sx * sy) / F.sqrt(varx * vary),
+        )
+        rows.append(F.struct(
+            F.lit(ms[i]).alias("metric_a"),
+            F.lit(ms[j]).alias("metric_b"),
+            F.col(f"n{p}").cast("long").alias("n_pts"),
+            portable_round(r, _R).alias("r"),
+        ))
+    return agg.select(
+        "bucket_start", F.explode(F.array(*rows)).alias("_p")
+    ).select("bucket_start", "_p.*")
+
+
 # ------------------------------------------------------------------ oracles
 # Driver events table: (event_id, ts, user_id, event_type, value, props);
 # conv_id := user_id per the engine's series adaptation (ingest.py).
@@ -975,6 +1178,131 @@ SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
 FROM cu
 """
 
+def _hist_quantile_sql(q: float, bs: tuple[float, ...]) -> str:
+    """Oracle mirror of :func:`hist_quantile` at the driver defaults —
+    generated from the SAME boundary list so the CASE chain and float
+    association match the Spark expression branch for branch."""
+    cums = ",\n           ".join(
+        f"sum(CASE WHEN v <= {b!r} THEN 1 ELSE 0 END) AS c{i}"
+        for i, b in enumerate(bs))
+    branches = []
+    for i, b in enumerate(bs):
+        ci = f"CAST(c{i} AS DOUBLE)"
+        cprev = "0.0" if i == 0 else f"CAST(c{i - 1} AS DOUBLE)"
+        lo = "0.0" if i == 0 else repr(bs[i - 1])
+        branches.append(
+            f"WHEN {ci} >= rnk THEN {lo} + ({b!r} - {lo})"
+            f" * ((rnk - {cprev}) / ({ci} - {cprev}))")
+    case = "CASE " + "\n                  ".join(branches) \
+        + f" ELSE {bs[-1]!r} END"
+    return f"""
+WITH pts AS (
+    SELECT event_type, date_trunc('day', ts) AS bucket_start,
+           CAST(value AS DOUBLE) AS v
+    FROM events WHERE value IS NOT NULL
+),
+agg AS (
+    SELECT event_type, bucket_start, count(v) AS n,
+           {cums}
+    FROM pts GROUP BY 1, 2
+),
+rk AS (SELECT *, {q!r} * CAST(n AS DOUBLE) AS rnk FROM agg)
+SELECT event_type, bucket_start, n,
+       round({case}, 4) AS q_est
+FROM rk
+"""
+
+
+_ALERT_SQL = f"""
+WITH {_T1M_BASE},
+b AS (
+    SELECT conv_id, bucket_start, mean_v,
+           CASE WHEN mean_v > 100.0 THEN 1 ELSE 0 END AS breach
+    FROM t1m
+),
+nr AS (
+    SELECT *, CASE WHEN breach = 1
+                        AND coalesce(lag(breach) OVER w, 0) = 0
+                   THEN 1 ELSE 0 END AS new_run
+    FROM b WINDOW w AS (PARTITION BY conv_id ORDER BY bucket_start)
+),
+sg AS (
+    SELECT *, sum(new_run) OVER (PARTITION BY conv_id
+                                 ORDER BY bucket_start
+                                 ROWS UNBOUNDED PRECEDING) AS seg
+    FROM nr
+),
+rp AS (
+    SELECT *, sum(breach) OVER (PARTITION BY conv_id, seg
+                                ORDER BY bucket_start
+                                ROWS UNBOUNDED PRECEDING) AS rpos
+    FROM sg
+)
+SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v, breach,
+       CAST(CASE WHEN breach = 1 THEN rpos ELSE 0 END AS BIGINT)
+           AS run_pos,
+       CASE WHEN breach = 0 THEN 'ok'
+            WHEN rpos >= 3 THEN 'firing' ELSE 'pending' END AS state
+FROM rp
+"""
+
+
+def _metric_corr_sql(metrics: tuple[str, ...]) -> str:
+    """Oracle mirror of :func:`metric_corr` at the driver defaults
+    (hour grid, day correlation buckets) — the pair sums and the r
+    formula are generated from the SAME metric list with the same
+    float association as the Spark expressions."""
+    mcols = ",\n           ".join(
+        f"avg(CASE WHEN event_type = '{m}' THEN v END) AS m{i}"
+        for i, m in enumerate(metrics))
+    in_list = ", ".join(f"'{m}'" for m in metrics)
+    sums, selects = [], []
+    for i in range(len(metrics)):
+        for j in range(i + 1, len(metrics)):
+            p = f"_{i}_{j}"
+            both = f"m{i} IS NOT NULL AND m{j} IS NOT NULL"
+            sums += [
+                f"count(CASE WHEN {both} THEN m{i} END) AS n{p}",
+                f"sum(CASE WHEN {both} THEN m{i} END) AS sx{p}",
+                f"sum(CASE WHEN {both} THEN m{j} END) AS sy{p}",
+                f"sum(CASE WHEN {both} THEN m{i} * m{j} END) AS sxy{p}",
+                f"sum(CASE WHEN {both} THEN m{i} * m{i} END) AS sxx{p}",
+                f"sum(CASE WHEN {both} THEN m{j} * m{j} END) AS syy{p}",
+            ]
+            nd = f"CAST(n{p} AS DOUBLE)"
+            varx = f"{nd} * sxx{p} - sx{p} * sx{p}"
+            vary = f"{nd} * syy{p} - sy{p} * sy{p}"
+            selects.append(f"""
+SELECT bucket_start, '{metrics[i]}' AS metric_a,
+       '{metrics[j]}' AS metric_b,
+       CAST(n{p} AS BIGINT) AS n_pts,
+       round(CASE WHEN ({varx}) > 0 AND ({vary}) > 0
+                  THEN ({nd} * sxy{p} - sx{p} * sy{p})
+                       / sqrt(({varx}) * ({vary}))
+             END, 4) AS r
+FROM agg""")
+    body = "\nUNION ALL".join(selects)
+    sums_sql = ",\n           ".join(sums)
+    return f"""
+WITH grid AS (
+    SELECT date_trunc('hour', ts) AS g,
+           {mcols}
+    FROM (SELECT event_type, ts, CAST(value AS DOUBLE) AS v
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ({in_list}))
+    GROUP BY 1
+),
+agg AS (
+    SELECT date_trunc('day', g) AS bucket_start,
+           {sums_sql}
+    FROM grid GROUP BY 1
+)
+{body}
+"""
+
+
+XCORR_METRICS = ("click", "error", "purchase", "signup", "view")
+
 ORACLE_SQL = {
     "mad_flags": _MAD_SQL,
     "counter_rate_1m": _COUNTER_RATE_SQL,
@@ -987,4 +1315,7 @@ ORACLE_SQL = {
     "stl_lite_1m": _STL_SQL.format(base=_T1M_BASE),
     "lttb_check": _LTTB_CHECK_SQL.format(base=_T1M_BASE),
     "cusum_flags": _CUSUM_SQL,
+    "hist_quantile_1d": _hist_quantile_sql(0.95, HIST_BOUNDARIES),
+    "alert_states": _ALERT_SQL,
+    "xcorr_1d": _metric_corr_sql(XCORR_METRICS),
 }
