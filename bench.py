@@ -68,6 +68,11 @@ HEADLINE = [
     "hist_quantile_1d",
     "alert_states",
     "xcorr_1d",
+    "breach_intervals",
+    "slo_burn",
+    "merged_intervals",
+    "incident_overlap",
+    "incident_overlap_bucketed",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

@@ -1,0 +1,313 @@
+"""Unit + plan-shape tests for the alerting & incident analytics
+layer (operators/alerting.py): flag→episode consolidation,
+overlapping-interval merge, SLO multi-window burn rates, and the
+broadcast point-in-interval join."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark.operators import alerting as al
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(df) -> int:
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", _plan(df)))
+
+
+def _flags(spark, vals, key="a", step=60):
+    """vals: 0/1 flags at step-second spacing from a fixed epoch."""
+    return spark.createDataFrame(
+        [(key, 1700000000 + i * step, int(v)) for i, v in enumerate(vals)],
+        "conv_id string, epoch long, flag int",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.col("epoch")).alias("bucket_start"),
+        "flag",
+    )
+
+
+def _iv(spark, rows):
+    """rows: (key, start_sec, end_sec) half-open interval offsets."""
+    return spark.createDataFrame(
+        [(k, 1700000000 + s, 1700000000 + e) for k, s, e in rows],
+        "conv_id string, s_sec long, e_sec long",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.col("s_sec")).alias("s"),
+        F.timestamp_seconds(F.col("e_sec")).alias("e"),
+    )
+
+
+# --------------------------------------------------- flag_intervals
+def test_flag_intervals_runs_and_bounds(spark):
+    # flags 0 1 1 0 1 → two episodes: samples 1-2 and sample 4
+    df = _flags(spark, [0, 1, 1, 0, 1])
+    out = sorted(al.flag_intervals(df, "flag").collect(),
+                 key=lambda r: r["interval_start"])
+    assert len(out) == 2
+    first, second = out
+    assert first["n_samples"] == 2
+    assert first["duration_seconds"] == 120
+    # end is half-open: last flagged sample + sample_seconds
+    assert (first["interval_end"] - first["interval_start"]
+            ).total_seconds() == 120.0
+    assert second["n_samples"] == 1
+    assert second["duration_seconds"] == 60
+
+
+def test_flag_intervals_bridges_series_gaps_by_default(spark):
+    # consecutive SAMPLES semantics: a hole in the series does not
+    # split the run, so span can exceed flagged duration
+    df = _flags(spark, [1, 1], step=600)
+    out = al.flag_intervals(df, "flag").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["duration_seconds"] == 120
+    assert (r["interval_end"] - r["interval_start"]
+            ).total_seconds() == 660.0  # 600s gap + trailing 60s
+
+
+def test_flag_intervals_gap_aware_split(spark):
+    df = _flags(spark, [1, 1], step=600)
+    out = al.flag_intervals(df, "flag", max_gap_seconds=60).collect()
+    assert len(out) == 2
+    assert all(r["n_samples"] == 1 for r in out)
+
+
+def test_flag_intervals_no_flags_empty(spark):
+    df = _flags(spark, [0, 0, 0])
+    assert al.flag_intervals(df, "flag").count() == 0
+
+
+def test_flag_intervals_validation(spark):
+    df = _flags(spark, [1])
+    with pytest.raises(ValueError, match="sample_seconds"):
+        al.flag_intervals(df, "flag", sample_seconds=0)
+
+
+def test_flag_intervals_single_exchange(spark):
+    # lag + cumsum windows and the (key, run) groupBy all ride one
+    # hash exchange on the series key (sessionize idiom)
+    df = _flags(spark, [0, 1, 1, 0, 1])
+    out = al.flag_intervals(df, "flag")
+    assert _exchanges(out) == 1, _plan(out)
+
+
+# --------------------------------------------------- merge_intervals
+def test_merge_intervals_overlap_touch_disjoint(spark):
+    # [0,100) ∪ [50,150) ∪ [150,200) merge (overlap + touch);
+    # [300,310) stays separate
+    df = _iv(spark, [("a", 0, 100), ("a", 50, 150),
+                     ("a", 150, 200), ("a", 300, 310)])
+    out = sorted(al.merge_intervals(df).collect(),
+                 key=lambda r: r["interval_start"])
+    assert [(r["n_merged"], r["covered_us"]) for r in out] == [
+        (3, 200_000_000), (1, 10_000_000)]
+
+
+def test_merge_intervals_contained_then_extend(spark):
+    # containment is not chain-adjacency: [10,20) sits inside [0,100)
+    # and must not break the bridge to [30,200) — the running MAX of
+    # end (not lag of end) is what makes this correct
+    df = _iv(spark, [("a", 0, 100), ("a", 10, 20), ("a", 30, 200)])
+    out = al.merge_intervals(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_merged"] == 3
+    assert out[0]["covered_us"] == 200_000_000
+
+
+def test_merge_intervals_per_key(spark):
+    df = _iv(spark, [("a", 0, 100), ("b", 50, 150)])
+    out = al.merge_intervals(df).collect()
+    assert len(out) == 2
+    assert all(r["n_merged"] == 1 for r in out)
+
+
+def test_merge_intervals_single_exchange(spark):
+    df = _iv(spark, [("a", 0, 100), ("a", 50, 150), ("b", 0, 10)])
+    out = al.merge_intervals(df)
+    assert _exchanges(out) == 1, _plan(out)
+
+
+# ----------------------------------------------------------- slo_burn
+def _series(spark, vals, secs=None, key="a"):
+    offs = secs if secs is not None else [i * 60 for i in range(len(vals))]
+    return spark.createDataFrame(
+        [(key, 1700000000 + s, float(v)) for s, v in zip(offs, vals)],
+        "conv_id string, epoch long, mean_v double",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.col("epoch")).alias("bucket_start"),
+        "mean_v",
+    )
+
+
+def test_slo_burn_requires_both_windows(spark):
+    # 3 breaches in the last 5m (short 3/5 ≥ 0.5) but only 3/20
+    # over the hour (long < 0.2): fast spike alone must NOT page
+    vals = [0.0] * 17 + [99.0, 99.0, 99.0]
+    out = sorted(
+        al.slo_burn(_series(spark, vals), "mean_v", threshold=10.0)
+        .collect(), key=lambda r: r["bucket_start"])
+    last = out[-1]
+    assert last["breach"] == 1
+    assert last["short_ratio"] == pytest.approx(3 / 5)
+    assert last["long_ratio"] == pytest.approx(3 / 20)
+    assert last["page"] == 0
+
+
+def test_slo_burn_pages_on_sustained_burn(spark):
+    # breach from sample 5 on: by the end both ratios exceed their
+    # thresholds and the page bit flips exactly when long crosses 0.2
+    vals = [0.0] * 5 + [99.0] * 15
+    out = sorted(
+        al.slo_burn(_series(spark, vals), "mean_v", threshold=10.0)
+        .collect(), key=lambda r: r["bucket_start"])
+    assert out[-1]["short_ratio"] == pytest.approx(1.0)
+    assert out[-1]["long_ratio"] == pytest.approx(0.75)
+    assert out[-1]["page"] == 1
+    # pages start exactly where long_ratio >= 0.2 AND short >= 0.5
+    for r in out:
+        expect = int(r["short_ratio"] >= 0.5 and r["long_ratio"] >= 0.2)
+        assert r["page"] == expect, r
+
+
+def test_slo_burn_time_range_not_row_count(spark):
+    # irregular sampling: two samples 10 minutes apart — the trailing
+    # 5m window at the second sample must NOT see the first
+    out = sorted(
+        al.slo_burn(_series(spark, [99.0, 0.0], secs=[0, 600]),
+                    "mean_v", threshold=10.0).collect(),
+        key=lambda r: r["bucket_start"])
+    assert out[1]["short_ratio"] == pytest.approx(0.0)
+    assert out[1]["long_ratio"] == pytest.approx(0.5)  # 1h sees both
+
+
+def test_slo_burn_window_is_half_open_trailing(spark):
+    # (t-300, t]: a sample exactly 300s back is OUTSIDE the short
+    # window, one 299s back would be inside
+    out = sorted(
+        al.slo_burn(_series(spark, [99.0, 0.0], secs=[0, 300]),
+                    "mean_v", threshold=10.0).collect(),
+        key=lambda r: r["bucket_start"])
+    assert out[1]["short_ratio"] == pytest.approx(0.0)
+
+
+def test_slo_burn_validation(spark):
+    df = _series(spark, [1.0])
+    with pytest.raises(ValueError, match="short_seconds < long_seconds"):
+        al.slo_burn(df, "mean_v", 1.0, short_seconds=600, long_seconds=600)
+    with pytest.raises(ValueError, match="short_burn"):
+        al.slo_burn(df, "mean_v", 1.0, short_burn=0.0)
+
+
+def test_slo_burn_single_exchange_single_window(spark):
+    # both RANGE frames share partition+order → ONE Window operator
+    # over ONE exchange; the self-join formulation this replaces
+    # would show a Join here
+    out = al.slo_burn(_series(spark, [1.0, 99.0, 3.0]), "mean_v", 10.0)
+    plan = _plan(out)
+    assert _exchanges(out) == 1, plan
+    assert len(re.findall(r"\bWindow ", plan)) == 1, plan
+    assert "Join" not in plan
+
+
+# ------------------------------------------- point_in_interval_join
+def test_point_in_interval_half_open_membership(spark):
+    iv = _iv(spark, [("inc1", 100, 200)]).withColumnRenamed(
+        "conv_id", "incident").select(
+        "incident", F.col("s").alias("interval_start"),
+        F.col("e").alias("interval_end"))
+    pts = spark.createDataFrame(
+        [(i, 1700000000 + s) for i, s in
+         enumerate([99, 100, 150, 199, 200])],
+        "pid long, epoch long",
+    ).select("pid", F.timestamp_seconds(F.col("epoch")).alias("ts"))
+    got = sorted(r["pid"] for r in
+                 al.point_in_interval_join(pts, iv).collect())
+    assert got == [1, 2, 3]  # start inclusive, end exclusive
+
+
+def test_point_in_interval_overlapping_intervals_multi_match(spark):
+    iv = _iv(spark, [("i1", 0, 100), ("i2", 50, 150)]).select(
+        F.col("conv_id").alias("incident"),
+        F.col("s").alias("interval_start"),
+        F.col("e").alias("interval_end"))
+    pts = spark.createDataFrame(
+        [(1, 1700000075)], "pid long, epoch long",
+    ).select("pid", F.timestamp_seconds(F.col("epoch")).alias("ts"))
+    got = sorted(r["incident"] for r in
+                 al.point_in_interval_join(pts, iv).collect())
+    assert got == ["i1", "i2"]
+
+
+def test_interval_join_bucketed_equals_broadcast(spark):
+    # deterministic pseudo-random intervals and points; the bucketed
+    # equi-join decomposition must return exactly the broadcast
+    # nested-loop rows, including intervals spanning many buckets,
+    # zero-length intervals, and boundary points
+    iv_rows = [("i%d" % k, (k * 37) % 500, (k * 37) % 500 + (k * 13) % 260)
+               for k in range(40)]  # includes end == start when k*13%260==0
+    iv = _iv(spark, iv_rows).select(
+        F.col("conv_id").alias("incident"),
+        F.col("s").alias("interval_start"),
+        F.col("e").alias("interval_end"))
+    pts = spark.range(150).select(
+        F.col("id").alias("pid"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 5).alias("ts"))
+    want = sorted((r["pid"], r["incident"]) for r in
+                  al.point_in_interval_join(pts, iv).collect())
+    for bucket_seconds in (60, 86400):  # many-buckets and one-bucket
+        got = sorted(
+            (r["pid"], r["incident"]) for r in
+            al.interval_join_bucketed(
+                pts, iv, bucket_seconds=bucket_seconds).collect())
+        assert got == want, bucket_seconds
+    assert len(want) > 100  # non-trivial overlap actually exercised
+
+
+def test_interval_join_bucketed_no_nested_loop(spark):
+    iv = _iv(spark, [("i1", 0, 100), ("i2", 50, 150)]).select(
+        F.col("conv_id").alias("incident"),
+        F.col("s").alias("interval_start"),
+        F.col("e").alias("interval_end"))
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"))
+    plan = _plan(al.interval_join_bucketed(pts, iv, bucket_seconds=60))
+    # the decomposition is an EQUI join on the bucket id — never a
+    # nested loop or cartesian, whatever AQE picks as the physical op
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+                     plan), plan
+
+
+def test_interval_join_bucketed_validation(spark):
+    iv = _iv(spark, [("i1", 0, 100)]).select(
+        F.col("conv_id").alias("incident"),
+        F.col("s").alias("interval_start"),
+        F.col("e").alias("interval_end"))
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        al.interval_join_bucketed(iv, iv, bucket_seconds=0)
+
+
+def test_point_in_interval_broadcast_not_cartesian(spark):
+    iv = _iv(spark, [("i1", 0, 100)]).select(
+        F.col("conv_id").alias("incident"),
+        F.col("s").alias("interval_start"),
+        F.col("e").alias("interval_end"))
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"))
+    out = al.point_in_interval_join(pts, iv)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the points side never shuffles
+    assert _exchanges(out) == 0, plan

@@ -1,0 +1,410 @@
+"""Alerting & incident analytics layer: SLO multi-window burn-rate
+paging, flag→episode consolidation, overlapping-interval merge, and
+broadcast point-in-interval overlap joins.
+
+Closes the loop the reference's detectors open: its statistical
+envelopes (/root/reference/StatsTesting/arma_anm_detc.py) emit
+POINT-WISE flags, but an on-call pipeline consumes EPISODES — "this
+series was anomalous from 14:02 to 14:37" — and pages on sustained
+error budget burn, not single samples. This module turns any
+detector's 0/1 flag column into maximal incident intervals, merges
+overlapping effect windows, evaluates the Google-SRE multi-window
+burn-rate paging rule, and attributes raw events to incident windows.
+No reference counterpart; engine extension per SURVEY §2.11.
+
+Scale shapes (plan-audited in tests/test_alerting.py):
+
+- ``flag_intervals``: the sessionize idiom — lag → new-run indicator,
+  running sum → run id over ONE hash exchange on the series key; the
+  (key, run) groupBy's clustering is satisfied by hash(key), so the
+  consolidation adds no second exchange.
+- ``merge_intervals``: running-max-of-end segmented scan (the classic
+  interval-union sweep) over the same single key exchange; the
+  (key, group) groupBy again reuses the partitioning. Per-task input
+  is one key's intervals — bounded by series length, never by corpus
+  size.
+- ``slo_burn``: both trailing time-RANGE windows (short + long) share
+  one partition/order, so Spark evaluates them in a single Window
+  operator over ONE exchange — two frames, one sort, no self-join
+  (the naive formulation is a range self-join that explodes
+  quadratically in samples-per-window).
+- ``point_in_interval_join``: the interval side is explicitly
+  ``broadcast()`` — a BroadcastNestedLoopJoin that streams the big
+  points relation map-side against the tiny interval table, never a
+  CartesianProduct shuffle and never a shuffle of the points at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from yahoo_anomaly_detection_spark.operators.tsanalytics import (
+    _run_segments,
+)
+
+_US = 1_000_000
+
+
+def flag_intervals(df: DataFrame, flag_col: str,
+                   keys: tuple[str, ...] = ("conv_id",),
+                   order_col: str = "bucket_start",
+                   sample_seconds: int = 60,
+                   max_gap_seconds: int | None = None) -> DataFrame:
+    """Consolidate a detector's point-wise 0/1 flags into maximal
+    incident episodes: one row per run of consecutive flagged samples
+    with ``interval_start`` (first flagged sample), ``interval_end``
+    (last flagged sample + ``sample_seconds``, half-open),
+    ``n_samples``, and ``duration_seconds`` (= flagged sample time,
+    ``n_samples · sample_seconds``).
+
+    Works over ANY flag column — z-score, MAD, CUSUM, AR-residual, or
+    a plain threshold breach — which is the point: detectors emit
+    points, incident review consumes episodes. With the default
+    sample-consecutive semantics a gap in the series does not split a
+    run (``interval_end − interval_start`` can then exceed
+    ``duration_seconds``); pass ``max_gap_seconds`` to split runs at
+    holes, matching ``tsanalytics.alert_states``.
+
+    ONE hash exchange on the key: the lag/cumsum windows partition on
+    ``keys`` and the (keys, run) groupBy's clustered distribution is
+    satisfied by the same hash partitioning (sessionize idiom,
+    ``operators/sessions.py``).
+    """
+    if sample_seconds < 1:
+        raise ValueError(f"sample_seconds must be >= 1, got {sample_seconds}")
+    seg = _run_segments(df, flag_col, keys, order_col, max_gap_seconds)
+    o = F.col(order_col).cast("timestamp")
+    return (
+        seg.where(F.col(flag_col).cast("int") == 1)
+        .groupBy(*keys, "_seg")
+        .agg(
+            F.min(o).alias("interval_start"),
+            F.timestamp_micros(
+                F.unix_micros(F.max(o))
+                + F.lit(int(sample_seconds) * _US)
+            ).alias("interval_end"),
+            F.count(F.lit(1)).alias("n_samples"),
+            (F.count(F.lit(1)) * F.lit(int(sample_seconds)))
+            .cast("long").alias("duration_seconds"),
+        )
+        .drop("_seg")
+    )
+
+
+def merge_intervals(df: DataFrame, keys: tuple[str, ...] = ("conv_id",),
+                    start_col: str = "s", end_col: str = "e") -> DataFrame:
+    """Merge overlapping or touching half-open intervals
+    ``[start, end)`` per key into their union: one row per maximal
+    connected interval with ``interval_start``, ``interval_end``,
+    ``n_merged`` (input intervals absorbed), and ``covered_us``
+    (merged span in microseconds — equal to covered time, since the
+    merged interval is contiguous by construction).
+
+    The classic sweep, expressed as a segmented scan instead of the
+    O(n²) pairwise-overlap self-join: order each key's intervals by
+    (start, end), take the running max of ``end`` over all PRIOR rows
+    — an interval starts a new group iff its start lies strictly past
+    everything seen so far (touching intervals, ``start == prior
+    end``, merge). A running-sum of the new-group indicator numbers
+    the groups; min/max per (key, group) emits the union.
+
+    ONE hash exchange: both windows partition on ``keys`` and the
+    (keys, group) groupBy reuses the same partitioning. Ordering ties
+    are harmless — equal (start, end) rows are interchangeable for
+    both the running max and the group indicator.
+    """
+    s = F.col(start_col).cast("timestamp")
+    e = F.col(end_col).cast("timestamp")
+    w = W.partitionBy(*keys).orderBy(start_col, end_col)
+    prior_max_end = F.max(e).over(
+        w.rowsBetween(W.unboundedPreceding, -1))
+    new_grp = (prior_max_end.isNull() | (s > prior_max_end)).cast("int")
+    grp = F.sum(new_grp).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        df.withColumn("_grp", grp)
+        .groupBy(*keys, "_grp")
+        .agg(
+            F.min(s).alias("interval_start"),
+            F.max(e).alias("interval_end"),
+            F.count(F.lit(1)).alias("n_merged"),
+            (F.unix_micros(F.max(e)) - F.unix_micros(F.min(s)))
+            .alias("covered_us"),
+        )
+        .drop("_grp")
+    )
+
+
+def slo_burn(df: DataFrame, value_col: str, threshold: float,
+             short_seconds: int = 300, long_seconds: int = 3600,
+             short_burn: float = 0.5, long_burn: float = 0.2,
+             keys: tuple[str, ...] = ("conv_id",),
+             order_col: str = "bucket_start") -> DataFrame:
+    """Multi-window burn-rate paging (the SRE-workbook rule): page
+    only when the breach ratio over BOTH a short trailing time window
+    (fast detection) and a long one (sustained burn — flap
+    suppression) exceeds its threshold. Adds ``breach`` (0/1),
+    ``short_ratio``, ``long_ratio`` (breach fraction over the
+    trailing half-open window ``(t − w, t]``), and ``page`` (0/1).
+
+    Both windows are time-RANGE frames over epoch microseconds, so
+    irregular sampling is handled exactly — a sparse series' window
+    covers whatever samples actually landed in the last w seconds,
+    not "the last k rows". They share one partition/order, so Spark
+    evaluates them in a single Window operator over ONE hash
+    exchange; the naive alternative (self-join each sample against
+    its trailing window) explodes quadratically in samples-per-window
+    and is exactly what this formulation avoids.
+    """
+    if not 0 < short_seconds < long_seconds:
+        raise ValueError(
+            f"need 0 < short_seconds < long_seconds, got "
+            f"{short_seconds}, {long_seconds}")
+    for name, b in (("short_burn", short_burn), ("long_burn", long_burn)):
+        if not 0.0 < b <= 1.0:
+            raise ValueError(f"{name} must be in (0, 1], got {b}")
+    v = F.col(value_col).cast("double")
+    breach = (v > F.lit(float(threshold))).cast("int")
+    us = F.unix_micros(F.col(order_col).cast("timestamp"))
+    base = df.withColumn("breach", breach).withColumn("_us", us)
+    w = W.partitionBy(*keys).orderBy("_us")
+
+    def _ratio(secs: int):
+        frame = w.rangeBetween(-(int(secs) * _US - 1), 0)
+        return F.avg(F.col("breach").cast("double")).over(frame)
+
+    # both ratios in ONE select so CollapseWindow fuses the frames
+    # into a single Window operator (sequential withColumns would
+    # interleave Projects and leave two)
+    out = base.select(
+        "*",
+        _ratio(short_seconds).alias("short_ratio"),
+        _ratio(long_seconds).alias("long_ratio"),
+    ).withColumn(
+        "page",
+        ((F.col("short_ratio") >= F.lit(float(short_burn)))
+         & (F.col("long_ratio") >= F.lit(float(long_burn))))
+        .cast("int"),
+    )
+    return out.drop("_us")
+
+
+def point_in_interval_join(points: DataFrame, intervals: DataFrame,
+                           ts_col: str = "ts",
+                           start_col: str = "interval_start",
+                           end_col: str = "interval_end") -> DataFrame:
+    """Inner-join points to every half-open interval containing them
+    (``start <= ts < end``), with the interval side BROADCAST — the
+    "which raw events fall inside which incident windows" primitive
+    of incident attribution and maintenance-window suppression.
+
+    The interval table must be small (top-k incidents, a maintenance
+    calendar): Spark plans a BroadcastNestedLoopJoin that streams the
+    big points relation map-side against the broadcast intervals —
+    the points never shuffle, and there is no CartesianProduct. When
+    the interval side outgrows a broadcast, use
+    :func:`interval_join_bucketed` — the equi-join decomposition of
+    the same predicate.
+    """
+    ts = points[ts_col].cast("timestamp")
+    cond = (ts >= intervals[start_col]) & (ts < intervals[end_col])
+    return points.join(F.broadcast(intervals), cond, "inner")
+
+
+def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
+                           ts_col: str = "ts",
+                           start_col: str = "interval_start",
+                           end_col: str = "interval_end",
+                           bucket_seconds: int = 86400) -> DataFrame:
+    """Scale path of :func:`point_in_interval_join` for interval
+    tables too big to broadcast: decompose the range predicate into a
+    plain EQUI-join on a coarse time bucket plus an exact residual
+    filter. Each interval is exploded to every ``bucket_seconds``
+    bucket it touches (``sequence`` of bucket ids — row count grows
+    by interval_span / bucket_seconds, so pick a bucket near the
+    typical interval length); each point carries exactly ONE bucket
+    id, so after the equi-join the residual ``start <= ts < end``
+    reproduces the half-open membership with no duplicates and no
+    post-dedup.
+
+    This turns the nested-loop/cartesian shape into a shuffle hash
+    join both sides of which partition on the bucket id — the
+    standard bucketed-range-join decomposition (same family as
+    ``sessions.asof_join``'s two-phase carry-in), correct at any
+    interval-table size. Returns the same rows as the broadcast path
+    (property-tested equivalence in tests/test_alerting.py).
+    """
+    if bucket_seconds < 1:
+        raise ValueError(
+            f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    b_us = F.lit(int(bucket_seconds) * _US)
+
+    def _bucket_of(us):
+        # exact integer bucket start (no double division at epoch-
+        # micros magnitudes): us − us mod B
+        return us - F.pmod(us, b_us)
+
+    s_us = F.unix_micros(intervals[start_col].cast("timestamp"))
+    e_us = F.unix_micros(intervals[end_col].cast("timestamp"))
+    # half-open end: the last touched bucket holds end − 1µs; empty
+    # or inverted intervals produce an empty sequence → dropped
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.when(
+                e_us > s_us,
+                F.sequence(_bucket_of(s_us), _bucket_of(e_us - 1), b_us),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ),
+    )
+    ts = points[ts_col].cast("timestamp")
+    pts = points.withColumn("_bkt", _bucket_of(F.unix_micros(ts)))
+    joined = pts.join(iv, "_bkt", "inner").where(
+        (F.col(ts_col).cast("timestamp") >= F.col(start_col))
+        & (F.col(ts_col).cast("timestamp") < F.col(end_col))
+    )
+    return joined.drop("_bkt")
+
+
+# ------------------------------------------------------------------ oracles
+# Driver events table: (event_id, ts, user_id, event_type, value,
+# props); conv_id := user_id per the engine's series adaptation.
+
+from yahoo_anomaly_detection_spark.operators.tsanalytics import (  # noqa: E402
+    _T1M_BASE,
+)
+
+# breach run segments over the 1m mean series at the driver's
+# threshold — shared by the breach_intervals oracle; mirrors the
+# alert_states oracle's segmentation branch for branch.
+_BREACH_SEGS = """
+b AS (
+    SELECT conv_id, bucket_start, mean_v,
+           CASE WHEN mean_v > 100.0 THEN 1 ELSE 0 END AS breach
+    FROM t1m
+),
+nr AS (
+    SELECT *, CASE WHEN breach = 1
+                        AND coalesce(lag(breach) OVER w, 0) = 0
+                   THEN 1 ELSE 0 END AS new_run
+    FROM b WINDOW w AS (PARTITION BY conv_id ORDER BY bucket_start)
+),
+sg AS (
+    SELECT *, sum(new_run) OVER (PARTITION BY conv_id
+                                 ORDER BY bucket_start
+                                 ROWS UNBOUNDED PRECEDING) AS seg
+    FROM nr
+)
+"""
+
+_BREACH_INTERVALS_SQL = f"""
+WITH {_T1M_BASE},
+{_BREACH_SEGS.strip()}
+SELECT conv_id,
+       min(bucket_start) AS interval_start,
+       make_timestamp(epoch_us(max(bucket_start)) + 60000000)
+           AS interval_end,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(count(*) * 60 AS BIGINT) AS duration_seconds
+FROM sg WHERE breach = 1
+GROUP BY conv_id, seg
+"""
+
+_SLO_BURN_SQL = f"""
+WITH {_T1M_BASE},
+b AS (
+    SELECT conv_id, bucket_start, mean_v,
+           epoch_us(bucket_start) AS us,
+           CASE WHEN mean_v > 100.0 THEN 1 ELSE 0 END AS breach
+    FROM t1m
+),
+w AS (
+    SELECT conv_id, bucket_start, breach,
+           avg(CAST(breach AS DOUBLE)) OVER (
+               PARTITION BY conv_id ORDER BY us
+               RANGE BETWEEN 299999999 PRECEDING AND CURRENT ROW
+           ) AS short_ratio,
+           avg(CAST(breach AS DOUBLE)) OVER (
+               PARTITION BY conv_id ORDER BY us
+               RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW
+           ) AS long_ratio
+    FROM b
+)
+SELECT conv_id, bucket_start, breach,
+       round(short_ratio, 4) AS short_ratio,
+       round(long_ratio, 4) AS long_ratio,
+       CASE WHEN short_ratio >= 0.5 AND long_ratio >= 0.2
+            THEN 1 ELSE 0 END AS page
+FROM w
+"""
+
+# synthetic event-effect windows: each event covers
+# [ts, ts + (60 + floor(value)) seconds) — deterministic, data-derived
+_EV_INTERVALS = """
+iv AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, ts AS s,
+           make_timestamp(
+               epoch_us(ts)
+               + (60 + CAST(floor(value) AS BIGINT)) * 1000000
+           ) AS e
+    FROM events WHERE value IS NOT NULL
+)
+"""
+
+_MERGE_CORE = """
+mx AS (
+    SELECT *, max(e) OVER (PARTITION BY conv_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pmax
+    FROM iv
+),
+gr AS (
+    SELECT *, sum(CASE WHEN pmax IS NULL OR s > pmax
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS grp
+    FROM mx
+),
+mi AS (
+    SELECT conv_id,
+           min(s) AS interval_start,
+           max(e) AS interval_end,
+           CAST(count(*) AS BIGINT) AS n_merged,
+           epoch_us(max(e)) - epoch_us(min(s)) AS covered_us
+    FROM gr GROUP BY conv_id, grp
+)
+"""
+
+_MERGED_INTERVALS_SQL = f"""
+WITH {_EV_INTERVALS.strip()},
+{_MERGE_CORE.strip()}
+SELECT * FROM mi
+"""
+
+_INCIDENT_OVERLAP_SQL = f"""
+WITH {_EV_INTERVALS.strip()},
+{_MERGE_CORE.strip()},
+top AS (
+    SELECT * FROM mi
+    ORDER BY covered_us DESC, conv_id, interval_start
+    LIMIT 10
+)
+SELECT t.conv_id AS incident_conv, t.interval_start, t.interval_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM top t
+JOIN events e ON e.ts >= t.interval_start AND e.ts < t.interval_end
+GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL = {
+    "breach_intervals": _BREACH_INTERVALS_SQL,
+    "merged_intervals": _MERGED_INTERVALS_SQL,
+    "slo_burn": _SLO_BURN_SQL,
+    "incident_overlap": _INCIDENT_OVERLAP_SQL,
+    # the bucketed scale path computes the SAME relation — one oracle,
+    # two physical strategies, both driver-checked
+    "incident_overlap_bucketed": _INCIDENT_OVERLAP_SQL,
+}

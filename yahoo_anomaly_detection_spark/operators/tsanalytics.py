@@ -745,6 +745,34 @@ def hist_quantile(events: DataFrame, q: float = 0.95,
     )
 
 
+def _run_segments(df: DataFrame, flag_col: str, keys: tuple[str, ...],
+                  order_col: str,
+                  max_gap_seconds: int | None) -> DataFrame:
+    """Add ``_seg`` — a per-key run id that increments at every start
+    of a flagged run (shared by :func:`alert_states` and
+    ``alerting.flag_intervals``): lag → new-run indicator, running
+    sum → run id, both over one (keys)-partitioned window.
+
+    ``max_gap_seconds=None`` counts consecutive SAMPLES; a value
+    makes runs gap-aware — a hole in the series longer than the gap
+    splits the run, so an outage never bridges two short episodes.
+    """
+    flag = F.col(flag_col).cast("int")
+    w1 = W.partitionBy(*keys).orderBy(order_col)
+    prev_flag = F.lag(flag).over(w1)
+    if max_gap_seconds is None:
+        adjacent = prev_flag.isNotNull()
+    else:
+        us = F.unix_micros(F.col(order_col).cast("timestamp"))
+        adjacent = prev_flag.isNotNull() & (
+            us - F.lag(us).over(w1)
+            <= F.lit(int(max_gap_seconds) * 1_000_000)
+        )
+    new_run = ((flag == 1) & ~(adjacent & (prev_flag == 1))).cast("int")
+    wcum = w1.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn("_seg", F.sum(new_run).over(wcum))
+
+
 def alert_states(df: DataFrame, value_col: str, threshold: float,
                  for_k: int = 3, keys: tuple[str, ...] = ("conv_id",),
                  order_col: str = "bucket_start",
@@ -773,24 +801,8 @@ def alert_states(df: DataFrame, value_col: str, threshold: float,
         raise ValueError(f"for_k must be >= 1, got {for_k}")
     v = F.col(value_col).cast("double")
     breach = (v > F.lit(float(threshold))).cast("int")
-    w1 = W.partitionBy(*keys).orderBy(order_col)
-    prev_breach = F.lag(breach).over(w1)
-    if max_gap_seconds is None:
-        adjacent = prev_breach.isNotNull()
-    else:
-        us = F.unix_micros(F.col(order_col).cast("timestamp"))
-        adjacent = prev_breach.isNotNull() & (
-            us - F.lag(us).over(w1)
-            <= F.lit(int(max_gap_seconds) * 1_000_000)
-        )
-    new_run = (
-        (breach == 1) & ~(adjacent & (prev_breach == 1))
-    ).cast("int")
-    wcum = w1.rowsBetween(W.unboundedPreceding, W.currentRow)
-    base = (
-        df.withColumn("_breach", breach)
-        .withColumn("_seg", F.sum(new_run).over(wcum))
-    )
+    base = _run_segments(df.withColumn("_breach", breach), "_breach",
+                         keys, order_col, max_gap_seconds)
     w2 = (
         W.partitionBy(*keys, "_seg").orderBy(order_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
