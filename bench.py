@@ -143,21 +143,37 @@ def main() -> None:
     from yahoo_anomaly_detection_spark import caching
 
     qs = entry.queries()
-    runs: dict[str, list[float]] = {n: [] for n in HEADLINE + PIPELINE}
+    headline = HEADLINE
+    pipeline = PIPELINE
+    # ad-hoc subset runs (builder sessions recording bests for new
+    # queries); the driver never sets this, so per-round artifacts
+    # always carry the full headline set
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in HEADLINE + PIPELINE]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown: {unknown}")
+        headline = [n for n in HEADLINE if n in names]
+        pipeline = [n for n in PIPELINE if n in names]
+    runs: dict[str, list[float]] = {n: [] for n in headline + pipeline}
     canary: list[float] = []
 
     tmp = tempfile.mkdtemp(prefix="bench_transcripts_")
     rollup_stats: dict = {}
     try:
-        # generate the transcripts input ONCE (untimed vs the rollup:
-        # generation cost is reported separately, never in a query)
-        t0 = time.time()
-        gen_transcripts(spark, n_convs=n_convs, seed=42,
-                        partitions=cpus * 2).write.mode("overwrite").parquet(tmp)
-        rollup_stats["gen_sec"] = round(time.time() - t0, 2)
-        tr = spark.read.parquet(tmp)
-        n_turns = tr.count()
-        rollup_stats["n_turns"] = n_turns
+        if pipeline:
+            # generate the transcripts input ONCE (untimed vs the
+            # rollup: generation cost is reported separately, never
+            # in a query)
+            t0 = time.time()
+            gen_transcripts(
+                spark, n_convs=n_convs, seed=42, partitions=cpus * 2,
+            ).write.mode("overwrite").parquet(tmp)
+            rollup_stats["gen_sec"] = round(time.time() - t0, 2)
+            tr = spark.read.parquet(tmp)
+            n_turns = tr.count()
+            rollup_stats["n_turns"] = n_turns
 
         done = 0
         while done < repeats or (
@@ -166,7 +182,7 @@ def main() -> None:
             done += 1
             canary.append(_canary())
 
-            for name in HEADLINE:
+            for name in headline:
                 t0 = time.time()
                 _noop(qs[name](spark, sf_dir))
                 runs[name].append(round(time.time() - t0, 3))
@@ -175,6 +191,8 @@ def main() -> None:
                 # accumulate across queries and skew later timings
                 caching.release_orphan_rdds(spark)
 
+            if not pipeline:
+                continue
             # ---- transcripts rollup throughput (north-rule headline)
             t0 = time.time()
             points = transcripts_latency(tr)
@@ -215,9 +233,10 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     timings = {name: min(ts) for name, ts in runs.items()}
-    dt = timings["transcripts_rollup"]
-    rollup_stats["rollup_sec"] = round(dt, 2)
-    rollup_stats["turns_per_sec"] = round(n_turns / dt, 1)
+    if pipeline:
+        dt = timings["transcripts_rollup"]
+        rollup_stats["rollup_sec"] = round(dt, 2)
+        rollup_stats["turns_per_sec"] = round(n_turns / dt, 1)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
