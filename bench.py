@@ -155,7 +155,9 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown: {unknown}")
         headline = [n for n in HEADLINE if n in names]
-        pipeline = [n for n in PIPELINE if n in names]
+        # the pipeline stages are one chained job (rollup feeds the
+        # codec), so selecting ANY of them runs and records all three
+        pipeline = PIPELINE if any(n in names for n in PIPELINE) else []
     runs: dict[str, list[float]] = {n: [] for n in headline + pipeline}
     canary: list[float] = []
 

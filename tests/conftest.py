@@ -8,6 +8,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from yahoo_anomaly_detection_spark.session import get_spark  # noqa: E402
 
 
+def plan_str(df) -> str:
+    """Executed physical plan as text (shared plan-audit helper)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_exchanges(df) -> int:
+    """Number of shuffle exchanges in the executed plan (shared
+    plan-audit helper — update HERE if a Spark upgrade adds a new
+    Exchange flavor)."""
+    import re
+
+    return len(re.findall(r"Exchange (?:hash|range)partitioning",
+                          plan_str(df)))
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("yads-tests", cores=8, shuffle_partitions=8)

@@ -11,12 +11,7 @@ from pyspark.sql import functions as F
 from yahoo_anomaly_detection_spark.operators import alerting as al
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _exchanges(df) -> int:
-    return len(re.findall(r"Exchange (?:hash|range)partitioning", _plan(df)))
+from conftest import count_exchanges as _exchanges, plan_str as _plan
 
 
 def _flags(spark, vals, key="a", step=60):
@@ -198,6 +193,22 @@ def test_slo_burn_window_is_half_open_trailing(spark):
     assert out[1]["short_ratio"] == pytest.approx(0.0)
 
 
+def test_slo_burn_null_sample_is_nonbreach_in_denominator(spark):
+    # a NULL sample counts as a non-breach (oracle CASE ELSE 0), not
+    # as a dropped row that would shrink the window denominator
+    df = spark.createDataFrame(
+        [("a", 1700000000, 99.0), ("a", 1700000060, None),
+         ("a", 1700000120, 99.0)],
+        "conv_id string, epoch long, mean_v double",
+    ).select("conv_id",
+             F.timestamp_seconds(F.col("epoch")).alias("bucket_start"),
+             "mean_v")
+    out = sorted(al.slo_burn(df, "mean_v", threshold=10.0).collect(),
+                 key=lambda r: r["bucket_start"])
+    assert [r["breach"] for r in out] == [1, 0, 1]
+    assert out[2]["short_ratio"] == pytest.approx(2 / 3)  # not 2/2
+
+
 def test_slo_burn_validation(spark):
     df = _series(spark, [1.0])
     with pytest.raises(ValueError, match="short_seconds < long_seconds"):
@@ -286,6 +297,22 @@ def test_interval_join_bucketed_no_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
                      plan), plan
+
+
+def test_interval_join_bucketed_tolerates_shared_column_names(spark):
+    # the interval side may carry a 'ts' of its own (e.g. derived
+    # from raw events without dropping it) — the residual filter must
+    # stay frame-qualified, matching the broadcast path's tolerance
+    iv = _iv(spark, [("i1", 0, 100)]).select(
+        F.col("conv_id").alias("incident"),
+        F.col("s").alias("ts"),  # deliberate collision
+        F.col("s").alias("interval_start"),
+        F.col("e").alias("interval_end"))
+    pts = spark.createDataFrame(
+        [(1, 1700000050), (2, 1700000150)], "pid long, epoch long",
+    ).select("pid", F.timestamp_seconds(F.col("epoch")).alias("ts"))
+    got = al.interval_join_bucketed(pts, iv, bucket_seconds=60)
+    assert sorted(r["pid"] for r in got.collect()) == [1]
 
 
 def test_interval_join_bucketed_validation(spark):

@@ -15,13 +15,8 @@ from yahoo_anomaly_detection_spark.operators import rollup, stats
 from yahoo_anomaly_detection_spark.operators.cascade import residual_cascade
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _exchanges(df) -> int:
-    # exclude AQE reuse nodes; count real shuffle boundaries
-    return len(re.findall(r"Exchange (?:hash|range)partitioning", _plan(df)))
+# shared plan-audit helpers (single definition for all test modules)
+from conftest import count_exchanges as _exchanges, plan_str as _plan  # noqa: E402
 
 
 def _broadcasts(df) -> int:

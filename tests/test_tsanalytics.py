@@ -12,12 +12,7 @@ from pyspark.sql import functions as F
 from yahoo_anomaly_detection_spark.operators import tsanalytics as tsa
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _exchanges(df) -> int:
-    return len(re.findall(r"Exchange (?:hash|range)partitioning", _plan(df)))
+from conftest import count_exchanges as _exchanges, plan_str as _plan
 
 
 def _ts(sec: float):
@@ -708,6 +703,21 @@ def test_alert_states_gap_resets_run(spark):
     assert [r["state"] for r in gapped] == [
         "pending", "firing", "pending", "firing"]
     assert [r["run_pos"] for r in gapped] == [1, 2, 1, 2]
+
+
+def test_alert_states_null_sample_is_ok(spark):
+    # a NULL sample is a non-breach: state 'ok', run_pos 0 (the
+    # oracle's CASE ELSE 0) — never a phantom 'pending'
+    df = spark.createDataFrame(
+        [("a", 0, 99.0), ("a", 1, None), ("a", 2, 99.0)],
+        "conv_id string, bucket_start int, mean_v double",
+    )
+    out = sorted(
+        tsa.alert_states(df, "mean_v", threshold=10.0, for_k=2).collect(),
+        key=lambda r: r["bucket_start"])
+    assert [r["state"] for r in out] == ["pending", "ok", "pending"]
+    assert [r["breach"] for r in out] == [1, 0, 1]
+    assert [r["run_pos"] for r in out] == [1, 0, 1]
 
 
 def test_alert_states_single_exchange(spark):

@@ -166,7 +166,11 @@ def slo_burn(df: DataFrame, value_col: str, threshold: float,
         if not 0.0 < b <= 1.0:
             raise ValueError(f"{name} must be in (0, 1], got {b}")
     v = F.col(value_col).cast("double")
-    breach = (v > F.lit(float(threshold))).cast("int")
+    # NULL samples are non-breaches counted in the window denominator
+    # (the oracle's CASE ELSE 0) — a bare NULL would instead be
+    # silently dropped by avg() and shrink the ratio's denominator
+    breach = F.coalesce((v > F.lit(float(threshold))).cast("int"),
+                        F.lit(0))
     us = F.unix_micros(F.col(order_col).cast("timestamp"))
     base = df.withColumn("breach", breach).withColumn("_us", us)
     w = W.partitionBy(*keys).orderBy("_us")
@@ -261,9 +265,12 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
     )
     ts = points[ts_col].cast("timestamp")
     pts = points.withColumn("_bkt", _bucket_of(F.unix_micros(ts)))
+    # frame-qualified refs: the two sides may share column names
+    # beyond _bkt (e.g. both carry a ts), and the broadcast path
+    # tolerates that — the residual must not become ambiguous
     joined = pts.join(iv, "_bkt", "inner").where(
-        (F.col(ts_col).cast("timestamp") >= F.col(start_col))
-        & (F.col(ts_col).cast("timestamp") < F.col(end_col))
+        (pts[ts_col].cast("timestamp") >= iv[start_col])
+        & (pts[ts_col].cast("timestamp") < iv[end_col])
     )
     return joined.drop("_bkt")
 
@@ -274,34 +281,12 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
 
 from yahoo_anomaly_detection_spark.operators.tsanalytics import (  # noqa: E402
     _T1M_BASE,
+    BREACH_SEGS_SQL,
 )
-
-# breach run segments over the 1m mean series at the driver's
-# threshold — shared by the breach_intervals oracle; mirrors the
-# alert_states oracle's segmentation branch for branch.
-_BREACH_SEGS = """
-b AS (
-    SELECT conv_id, bucket_start, mean_v,
-           CASE WHEN mean_v > 100.0 THEN 1 ELSE 0 END AS breach
-    FROM t1m
-),
-nr AS (
-    SELECT *, CASE WHEN breach = 1
-                        AND coalesce(lag(breach) OVER w, 0) = 0
-                   THEN 1 ELSE 0 END AS new_run
-    FROM b WINDOW w AS (PARTITION BY conv_id ORDER BY bucket_start)
-),
-sg AS (
-    SELECT *, sum(new_run) OVER (PARTITION BY conv_id
-                                 ORDER BY bucket_start
-                                 ROWS UNBOUNDED PRECEDING) AS seg
-    FROM nr
-)
-"""
 
 _BREACH_INTERVALS_SQL = f"""
 WITH {_T1M_BASE},
-{_BREACH_SEGS.strip()}
+{BREACH_SEGS_SQL.strip()}
 SELECT conv_id,
        min(bucket_start) AS interval_start,
        make_timestamp(epoch_us(max(bucket_start)) + 60000000)

@@ -800,7 +800,11 @@ def alert_states(df: DataFrame, value_col: str, threshold: float,
     if for_k < 1:
         raise ValueError(f"for_k must be >= 1, got {for_k}")
     v = F.col(value_col).cast("double")
-    breach = (v > F.lit(float(threshold))).cast("int")
+    # NULL samples are non-breaches (the oracle's CASE ELSE 0), not
+    # three-valued NULLs — otherwise a NULL row would skip both state
+    # branches and surface as a phantom 'pending'
+    breach = F.coalesce((v > F.lit(float(threshold))).cast("int"),
+                        F.lit(0))
     base = _run_segments(df.withColumn("_breach", breach), "_breach",
                          keys, order_col, max_gap_seconds)
     w2 = (
@@ -1225,8 +1229,11 @@ FROM rk
 """
 
 
-_ALERT_SQL = f"""
-WITH {_T1M_BASE},
+# breach run segments over the 1m mean series at the driver's
+# threshold — shared by the alert_states and breach_intervals
+# oracles so the segmentation can never drift between them (it
+# mirrors the one _run_segments Spark helper both operators share)
+BREACH_SEGS_SQL = """
 b AS (
     SELECT conv_id, bucket_start, mean_v,
            CASE WHEN mean_v > 100.0 THEN 1 ELSE 0 END AS breach
@@ -1243,7 +1250,12 @@ sg AS (
                                  ORDER BY bucket_start
                                  ROWS UNBOUNDED PRECEDING) AS seg
     FROM nr
-),
+)
+"""
+
+_ALERT_SQL = f"""
+WITH {_T1M_BASE},
+{BREACH_SEGS_SQL.strip()},
 rp AS (
     SELECT *, sum(breach) OVER (PARTITION BY conv_id, seg
                                 ORDER BY bucket_start
