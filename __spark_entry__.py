@@ -1018,14 +1018,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness gate checks
-    # exactly the FIRST 50 entries. The 10 entries that had never (or
-    # only in round 2) received a driver-green row lead the dict,
-    # followed by the round-4 tier_merge_refresh; the 11 pushed past
-    # the window are all previously-driver-green and redundant with
-    # in-window entries (32-bit simhash vs simhash64, signature/
-    # bucket/cell intermediates vs their end-to-end ops, closed-form
-    # scalars vs the lifecycle/confusion queries, quality_filter vs
-    # the curated_corpus capstone that composes it).
+    # exactly the FIRST 50 entries. Everything new or changed in
+    # round 4 sits inside the window (the 10 entries that had never —
+    # or only in round 2 — received a driver-green row, then
+    # tier_merge_refresh, the tsanalytics block, the alerting block,
+    # and dedup_canonical, whose CC loop changed this round); the
+    # entries pushed past the window are all round-3-driver-green,
+    # unchanged since, and redundant with in-window operators (see
+    # the marker comment below).
     return {
         # -- never driver-checked before round 4
         "stratified_sample": q_stratified_sample,
