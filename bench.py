@@ -73,6 +73,10 @@ HEADLINE = [
     "merged_intervals",
     "incident_overlap",
     "incident_overlap_bucketed",
+    "m4_1h",
+    "changepoint_flags",
+    "alert_cooldown",
+    "active_users_1d",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

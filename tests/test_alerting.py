@@ -338,3 +338,93 @@ def test_point_in_interval_broadcast_not_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     # the points side never shuffles
     assert _exchanges(out) == 0, plan
+
+
+# ------------------------------------------------- alert_cooldown
+def _flagged(spark, rows):
+    """rows: (key, sec_offset, flag)."""
+    return spark.createDataFrame(
+        [(k, 1700000000 + s, int(f)) for k, s, f in rows],
+        "conv_id string, epoch long, flag int",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.col("epoch")).alias("bucket_start"),
+        "flag",
+    )
+
+
+def _notified(out):
+    return sorted(
+        (r["bucket_start"].timestamp() - 1700000000, r["notify"])
+        for r in out.collect()
+    )
+
+
+def test_alert_cooldown_first_fires_then_suppresses(spark):
+    # alerts every 60 s, cooldown 300 s: fire at 0, 300, 600
+    df = _flagged(spark, [("a", i * 60, 1) for i in range(12)])
+    got = _notified(al.alert_cooldown(df, "flag", cooldown_seconds=300))
+    fired = [t for t, n in got if n == 1]
+    assert fired == [0.0, 300.0, 600.0]
+    assert len(got) == 12  # every flagged row returned
+
+
+def test_alert_cooldown_anchor_moves_only_on_notify(spark):
+    # 0 fires; 250/290 suppressed (anchor stays 0); 310 fires
+    # (>= 0+300) and RESETS the anchor, so 580 (< 310+300) is
+    # suppressed while 620 fires
+    df = _flagged(spark, [("a", s, 1) for s in (0, 250, 290, 310,
+                                                580, 620)])
+    got = _notified(al.alert_cooldown(df, "flag", cooldown_seconds=300))
+    assert got == [(0.0, 1), (250.0, 0), (290.0, 0), (310.0, 1),
+                   (580.0, 0), (620.0, 1)]
+
+
+def test_alert_cooldown_drops_unflagged_and_keys_independent(spark):
+    df = _flagged(spark, [("a", 0, 1), ("a", 60, 0), ("a", 120, 1),
+                          ("b", 120, 1)])
+    rows = al.alert_cooldown(df, "flag", cooldown_seconds=300).collect()
+    assert all(r["flag"] == 1 for r in rows)  # unflagged filtered out
+    by_key = {(r["conv_id"],
+               r["bucket_start"].timestamp() - 1700000000): r["notify"]
+              for r in rows}
+    # each key's FIRST alert fires regardless of the other key
+    assert by_key == {("a", 0.0): 1, ("a", 120.0): 0, ("b", 120.0): 1}
+
+
+def test_alert_cooldown_validation_and_single_exchange(spark):
+    df = _flagged(spark, [("a", 0, 1)])
+    with pytest.raises(ValueError, match="cooldown_seconds"):
+        al.alert_cooldown(df, "flag", cooldown_seconds=0)
+    out = al.alert_cooldown(df, "flag", cooldown_seconds=60)
+    # one repartition exchange for the segmented scan, nothing else
+    assert _exchanges(out) == 1, _plan(out)
+
+
+def test_segmented_cooldown_matches_naive_walk():
+    # property: position-major block scan ≡ per-segment python walk
+    rng = __import__("numpy").random.default_rng(7)
+    np = __import__("numpy")
+    for _ in range(25):
+        n_segs = int(rng.integers(1, 8))
+        lens = rng.integers(1, 40, n_segs)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        n = int(lens.sum())
+        # sorted within each segment, irregular spacing
+        ts = np.concatenate([
+            np.cumsum(rng.integers(1, 200, ln)) * 1_000_000
+            for ln in lens
+        ]).astype(np.int64)
+        cd = int(rng.integers(1, 400)) * 1_000_000
+        got = al.segmented_cooldown(ts, starts, cd)
+        want = np.zeros(n, np.int32)
+        for s, ln in zip(starts, lens):
+            last = None
+            for i in range(s, s + ln):
+                fire = last is None or ts[i] >= last + cd
+                want[i] = int(fire)
+                if fire:
+                    last = ts[i]
+        assert (got == want).all()
+    assert al.segmented_cooldown(
+        np.empty(0, np.int64), np.empty(0, np.int64), 1).size == 0

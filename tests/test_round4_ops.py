@@ -591,3 +591,33 @@ def test_text_invariant_table_antijoin(spark):
     ).count() == 1, "fixture lacks the corrupted coordinate"
     assert inv_a.join(inv_c, on, "left_anti").count() == 1
     assert inv_c.join(inv_a, on, "left_anti").count() == 1
+
+
+def test_distinct_counts_exact_and_sketch(spark):
+    """Exact path counts true distinct ids (repeat visitors collapse,
+    NULL ids ignored); rsd=r HLL path lands within the advertised
+    relative error and plans MERGEABLE partial sketches — the shuffle
+    carries sketches, not id sets."""
+    from conftest import plan_str
+    from yahoo_anomaly_detection_spark.operators import sessions
+
+    n, n_distinct = 6000, 1500
+    rows = [(i, "x", 1704067200 + i, float(i % n_distinct))
+            for i in range(n)]
+    rows.append((n, "x", 1704067200, None))  # NULL id never counts
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, sec long, uid double"
+    ).select("event_id", "event_type",
+             F.timestamp_seconds("sec").alias("ts"),
+             F.col("uid").cast("long").alias("user_id"))
+    exact = sessions.distinct_counts(ev).collect()
+    assert len(exact) == 1
+    assert exact[0]["n_users"] == n_distinct
+    assert exact[0]["n_events"] == n + 1
+    sk_df = sessions.distinct_counts(ev, rsd=0.02)
+    sk = sk_df.collect()[0]["n_users"]
+    assert abs(sk - n_distinct) <= 0.1 * n_distinct, sk
+    # mergeable sketch: map-side partial_approx_count_distinct
+    assert "partial_approx_count_distinct" in plan_str(sk_df)
+    with pytest.raises(ValueError, match="rsd"):
+        sessions.distinct_counts(ev, rsd=0.9)

@@ -409,6 +409,104 @@ def test_candles_one_shuffle_no_window(spark):
     assert "Window" not in p, p
 
 
+# ------------------------------------------------------------ m4
+def test_m4_picks_four_extremum_points(spark):
+    # one hour bucket: values 5, 1, 9, 1, 7 at t=0,10,20,30,40
+    df = _pts(spark, [("a", 0, 5.0), ("a", 10, 1.0), ("a", 20, 9.0),
+                      ("a", 30, 1.0), ("a", 40, 7.0)])
+    r = tsa.m4(df, 3600, order_cols=("event_id",)).collect()[0]
+    assert r["n"] == 5
+    assert (r["first_v"], r["last_v"]) == (5.0, 7.0)
+    assert (r["low_v"], r["high_v"]) == (1.0, 9.0)
+    base = r["first_ts"]
+    # min value appears twice (t=10, t=30): earliest occurrence wins
+    assert (r["low_ts"] - base).total_seconds() == 10.0
+    assert (r["high_ts"] - base).total_seconds() == 20.0
+    assert (r["last_ts"] - base).total_seconds() == 40.0
+
+
+def test_m4_value_ties_broken_by_earliest_on_both_sides(spark):
+    # constant series: low and high both resolve to the FIRST sample
+    df = _pts(spark, [("a", 0, 4.0), ("a", 10, 4.0), ("a", 20, 4.0)])
+    r = tsa.m4(df, 3600, order_cols=("event_id",)).collect()[0]
+    assert r["low_ts"] == r["first_ts"]
+    assert r["high_ts"] == r["first_ts"]
+    # same-timestamp tie: order_col (event_id) decides
+    df2 = _pts(spark, [("a", 0, 3.0), ("a", 0, 8.0)])
+    r2 = tsa.m4(df2, 3600, order_cols=("event_id",)).collect()[0]
+    assert r2["first_v"] == 3.0 and r2["last_v"] == 8.0
+
+
+def test_m4_buckets_and_null_filter(spark):
+    # two hour buckets + a NULL sample that must not count
+    df = _pts(spark, [("a", 0, 1.0), ("a", 10, None), ("a", 3600, 2.0)])
+    rows = tsa.m4(df, 3600, order_cols=("event_id",)).collect()
+    assert len(rows) == 2 and all(r["n"] == 1 for r in rows)
+
+
+def test_m4_one_shuffle_no_window_partial_agg(spark):
+    # ONE hash exchange, no per-bucket sort window, and map-side
+    # combine: the shuffle carries partial_min_by/max_by states (one
+    # combined row per (key, bucket) per map task), never raw points
+    # (struct-ordered min_by plans as SortAggregate, not hash)
+    df = _pts(spark, [("a", i, float(i % 7)) for i in range(50)])
+    out = tsa.m4(df, 3600, order_cols=("event_id",))
+    p = _plan(out)
+    assert _exchanges(out) == 1, p
+    assert "Window" not in p, p
+    assert "partial_min_by" in p and "partial_max_by" in p, p
+
+
+# ------------------------------------------------------------ changepoints
+def _series1(spark, vals, key="a"):
+    return spark.createDataFrame(
+        [(key, 1700000000 + i * 60, float(v)) for i, v in enumerate(vals)],
+        "conv_id string, epoch long, mean_v double",
+    ).select("conv_id",
+             F.timestamp_seconds(F.col("epoch")).alias("bucket_start"),
+             "mean_v")
+
+
+def test_changepoints_flags_level_shift(spark):
+    # 10 zeros then 10 ones, w=3: the boundary rows see a full-window
+    # mean shift; rows deep inside either regime stay quiet
+    out = tsa.changepoints(
+        _series1(spark, [0.0] * 10 + [1.0] * 10), "mean_v", w=3, k=2.0)
+    rows = sorted(out.collect(), key=lambda r: r["bucket_start"])
+    flags = [r["flag"] for r in rows]
+    assert flags[10] == 1          # exact boundary
+    assert any(flags[8:13])        # shift detected around it
+    assert not any(flags[:5]) and not any(flags[-5:])
+
+
+def test_changepoints_constant_shift_flags_with_null_score(spark):
+    # both windows locally constant across the jump: denominator 0,
+    # score NULL, but the nonzero shift still flags (exact-shift path)
+    out = tsa.changepoints(
+        _series1(spark, [5.0] * 6 + [9.0] * 6), "mean_v", w=3, k=3.0)
+    r = sorted(out.collect(), key=lambda r: r["bucket_start"])[6]
+    assert r["mean_l"] == 5.0 and r["mean_r"] == 9.0
+    assert r["score"] is None and r["flag"] == 1
+
+
+def test_changepoints_partial_windows_never_flag(spark):
+    # fewer than 2w samples: no row ever has both windows full
+    out = tsa.changepoints(_series1(spark, [0.0, 9.0, 0.0, 9.0]),
+                           "mean_v", w=3, k=0.1)
+    assert [r["flag"] for r in out.collect()] == [0, 0, 0, 0]
+
+
+def test_changepoints_validation_and_plan(spark):
+    with pytest.raises(ValueError, match="w must be"):
+        tsa.changepoints(_series1(spark, [1.0]), "mean_v", w=1)
+    out = tsa.changepoints(
+        _series1(spark, [float(i) for i in range(30)]), "mean_v", w=5)
+    p = _plan(out)
+    # all six frame aggregates share one Window operator, one exchange
+    assert _exchanges(out) == 1, p
+    assert len(re.findall(r"\bWindow ", p)) == 1, p
+
+
 # ------------------------------------------------------------ seasonal
 def test_seasonal_zscore_phase_profile(spark):
     # minute-of-hour phase 0: 15 quiet hours at 10 plus one 100 —

@@ -36,8 +36,10 @@ Scale shapes (plan-audited in tests/test_alerting.py):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from yahoo_anomaly_detection_spark.operators.tsanalytics import (
@@ -275,6 +277,87 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
     return joined.drop("_bkt")
 
 
+def segmented_cooldown(ts_us: np.ndarray, seg_starts: np.ndarray,
+                       cooldown_us: int) -> np.ndarray:
+    """Vectorized cooldown suppression over many variable-length
+    segments of ORDERED alert timestamps: the first alert of each
+    segment notifies; a later alert notifies iff it lands at least
+    ``cooldown_us`` after the last NOTIFIED alert (which then becomes
+    the new anchor). The recursion
+    ``fire_t = ts_t >= last_{t−1} + cd;  last_t = fire ? ts_t : last``
+    runs as the same position-major block scan as the EWMA/Holt/CUSUM
+    kernels — one numpy vector op per position, no per-group Python.
+    Returns int32 0/1 per input row, input order.
+    """
+    from yahoo_anomaly_detection_spark.operators.stats import (
+        position_major_layout,
+    )
+
+    n = len(ts_us)
+    if n == 0:
+        return np.empty(0, np.int32)
+    x = np.asarray(ts_us, np.int64)
+    perm, k, bs, _, max_len = position_major_layout(seg_starts, n)
+    xs = x[perm]
+    g = int(k[0])
+    fire = np.empty(n, bool)
+    fire[:g] = True          # position 0 of every segment notifies
+    last = xs[:g].copy()     # per-segment anchor, rank-aligned
+    for t in range(1, max_len):
+        kt = k[t]
+        lo = bs[t]
+        cur = xs[lo: lo + kt]
+        f = cur >= last[:kt] + cooldown_us
+        last[:kt] = np.where(f, cur, last[:kt])
+        fire[lo: lo + kt] = f
+    out = np.empty(n, bool)
+    out[perm] = fire
+    return out.astype(np.int32)
+
+
+def alert_cooldown(df: DataFrame, flag_col: str = "flag",
+                   cooldown_seconds: int = 600,
+                   keys: tuple[str, ...] = ("conv_id",),
+                   order_col: str = "bucket_start") -> DataFrame:
+    """Alert-fatigue suppression (the notification rate limit every
+    paging system applies downstream of its detectors): keep only the
+    flagged samples, then mark ``notify`` = 1 on the first alert per
+    series and on each later alert at least ``cooldown_seconds``
+    after the last notified one — which resets the cooldown anchor,
+    so a continuous breach re-pages exactly once per cooldown period
+    instead of once per sample.
+
+    The anchor depends on which PREVIOUS alerts fired, so this is a
+    genuine sequential recursion (not a window expression); it runs
+    through the shared :func:`stats.segmented_scan` scaffold — the
+    flagged subset repartitions by series key ONCE, and the kernel is
+    a position-major numpy block scan, never per-row or per-group
+    Python. The un-flagged corpus is filtered before the shuffle, so
+    the exchange carries only alerts.
+
+    Output: the flagged rows + ``notify`` (0/1).
+    """
+    from yahoo_anomaly_detection_spark.operators.stats import segmented_scan
+
+    if cooldown_seconds <= 0:
+        raise ValueError(
+            f"cooldown_seconds must be > 0, got {cooldown_seconds}")
+    alerts = df.where(F.col(flag_col).cast("int") == 1)
+    base = alerts.withColumn(
+        "_us", F.unix_micros(F.col(order_col).cast("timestamp")))
+    cd_us = int(cooldown_seconds) * _US
+
+    def kernel(pdf, starts):
+        return {"notify": segmented_cooldown(
+            pdf["_us"].to_numpy(np.int64), starts, cd_us)}
+
+    out = segmented_scan(
+        base, keys, order_col,
+        [("notify", T.IntegerType(), "int32")], kernel,
+    )
+    return out.drop("_us")
+
+
 # ------------------------------------------------------------------ oracles
 # Driver events table: (event_id, ts, user_id, event_type, value,
 # props); conv_id := user_id per the engine's series adaptation.
@@ -384,7 +467,38 @@ JOIN events e ON e.ts >= t.interval_start AND e.ts < t.interval_end
 GROUP BY 1, 2, 3
 """
 
+# cooldown suppression is a sequential recursion (each decision moves
+# the anchor later alerts compare against) — the oracle walks the
+# per-series alert sequence with a recursive CTE, one row per step,
+# exactly the holt-oracle pattern
+_ALERT_COOLDOWN_SQL = f"""
+WITH RECURSIVE {_T1M_BASE},
+f AS (
+    SELECT conv_id, bucket_start, mean_v,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY bucket_start) AS rn
+    FROM t1m WHERE mean_v > 100.0
+),
+acc AS (
+    SELECT conv_id, rn, bucket_start, mean_v,
+           1 AS notify, bucket_start AS last_ts
+    FROM f WHERE rn = 1
+    UNION ALL
+    SELECT f.conv_id, f.rn, f.bucket_start, f.mean_v,
+           CASE WHEN epoch_us(f.bucket_start)
+                     >= epoch_us(a.last_ts) + 600000000
+                THEN 1 ELSE 0 END,
+           CASE WHEN epoch_us(f.bucket_start)
+                     >= epoch_us(a.last_ts) + 600000000
+                THEN f.bucket_start ELSE a.last_ts END
+    FROM f JOIN acc a ON f.conv_id = a.conv_id AND f.rn = a.rn + 1
+)
+SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v, notify
+FROM acc
+"""
+
 ORACLE_SQL = {
+    "alert_cooldown": _ALERT_COOLDOWN_SQL,
     "breach_intervals": _BREACH_INTERVALS_SQL,
     "merged_intervals": _MERGED_INTERVALS_SQL,
     "slo_burn": _SLO_BURN_SQL,

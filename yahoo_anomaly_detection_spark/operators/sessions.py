@@ -170,6 +170,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+def distinct_counts(events: DataFrame,
+                    rsd: float | None = None) -> DataFrame:
+    """Distinct active ids per (event_type, day) — the cardinality
+    rollup (DAU/MAU, unique-error fingerprints) every
+    product-analytics and observability pipeline runs next to its
+    percentiles.
+
+    ``rsd=None`` (default, the oracle path): exact
+    ``count_distinct``. Spark plans mixed distinct/plain aggregates
+    as a two-phase expand: map-side partial dedup of
+    ``(keys, user_id)``, then the count — correct, but the shuffle
+    still carries every surviving distinct id once per map task.
+
+    ``rsd=r`` (the 100 TB path): ``approx_count_distinct`` — a
+    mergeable HyperLogLog++ sketch with map-side partial
+    aggregation, so the shuffle carries one FIXED-SIZE sketch per
+    group per map task no matter how many distinct ids the group
+    holds, and no group ever concentrates its id set on one reducer.
+    Same schema; relative standard deviation ≤ r (bounded-vs-exact
+    pytest on the sf0.001 fixture). NULL ids are ignored by both
+    paths (and by the oracle's ``count(DISTINCT …)``).
+    """
+    day = F.date_trunc("DAY", F.col("ts").cast("timestamp")).alias("day")
+    if rsd is None:
+        cnt = F.count_distinct(F.col("user_id"))
+    else:
+        if not 0.0 < rsd <= 0.4:
+            raise ValueError(f"rsd must be in (0, 0.4], got {rsd}")
+        cnt = F.approx_count_distinct("user_id", rsd)
+    return (
+        events.groupBy("event_type", day)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            cnt.alias("n_users"),
+        )
+    )
+
+
+_DISTINCT_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
               value_cols: tuple[str, ...],
@@ -378,5 +424,6 @@ ORACLE_SQL = {
     "sessionize": _sessionize_sql(28800),
     "session_stats": _session_stats_sql(28800),
     "value_percentiles": _PERCENTILES_SQL,
+    "active_users_1d": _DISTINCT_SQL,
     "events_vs_trailing_p95": _ASOF_P95_SQL,
 }

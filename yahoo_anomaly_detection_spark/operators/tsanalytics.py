@@ -535,6 +535,131 @@ def candles(events: DataFrame, bucket_seconds: int = 3600,
     )
 
 
+def m4(events: DataFrame, bucket_seconds: int = 3600,
+       key: str = "conv_id", ts_col: str = "ts",
+       value_col: str = "value",
+       order_cols: tuple[str, ...] = ()) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., "M4: A
+    Visualization-Oriented Time Series Data Aggregation", VLDB 2014):
+    per (series, pixel bucket) keep the four extremum points — first,
+    last, lowest-value, highest-value — which provably suffice to
+    render a pixel-perfect line chart at that bucket width. A
+    width-w chart over 10^12 raw points ships 4·w rows per series.
+
+    The candle rollup's (see :func:`candles`) sibling that also
+    carries WHERE each extremum happened: ONE map-side-combined hash
+    aggregate whose shuffle moves a single combined row per
+    (key, bucket) from each map task — no window, no per-bucket sort,
+    the correct 100 TB shape. ``min_by``/``max_by`` over composite
+    orderings make every pick deterministic: first/last by
+    ``(ts, *order_cols)``; low/high by value with ties broken by
+    EARLIEST ``(ts, *order_cols)`` (the max side negates the
+    tie-break, so ``order_cols`` must be numeric; pass a unique id
+    when timestamps can collide).
+
+    Output: (key, bucket_start, n, first_ts, first_v, last_ts,
+    last_v, low_ts, low_v, high_ts, high_v).
+    """
+    pts = events.where(F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("double")
+    ts = F.col(ts_col).cast("timestamp")
+    us = F.unix_micros(ts)
+    ords = [F.col(c).cast("long") for c in order_cols]
+    tv = F.struct(ts.alias("ts"), v.alias("v"))
+    ord_asc = F.struct(
+        us.alias("us"),
+        *[o.alias(f"o{i}") for i, o in enumerate(ords)])
+    low_key = F.struct(
+        v.alias("v"), us.alias("us"),
+        *[o.alias(f"o{i}") for i, o in enumerate(ords)])
+    # max_by maximizes; negating the tie-break longs turns "largest
+    # value, then earliest occurrence" into one composite max
+    high_key = F.struct(
+        v.alias("v"), (-us).alias("nus"),
+        *[(-o).alias(f"no{i}") for i, o in enumerate(ords)])
+    agg = (
+        pts.groupBy(
+            F.col(key),
+            _bucket_expr(ts_col, int(bucket_seconds)).alias("bucket_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by(tv, ord_asc).alias("_f"),
+            F.max_by(tv, ord_asc).alias("_l"),
+            F.min_by(tv, low_key).alias("_lo"),
+            F.max_by(tv, high_key).alias("_hi"),
+        )
+    )
+    return agg.select(
+        key, "bucket_start", "n",
+        F.col("_f.ts").alias("first_ts"),
+        portable_round(F.col("_f.v"), _R).alias("first_v"),
+        F.col("_l.ts").alias("last_ts"),
+        portable_round(F.col("_l.v"), _R).alias("last_v"),
+        F.col("_lo.ts").alias("low_ts"),
+        portable_round(F.col("_lo.v"), _R).alias("low_v"),
+        F.col("_hi.ts").alias("high_ts"),
+        portable_round(F.col("_hi.v"), _R).alias("high_v"),
+    )
+
+
+def changepoints(df: DataFrame, value_col: str, w: int = 10,
+                 k: float = 3.0, keys: tuple[str, ...] = ("conv_id",),
+                 order_col: str = "bucket_start") -> DataFrame:
+    """Sliding two-window mean-shift changepoint score (the CUSUM
+    chart's windowed cousin, and the standard online-segmentation
+    primitive): at each sample compare the trailing ``w`` samples
+    (excluding the current one) against the leading ``w`` (including
+    it) with a Welch-style statistic
+    ``|mean_r − mean_l| / sqrt(var_l/w + var_r/w)``; flag where both
+    windows are full and the score exceeds ``k`` (an exact mean shift
+    of a locally CONSTANT series — zero denominator with a nonzero
+    shift — also flags). Where :func:`cusum_flags` accumulates drift
+    against the global series mean, this localizes WHERE the level
+    moved and is immune to earlier regime changes.
+
+    All six frame aggregates (count/avg/var_pop × left/right) share
+    one partition/order in a single select, so Spark evaluates them
+    in one Window operator over ONE hash exchange — per-task input is
+    one hash bucket of series, never the corpus.
+
+    Output: input columns + ``mean_l``, ``mean_r``, ``score``
+    (NULL until both frames exist or when both are constant),
+    ``flag``.
+    """
+    if w < 2:
+        raise ValueError(f"w must be >= 2, got {w}")
+    v = F.col(value_col).cast("double")
+    win = W.partitionBy(*keys).orderBy(order_col)
+    wl = win.rowsBetween(-w, -1)
+    wr = win.rowsBetween(0, w - 1)
+    out = df.select(
+        "*",
+        F.count(v).over(wl).alias("_nl"),
+        F.avg(v).over(wl).alias("mean_l"),
+        F.var_pop(v).over(wl).alias("_vl"),
+        F.count(v).over(wr).alias("_nr"),
+        F.avg(v).over(wr).alias("mean_r"),
+        F.var_pop(v).over(wr).alias("_vr"),
+    )
+    diff = F.abs(F.col("mean_r") - F.col("mean_l"))
+    denom = F.sqrt(F.col("_vl") / w + F.col("_vr") / w)
+    full = (F.col("_nl") == w) & (F.col("_nr") == w)
+    flag = (
+        full
+        & F.when(denom > 0, (diff / denom) > F.lit(float(k)))
+        .otherwise(diff > 0)
+    ).cast("int")
+    return (
+        out.withColumn(
+            "score", portable_round(F.when(denom > 0, diff / denom), _R))
+        .withColumn("flag", F.coalesce(flag, F.lit(0)))
+        .withColumn("mean_l", portable_round(F.col("mean_l"), _R))
+        .withColumn("mean_r", portable_round(F.col("mean_r"), _R))
+        .drop("_nl", "_vl", "_nr", "_vr")
+    )
+
+
 def seasonal_zscore(df: DataFrame, value_col: str,
                     ts_col: str = "bucket_start",
                     phase: str = "minute_of_hour", k: float = 3.0,
@@ -1142,6 +1267,67 @@ SELECT conv_id, bucket_start, count(*) AS n,
 FROM rk GROUP BY 1, 2
 """
 
+_M4_SQL = """
+WITH pts AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id,
+           date_trunc('hour', ts) AS bucket_start, ts,
+           CAST(value AS DOUBLE) AS v
+    FROM events WHERE value IS NOT NULL
+),
+rk AS (
+    SELECT conv_id, bucket_start, ts, v,
+           row_number() OVER wa AS rn_a, row_number() OVER wd AS rn_d,
+           row_number() OVER wlo AS rn_lo, row_number() OVER whi AS rn_hi
+    FROM pts
+    WINDOW wa AS (PARTITION BY conv_id, bucket_start
+                  ORDER BY ts, event_id),
+           wd AS (PARTITION BY conv_id, bucket_start
+                  ORDER BY ts DESC, event_id DESC),
+           wlo AS (PARTITION BY conv_id, bucket_start
+                   ORDER BY v, ts, event_id),
+           whi AS (PARTITION BY conv_id, bucket_start
+                   ORDER BY v DESC, ts, event_id)
+)
+SELECT conv_id, bucket_start, count(*) AS n,
+       max(CASE WHEN rn_a = 1 THEN ts END) AS first_ts,
+       round(max(CASE WHEN rn_a = 1 THEN v END), 4) AS first_v,
+       max(CASE WHEN rn_d = 1 THEN ts END) AS last_ts,
+       round(max(CASE WHEN rn_d = 1 THEN v END), 4) AS last_v,
+       max(CASE WHEN rn_lo = 1 THEN ts END) AS low_ts,
+       round(max(CASE WHEN rn_lo = 1 THEN v END), 4) AS low_v,
+       max(CASE WHEN rn_hi = 1 THEN ts END) AS high_ts,
+       round(max(CASE WHEN rn_hi = 1 THEN v END), 4) AS high_v
+FROM rk GROUP BY 1, 2
+"""
+
+_CHANGEPOINT_SQL = f"""
+WITH {{base}},
+st AS (
+    SELECT conv_id, bucket_start, mean_v,
+           count(mean_v) OVER wl AS nl, avg(mean_v) OVER wl AS mean_l,
+           var_pop(mean_v) OVER wl AS vl,
+           count(mean_v) OVER wr AS nr, avg(mean_v) OVER wr AS mean_r,
+           var_pop(mean_v) OVER wr AS vr
+    FROM t1m
+    WINDOW wl AS (PARTITION BY conv_id ORDER BY bucket_start
+                  ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+           wr AS (PARTITION BY conv_id ORDER BY bucket_start
+                  ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
+)
+SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
+       round(mean_l, 4) AS mean_l, round(mean_r, 4) AS mean_r,
+       round(CASE WHEN sqrt(vl / 10 + vr / 10) > 0
+                  THEN abs(mean_r - mean_l) / sqrt(vl / 10 + vr / 10)
+             END, 4) AS score,
+       CASE WHEN nl = 10 AND nr = 10
+                 AND (CASE WHEN sqrt(vl / 10 + vr / 10) > 0
+                           THEN abs(mean_r - mean_l)
+                                / sqrt(vl / 10 + vr / 10) > 3.0
+                           ELSE abs(mean_r - mean_l) > 0 END)
+            THEN 1 ELSE 0 END AS flag
+FROM st
+"""
+
 _SEASONAL_SQL = f"""
 WITH {_T1M_BASE},
 ph AS (
@@ -1335,6 +1521,8 @@ ORACLE_SQL = {
     "holt_1m": _HOLT_SQL,
     "ar2_flags": _AR2_SQL,
     "candles_1h": _CANDLES_SQL,
+    "m4_1h": _M4_SQL,
+    "changepoint_flags": _CHANGEPOINT_SQL.format(base=_T1M_BASE),
     "seasonal_zscore": _SEASONAL_SQL,
     "stl_lite_1m": _STL_SQL.format(base=_T1M_BASE),
     "lttb_check": _LTTB_CHECK_SQL.format(base=_T1M_BASE),
