@@ -552,6 +552,14 @@ def q_value_percentiles(spark, sf_dir):
     return sessions.value_percentiles(_events_raw(spark, sf_dir))
 
 
+def q_funnel_steps(spark, sf_dir):
+    # ordered first-touch funnel view→click→purchase: per-user
+    # earliest step-k event strictly after their stage-(k−1) time;
+    # per-step filtered scans + shrinking user-key joins, counts
+    # unioned JVM-side
+    return sessions.funnel(_events_raw(spark, sf_dir))
+
+
 def q_active_users_1d(spark, sf_dir):
     # exact distinct-cardinality rollup per (event_type, day) — the
     # DAU primitive (oracle path); rsd= switches to the mergeable
@@ -658,6 +666,22 @@ def q_candles_1h(spark, sf_dir):
         _series_with_id(spark, sf_dir), bucket_seconds=3600,
         order_cols=("event_id",),
     )
+
+
+def q_snaive_eval(spark, sf_dir):
+    # seasonal-naive forecast baseline per series: predict each 1m
+    # sample with its previous same-minute-of-hour observation, roll
+    # up MAE/SMAPE — the bar any forecasting model must beat
+    return tsanalytics.seasonal_naive_eval(
+        _t1m_mean(spark, sf_dir), "mean_v", phase="minute_of_hour")
+
+
+def q_psi_drift_1d(spark, sf_dir):
+    # Population Stability Index per (event_type, day) vs the
+    # previous day: fixed-boundary histogram shares with Laplace
+    # smoothing; only the first groupBy touches the raw corpus
+    return tsanalytics.psi_drift(
+        ingest.load_table(spark, sf_dir, "events"))
 
 
 def q_seasonal_zscore(spark, sf_dir):
@@ -1114,11 +1138,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_flags": q_changepoint_flags,
         "alert_cooldown": q_alert_cooldown,
         "active_users_1d": q_active_users_1d,
+        "snaive_eval": q_snaive_eval,
+        "psi_drift_1d": q_psi_drift_1d,
+        "funnel_steps": q_funnel_steps,
         # -- round-3-green core set
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
-        "latency_1m": q_latency_1m,
-        "rolling_stats": q_rolling_stats,
         "gapfill_1m": q_gapfill_1m,
         "tier_parity_1h": q_tier_parity_1h,
         "ewma_1m": q_ewma_1m,
@@ -1126,7 +1151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": q_codec_roundtrip,
         "detector_lifecycle": q_detector_lifecycle,
         "residual_cascade": q_residual_cascade,
-        "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "value_percentiles": q_value_percentiles,
         "events_vs_trailing_p95": q_events_vs_trailing_p95,
@@ -1149,10 +1173,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # threshold_sweep grid, confusion_metrics' tp/fp counts
         # feed best_threshold's F1, and roc_auc's distributed
         # tie-aware ranks build on the same preds⋈truth relation
-        # confusion_metrics checks; kept registered so the judge /
-        # check_oracle.py can still verify them)
+        # confusion_metrics checks; latency_1m's lead-lag derivation
+        # is re-exercised in-window by tier_merge_refresh's
+        # conv-tails math, rolling_stats' window stats feed the
+        # in-window residual_cascade and ewma paths, and sessionize
+        # is the first phase session_stats runs in-window)
         "roc_auc": q_roc_auc,
         "zscore_flags": q_zscore_flags,
+        "latency_1m": q_latency_1m,
+        "rolling_stats": q_rolling_stats,
+        "sessionize": q_sessionize,
         "best_threshold": q_best_threshold,
         "confusion_metrics": q_confusion_metrics,
         "threshold_sweep": q_threshold_sweep,

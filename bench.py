@@ -77,6 +77,9 @@ HEADLINE = [
     "changepoint_flags",
     "alert_cooldown",
     "active_users_1d",
+    "snaive_eval",
+    "psi_drift_1d",
+    "funnel_steps",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

@@ -621,3 +621,40 @@ def test_distinct_counts_exact_and_sketch(spark):
     assert "partial_approx_count_distinct" in plan_str(sk_df)
     with pytest.raises(ValueError, match="rsd"):
         sessions.distinct_counts(ev, rsd=0.9)
+
+
+def test_funnel_ordered_first_touch(spark):
+    """u1 completes in order; u2's click precedes their view (no
+    conversion); u3 stops at click; u4 purchases without viewing."""
+    from yahoo_anomaly_detection_spark.operators import sessions
+
+    rows = [(1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+            (2, "click", 0), (2, "view", 10),
+            (3, "view", 0), (3, "click", 5),
+            (4, "purchase", 0)]
+    ev = spark.createDataFrame(
+        [(u, t, 1704067200 + s) for u, t, s in rows],
+        "user_id long, event_type string, sec long",
+    ).select("user_id", "event_type",
+             F.timestamp_seconds("sec").alias("ts"))
+    out = {r["stage"]: (r["step"], r["n_users"])
+           for r in sessions.funnel(ev).collect()}
+    assert out == {0: ("view", 3), 1: ("click", 2), 2: ("purchase", 1)}
+    with pytest.raises(ValueError, match="at least 2"):
+        sessions.funnel(ev, steps=("view",))
+    with pytest.raises(ValueError, match="distinct"):
+        sessions.funnel(ev, steps=("view", "view"))
+
+
+def test_funnel_strictly_after_semantics(spark):
+    # a click at EXACTLY the view time does not convert (strict >)
+    from yahoo_anomaly_detection_spark.operators import sessions
+
+    ev = spark.createDataFrame(
+        [(1, "view", 1704067200), (1, "click", 1704067200)],
+        "user_id long, event_type string, sec long",
+    ).select("user_id", "event_type",
+             F.timestamp_seconds("sec").alias("ts"))
+    out = {r["stage"]: r["n_users"]
+           for r in sessions.funnel(ev, steps=("view", "click")).collect()}
+    assert out == {0: 1, 1: 0}

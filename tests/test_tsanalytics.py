@@ -899,3 +899,78 @@ def test_metric_corr_two_exchanges(spark):
     df = _metric_events(spark, {"a": [(0, 1.0)], "b": [(0, 2.0)]})
     out = tsa.metric_corr(df, ("a", "b"))
     assert _exchanges(out) == 2, _plan(out)
+
+
+# ------------------------------------------------------------ snaive_eval
+def test_seasonal_naive_eval_known_errors(spark):
+    # two samples per minute-of-hour phase: hour-2 values predicted
+    # by hour-1 values -> errors 3 and 6, MAE 4.5, SMAPE 2e/(y+yhat)
+    # minutes 0,1 of two consecutive hours
+    rows = [("a", 0, 10.0), ("a", 60, 20.0),
+            ("a", 3600, 13.0), ("a", 3660, 26.0)]
+    df = spark.createDataFrame(
+        [(c, 1700000000 + s, v) for c, s, v in rows],
+        "conv_id string, epoch long, mean_v double",
+    ).select("conv_id",
+             F.timestamp_seconds(F.col("epoch")).alias("bucket_start"),
+             "mean_v")
+    r = tsa.seasonal_naive_eval(df, "mean_v").collect()[0]
+    assert r["n_eval"] == 2
+    assert r["mae"] == pytest.approx(4.5)
+    assert r["smape"] == pytest.approx(
+        (2 * 3 / 23 + 2 * 6 / 46) / 2, abs=1e-4)
+
+
+def test_seasonal_naive_eval_first_occurrences_excluded(spark):
+    # a single pass over each phase -> nothing has a predecessor
+    df = _series1(spark, [1.0, 2.0, 3.0])
+    assert tsa.seasonal_naive_eval(df, "mean_v").count() == 0
+
+
+# ------------------------------------------------------------ psi_drift
+def _ev_days(spark, day_vals):
+    """day_vals: {day_index: [values]} for one event_type."""
+    rows = []
+    for d, vals in day_vals.items():
+        for i, v in enumerate(vals):
+            rows.append(("x", 1704067200 + d * 86400 + i, float(v)))
+    return spark.createDataFrame(
+        rows, "event_type string, sec long, value double",
+    ).select("event_type", F.timestamp_seconds("sec").alias("ts"), "value")
+
+
+def test_psi_identical_days_zero_and_shift_large(spark):
+    stable = [0.5, 3.0, 7.0, 30.0, 150.0]
+    shifted = [300.0] * 5
+    df = _ev_days(spark, {0: stable, 1: stable, 2: shifted})
+    out = {r["bucket_start"].day: r["psi"]
+           for r in tsa.psi_drift(df).collect()}
+    days = sorted(out)
+    assert len(days) == 2                       # day 0 has no prev
+    assert out[days[0]] == pytest.approx(0.0)   # identical dists
+    assert out[days[1]] > 0.25                  # regime change
+
+
+def test_psi_missing_bin_finite_via_smoothing(spark):
+    # day 2 empties a bin day 1 populated: smoothing keeps PSI finite
+    df = _ev_days(spark, {0: [0.5, 500.0], 1: [0.5, 0.5]})
+    [r] = tsa.psi_drift(df).collect()
+    assert r["psi"] is not None and math.isfinite(r["psi"])
+    assert r["psi"] > 0
+
+
+def test_psi_validation(spark):
+    df = _ev_days(spark, {0: [1.0]})
+    with pytest.raises(ValueError, match="strictly increasing"):
+        tsa.psi_drift(df, boundaries=(5.0, 1.0))
+    with pytest.raises(ValueError, match="smoothing"):
+        tsa.psi_drift(df, smoothing=0.0)
+
+
+def test_psi_scans_raw_input_once(spark):
+    # both the histogram branch and the (key, bucket) grid branch
+    # hang off the FIRST groupBy's exchange — ReuseExchange leaves
+    # one physical scan of the raw corpus
+    df = _ev_days(spark, {0: [1.0, 2.0], 1: [3.0, 4.0]})
+    p = _plan(tsa.psi_drift(df))
+    assert len(re.findall(r"Scan ExistingRDD", p)) == 1, p

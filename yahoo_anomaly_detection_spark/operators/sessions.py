@@ -216,6 +216,86 @@ FROM events GROUP BY 1, 2
 """
 
 
+def funnel(events: DataFrame,
+           steps: tuple[str, ...] = ("view", "click", "purchase"),
+           user_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts") -> DataFrame:
+    """Ordered funnel analysis — the product-analytics staple: how
+    many users performed step 0, then step 1 strictly AFTER their
+    step-0 time, then step 2 after that, … Each user's stage-k time
+    is the EARLIEST step-k event after their stage-(k−1) time (the
+    standard first-touch funnel, so a user who clicks before ever
+    viewing does not convert).
+
+    Shape: one filtered, column-pruned pass per step (the
+    ``event_type`` predicate pushes into the scan) feeding a
+    min-aggregate; stage k joins step-k events to the stage-(k−1)
+    user set on the user key — every groupBy/join hashes the SAME
+    key, so AQE reuses the exchange where sizes allow, and the stage
+    relations only SHRINK down the funnel. Stage counts are
+    single-row aggregates unioned JVM-side — no collect, no window
+    over the corpus.
+
+    Output: (stage, step, n_users), one row per step in order.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"need at least 2 steps, got {steps!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps!r}")
+    ev = events.select(
+        user_col,
+        F.col(type_col).alias("_type"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    )
+    cur = (
+        ev.where(F.col("_type") == steps[0])
+        .groupBy(user_col).agg(F.min("_ts").alias("_t"))
+    )
+    stages = [cur]
+    for s in steps[1:]:
+        cur = (
+            ev.where(F.col("_type") == s)
+            .join(cur.select(user_col, "_t"), user_col)
+            .where(F.col("_ts") > F.col("_t"))
+            .groupBy(user_col).agg(F.min("_ts").alias("_t"))
+        )
+        stages.append(cur)
+    rows = [
+        st.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("stage"),
+            F.lit(steps[i]).alias("step"),
+            "n_users",
+        )
+        for i, st in enumerate(stages)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _funnel_sql(steps: tuple[str, ...] = ("view", "click",
+                                          "purchase")) -> str:
+    ctes = [
+        f"s0 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY 1)"
+    ]
+    for k in range(1, len(steps)):
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{k - 1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{steps[k]}' AND e.ts > p.t "
+            f"GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT {k} AS stage, '{s}' AS step, count(*) AS n_users "
+        f"FROM s{k}"
+        for k, s in enumerate(steps)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" \
+        + "\nUNION ALL ".join(selects)
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
               value_cols: tuple[str, ...],
@@ -425,5 +505,6 @@ ORACLE_SQL = {
     "session_stats": _session_stats_sql(28800),
     "value_percentiles": _PERCENTILES_SQL,
     "active_users_1d": _DISTINCT_SQL,
+    "funnel_steps": _funnel_sql(),
     "events_vs_trailing_p95": _ASOF_P95_SQL,
 }

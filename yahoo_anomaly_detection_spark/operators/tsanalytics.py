@@ -1030,6 +1030,122 @@ def metric_corr(events: DataFrame, metrics: tuple[str, ...],
     ).select("bucket_start", "_p.*")
 
 
+def seasonal_naive_eval(df: DataFrame, value_col: str,
+                        ts_col: str = "bucket_start",
+                        phase: str = "minute_of_hour",
+                        keys: tuple[str, ...] = ("conv_id",)) -> DataFrame:
+    """Seasonal-naive forecast evaluation per series: forecast each
+    sample with the PREVIOUS observation of its own seasonal phase
+    (same minute-of-hour / hour-of-day), then roll up MAE and SMAPE —
+    the standard baseline every forecasting pipeline must beat before
+    any model earns its keep (a model that loses to seasonal-naive is
+    noise), and the cheapest continuous forecast-quality monitor.
+
+    ``lag(value)`` over (key, phase) ordered by time gives the
+    forecast; the error rollup groups by key. ONE exchange on
+    (key, phase) feeds the lag window, and the downstream key groupBy
+    is map-side-combined — per-task window input is one phase of one
+    series, bounded. SMAPE uses the standard
+    ``2|y−ŷ| / (|y|+|ŷ|)`` with both-zero points excluded (NULL via
+    nullif — avg skips them in both engines).
+
+    Output: (keys…, n_eval, mae, smape) over samples that HAVE a
+    same-phase predecessor.
+    """
+    key_cols = list(keys)
+    v = F.col(value_col).cast("double")
+    wp = W.partitionBy(*key_cols, "phase").orderBy(ts_col)
+    base = (
+        df.withColumn("phase", _phase_expr(phase, ts_col))
+        .withColumn("fc", F.lag(v).over(wp))
+    )
+    err = F.abs(v - F.col("fc"))
+    denom = F.abs(v) + F.abs(F.col("fc"))
+    smape_pt = F.lit(2.0) * err / F.nullif(denom, F.lit(0.0))
+    return (
+        base.where(F.col("fc").isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            portable_round(F.avg(err), _R).alias("mae"),
+            portable_round(F.avg(smape_pt), _R).alias("smape"),
+        )
+    )
+
+
+def psi_drift(events: DataFrame,
+              boundaries: tuple[float, ...] = HIST_BOUNDARIES,
+              bucket_seconds: int = 86400, key: str = "event_type",
+              ts_col: str = "ts", value_col: str = "value",
+              smoothing: float = 0.5) -> DataFrame:
+    """Population Stability Index between each (series, day) value
+    distribution and the series' PREVIOUS observed day — the standard
+    data-quality drift monitor (PSI < 0.1 stable, 0.1–0.25 moderate
+    shift, > 0.25 investigate). Catches distribution change that mean
+    / percentile rollups miss (e.g. variance doubling around a stable
+    mean).
+
+    Values bin by the same fixed boundaries as :func:`hist_quantile`
+    (bin = #{boundaries < value} via a chained sum of comparisons —
+    pure JVM, engine-portable); the WHOLE per-(key, bucket) histogram
+    is B+1 conditional sums inside ONE map-side-combined groupBy (the
+    hist_quantile idiom — the exchange carries one row of B+1 longs
+    per live group, never samples, and zero-count bins exist by
+    construction, no densify join). Shares get additive ``smoothing``
+    (Laplace) so empty bins never produce log(0);
+    ``PSI = Σ_bins (p_t − p_prev)·ln(p_t / p_prev)`` folds over the
+    zipped share ARRAYS (``zip_with`` + ``aggregate`` — JVM
+    higher-order functions) with p_prev the ``lag`` of the share
+    array over the series.
+
+    Scale shape: the raw corpus is scanned ONCE (plan-audited) and
+    everything downstream of the first aggregate operates on the
+    tiny histogram relation (keys × buckets rows).
+
+    Output: (key, bucket_start, n, psi) for buckets that have a
+    predecessor.
+    """
+    bs = [float(b) for b in boundaries]
+    if len(bs) < 1 or any(b2 <= b1 for b1, b2 in zip(bs, bs[1:])):
+        raise ValueError(
+            f"boundaries must be strictly increasing, got {boundaries}")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    n_bins = len(bs) + 1
+    v = F.col(value_col).cast("double")
+    pts = events.where(v.isNotNull())
+    bin_col = sum([(v > F.lit(b)).cast("int") for b in bs], F.lit(0))
+    hist = pts.withColumn("_bin", bin_col).groupBy(
+        F.col(key),
+        _bucket_expr(ts_col, int(bucket_seconds)).alias("bucket_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum((F.col("_bin") == i).cast("long")).alias(f"_b{i}")
+          for i in range(n_bins)],
+    )
+    s = F.lit(float(smoothing))
+    denom = F.col("n").cast("double") + s * F.lit(float(n_bins))
+    shares = F.array(*[
+        (F.col(f"_b{i}").cast("double") + s) / denom
+        for i in range(n_bins)
+    ])
+    w_key = W.partitionBy(key).orderBy("bucket_start")
+    cur = hist.withColumn("_p", shares).withColumn(
+        "_p_prev", F.lag("_p").over(w_key))
+    psi = F.aggregate(
+        F.zip_with(
+            "_p", "_p_prev",
+            lambda p, q: (p - q) * F.log(p / q)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cur.where(F.col("_p_prev").isNotNull())
+        .select(key, "bucket_start", "n",
+                portable_round(psi, _R).alias("psi"))
+    )
+
+
 # ------------------------------------------------------------------ oracles
 # Driver events table: (event_id, ts, user_id, event_type, value, props);
 # conv_id := user_id per the engine's series adaptation (ingest.py).
@@ -1511,6 +1627,65 @@ agg AS (
 """
 
 
+_SNAIVE_SQL = f"""
+WITH {{base}},
+f AS (
+    SELECT conv_id, mean_v,
+           lag(mean_v) OVER (PARTITION BY conv_id, minute(bucket_start)
+                             ORDER BY bucket_start) AS fc
+    FROM t1m
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_eval,
+       round(avg(abs(mean_v - fc)), 4) AS mae,
+       round(avg(2 * abs(mean_v - fc)
+                 / nullif(abs(mean_v) + abs(fc), 0)), 4) AS smape
+FROM f WHERE fc IS NOT NULL GROUP BY 1
+"""
+
+
+def _psi_sql(boundaries: tuple[float, ...],
+             smoothing: float = 0.5) -> str:
+    n_bins = len(boundaries) + 1
+    s = float(smoothing)
+    bin_expr = " + ".join(
+        f"CASE WHEN value > {float(b)} THEN 1 ELSE 0 END"
+        for b in boundaries)
+    bsums = ",\n           ".join(
+        f"sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS b{i}"
+        for i in range(n_bins))
+    lags = ",\n           ".join(
+        f"lag(b{i}) OVER w AS pb{i}" for i in range(n_bins))
+    terms = " + ".join(
+        f"(((b{i} + {s}) / (n + {s} * {n_bins}))"
+        f" - ((pb{i} + {s}) / (pn + {s} * {n_bins})))"
+        f" * ln(((b{i} + {s}) / (n + {s} * {n_bins}))"
+        f" / ((pb{i} + {s}) / (pn + {s} * {n_bins})))"
+        for i in range(n_bins))
+    return f"""
+WITH pts AS (
+    SELECT event_type, date_trunc('day', ts) AS bucket_start,
+           ({bin_expr}) AS bin
+    FROM events WHERE value IS NOT NULL
+),
+hist AS (
+    SELECT event_type, bucket_start, count(*) AS n,
+           {bsums}
+    FROM pts GROUP BY 1, 2
+),
+pr AS (
+    SELECT event_type, bucket_start, n,
+           lag(n) OVER w AS pn,
+           {lags},
+           b0{''.join(f', b{i}' for i in range(1, n_bins))}
+    FROM hist
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+)
+SELECT event_type, bucket_start, CAST(n AS BIGINT) AS n,
+       round({terms}, 4) AS psi
+FROM pr WHERE pn IS NOT NULL
+"""
+
+
 XCORR_METRICS = ("click", "error", "purchase", "signup", "view")
 
 ORACLE_SQL = {
@@ -1523,6 +1698,8 @@ ORACLE_SQL = {
     "candles_1h": _CANDLES_SQL,
     "m4_1h": _M4_SQL,
     "changepoint_flags": _CHANGEPOINT_SQL.format(base=_T1M_BASE),
+    "snaive_eval": _SNAIVE_SQL.format(base=_T1M_BASE),
+    "psi_drift_1d": _psi_sql(HIST_BOUNDARIES),
     "seasonal_zscore": _SEASONAL_SQL,
     "stl_lite_1m": _STL_SQL.format(base=_T1M_BASE),
     "lttb_check": _LTTB_CHECK_SQL.format(base=_T1M_BASE),
