@@ -560,6 +560,13 @@ def q_funnel_steps(spark, sf_dir):
     return sessions.funnel(_events_raw(spark, sf_dir))
 
 
+def q_retention_cohorts(spark, sf_dir):
+    # cohort retention matrix: users grouped by first-activity day,
+    # per-offset return counts + retention share; corpus touched only
+    # by the (user, day) dedup + first-touch aggregates
+    return sessions.retention_cohorts(_events_raw(spark, sf_dir))
+
+
 def q_active_users_1d(spark, sf_dir):
     # exact distinct-cardinality rollup per (event_type, day) — the
     # DAU primitive (oracle path); rsd= switches to the mergeable
@@ -1141,9 +1148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snaive_eval": q_snaive_eval,
         "psi_drift_1d": q_psi_drift_1d,
         "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
         # -- round-3-green core set
         "rollup_1m": q_rollup_1m,
-        "rollup_1h": q_rollup_1h,
         "gapfill_1m": q_gapfill_1m,
         "tier_parity_1h": q_tier_parity_1h,
         "ewma_1m": q_ewma_1m,
@@ -1178,6 +1185,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # conv-tails math, rolling_stats' window stats feed the
         # in-window residual_cascade and ewma paths, and sessionize
         # is the first phase session_stats runs in-window)
+        # rollup_1h's hour-tier semantics are triple-covered in-window
+        # (tier_parity_1h verifies the 1h tier against raw points,
+        # tier_merge_refresh re-runs the hour merge math, rollup_1m
+        # the same bucketing at minute grain)
+        "rollup_1h": q_rollup_1h,
         "roc_auc": q_roc_auc,
         "zscore_flags": q_zscore_flags,
         "latency_1m": q_latency_1m,

@@ -80,6 +80,7 @@ HEADLINE = [
     "snaive_eval",
     "psi_drift_1d",
     "funnel_steps",
+    "retention_cohorts",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

@@ -658,3 +658,27 @@ def test_funnel_strictly_after_semantics(spark):
     out = {r["stage"]: r["n_users"]
            for r in sessions.funnel(ev, steps=("view", "click")).collect()}
     assert out == {0: 1, 1: 0}
+
+
+def test_retention_cohorts_matrix(spark):
+    """u1,u2 first seen day0 (u1 returns day1+day2, u2 returns day2);
+    u3 first seen day1, never returns. Multiple same-day events
+    count once."""
+    from yahoo_anomaly_detection_spark.operators import sessions
+
+    rows = [(1, 0), (1, 0), (1, 1), (1, 2),   # dup day-0 event
+            (2, 0), (2, 2),
+            (3, 1)]
+    ev = spark.createDataFrame(
+        [(u, 1704067200 + d * 86400 + u) for u, d in rows],
+        "user_id long, sec long",
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"))
+    out = {(r["cohort"].day, r["day_offset"]):
+           (r["n_active"], r["retention"])
+           for r in sessions.retention_cohorts(ev).collect()}
+    d0 = min(d for d, _ in out)
+    assert out[(d0, 0)] == (2, 1.0)        # cohort day0: u1,u2
+    assert out[(d0, 1)] == (1, 0.5)        # day1: u1 only
+    assert out[(d0, 2)] == (2, 1.0)        # day2: both return
+    assert out[(d0 + 1, 0)] == (1, 1.0)    # cohort day1: u3
+    assert len(out) == 4

@@ -965,3 +965,96 @@ def test_stream_full_tier_chain_1m_1h_1d(spark, tmp_path):
         & (F.col("bucket_start") < "2024-01-02")
     ).agg(F.sum("cnt")).first()[0]
     assert got[("a", jan1)]["cnt"] == n_1h
+
+
+def test_run_lengths_matches_naive_walk():
+    # property: vectorized reset-on-zero run positions == python walk,
+    # including the cross-batch carry-in
+    import numpy as np
+
+    from yahoo_anomaly_detection_spark.streaming.alerts_stream import (
+        run_lengths,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        n = int(rng.integers(1, 60))
+        b = rng.integers(0, 2, n)
+        carry = int(rng.integers(0, 5))
+        got = run_lengths(b, carry)
+        run = carry
+        for i in range(n):
+            run = run + 1 if b[i] == 1 else 0
+            want = run if b[i] == 1 else 0
+            assert got[i] == want, (b.tolist(), carry, i)
+
+
+def test_stream_alert_states_match_batch(spark, tmp_path):
+    """Hop 4 (FOR-duration alert states via applyInPandasWithState)
+    must equal the batch tsanalytics.alert_states (consecutive-samples
+    mode) on the same in-order tier rows, INCLUDING breach runs that
+    span micro-batches (the single-long state carries the open run)
+    and NULL samples that reset the run."""
+    from yahoo_anomaly_detection_spark.operators.tsanalytics import (
+        alert_states,
+    )
+    from yahoo_anomaly_detection_spark.streaming.alerts_stream import (
+        start_alerts_to_parquet,
+        stream_alert_states,
+    )
+
+    thr, for_k = 10.0, 2
+    f1 = [("a", 0, 15.0), ("a", 1, 20.0), ("b", 0, 5.0)]
+    f2 = [("a", 2, 25.0), ("a", 3, None), ("b", 1, 12.0)]
+    f3 = [("a", 4, 30.0), ("b", 2, 13.0)]
+
+    src = str(tmp_path / "asrc")
+    out = str(tmp_path / "aout")
+    ckpt = str(tmp_path / "ackpt")
+    os.makedirs(src)
+    _mk_tier_rows(spark, f1).coalesce(1).write.mode("append").parquet(src)
+    tiers = (
+        spark.readStream.schema(
+            "conv_id string, bucket_start timestamp, mean double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_alerts_to_parquet(
+        stream_alert_states(tiers, threshold=thr, for_k=for_k), out, ckpt
+    )
+    try:
+        q.processAllAvailable()
+        _mk_tier_rows(spark, f2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        _mk_tier_rows(spark, f3).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = {
+        (r["conv_id"], r["bucket_start"]):
+            (r["breach"], r["run_pos"], r["state"])
+        for r in alert_states(
+            _mk_tier_rows(spark, f1 + f2 + f3).withColumnRenamed(
+                "mean", "mean_v"),
+            "mean_v", threshold=thr, for_k=for_k,
+        ).collect()
+    }
+    streamed = {
+        (r["conv_id"], r["bucket_start"]):
+            (r["breach"], r["run_pos"], r["state"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch
+
+    # the carry really exercised: a@00:02 arrives in file 2 but is
+    # run_pos 3 / firing (run opened in file 1); b@00:02 (file 3)
+    # fires only because file 2 left run_len=1 behind
+    import datetime as dt
+
+    assert streamed[("a", dt.datetime(2024, 1, 1, 0, 2))] == (
+        1, 3, "firing")
+    assert streamed[("a", dt.datetime(2024, 1, 1, 0, 3))] == (0, 0, "ok")
+    assert streamed[("b", dt.datetime(2024, 1, 1, 0, 2))] == (
+        1, 2, "firing")

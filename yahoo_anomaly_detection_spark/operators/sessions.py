@@ -274,6 +274,71 @@ def funnel(events: DataFrame,
     return out
 
 
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Cohort retention matrix — the other product-analytics staple
+    next to :func:`funnel`: group users by their first-activity day
+    (the cohort), then for each later day report how many and what
+    fraction of the cohort came back (``day_offset`` days after
+    first touch).
+
+    Shape: one (user, day) dedup aggregate over the corpus, one
+    min-aggregate for first-touch — both hash the user key, so AQE
+    reuses the exchange — then everything downstream (the cohort ×
+    offset matrix) is cohort-cardinality-sized. Because activity is
+    deduped per (user, day) and each user has exactly one cohort,
+    the matrix count is a plain ``count(*)``, not a distinct;
+    cohort size comes from the offset-0 row via an unbounded window
+    over the TINY matrix relation, never the corpus.
+
+    Output: (cohort, day_offset, n_active, retention) — retention =
+    n_active / cohort size, 1.0 at offset 0 by construction.
+    """
+    day = F.date_trunc("DAY", F.col(ts_col).cast("timestamp"))
+    act = events.select(
+        F.col(user_col).alias("_u"), day.alias("_day")).distinct()
+    first = act.groupBy("_u").agg(F.min("_day").alias("cohort"))
+    per = (
+        act.join(first, "_u")
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("_day"), F.col("cohort")).cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    size = F.max(
+        F.when(F.col("day_offset") == 0, F.col("n_active"))
+    ).over(W.partitionBy("cohort"))
+    return per.select(
+        "cohort", "day_offset", "n_active",
+        portable_round(
+            F.col("n_active").cast("double") / size.cast("double"),
+            _R).alias("retention"),
+    )
+
+
+_RETENTION_SQL = """
+WITH act AS (
+    SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
+    FROM events
+),
+first AS (SELECT u, min(day) AS cohort FROM act GROUP BY 1),
+per AS (
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.day) AS BIGINT)
+               AS day_offset,
+           count(*) AS n_active
+    FROM act a JOIN first f USING (u) GROUP BY 1, 2
+)
+SELECT cohort, day_offset, n_active,
+       round(CAST(n_active AS DOUBLE)
+             / max(CASE WHEN day_offset = 0 THEN n_active END)
+               OVER (PARTITION BY cohort), 4) AS retention
+FROM per
+"""
+
+
 def _funnel_sql(steps: tuple[str, ...] = ("view", "click",
                                           "purchase")) -> str:
     ctes = [
@@ -506,5 +571,6 @@ ORACLE_SQL = {
     "value_percentiles": _PERCENTILES_SQL,
     "active_users_1d": _DISTINCT_SQL,
     "funnel_steps": _funnel_sql(),
+    "retention_cohorts": _RETENTION_SQL,
     "events_vs_trailing_p95": _ASOF_P95_SQL,
 }
