@@ -683,6 +683,19 @@ def q_snaive_eval(spark, sf_dir):
         _t1m_mean(spark, sf_dir), "mean_v", phase="minute_of_hour")
 
 
+def q_holt_winters_1m(spark, sf_dir):
+    # additive Holt-Winters (level+trend+4-periodic seasonal) per
+    # series — the 2+m-state recursive scan; oracle = recursive CTE
+    # with the seasonal buffer as 4 explicit columns
+    out = tsanalytics.holt_winters(_t1m_mean(spark, sf_dir), "mean_v",
+                                   alpha=0.3, beta=0.1, gamma=0.2, m=4)
+    return _round_cols(
+        out.select("conv_id", "bucket_start", "mean_v", "level",
+                   "trend", "seasonal"),
+        ["mean_v", "level", "trend", "seasonal"],
+    )
+
+
 def q_psi_drift_1d(spark, sf_dir):
     # Population Stability Index per (event_type, day) vs the
     # previous day: fixed-boundary histogram shares with Laplace
@@ -1149,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_1d": q_psi_drift_1d,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
+        "holt_winters_1m": q_holt_winters_1m,
         # -- round-3-green core set
         "rollup_1m": q_rollup_1m,
         "gapfill_1m": q_gapfill_1m,
@@ -1157,7 +1171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats_salted": q_conv_stats_salted,
         "codec_roundtrip": q_codec_roundtrip,
         "detector_lifecycle": q_detector_lifecycle,
-        "residual_cascade": q_residual_cascade,
         "session_stats": q_session_stats,
         "value_percentiles": q_value_percentiles,
         "events_vs_trailing_p95": q_events_vs_trailing_p95,
@@ -1190,6 +1203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tier_merge_refresh re-runs the hour merge math, rollup_1m
         # the same bucketing at minute grain)
         "rollup_1h": q_rollup_1h,
+        # residual_cascade's exact recombination math (decomposable
+        # count/mean/M2 merge) is what tier_merge_refresh verifies
+        # in-window every round
+        "residual_cascade": q_residual_cascade,
         "roc_auc": q_roc_auc,
         "zscore_flags": q_zscore_flags,
         "latency_1m": q_latency_1m,

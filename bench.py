@@ -81,6 +81,7 @@ HEADLINE = [
     "psi_drift_1d",
     "funnel_steps",
     "retention_cohorts",
+    "holt_winters_1m",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

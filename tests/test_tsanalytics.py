@@ -974,3 +974,43 @@ def test_psi_scans_raw_input_once(spark):
     df = _ev_days(spark, {0: [1.0, 2.0], 1: [3.0, 4.0]})
     p = _plan(tsa.psi_drift(df))
     assert len(re.findall(r"Scan ExistingRDD", p)) == 1, p
+
+
+# ------------------------------------------------------------ holt_winters
+def test_segmented_holt_winters_matches_naive_walk():
+    # property: position-major 2+m-state block scan ≡ per-segment
+    # python recursion, random segment lengths and params
+    rng = np.random.default_rng(13)
+    for m in (2, 4, 7):
+        for _ in range(10):
+            n_segs = int(rng.integers(1, 6))
+            lens = rng.integers(1, 30, n_segs)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            x = rng.normal(10, 3, int(lens.sum()))
+            a, b, g = 0.3, 0.1, 0.2
+            lvl, trd, sea = tsa.segmented_holt_winters(
+                x, starts, a, b, g, m)
+            for s0, ln in zip(starts, lens):
+                l, t = x[s0], 0.0
+                S = [0.0] * m
+                assert lvl[s0] == pytest.approx(l)
+                assert trd[s0] == 0.0 and sea[s0] == 0.0
+                for j in range(1, ln):
+                    i = s0 + j
+                    sp = S[j % m]
+                    nl = a * (x[i] - sp) + (1 - a) * (l + t)
+                    t = b * (nl - l) + (1 - b) * t
+                    S[j % m] = g * (x[i] - nl) + (1 - g) * sp
+                    l = nl
+                    assert lvl[i] == pytest.approx(l, rel=1e-12)
+                    assert trd[i] == pytest.approx(t, rel=1e-12, abs=1e-12)
+                    assert sea[i] == pytest.approx(
+                        S[j % m], rel=1e-12, abs=1e-12)
+    assert tsa.segmented_holt_winters(
+        np.empty(0), np.empty(0, np.int64), 0.3, 0.1, 0.2, 4
+    )[0].size == 0
+
+
+def test_holt_winters_validation(spark):
+    with pytest.raises(ValueError, match="m must be"):
+        tsa.holt_winters(_series1(spark, [1.0]), "mean_v", m=1)

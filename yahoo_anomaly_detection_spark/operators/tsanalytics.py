@@ -354,6 +354,102 @@ def holt(df: DataFrame, value_col: str, alpha: float = 0.3,
     )
 
 
+def segmented_holt_winters(
+        values: np.ndarray, seg_starts: np.ndarray, alpha: float,
+        beta: float, gamma: float, m: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized additive Holt-Winters (level + trend + m-periodic
+    seasonal) over many variable-length segments — the 2+m-state
+    member of the recursive-scan family after :func:`segmented_holt`.
+
+    With s_prev = s[t mod m] (the seasonal slot last updated m steps
+    ago; position-indexed seasonality — period counted from each
+    series' first sample):
+
+    l_t = α·(x_t − s_prev) + (1−α)·(l_{t−1} + b_{t−1});
+    b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1};
+    s_t = γ·(x_t − l_t) + (1−γ)·s_prev.
+
+    Init: l_0 = x_0, b_0 = 0, all seasonal slots 0 (so s_0 =
+    γ·(x_0 − l_0) = 0 — consistent with the zero-filled buffer).
+
+    Same position-major layout as the EWMA/Holt/CUSUM kernels; the
+    seasonal buffer is an (m, #segments) matrix whose row t mod m is
+    read and written each step — because position t is the SAME
+    phase for every segment (phase counts from segment start), one
+    vector op per step still serves all segments.
+    """
+    from yahoo_anomaly_detection_spark.operators.stats import (
+        position_major_layout,
+    )
+
+    n = len(values)
+    empty = np.empty(0, np.float64)
+    if n == 0:
+        return empty, empty, empty
+    x = np.asarray(values, np.float64)
+    perm, k, bs, _, max_len = position_major_layout(seg_starts, n)
+    xs = x[perm]
+    g = int(k[0])
+    ls = xs.copy()                      # level output (position-major)
+    ts = np.zeros(n, np.float64)        # trend output
+    ss = np.zeros(n, np.float64)        # seasonal output
+    seas = np.zeros((m, g), np.float64)  # live per-slot state
+    a, b, c = float(alpha), float(beta), float(gamma)
+    for t in range(1, max_len):
+        kt = k[t]
+        lo, plo = bs[t], bs[t - 1]
+        cur = xs[lo: lo + kt]
+        sp = seas[t % m][:kt]
+        prev_l = ls[plo: plo + kt]
+        prev_b = ts[plo: plo + kt]
+        new_l = a * (cur - sp) + (1.0 - a) * (prev_l + prev_b)
+        new_s = c * (cur - new_l) + (1.0 - c) * sp
+        ls[lo: lo + kt] = new_l
+        ts[lo: lo + kt] = b * (new_l - prev_l) + (1.0 - b) * prev_b
+        ss[lo: lo + kt] = new_s
+        seas[t % m][:kt] = new_s
+    out = []
+    for arr in (ls, ts, ss):
+        o = np.empty(n, np.float64)
+        o[perm] = arr
+        out.append(o)
+    return tuple(out)
+
+
+def holt_winters(df: DataFrame, value_col: str, alpha: float = 0.3,
+                 beta: float = 0.1, gamma: float = 0.2, m: int = 4,
+                 keys: tuple[str, ...] = ("conv_id",),
+                 order_col: str = "bucket_start") -> DataFrame:
+    """Additive Holt-Winters smoothing (level + trend + m-periodic
+    seasonal) per series — the seasonal completion of the
+    recursive-scan family (SURVEY W5): :func:`stats.ewma` carries one
+    state, :func:`holt` two, this 2+m. Runs through the shared
+    :func:`stats.segmented_scan` scaffold; adds ``level``, ``trend``
+    and ``seasonal`` columns. Seasonality is position-indexed (phase
+    = sample index mod m from the series' first sample) so the
+    recursion is deterministic under the key/order sort.
+    """
+    if m < 2:
+        raise ValueError(f"m must be >= 2, got {m}")
+    from yahoo_anomaly_detection_spark.operators.stats import segmented_scan
+
+    def kernel(pdf, starts):
+        lvl, trd, sea = segmented_holt_winters(
+            pdf[value_col].to_numpy(np.float64), starts, alpha, beta,
+            gamma, m,
+        )
+        return {"level": lvl, "trend": trd, "seasonal": sea}
+
+    return segmented_scan(
+        df, keys, order_col,
+        [("level", T.DoubleType(), "float64"),
+         ("trend", T.DoubleType(), "float64"),
+         ("seasonal", T.DoubleType(), "float64")],
+        kernel,
+    )
+
+
 def segmented_cusum(dev: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
     """Vectorized one-sided CUSUM over many variable-length segments:
     S_t = max(0, S_{t−1} + dev_t), S_0 = 0 — so S_1 = max(0, dev_1).
@@ -1627,6 +1723,53 @@ agg AS (
 """
 
 
+def _holt_winters_sql(alpha: float = 0.3, beta: float = 0.1,
+                      gamma: float = 0.2, m: int = 4) -> str:
+    """Recursive-CTE mirror of the additive Holt-Winters recursion,
+    seasonal slots as m explicit columns (the holt-oracle pattern —
+    same-SELECT aliases can't be referenced, so the level expression
+    is textually expanded inside the trend/seasonal expressions;
+    DuckDB list_reduce struct accumulators are broken, see _HOLT_SQL)."""
+    a, b, g = float(alpha), float(beta), float(gamma)
+    scols = ", ".join(f"CAST(0 AS DOUBLE) AS s{i}" for i in range(m))
+    sp = (f"CASE ((s.rn - 1) % {m}) "
+          + " ".join(f"WHEN {i} THEN h.s{i}" for i in range(m))
+          + " END")
+    lvl = f"({a} * (s.mean_v - ({sp})) + {1.0 - a} * (h.level + h.trend))"
+    trend = f"({b} * ({lvl} - h.level) + {1.0 - b} * h.trend)"
+    snew = f"({g} * (s.mean_v - {lvl}) + {1.0 - g} * ({sp}))"
+    supd = ",\n           ".join(
+        f"CASE WHEN (s.rn - 1) % {m} = {i} THEN {snew} "
+        f"ELSE h.s{i} END AS s{i}"
+        for i in range(m))
+    return f"""
+WITH RECURSIVE {{base}},
+seq AS (
+    SELECT conv_id, bucket_start, mean_v,
+           row_number() OVER (PARTITION BY conv_id ORDER BY bucket_start)
+               AS rn
+    FROM t1m
+),
+hw AS (
+    SELECT conv_id, rn, bucket_start, mean_v,
+           CAST(mean_v AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend,
+           CAST(0 AS DOUBLE) AS seasonal, {scols}
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.conv_id, s.rn, s.bucket_start, s.mean_v,
+           {lvl} AS level,
+           {trend} AS trend,
+           {snew} AS seasonal,
+           {supd}
+    FROM hw h JOIN seq s ON s.conv_id = h.conv_id AND s.rn = h.rn + 1
+)
+SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
+       round(level, 4) AS level, round(trend, 4) AS trend,
+       round(seasonal, 4) AS seasonal
+FROM hw
+"""
+
+
 _SNAIVE_SQL = f"""
 WITH {{base}},
 f AS (
@@ -1699,6 +1842,7 @@ ORACLE_SQL = {
     "m4_1h": _M4_SQL,
     "changepoint_flags": _CHANGEPOINT_SQL.format(base=_T1M_BASE),
     "snaive_eval": _SNAIVE_SQL.format(base=_T1M_BASE),
+    "holt_winters_1m": _holt_winters_sql().format(base=_T1M_BASE),
     "psi_drift_1d": _psi_sql(HIST_BOUNDARIES),
     "seasonal_zscore": _SEASONAL_SQL,
     "stl_lite_1m": _STL_SQL.format(base=_T1M_BASE),
