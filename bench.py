@@ -82,6 +82,10 @@ HEADLINE = [
     "funnel_steps",
     "retention_cohorts",
     "holt_winters_1m",
+    "event_transitions",
+    "type_streaks",
+    "depth_hist",
+    "next_gap_1d",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

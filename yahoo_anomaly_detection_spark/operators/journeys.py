@@ -1,0 +1,282 @@
+"""User-journey flow analytics over the events stream table.
+
+The transcript-flavored companions to sessionize/funnel/retention:
+what SEQUENCE shape does each user's (or conversation's) event stream
+have? Four operators, each an agent-log / product-analytics staple
+(no reference counterpart — the reference has no event-log layer):
+
+- :func:`event_transitions` — the first-order Markov transition
+  matrix of consecutive event types per user: the "role/tool
+  transition profile" of an agent-transcript corpus (user→assistant
+  →tool→assistant… at 10^12-turn scale), or the page-flow matrix of
+  a clickstream.
+- :func:`type_streaks` — each user's longest run of consecutive
+  same-type events and which type it was: the "agent autonomy
+  streak" (how many tool/assistant turns between user touches) or
+  retry-storm detector.
+- :func:`depth_histogram` — the corpus-shape histogram of per-user
+  event counts in exact power-of-two buckets: the depth profile a
+  capacity planner reads before sizing per-conversation state.
+- :func:`next_gap_1d` — per (event_type, day): how long until the
+  SAME user's next event (any type) — the re-engagement metric: which
+  event types are session-enders vs mid-flow steps.
+
+Scale shape: every sequential operator hashes ONE key — ``user_id``
+— and all of its window phases reuse that single exchange (lag /
+lead / running-sum are all partitioned by the same key, so Catalyst
+plans one Exchange with pipelined Window stages; plan-audited in
+``tests/test_plans.py``). The downstream groupBys are either
+map-side-combined corpus aggregates (depth histogram, next-gap
+rollup) or run-keyed aggregates that reuse the user partitioning
+(streaks). Outputs are (type × type)-, (bucket)-, (type × day)- or
+user-cardinality-sized — never corpus-sized shuffles. Ordering is
+made total with the ``(ts, event_id)`` tie-break so results are
+deterministic and engine-portable (same convention as
+``operators/sessions.py``).
+
+Exact-integer log2 note: ``depth_histogram`` buckets by
+floor(log2(n)) computed as ``length(base-2 digits of n) - 1``
+(Spark ``conv(n, 10, 2)``, DuckDB ``bin(n)``) — pure integer/string
+math, so n = 2^k lands in bucket k on every engine; a floating
+``log2`` could round 2^k to k - epsilon and flip the bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from yahoo_anomaly_detection_spark.functions.portable import portable_round
+
+_R = 4
+
+
+def _seq_window(user_col: str, ts_col: str, id_col: str) -> W:
+    return W.partitionBy(user_col).orderBy(
+        F.col(ts_col).cast("timestamp"), F.col(id_col)
+    )
+
+
+def event_transitions(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """(from_type, to_type, n_pairs, share): first-order Markov
+    transition counts of consecutive event types within each user's
+    stream, plus each edge's share of its from-state's outgoing
+    transitions (rows of the transition-probability matrix).
+
+    A user's LAST event has no successor and contributes no pair
+    (the lead is NULL); single-event users contribute nothing.
+    ``share`` sums to 1 per from_type by construction.
+
+    Shape: one user-key exchange for the lead window; the pair
+    relation then collapses through a map-side-combined
+    (from, to) groupBy to at most |types|² rows — the share window
+    runs over THAT tiny relation, never the corpus."""
+    w = _seq_window(user_col, ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    tot = F.sum("n_pairs").over(W.partitionBy("from_type"))
+    return counts.select(
+        "from_type", "to_type", "n_pairs",
+        portable_round(
+            F.col("n_pairs").cast("double") / tot.cast("double"), _R
+        ).alias("share"),
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH p AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+),
+c AS (
+    SELECT from_type, to_type, count(*) AS n_pairs
+    FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_pairs,
+       round(CAST(n_pairs AS DOUBLE)
+             / CAST(sum(n_pairs) OVER (PARTITION BY from_type)
+                    AS DOUBLE), 4) AS share
+FROM c
+"""
+
+
+def type_streaks(events: DataFrame, user_col: str = "user_id",
+                 type_col: str = "event_type", ts_col: str = "ts",
+                 id_col: str = "event_id") -> DataFrame:
+    """(user_id, max_streak, streak_type): each user's longest run of
+    consecutive same-type events and the type that achieved it. Ties
+    on length resolve to the EARLIEST run (deterministic on any
+    engine).
+
+    The run decomposition is the engine's segmented-scan idiom
+    (sessionize, breach_intervals): lag detects type changes, a
+    running sum numbers the runs — both windows and the (user, run)
+    groupBy hash the same user key, ONE exchange total; the final
+    per-user reduction is ``max`` + ``max_by`` over the run relation
+    (≤ one row per run), ordered by (length, -run_id) so longer wins
+    and earlier breaks ties."""
+    w = _seq_window(user_col, ts_col, id_col)
+    run_w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    chg = (
+        F.when(
+            F.lag(type_col).over(w).isNull()
+            | (F.lag(type_col).over(w) != F.col(type_col)),
+            1,
+        )
+        .otherwise(0)
+    )
+    tagged = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("_type"),
+        F.sum(chg).over(run_w).cast("long").alias("_run"),
+    )
+    runs = tagged.groupBy("user_id", "_run").agg(
+        F.count(F.lit(1)).alias("_len"),
+        # _type is constant within a run by construction
+        F.min("_type").alias("_type"),
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("_len").alias("max_streak"),
+        F.max_by(
+            F.col("_type"), F.struct(F.col("_len"), (-F.col("_run")))
+        ).alias("streak_type"),
+    )
+
+
+_STREAKS_SQL = """
+WITH g AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+    SELECT user_id, event_type,
+           sum(chg) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS run
+    FROM g
+),
+runs AS (
+    SELECT user_id, run, count(*) AS len, min(event_type) AS etype
+    FROM t GROUP BY 1, 2
+),
+ranked AS (
+    SELECT user_id, len, etype,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY len DESC, run ASC) AS rn
+    FROM runs
+)
+SELECT user_id, len AS max_streak, etype AS streak_type
+FROM ranked WHERE rn = 1
+"""
+
+
+def depth_histogram(events: DataFrame,
+                    user_col: str = "user_id") -> DataFrame:
+    """(depth_bucket, lo, hi, n_users): histogram of per-user event
+    counts in power-of-two buckets — bucket b holds users with
+    2^b ≤ count < 2^(b+1). The corpus-shape profile: how deep do
+    conversations/journeys run, and how heavy is the hot tail?
+
+    floor(log2(n)) is computed EXACTLY as the base-2 digit length of
+    n minus one (integer/string math, see module docstring), so
+    boundary counts (n = 2^k) bucket identically on every engine.
+
+    Shape: map-side-combined count per user (one user-key exchange),
+    then a second map-side-combined groupBy that collapses users
+    into ≤ 64 bucket rows."""
+    per = events.groupBy(user_col).agg(F.count(F.lit(1)).alias("_n"))
+    b = (
+        F.length(F.conv(F.col("_n").cast("string"), 10, 2)) - F.lit(1)
+    ).cast("long").alias("depth_bucket")
+    hist = per.groupBy(b).agg(F.count(F.lit(1)).alias("n_users"))
+    lo = F.pow(F.lit(2.0), F.col("depth_bucket")).cast("long")
+    return hist.select(
+        "depth_bucket",
+        lo.alias("lo"),
+        (lo * 2 - 1).alias("hi"),
+        "n_users",
+    )
+
+
+_DEPTH_SQL = """
+WITH d AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+h AS (
+    SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS depth_bucket,
+           count(*) AS n_users
+    FROM d GROUP BY 1
+)
+SELECT depth_bucket,
+       CAST(2 ** depth_bucket AS BIGINT) AS lo,
+       CAST(2 ** depth_bucket * 2 - 1 AS BIGINT) AS hi,
+       n_users
+FROM h
+"""
+
+
+def next_gap_1d(events: DataFrame, user_col: str = "user_id",
+                type_col: str = "event_type", ts_col: str = "ts",
+                id_col: str = "event_id") -> DataFrame:
+    """(event_type, day, n_events, mean_next_gap_s, n_terminal):
+    re-engagement profile — for each event, how long until the SAME
+    user's next event of ANY type; rolled up per (type, day).
+    ``n_terminal`` counts events with no successor (each user's last
+    event: the candidate session-enders); those contribute no gap to
+    the mean. A (type, day) cell whose events are ALL terminal has
+    ``mean_next_gap_s`` NULL.
+
+    Shape: the lead window is the module's shared user-key exchange;
+    the rollup is one map-side-combined (type, day) groupBy —
+    avg/count partials merge on the reducers, no second corpus-wide
+    shuffle."""
+    w = _seq_window(user_col, ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = (F.lead(us).over(w) - us) / F.lit(1e6)
+    day = F.date_trunc("DAY", F.col(ts_col).cast("timestamp")).alias("day")
+    tagged = events.select(
+        F.col(type_col).alias("event_type"), day, gap.alias("_gap")
+    )
+    return tagged.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        portable_round(F.avg("_gap"), _R).alias("mean_next_gap_s"),
+        F.sum(F.col("_gap").isNull().cast("long")).alias("n_terminal"),
+    )
+
+
+_NEXT_GAP_SQL = """
+WITH g AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           (lead(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+            ) - epoch_us(ts)) / 1e6 AS gap
+    FROM events
+)
+SELECT event_type, day, count(*) AS n_events,
+       round(avg(gap), 4) AS mean_next_gap_s,
+       CAST(sum(CASE WHEN gap IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_terminal
+FROM g GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL = {
+    "event_transitions": _TRANSITIONS_SQL,
+    "type_streaks": _STREAKS_SQL,
+    "depth_hist": _DEPTH_SQL,
+    "next_gap_1d": _NEXT_GAP_SQL,
+}
