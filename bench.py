@@ -86,6 +86,8 @@ HEADLINE = [
     "type_streaks",
     "depth_hist",
     "next_gap_1d",
+    "trend_1d",
+    "ensemble_flags",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

@@ -1014,3 +1014,98 @@ def test_segmented_holt_winters_matches_naive_walk():
 def test_holt_winters_validation(spark):
     with pytest.raises(ValueError, match="m must be"):
         tsa.holt_winters(_series1(spark, [1.0]), "mean_v", m=1)
+
+
+# ------------------------------------------------------------ linear_trend
+def test_linear_trend_exact_line(spark):
+    # y = 1 + 2·x with x = hours since the DAY start (epoch base
+    # 1700000000 is 80000 s into its UTC day; offsets stay inside
+    # it): slope 2/h, intercept 1 (fitted at the bucket start), r² 1
+    # — and a constant conversation gives slope 0, r² 1
+    offs = [0, 600, 1200, 1800]
+    rows = [("a", o, 1.0 + 2.0 * ((80000 + o) / 3600.0)) for o in offs]
+    rows += [("b", o, 5.0) for o in offs]
+    df = _pts(spark, rows)
+    out = {r["conv_id"]: r
+           for r in tsa.linear_trend(df, bucket_seconds=86400).collect()}
+    a = out["a"]
+    assert a["n"] == 4
+    assert a["slope_per_h"] == pytest.approx(2.0)
+    assert a["intercept"] == pytest.approx(1.0)
+    assert a["r2"] == pytest.approx(1.0)
+    b = out["b"]
+    assert b["slope_per_h"] == pytest.approx(0.0)
+    # constant value over varying time: slope 0, r² 1 (both engines)
+    assert b["r2"] == pytest.approx(1.0)
+
+
+def test_linear_trend_degenerate_groups_null(spark):
+    # single sample and zero time-variance groups → NULL slope/r²;
+    # NULL values are dropped before the fit
+    df = _pts(spark, [("one", 0, 7.0),
+                      ("same_t", 10, 1.0), ("same_t", 10, 3.0),
+                      ("nulls", 0, None), ("nulls", 60, 2.0)])
+    out = {r["conv_id"]: r
+           for r in tsa.linear_trend(df, bucket_seconds=86400).collect()}
+    assert out["one"]["n"] == 1 and out["one"]["slope_per_h"] is None
+    assert out["same_t"]["slope_per_h"] is None
+    assert out["same_t"]["r2"] is None
+    assert out["nulls"]["n"] == 1
+
+
+def test_linear_trend_single_exchange(spark):
+    # regr_* are mergeable moment aggregates: the whole plan is one
+    # map-side-combined groupBy — partials merge, nothing sorts
+    df = _pts(spark, [("a", i * 60, float(i)) for i in range(8)])
+    out = tsa.linear_trend(df, bucket_seconds=86400)
+    assert _exchanges(out) == 1, _plan(out)
+    assert "Sort" not in _plan(out)
+
+
+# ------------------------------------------------------------ ensemble
+def test_ensemble_flags_majority_vote(spark):
+    # per-point: votes = z+mad+cusum and flag = (votes >= 2); each
+    # component column equals its standalone detector's output
+    from yahoo_anomaly_detection_spark import caching
+
+    vals = [10.0] * 20 + [10.5] * 5 + [60.0] + [10.0] * 10
+    df = _series1(spark, vals)
+    with caching.scope():
+        out = tsa.ensemble_flags(df, "mean_v").collect()
+        mad = {r["bucket_start"]: r["flag"]
+               for r in tsa.robust_flags(df, "mean_v", k=3.0).collect()}
+        cus = {r["bucket_start"]: r["flag"]
+               for r in tsa.cusum_flags(df, "mean_v").collect()}
+    arr = np.array(vals)
+    mu, sd = arr.mean(), arr.std()
+    z = {r["bucket_start"]: int(abs(r["mean_v"] - mu) > 3.0 * sd)
+         for r in df.collect()}
+    assert len(out) == len(vals)
+    spike_seen = False
+    for r in out:
+        b = r["bucket_start"]
+        assert r["z_flag"] == z[b]
+        assert r["mad_flag"] == mad[b]
+        assert r["cusum_flag"] == cus[b]
+        assert r["votes"] == r["z_flag"] + r["mad_flag"] + r["cusum_flag"]
+        assert r["flag"] == int(r["votes"] >= 2)
+        if r["mean_v"] == 60.0:
+            spike_seen = True
+            # the spike is anomalous by every definition
+            assert r["votes"] >= 2 and r["flag"] == 1
+    assert spike_seen
+    # constant stretches never reach a majority
+    assert all(r["flag"] == 0 for r in out if r["mean_v"] == 10.0)
+
+
+def test_ensemble_flags_single_point_series(spark):
+    # one sample: σ = 0, MAD = 0, CUSUM state 0 → all flags 0
+    from yahoo_anomaly_detection_spark import caching
+
+    with caching.scope():
+        rows = tsa.ensemble_flags(
+            _series1(spark, [42.0]), "mean_v").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["z_flag"], r["mad_flag"], r["cusum_flag"]) == (0, 0, 0)
+    assert r["votes"] == 0 and r["flag"] == 0

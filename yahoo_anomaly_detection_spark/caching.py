@@ -80,7 +80,17 @@ def materialize(df: DataFrame) -> DataFrame:
     The eager count matters for self-joins: both sides of a join on a
     not-yet-computed cached relation race and each recomputes the
     subtree; counting first fills the cache once.
+
+    Idempotent: an already-persisted input (e.g. a composition like
+    ``ensemble_flags`` materializing the series it then hands to
+    ``robust_flags``, which materializes its own input) is NOT
+    re-registered — double registration would let the first releaser
+    unpersist a relation the second registrant still counts on, and
+    Spark warns on the re-persist. The eager fill still runs.
     """
+    if df.is_cached:
+        df.count()
+        return df
     df = df.persist()
     df.count()
     return register(df)

@@ -1242,6 +1242,120 @@ def psi_drift(events: DataFrame,
     )
 
 
+def linear_trend(df: DataFrame, bucket_seconds: int = 86400,
+                 key: str = "conv_id", ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """Per-(series, bucket) OLS linear trend: slope (value per HOUR),
+    intercept (fitted value at the bucket start) and r² of value
+    against time-within-bucket — the trend-detection rollup a
+    capacity planner runs over every metric ("which conversations'
+    latency is RISING, and how fast?"), and the local-trend primitive
+    forecasting layers build on.
+
+    Pure decomposable math: ``regr_slope``/``regr_intercept``/
+    ``regr_r2`` are single-pass mergeable moment aggregates on BOTH
+    engines (Spark RegrSlope ≡ DuckDB/ANSI regr_slope), so the plan
+    is ONE map-side-combined groupBy — partials merge on the
+    reducers, nothing ever sorts and no group concentrates raw rows
+    on one task. Degenerate groups agree engine-for-engine (verified
+    on edge fixtures): zero time-variance or a single sample → NULL
+    slope/intercept/r²; constant value over varying time → slope 0,
+    r² 1. The regressor is hours since the bucket start, keeping
+    slope magnitudes in a range where 4-decimal portable rounding is
+    meaningful (an epoch-seconds regressor would put real signal
+    below the rounding grid).
+
+    Output: (key, bucket_start, n, slope_per_h, intercept, r2).
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    bucket = _bucket_expr(ts_col, bucket_seconds)
+    pts = df.where(F.col(value_col).isNotNull()).select(
+        key,
+        bucket.alias("bucket_start"),
+        ((F.unix_micros(ts)
+          - F.unix_micros(bucket)) / F.lit(3.6e9)).alias("_x"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    x, y = F.col("_x"), F.col("_y")
+    return pts.groupBy(key, "bucket_start").agg(
+        F.count(F.lit(1)).alias("n"),
+        portable_round(F.regr_slope(y, x), _R).alias("slope_per_h"),
+        portable_round(F.regr_intercept(y, x), _R).alias("intercept"),
+        portable_round(F.regr_r2(y, x), _R).alias("r2"),
+    )
+
+
+def ensemble_flags(df: DataFrame, value_col: str,
+                   keys: tuple[str, ...] = ("conv_id",),
+                   order_col: str = "bucket_start",
+                   z_k: float = 3.0, mad_k: float = 3.0,
+                   slack_k: float = 0.5,
+                   threshold_h: float = 5.0) -> DataFrame:
+    """Majority-vote anomaly ensemble: the reference compares a
+    family of detectors side by side over the same series
+    (/root/reference/StatsTesting/ runs ARMA z-score, OCSVM and
+    isolation-forest over identical Yahoo-S5 inputs); this operator
+    ships the composition — run the engine's three statistical
+    detectors over ONE series and flag where at least two agree:
+
+    - z-score envelope |x − μ| > k·σ (the reference's own detector,
+      arma_anm_detc.py:62-65),
+    - robust median/MAD envelope (:func:`robust_flags` — immune to
+      the outliers that inflate μ/σ),
+    - two-sided CUSUM drift chart (:func:`cusum_flags` — catches
+      sustained small shifts the point-wise pair misses).
+
+    Majority voting suppresses each detector's characteristic false
+    positives while keeping points that genuinely deviate by more
+    than one definition. Output: keys + order + value + the three
+    flags + ``votes`` + ``flag`` (votes ≥ 2).
+
+    Scale shape: the input is materialized ONCE through the caching
+    registry (caller releases — the robust_flags contract) and feeds
+    all three detectors; every detector clusters on the same series
+    key, and the final joins are equi-joins on the unique
+    (keys, order) point identity.
+    """
+    from yahoo_anomaly_detection_spark import caching
+
+    key_cols = list(keys)
+    on = key_cols + [order_col]
+    df = caching.materialize(df)
+    v = F.col(value_col).cast("double")
+    w_key = W.partitionBy(*key_cols)
+    z = df.select(
+        *on,
+        F.col(value_col),
+        F.when(
+            F.abs(v - F.avg(v).over(w_key))
+            > F.lit(float(z_k)) * F.stddev_pop(v).over(w_key),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("z_flag"),
+    )
+    m = robust_flags(df, value_col, k=mad_k, keys=keys).select(
+        *on, F.col("flag").alias("mad_flag")
+    )
+    c = cusum_flags(
+        df, value_col, slack_k=slack_k, threshold_h=threshold_h,
+        keys=keys, order_col=order_col,
+    ).select(*on, F.col("flag").alias("cusum_flag"))
+    votes = (
+        F.col("z_flag") + F.col("mad_flag") + F.col("cusum_flag")
+    ).alias("votes")
+    return (
+        z.join(m, on=on).join(c, on=on)
+        .select(
+            *on, F.col(value_col), "z_flag", "mad_flag", "cusum_flag",
+            votes,
+            F.when(
+                F.col("z_flag") + F.col("mad_flag")
+                + F.col("cusum_flag") >= 2,
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("flag"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ oracles
 # Driver events table: (event_id, ts, user_id, event_type, value, props);
 # conv_id := user_id per the engine's series adaptation (ingest.py).
@@ -1829,6 +1943,85 @@ FROM pr WHERE pn IS NOT NULL
 """
 
 
+# regr_slope/regr_intercept/regr_r2 are ANSI aggregates with matching
+# edge semantics on both engines (verified: single sample / zero time
+# variance → NULL; constant value over varying time → slope 0, r² 1),
+# so the oracle is a literal transcription of the same moment math.
+_TREND_SQL = """
+WITH pts AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           date_trunc('day', ts) AS bucket_start,
+           (epoch_us(ts) - epoch_us(date_trunc('day', ts))) / 3.6e9 AS x,
+           CAST(value AS DOUBLE) AS y
+    FROM events WHERE value IS NOT NULL
+)
+SELECT conv_id, bucket_start, count(*) AS n,
+       round(regr_slope(y, x), 4) AS slope_per_h,
+       round(regr_intercept(y, x), 4) AS intercept,
+       round(regr_r2(y, x), 4) AS r2
+FROM pts GROUP BY 1, 2
+"""
+
+# majority vote of the three per-series detectors, each transcribed
+# from its own oracle (_MAD_SQL's median/MAD envelope, _CUSUM_SQL's
+# recursive drift chart, the reference z-score envelope) over the
+# shared 1m mean series; (conv_id, bucket_start) is unique in t1m so
+# the flag joins are key-preserving.
+_ENSEMBLE_SQL = f"""
+WITH RECURSIVE {_T1M_BASE},
+st AS (
+    SELECT conv_id, avg(mean_v) AS mu, stddev_pop(mean_v) AS sigma
+    FROM t1m GROUP BY 1
+),
+med AS (
+    SELECT conv_id, quantile_cont(mean_v, 0.5) AS med FROM t1m GROUP BY 1
+),
+dev AS (
+    SELECT t.conv_id, t.bucket_start, abs(t.mean_v - m.med) AS adev
+    FROM t1m t JOIN med m USING (conv_id)
+),
+mad AS (
+    SELECT conv_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+),
+seq AS (
+    SELECT t.conv_id, t.bucket_start, t.mean_v, s.mu, s.sigma,
+           row_number() OVER (PARTITION BY t.conv_id
+                              ORDER BY t.bucket_start) AS rn
+    FROM t1m t JOIN st s USING (conv_id)
+),
+cu AS (
+    SELECT conv_id, rn, bucket_start, mean_v, mu, sigma,
+           greatest(0, mean_v - mu - 0.5 * sigma) AS s_pos,
+           greatest(0, mu - mean_v - 0.5 * sigma) AS s_neg
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.conv_id, s.rn, s.bucket_start, s.mean_v, s.mu, s.sigma,
+           greatest(0, c.s_pos + (s.mean_v - s.mu - 0.5 * s.sigma)),
+           greatest(0, c.s_neg + (s.mu - s.mean_v - 0.5 * s.sigma))
+    FROM cu c JOIN seq s ON s.conv_id = c.conv_id AND s.rn = c.rn + 1
+),
+flags AS (
+    SELECT q.conv_id, q.bucket_start, q.mean_v,
+           CASE WHEN abs(q.mean_v - q.mu) > 3.0 * q.sigma
+                THEN 1 ELSE 0 END AS z_flag,
+           CASE WHEN d.adev > 3.0 * 1.4826 * a.mad
+                THEN 1 ELSE 0 END AS mad_flag,
+           CASE WHEN c.s_pos > 5.0 * q.sigma OR c.s_neg > 5.0 * q.sigma
+                THEN 1 ELSE 0 END AS cusum_flag
+    FROM seq q
+    JOIN dev d ON d.conv_id = q.conv_id AND d.bucket_start = q.bucket_start
+    JOIN mad a ON a.conv_id = q.conv_id
+    JOIN cu c ON c.conv_id = q.conv_id AND c.bucket_start = q.bucket_start
+)
+SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
+       z_flag, mad_flag, cusum_flag,
+       z_flag + mad_flag + cusum_flag AS votes,
+       CASE WHEN z_flag + mad_flag + cusum_flag >= 2
+            THEN 1 ELSE 0 END AS flag
+FROM flags
+"""
+
+
 XCORR_METRICS = ("click", "error", "purchase", "signup", "view")
 
 ORACLE_SQL = {
@@ -1851,4 +2044,6 @@ ORACLE_SQL = {
     "hist_quantile_1d": _hist_quantile_sql(0.95, HIST_BOUNDARIES),
     "alert_states": _ALERT_SQL,
     "xcorr_1d": _metric_corr_sql(XCORR_METRICS),
+    "trend_1d": _TREND_SQL,
+    "ensemble_flags": _ENSEMBLE_SQL,
 }
