@@ -30,6 +30,7 @@ from yahoo_anomaly_detection_spark.operators import multimodal, sessions
 from yahoo_anomaly_detection_spark.operators import tsanalytics
 from yahoo_anomaly_detection_spark.operators import alerting
 from yahoo_anomaly_detection_spark.operators import journeys
+from yahoo_anomaly_detection_spark.operators import refresh as refresh_op
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
 TRAIN_END = "2024-01-15 00:00:00"
@@ -206,6 +207,42 @@ def q_gapfill_1m(spark, sf_dir):
                  F.col("gap_filled").cast("int").alias("gap_filled")),
         ["mean_v", "mean_v_filled"],
     )
+
+
+def q_absent_1m(spark, sf_dir):
+    # Prometheus-absent() heartbeat monitoring over the gap-fill day:
+    # every 1m bucket between a conversation's first and last sample,
+    # consecutive-miss run counting, absent fires from the 3rd
+    # consecutive empty bucket (pure integer logic, engine-exact)
+    lo, hi = GAPFILL_DAY
+    ev = _series(spark, sf_dir).where(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+    )
+    obs = ev.select(
+        "conv_id", F.date_trunc("minute", F.col("ts")).alias("bucket_start")
+    )
+    return tsanalytics.absent_flags(obs, k=3, tier_seconds=60)
+
+
+def q_realtime_rollup_1h(spark, sf_dir):
+    # TimescaleDB real-time continuous aggregate: materialized 1h
+    # tier below the (bucket-aligned) watermark ∪ on-the-fly rollup
+    # of the raw tail — the oracle is the PLAIN full-scan tier SQL,
+    # so the gate proves splice ≡ full recompute
+    wm = "2024-01-16 00:00:00"
+    ev = _series(spark, sf_dir)
+    tier = rollup.rollup_points(ev.where(F.col("ts") < F.lit(wm)), "1h")
+    return _tier_select(refresh_op.realtime_splice(tier, ev, "1h", wm))
+
+
+def q_incident_coverage_1d(spark, sf_dir):
+    # SLO coverage rollup: merged (disjoint) incident effect windows
+    # exploded to the days they touch, clipped overlap summed per
+    # (conversation, day) — downtime seconds + share of day
+    mi = alerting.merge_intervals(_event_intervals(spark, sf_dir),
+                                  keys=("conv_id",),
+                                  start_col="s", end_col="e")
+    return alerting.interval_coverage(mi, bucket_seconds=86400)
 
 
 def q_topk_buckets(spark, sf_dir):
@@ -1255,6 +1292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    line to rotate into the round-5 window
         "trend_1d": q_trend_1d,
         "ensemble_flags": q_ensemble_flags,
+        "absent_1m": q_absent_1m,
+        "realtime_rollup_1h": q_realtime_rollup_1h,
+        "incident_coverage_1d": q_incident_coverage_1d,
         "rollup_1h": q_rollup_1h,
         # displaced by the round-4 journey layer — all four were
         # driver-green in round 3 and are byte-unchanged since:
@@ -1477,6 +1517,51 @@ st AS (SELECT avg(score) AS mu, stddev_pop(score) AS sigma FROM sc)
 SELECT CASE WHEN score > 3.0 * mu + sigma THEN 1 ELSE 0 END AS pred,
        count(*) AS n
 FROM sc, st GROUP BY 1 ORDER BY 1
+"""
+
+# absent()-style heartbeat oracle over the same gap-fill day window:
+# skeleton via generate_series, gap groups via a cumulative sum of
+# the present indicator (each group starts at its present row, so
+# row_number − 1 is the consecutive-miss count) — pure integer logic
+_ABSENT_SQL = f"""
+WITH ev AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, ts FROM events
+    WHERE ts >= TIMESTAMP '{GAPFILL_DAY[0]}'
+      AND ts < TIMESTAMP '{GAPFILL_DAY[1]}'
+),
+obs AS (
+    SELECT DISTINCT conv_id, date_trunc('minute', ts) AS bucket_start
+    FROM ev
+),
+bounds AS (SELECT conv_id, min(bucket_start) AS b0, max(bucket_start) AS b1
+           FROM obs GROUP BY 1),
+skel AS (SELECT conv_id,
+                unnest(generate_series(b0, b1, INTERVAL 1 MINUTE))
+                    AS bucket_start
+         FROM bounds),
+j AS (
+    SELECT s.conv_id, s.bucket_start,
+           CASE WHEN o.bucket_start IS NOT NULL THEN 1 ELSE 0 END AS present
+    FROM skel s LEFT JOIN obs o
+    ON s.conv_id = o.conv_id AND s.bucket_start = o.bucket_start
+),
+g AS (
+    SELECT conv_id, bucket_start, present,
+           sum(present) OVER (PARTITION BY conv_id ORDER BY bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+    FROM j
+),
+r AS (
+    SELECT conv_id, bucket_start, present,
+           row_number() OVER (PARTITION BY conv_id, grp
+                              ORDER BY bucket_start) - 1 AS miss
+    FROM g
+)
+SELECT conv_id, bucket_start, present,
+       CAST(CASE WHEN present = 1 THEN 0 ELSE miss END AS BIGINT)
+           AS miss_run,
+       CASE WHEN present = 0 AND miss >= 3 THEN 1 ELSE 0 END AS absent
+FROM r
 """
 
 _GAPFILL_SQL = f"""
@@ -1799,6 +1884,10 @@ def oracle_sql() -> dict[str, str]:
         "confusion_metrics": _CONFUSION_SQL,
         "pred_value_counts": _VALUE_COUNTS_SQL,
         "gapfill_1m": _GAPFILL_SQL,
+        "absent_1m": _ABSENT_SQL,
+        # the splice's oracle is deliberately the PLAIN full-scan
+        # tier SQL: the gate proves splice ≡ full recompute
+        "realtime_rollup_1h": _tier_sql("hour", 3600),
         "topk_buckets": _TOPK_SQL,
         "tier_parity_1h": _TIER_PARITY_SQL,
         "split_counts": _SPLIT_SQL,

@@ -88,6 +88,9 @@ HEADLINE = [
     "next_gap_1d",
     "trend_1d",
     "ensemble_flags",
+    "absent_1m",
+    "realtime_rollup_1h",
+    "incident_coverage_1d",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

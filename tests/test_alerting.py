@@ -428,3 +428,60 @@ def test_segmented_cooldown_matches_naive_walk():
         assert (got == want).all()
     assert al.segmented_cooldown(
         np.empty(0, np.int64), np.empty(0, np.int64), 1).size == 0
+
+
+# ------------------------------------------------------- interval_coverage
+# day grid relative to the _iv epoch base: 1700000000 is 80000 s into
+# its UTC day, so the next midnight is base + 6400
+_MID = 6400
+
+
+def test_interval_coverage_clips_at_midnight(spark):
+    # one interval crossing midnight + a second, disjoint one the next
+    # day: per-day clipped seconds and interval counts
+    iv = _iv(spark, [("a", 0, _MID + 3600),
+                     ("a", _MID + 7200, _MID + 7260)])
+    rows = {r["bucket_start"]: r
+            for r in al.interval_coverage(
+                iv, start_col="s", end_col="e").collect()}
+    assert len(rows) == 2
+    day1, day2 = sorted(rows)
+    r1, r2 = rows[day1], rows[day2]
+    assert r1["n_intervals"] == 1
+    assert r1["covered_s"] == pytest.approx(6400.0)
+    assert r1["covered_share"] == pytest.approx(6400.0 / 86400, abs=1e-4)
+    assert r2["n_intervals"] == 2
+    assert r2["covered_s"] == pytest.approx(3660.0)
+    assert r2["covered_share"] == pytest.approx(3660.0 / 86400, abs=1e-4)
+
+
+def test_interval_coverage_full_middle_day(spark):
+    # a span over three days covers the whole middle day (share 1.0)
+    iv = _iv(spark, [("a", -3600, _MID + 86400 + 60)])
+    rows = sorted(al.interval_coverage(
+        iv, start_col="s", end_col="e").collect(),
+        key=lambda r: r["bucket_start"])
+    assert len(rows) == 3
+    assert rows[1]["covered_s"] == pytest.approx(86400.0)
+    assert rows[1]["covered_share"] == pytest.approx(1.0)
+    assert rows[2]["covered_s"] == pytest.approx(60.0)
+
+
+def test_interval_coverage_zero_length_dropped(spark):
+    iv = _iv(spark, [("a", 100, 100)])
+    assert al.interval_coverage(iv, start_col="s", end_col="e").count() == 0
+
+
+def test_interval_coverage_single_exchange(spark):
+    # explode is map-side; the only shuffle is the (key, bucket)
+    # map-side-combined groupBy
+    iv = _iv(spark, [("a", 0, 600), ("b", 0, 86400 * 2)])
+    out = al.interval_coverage(iv, start_col="s", end_col="e")
+    assert _exchanges(out) == 1, _plan(out)
+
+
+def test_interval_coverage_validation(spark):
+    iv = _iv(spark, [("a", 0, 600)])
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        al.interval_coverage(iv, bucket_seconds=0,
+                             start_col="s", end_col="e")

@@ -311,3 +311,47 @@ def test_incremental_latency_carry_in(spark):
            for r in R.incremental_latency(delta, tails).collect()}
     assert got[("c", 19)] == pytest.approx(12.0)
     assert got[("d", 40)] is None  # 100s -> :01:40; global first turn
+
+
+# ----------------------------------------------------- realtime_splice
+def _hour_points(spark, rows):
+    """rows: (conv_id, sec_offset_from_aligned_base, value); the base
+    1699999200 is exactly on the hour grid so watermarks at base + k·3600
+    are 1h-bucket-aligned."""
+    return spark.createDataFrame(
+        [(c, 1699999200 + s, float(v)) for c, s, v in rows],
+        "conv_id string, epoch long, value double",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.col("epoch")).alias("ts"),
+        "value",
+    )
+
+
+def test_realtime_splice_equals_full_recompute(spark):
+    from datetime import datetime, timezone
+
+    rows = [("a", i * 700, float(i)) for i in range(20)]
+    rows += [("b", i * 1100 + 50, 2.0 * i) for i in range(15)]
+    pts = _hour_points(spark, rows)
+    wm = datetime.fromtimestamp(1699999200 + 2 * 3600,
+                                tz=timezone.utc).replace(tzinfo=None)
+    tier = rollup_points(pts.where(F.col("ts") < F.lit(wm)), "1h")
+    got = R.realtime_splice(tier, pts, "1h", wm)
+    assert_tier_equal(got, rollup_points(pts, "1h"), "1h")
+    # string watermarks parse too
+    got2 = R.realtime_splice(tier, pts, "1h", str(wm))
+    assert_tier_equal(got2, rollup_points(pts, "1h"), "1h")
+
+
+def test_realtime_splice_misaligned_watermark_raises(spark):
+    from datetime import datetime, timezone
+
+    pts = _hour_points(spark, [("a", 0, 1.0)])
+    tier = rollup_points(pts, "1h")
+    bad = datetime.fromtimestamp(1699999200 + 1800,
+                                 tz=timezone.utc).replace(tzinfo=None)
+    with pytest.raises(ValueError, match="not aligned"):
+        R.realtime_splice(tier, pts, "1h", bad)
+    with pytest.raises(ValueError, match="unknown tier"):
+        R.realtime_splice(tier, pts, "7m", bad)

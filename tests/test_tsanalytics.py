@@ -1109,3 +1109,32 @@ def test_ensemble_flags_single_point_series(spark):
     r = rows[0]
     assert (r["z_flag"], r["mad_flag"], r["cusum_flag"]) == (0, 0, 0)
     assert r["votes"] == 0 and r["flag"] == 0
+
+
+# ------------------------------------------------------------ absent_flags
+def test_absent_flags_run_counting(spark):
+    # observed minutes 0,1,5,6,10: misses at 2,3,4 (runs 1,2,3) and
+    # 7,8,9 (runs 1,2,3); k=3 fires exactly at the 3rd consecutive
+    # miss of each gap
+    from yahoo_anomaly_detection_spark import caching
+
+    obs = _series1(spark, [1.0] * 11).where(
+        F.minute("bucket_start").isin(
+            *[(1700000000 // 60 + i) % 60 for i in (0, 1, 5, 6, 10)]))
+    with caching.scope():
+        rows = sorted(tsa.absent_flags(obs.select("conv_id",
+                                                  "bucket_start"),
+                                       k=3).collect(),
+                      key=lambda r: r["bucket_start"])
+    assert len(rows) == 11
+    assert [r["present"] for r in rows] == [1, 1, 0, 0, 0, 1, 1, 0, 0, 0, 1]
+    assert [r["miss_run"] for r in rows] == [0, 0, 1, 2, 3, 0, 0, 1, 2, 3, 0]
+    assert [r["absent"] for r in rows] == [0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0]
+
+
+def test_absent_flags_validation(spark):
+    obs = _series1(spark, [1.0])
+    with pytest.raises(ValueError, match="k must be"):
+        tsa.absent_flags(obs, k=0)
+    with pytest.raises(ValueError, match="tier_seconds"):
+        tsa.absent_flags(obs, tier_seconds=90)

@@ -42,7 +42,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
+from yahoo_anomaly_detection_spark.functions.portable import portable_round
 from yahoo_anomaly_detection_spark.operators.tsanalytics import (
+    _R,
     _run_segments,
 )
 
@@ -277,6 +279,67 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
     return joined.drop("_bkt")
 
 
+def interval_coverage(intervals: DataFrame,
+                      bucket_seconds: int = 86400,
+                      keys: tuple[str, ...] = ("conv_id",),
+                      start_col: str = "interval_start",
+                      end_col: str = "interval_end") -> DataFrame:
+    """Per-(key, time bucket) incident coverage: how many seconds of
+    each bucket fall inside the key's half-open incident intervals,
+    and what share of the bucket that is — the uptime/downtime rollup
+    an SLO report is built from ("conversation X was in breach 4.2%
+    of Tuesday").
+
+    Precondition: intervals within a key must be DISJOINT for the
+    share to mean coverage — feed :func:`merge_intervals` output (the
+    natural composition); overlapping inputs double-count by design
+    (each interval's overlap is summed independently).
+
+    Shape: each interval explodes to the coarse buckets it touches
+    (the exact integer bucket math of :func:`interval_join_bucketed`
+    — spans/bucket_seconds rows per interval, driver-loop-free), the
+    in-bucket overlap is clipped with ``least``/``greatest`` on epoch
+    micros, and ONE map-side-combined groupBy on (keys, bucket) sums
+    it. Buckets a key has no incident in produce no row (an SLO
+    report joins this against its calendar skeleton; emitting every
+    empty bucket for every key would be rows ∝ keys × horizon).
+
+    Output: keys + (bucket_start, n_intervals, covered_s,
+    covered_share), covered_* rounded for the oracle gate.
+    """
+    if bucket_seconds < 1:
+        raise ValueError(
+            f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    b_us = F.lit(int(bucket_seconds) * _US)
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    exploded = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.when(
+                e_us > s_us,
+                F.sequence(s_us - F.pmod(s_us, b_us),
+                           (e_us - 1) - F.pmod(e_us - 1, b_us), b_us),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ),
+    )
+    ov_us = (F.least(e_us, F.col("_bkt") + b_us)
+             - F.greatest(s_us, F.col("_bkt")))
+    return (
+        exploded
+        .groupBy(*keys,
+                 F.timestamp_micros(F.col("_bkt")).alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            portable_round(F.sum(ov_us) / F.lit(float(_US)), _R)
+            .alias("covered_s"),
+            portable_round(
+                F.sum(ov_us) / (b_us.cast("double")), _R)
+            .alias("covered_share"),
+        )
+    )
+
+
 def segmented_cooldown(ts_us: np.ndarray, seg_starts: np.ndarray,
                        cooldown_us: int) -> np.ndarray:
     """Vectorized cooldown suppression over many variable-length
@@ -451,6 +514,34 @@ WITH {_EV_INTERVALS.strip()},
 SELECT * FROM mi
 """
 
+# coverage explodes each MERGED (disjoint) interval to the day
+# buckets it touches and clips with least/greatest on epoch micros —
+# the same exact integer bucket math as the engine operator
+_COVERAGE_SQL = f"""
+WITH {_EV_INTERVALS.strip()},
+{_MERGE_CORE.strip()},
+ex AS (
+    SELECT conv_id,
+           epoch_us(interval_start) AS s_us,
+           epoch_us(interval_end) AS e_us,
+           unnest(generate_series(
+               epoch_us(interval_start)
+                   - epoch_us(interval_start) % 86400000000,
+               (epoch_us(interval_end) - 1)
+                   - (epoch_us(interval_end) - 1) % 86400000000,
+               86400000000)) AS bkt
+    FROM mi WHERE interval_end > interval_start
+)
+SELECT conv_id, make_timestamp(bkt) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       round(sum(least(e_us, bkt + 86400000000)
+                 - greatest(s_us, bkt)) / 1e6, 4) AS covered_s,
+       round(sum(least(e_us, bkt + 86400000000)
+                 - greatest(s_us, bkt)) / 86400000000.0, 4)
+           AS covered_share
+FROM ex GROUP BY 1, 2
+"""
+
 _INCIDENT_OVERLAP_SQL = f"""
 WITH {_EV_INTERVALS.strip()},
 {_MERGE_CORE.strip()},
@@ -506,4 +597,5 @@ ORACLE_SQL = {
     # the bucketed scale path computes the SAME relation — one oracle,
     # two physical strategies, both driver-checked
     "incident_overlap_bucketed": _INCIDENT_OVERLAP_SQL,
+    "incident_coverage_1d": _COVERAGE_SQL,
 }

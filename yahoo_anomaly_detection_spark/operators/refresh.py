@@ -151,3 +151,54 @@ def day_predicate(days: list[str], col: str = "day") -> str:
         raise ValueError("no affected days — nothing to replace")
     quoted = ", ".join(f"DATE'{d}'" for d in days)
     return f"{col} IN ({quoted})"
+
+
+def realtime_splice(tier_df: DataFrame, raw_points: DataFrame,
+                    tier: str, watermark, value_col: str = "value",
+                    ts_col: str = "ts") -> DataFrame:
+    """TimescaleDB-style real-time continuous aggregate: the
+    MATERIALIZED tier below the watermark unioned with an on-the-fly
+    rollup of the raw tail at/after it — queries see fresh data
+    without waiting for the next refresh, and the refresh job never
+    races the readers.
+
+    ``watermark`` must be bucket-aligned for ``tier`` (the refresh
+    job's invariant: it materializes whole buckets, so the watermark
+    is always the end of the last complete one). A misaligned
+    watermark would let one bucket straddle the splice — half its
+    rows in the materialized part, half re-aggregated from raw — and
+    the union would silently emit two partial rows for one bucket;
+    this raises instead. Alignment makes the splice EXACT: every
+    bucket's rows land wholly on one side, so the result is
+    row-for-row the full-recompute tier (the driver oracle for
+    ``realtime_rollup_1h`` is the plain full-scan tier SQL — the gate
+    proves splice ≡ recompute, not a transcription of the splice).
+
+    Scale shape: the materialized side is a partition-pruned tier
+    scan (``bucket_start < watermark`` prunes day partitions on the
+    catalog tables); the raw side scans ONLY the tail (``ts >=
+    watermark`` prunes bronze partitions) through one map-side-
+    combined rollup. Nothing shuffles across the splice — the union
+    is a plan-level concat.
+    """
+    from datetime import datetime
+
+    from .rollup import TIER_SECONDS, rollup_points
+
+    if tier not in TIER_SECONDS:
+        raise ValueError(f"unknown tier {tier!r}")
+    wm = (datetime.fromisoformat(watermark)
+          if isinstance(watermark, str) else watermark)
+    epoch = wm.replace(tzinfo=None) - datetime(1970, 1, 1)
+    if (int(epoch.total_seconds() * 1_000_000)
+            % (TIER_SECONDS[tier] * 1_000_000)) != 0:
+        raise ValueError(
+            f"watermark {wm} is not aligned to the {tier} bucket grid — "
+            f"a straddling bucket would be emitted twice, partially")
+    lit_wm = F.lit(wm)
+    materialized = tier_df.where(F.col("bucket_start") < lit_wm)
+    tail = rollup_points(
+        raw_points.where(F.col(ts_col).cast("timestamp") >= lit_wm),
+        tier, value_col=value_col,
+    )
+    return materialized.unionByName(tail)

@@ -1285,6 +1285,67 @@ def linear_trend(df: DataFrame, bucket_seconds: int = 86400,
     )
 
 
+def absent_flags(tier_df: DataFrame, k: int = 3,
+                 tier_seconds: int = 60,
+                 key: str = "conv_id",
+                 bucket_col: str = "bucket_start") -> DataFrame:
+    """Prometheus-``absent()`` heartbeat monitoring: materialize every
+    tier bucket between a series' first and last observation, count
+    each run of consecutive EMPTY buckets, and flag ``absent`` from
+    the k-th consecutive miss onward — the "this service stopped
+    reporting" alert, the one failure mode every threshold detector
+    is structurally blind to (no samples → no rows → no flags).
+
+    Input: observed tier rows (one row per (key, bucket) that has
+    data — e.g. a rollup tier). Output: the full skeleton with
+    ``present`` (0/1), ``miss_run`` (position within the current gap,
+    0 on present rows) and ``absent`` (miss_run ≥ k). Pure integer
+    logic — engine-exact vs the oracle, no float rounding anywhere.
+
+    Shape: skeleton generation is the gap-fill idiom (per-key
+    ``sequence`` + explode — map-side arithmetic, no driver loop);
+    the run accounting is one cumulative-sum window plus one
+    row_number over (key, gap-group), both clustered on the key
+    hash. Each group starts at its present row (the skeleton starts
+    at an observed bucket), so ``row_number − 1`` IS the miss count.
+    """
+    from yahoo_anomaly_detection_spark import caching
+    from yahoo_anomaly_detection_spark.operators.gapfill import (
+        bucket_skeleton,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tier_name = {60: "1m", 3600: "1h", 86400: "1d"}.get(tier_seconds)
+    if tier_name is None:
+        raise ValueError(
+            f"tier_seconds must be one of 60/3600/86400, got {tier_seconds}")
+    # the skeleton bounds and the join both consume obs — materialize
+    # through the registry (caller releases) so the two consumers
+    # can't race a cold persist and each recompute the input subtree
+    obs = caching.materialize(tier_df.select(key, bucket_col).distinct())
+    skel = bucket_skeleton(obs, tier_name, key, bucket_col)
+    j = skel.join(
+        obs.withColumn("_present", F.lit(1)), on=[key, bucket_col],
+        how="left",
+    ).withColumn("_present", F.coalesce(F.col("_present"), F.lit(0)))
+    w_run = W.partitionBy(key).orderBy(bucket_col).rowsBetween(
+        W.unboundedPreceding, 0)
+    grouped = j.withColumn("_grp", F.sum("_present").over(w_run))
+    rn = F.row_number().over(
+        W.partitionBy(key, "_grp").orderBy(bucket_col))
+    miss = (rn - F.lit(1)).cast("long")
+    return grouped.select(
+        key,
+        bucket_col,
+        F.col("_present").cast("int").alias("present"),
+        F.when(F.col("_present") == 1, F.lit(0).cast("long"))
+         .otherwise(miss).alias("miss_run"),
+        F.when((F.col("_present") == 0) & (miss >= F.lit(int(k))),
+               F.lit(1)).otherwise(F.lit(0)).alias("absent"),
+    )
+
+
 def ensemble_flags(df: DataFrame, value_col: str,
                    keys: tuple[str, ...] = ("conv_id",),
                    order_col: str = "bucket_start",
