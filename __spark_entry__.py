@@ -809,6 +809,40 @@ def q_ensemble_flags(spark, sf_dir):
     return _round_cols(out, ["mean_v"])
 
 
+def q_dq_checks_1d(spark, sf_dir):
+    # ingest data-quality audit per (conversation, day) over the
+    # events log + deterministically injected dirt (every
+    # event_id % 41 == 0 row re-appended with a huge ingest id and a
+    # NULL value → duplicate ts, NULL, and an ingest-order regression
+    # at each conv's block transition), so all five checks carry
+    # signal on the clean fixture
+    ev = ingest.load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    dirty = ev.where(F.pmod(F.col("event_id"), F.lit(41)) == 0).select(
+        "conv_id",
+        (F.col("event_id") + F.lit(100000000)).alias("event_id"),
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+    )
+    return tsanalytics.dq_profile(ev.unionByName(dirty),
+                                  bucket_seconds=86400,
+                                  lo=1.0, hi=200.0)
+
+
+def q_burstiness_1d(spark, sf_dir):
+    # inter-arrival burstiness per (conversation, day): mean gap, CV
+    # and the Goh–Barabási B = (σ−μ)/(σ+μ) — the arrival-pattern twin
+    # of the value detectors (retry storms move B before any value
+    # threshold trips)
+    return tsanalytics.burstiness(_series_with_id(spark, sf_dir),
+                                  bucket_seconds=86400,
+                                  order_cols=("event_id",))
+
+
 def q_hist_quantile_1d(spark, sf_dir):
     # Prometheus-style histogram_quantile p95 per (event_type, day):
     # fixed cumulative le-buckets in ONE map-side-combined groupBy —
@@ -1295,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "absent_1m": q_absent_1m,
         "realtime_rollup_1h": q_realtime_rollup_1h,
         "incident_coverage_1d": q_incident_coverage_1d,
+        "dq_checks_1d": q_dq_checks_1d,
+        "burstiness_1d": q_burstiness_1d,
         "rollup_1h": q_rollup_1h,
         # displaced by the round-4 journey layer — all four were
         # driver-green in round 3 and are byte-unchanged since:

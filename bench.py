@@ -91,6 +91,8 @@ HEADLINE = [
     "absent_1m",
     "realtime_rollup_1h",
     "incident_coverage_1d",
+    "dq_checks_1d",
+    "burstiness_1d",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

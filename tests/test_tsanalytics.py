@@ -1138,3 +1138,79 @@ def test_absent_flags_validation(spark):
         tsa.absent_flags(obs, k=0)
     with pytest.raises(ValueError, match="tier_seconds"):
         tsa.absent_flags(obs, tier_seconds=90)
+
+
+# ------------------------------------------------------------ dq_profile
+def test_dq_profile_counts_each_violation(spark):
+    # one NULL, one duplicate ts, one ingest-order regression, one
+    # out-of-range value — all in a single (conv, day) bucket
+    df = _pts(spark, [("a", 0, 5.0), ("a", 10, None), ("a", 10, 7.0),
+                      ("a", 5, 3.0), ("a", 20, 500.0)])
+    r = tsa.dq_profile(df, lo=0.0, hi=100.0).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["n"] == 5
+    assert r["n_null"] == 1
+    assert r["null_share"] == pytest.approx(0.2)
+    assert r["n_dup_ts"] == 1
+    assert r["n_out_of_order"] == 1   # ts 5 arrives after ts 10
+    assert r["n_out_of_range"] == 1   # 500 > 100
+
+
+def test_dq_profile_clean_series_all_zero(spark):
+    df = _pts(spark, [("a", i * 10, float(i)) for i in range(5)])
+    r = tsa.dq_profile(df).collect()[0]
+    assert (r["n_null"], r["n_dup_ts"], r["n_out_of_order"]) == (0, 0, 0)
+    assert "n_out_of_range" not in r.asDict()  # no bounds given
+
+
+def test_dq_profile_validation_and_single_exchange(spark):
+    df = _pts(spark, [("a", i, float(i)) for i in range(10)])
+    with pytest.raises(ValueError, match="together"):
+        tsa.dq_profile(df, lo=0.0)
+    out = tsa.dq_profile(df, lo=0.0, hi=1.0)
+    # both lag windows + the (key, bucket) groupBy cluster on the one
+    # conv_id hash exchange (counter_rate idiom)
+    assert _exchanges(out) == 1, _plan(out)
+
+
+# ------------------------------------------------------------ burstiness
+def test_burstiness_periodic_and_bursty(spark):
+    # periodic 60s heartbeat → cv 0, B = −1; bursty gaps [1,1,1,117]
+    # → B = (σ−μ)/(σ+μ) with population σ
+    rows = [("per", i * 60, 1.0) for i in range(5)]
+    rows += [("bur", s, 1.0) for s in (0, 1, 2, 3, 120)]
+    out = {r["conv_id"]: r
+           for r in tsa.burstiness(
+               _pts(spark, rows), order_cols=("event_id",)).collect()}
+    p = out["per"]
+    assert p["n_gaps"] == 4
+    assert p["mean_gap_s"] == pytest.approx(60.0)
+    assert p["cv"] == pytest.approx(0.0)
+    assert p["burstiness"] == pytest.approx(-1.0)
+    g = np.array([1.0, 1.0, 1.0, 117.0])
+    mu, sd = g.mean(), g.std()
+    b = out["bur"]
+    assert b["mean_gap_s"] == pytest.approx(mu)
+    assert b["cv"] == pytest.approx(sd / mu, abs=1e-4)
+    assert b["burstiness"] == pytest.approx((sd - mu) / (sd + mu), abs=1e-4)
+
+
+def test_burstiness_degenerate_buckets(spark):
+    # single event → zero gaps, NULL stats; coincident timestamps →
+    # μ = 0 → NULL cv and B (guarded identically in the oracle)
+    rows = [("one", 0, 1.0), ("tied", 0, 1.0), ("tied", 0, 2.0)]
+    out = {r["conv_id"]: r
+           for r in tsa.burstiness(
+               _pts(spark, rows), order_cols=("event_id",)).collect()}
+    assert out["one"]["n_gaps"] == 0
+    assert out["one"]["mean_gap_s"] is None
+    t = out["tied"]
+    assert t["n_gaps"] == 1 and t["mean_gap_s"] == 0.0
+    assert t["cv"] is None and t["burstiness"] is None
+
+
+def test_burstiness_single_exchange(spark):
+    df = _pts(spark, [("a", i, 1.0) for i in range(10)])
+    out = tsa.burstiness(df, order_cols=("event_id",))
+    assert _exchanges(out) == 1, _plan(out)

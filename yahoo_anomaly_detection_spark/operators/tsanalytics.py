@@ -1346,6 +1346,117 @@ def absent_flags(tier_df: DataFrame, k: int = 3,
     )
 
 
+def dq_profile(df: DataFrame, bucket_seconds: int = 86400,
+               key: str = "conv_id", ts_col: str = "ts",
+               value_col: str = "value",
+               order_cols: tuple[str, ...] = ("event_id",),
+               lo: float | None = None,
+               hi: float | None = None) -> DataFrame:
+    """Per-(series, bucket) ingest data-quality audit: NULL share,
+    duplicate timestamps, out-of-ingest-order rows, and (optionally)
+    out-of-bounds values — the acceptance gate a 100 TB pipeline runs
+    BEFORE trusting rollups built on the batch (a tier is only as
+    good as the bronze rows feeding it; the refresh job's
+    ``validate_in_order`` fails loudly on one violation, this
+    operator PROFILES them all for triage).
+
+    Checks (each a per-bucket count):
+    - ``n_null``/``null_share`` — rows whose value is NULL;
+    - ``n_dup_ts`` — rows sharing a timestamp with an earlier row of
+      the same series (duplicates are adjacent under (ts, order)
+      ordering, so ``ts == lag(ts)`` counts exactly n − distinct);
+    - ``n_out_of_order`` — rows whose event time regresses vs the
+      previous row in INGEST order (``order_cols``);
+    - ``n_out_of_range`` — non-NULL values outside [lo, hi] (only
+      emitted when a bound is given).
+
+    ONE key exchange: both lag windows partition on the series key
+    (two pipelined sort phases, no second shuffle) and the
+    (key, bucket) groupBy's clustered distribution is satisfied by
+    the same hash partitioning (counter_rate idiom, plan-audited).
+    """
+    if (lo is None) != (hi is None):
+        raise ValueError("lo and hi must be given together")
+    ts = F.col(ts_col).cast("timestamp")
+    v = F.col(value_col).cast("double")
+    w_ingest = W.partitionBy(key).orderBy(*order_cols)
+    w_time = W.partitionBy(key).orderBy(ts_col, *order_cols)
+    flags = df.select(
+        key,
+        _bucket_expr(ts_col, bucket_seconds).alias("bucket_start"),
+        v.isNull().cast("int").alias("_null"),
+        (ts == F.lag(ts).over(w_time)).cast("int").alias("_dup"),
+        (ts < F.lag(ts).over(w_ingest)).cast("int").alias("_ooo"),
+        *([
+            (v.isNotNull()
+             & ((v < F.lit(float(lo))) | (v > F.lit(float(hi)))))
+            .cast("int").alias("_oor"),
+        ] if lo is not None else []),
+    )
+    n = F.count(F.lit(1))
+    aggs = [
+        n.alias("n"),
+        F.sum("_null").cast("long").alias("n_null"),
+        portable_round(F.sum("_null") / n, _R).alias("null_share"),
+        F.coalesce(F.sum("_dup"), F.lit(0)).cast("long").alias("n_dup_ts"),
+        F.coalesce(F.sum("_ooo"), F.lit(0)).cast("long")
+         .alias("n_out_of_order"),
+    ]
+    if lo is not None:
+        aggs.append(F.sum("_oor").cast("long").alias("n_out_of_range"))
+    return flags.groupBy(key, "bucket_start").agg(*aggs)
+
+
+def burstiness(df: DataFrame, bucket_seconds: int = 86400,
+               key: str = "conv_id", ts_col: str = "ts",
+               order_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-(series, bucket) inter-arrival burstiness profile: mean
+    gap, coefficient of variation, and the Goh–Barabási burstiness
+    parameter B = (σ − μ)/(σ + μ) ∈ [−1, 1] (B → −1 periodic
+    heartbeat, 0 Poisson arrivals, → 1 bursty retry storms) — the
+    arrival-pattern twin of the value detectors: an agent loop that
+    suddenly machine-guns tool calls changes B long before any value
+    threshold trips.
+
+    Gaps are seconds since the series' previous event (lag over the
+    key, total order (ts, order_cols)), attributed to the LATER
+    event's bucket; a bucket's first-ever event carries no gap.
+    σ is population std (ddof=0, the engine-wide convention).
+    Degenerate buckets are NULL-guarded identically on both engines:
+    zero gaps → NULL stats; all-equal gaps → cv 0, B −1 when μ > 0,
+    NULL cv and B when μ = 0 (coincident timestamps).
+
+    ONE key exchange: the lag window partitions on the key and the
+    (key, bucket) groupBy reuses its hash partitioning.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    w = W.partitionBy(key).orderBy(ts_col, *order_cols)
+    gaps = df.select(
+        key,
+        _bucket_expr(ts_col, bucket_seconds).alias("bucket_start"),
+        ((F.unix_micros(ts) - F.lag(F.unix_micros(ts)).over(w))
+         / F.lit(1e6)).alias("_gap"),
+    )
+    g = F.col("_gap")
+    agg = gaps.groupBy(key, "bucket_start").agg(
+        F.count(g).alias("n_gaps"),
+        F.avg(g).alias("_mu"),
+        F.stddev_pop(g).alias("_sigma"),
+    )
+    mu, sigma = F.col("_mu"), F.col("_sigma")
+    return agg.select(
+        key,
+        "bucket_start",
+        "n_gaps",
+        portable_round(mu, _R).alias("mean_gap_s"),
+        portable_round(
+            F.when(mu > 0, sigma / mu), _R).alias("cv"),
+        portable_round(
+            F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu)), _R
+        ).alias("burstiness"),
+    )
+
+
 def ensemble_flags(df: DataFrame, value_col: str,
                    keys: tuple[str, ...] = ("conv_id",),
                    order_col: str = "bucket_start",
@@ -2083,6 +2194,65 @@ FROM flags
 """
 
 
+# DQ audit over the events log + deterministically injected dirt
+# (every event_id % 41 == 0 row re-appended with a huge ingest id and
+# a NULL value: a duplicate timestamp, a NULL, and — at each conv's
+# block transition — an ingest-order regression), so all five checks
+# carry signal on the clean fixture; bounds (1, 200) catch the real
+# value tails
+_DQ_SQL = """
+WITH pts AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, ts,
+           CAST(value AS DOUBLE) AS v
+    FROM events
+    UNION ALL
+    SELECT CAST(user_id AS VARCHAR), event_id + 100000000, ts,
+           CAST(NULL AS DOUBLE)
+    FROM events WHERE event_id % 41 = 0
+),
+f AS (
+    SELECT conv_id, date_trunc('day', ts) AS bucket_start,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS isn,
+           CASE WHEN ts = lag(ts) OVER wt THEN 1 ELSE 0 END AS dup,
+           CASE WHEN ts < lag(ts) OVER wi THEN 1 ELSE 0 END AS ooo,
+           CASE WHEN v IS NOT NULL AND (v < 1.0 OR v > 200.0)
+                THEN 1 ELSE 0 END AS oor
+    FROM pts
+    WINDOW wt AS (PARTITION BY conv_id ORDER BY ts, event_id),
+           wi AS (PARTITION BY conv_id ORDER BY event_id)
+)
+SELECT conv_id, bucket_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(isn) AS BIGINT) AS n_null,
+       round(sum(isn) * 1.0 / count(*), 4) AS null_share,
+       CAST(sum(dup) AS BIGINT) AS n_dup_ts,
+       CAST(sum(ooo) AS BIGINT) AS n_out_of_order,
+       CAST(sum(oor) AS BIGINT) AS n_out_of_range
+FROM f GROUP BY 1, 2
+"""
+
+_BURSTINESS_SQL = """
+WITH pts AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, ts FROM events
+),
+g AS (
+    SELECT conv_id, date_trunc('day', ts) AS bucket_start,
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6 AS gap
+    FROM pts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)
+)
+SELECT conv_id, bucket_start,
+       count(gap) AS n_gaps,
+       round(avg(gap), 4) AS mean_gap_s,
+       round(CASE WHEN avg(gap) > 0
+                  THEN stddev_pop(gap) / avg(gap) END, 4) AS cv,
+       round(CASE WHEN stddev_pop(gap) + avg(gap) > 0
+                  THEN (stddev_pop(gap) - avg(gap))
+                       / (stddev_pop(gap) + avg(gap)) END, 4)
+           AS burstiness
+FROM g GROUP BY 1, 2
+"""
+
+
 XCORR_METRICS = ("click", "error", "purchase", "signup", "view")
 
 ORACLE_SQL = {
@@ -2107,4 +2277,6 @@ ORACLE_SQL = {
     "xcorr_1d": _metric_corr_sql(XCORR_METRICS),
     "trend_1d": _TREND_SQL,
     "ensemble_flags": _ENSEMBLE_SQL,
+    "dq_checks_1d": _DQ_SQL,
+    "burstiness_1d": _BURSTINESS_SQL,
 }
