@@ -1058,3 +1058,89 @@ def test_stream_alert_states_match_batch(spark, tmp_path):
     assert streamed[("a", dt.datetime(2024, 1, 1, 0, 3))] == (0, 0, "ok")
     assert streamed[("b", dt.datetime(2024, 1, 1, 0, 2))] == (
         1, 2, "firing")
+
+
+def test_stream_absence_alerts_fire_and_rearm(spark, tmp_path):
+    """Hop 5 (event-time-timeout absence channel): a conversation
+    that stops producing buckets fires ONE alert when the watermark
+    passes its k-th empty bucket, re-arms after it returns, and fires
+    again on the next silence; a steadily-reporting conversation
+    never fires. The alert instant coheres with the batch operator:
+    alert_at == (first absent-flagged bucket of absent_flags) + 60 s."""
+    from yahoo_anomaly_detection_spark import caching
+    from yahoo_anomaly_detection_spark.operators.tsanalytics import (
+        absent_flags,
+    )
+    from yahoo_anomaly_detection_spark.streaming.absence_stream import (
+        start_absence_to_parquet,
+        stream_absence_alerts,
+    )
+
+    feeds = [
+        # batch 1: both report 00:00–00:02 → wm 00:02 after
+        [("a", 0, 1.0), ("a", 1, 1.0), ("a", 2, 1.0),
+         ("b", 0, 1.0), ("b", 1, 1.0), ("b", 2, 1.0)],
+        # batch 2: only b; a's deadline (00:06) still > wm(00:02)
+        [("b", m, 1.0) for m in range(3, 11)],
+        # batch 3: wm now 00:10 > 00:06 → a fires
+        [("b", 11, 1.0)],
+        # batch 4: a returns (re-arms, deadline 00:16)
+        [("a", 12, 1.0)],
+        # batch 5: wm advances to 00:20
+        [("b", 20, 1.0)],
+        # batch 6: wm 00:20 > 00:16 → a fires again
+        [("b", 21, 1.0)],
+    ]
+    src = str(tmp_path / "absrc")
+    out = str(tmp_path / "about")
+    ckpt = str(tmp_path / "abckpt")
+    os.makedirs(src)
+    _mk_tier_rows(spark, feeds[0]).coalesce(1).write.mode(
+        "append").parquet(src)
+    tiers = (
+        spark.readStream.schema(
+            "conv_id string, bucket_start timestamp, mean double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_absence_to_parquet(
+        stream_absence_alerts(tiers, k=3, bucket_seconds=60,
+                              watermark_delay="0 seconds"),
+        out, ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        for feed in feeds[1:]:
+            _mk_tier_rows(spark, feed).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        spark.read.parquet(out).collect(),
+        key=lambda r: (r["conv_id"], r["silent_since"]),
+    )
+    assert [r["conv_id"] for r in rows] == ["a", "a"]
+    assert all(r["missed_buckets"] == 3 for r in rows)
+    a1, a2 = rows
+    assert str(a1["silent_since"]) == "2024-01-01 00:03:00"
+    assert str(a1["alert_at"]) == "2024-01-01 00:06:00"
+    assert str(a2["silent_since"]) == "2024-01-01 00:13:00"
+    assert str(a2["alert_at"]) == "2024-01-01 00:16:00"
+
+    # batch coherence: over a's observed buckets the FIRST bucket
+    # absent_flags flags (k=3) is 00:05 — the streaming alert fires
+    # exactly when that bucket closes (00:06)
+    obs = _mk_tier_rows(
+        spark, [("a", m, 1.0) for m in (0, 1, 2, 12)]
+    ).select("conv_id", "bucket_start")
+    with caching.scope():
+        first_flagged = (
+            absent_flags(obs, k=3)
+            .where(F.col("absent") == 1)
+            .agg(F.min("bucket_start"))
+            .first()[0]
+        )
+    assert str(first_flagged) == "2024-01-01 00:05:00"
