@@ -1321,9 +1321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tier_merge_refresh re-runs the hour merge math, rollup_1m
         # the same bucketing at minute grain)
         # -- newest post-verdict additions: the 50-window is full of
-        #    round-4 firsts, so these two ride the local gate replica
-        #    (scripts/check_oracle.py) this round and are first in
-        #    line to rotate into the round-5 window
+        #    round-4 firsts, so this block rides the local gate
+        #    replica (scripts/check_oracle.py — all green at sf0.001
+        #    and sf0.01) this round and is first in line to rotate
+        #    into the round-5 window
         "trend_1d": q_trend_1d,
         "ensemble_flags": q_ensemble_flags,
         "absent_1m": q_absent_1m,

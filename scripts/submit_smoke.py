@@ -19,7 +19,10 @@ end-to-end, not just in a docstring:
    so a global ts split keeps every conversation's appends in order):
    cycle 1 must report ``mode=initial``, cycle 2 ``mode=incremental``
    with affected days and merged tier rows — the incremental-refresh
-   deploy story, not just its pytest.
+   deploy story, not just its pytest,
+6. runs ``jobs/monitor_job.py`` the same way and asserts the ensemble
+   flagged rows and the tier committed — the observability deploy
+   story.
 
 Usage: python scripts/submit_smoke.py [--convs N]
 Exit code 0 = the cluster packaging story works.
@@ -142,12 +145,38 @@ def main() -> None:
         assert m2["affected_days"] >= 1, m2
         assert m2["stages"]["tier_1m_affected_rows"] > 0, m2
 
+        # monitoring job through the identical packaging path
+        mjob = os.path.join(jobdir, "monitor_job.py")
+        shutil.copy(os.path.join(REPO, "jobs", "monitor_job.py"), mjob)
+        mcmd = [
+            find_spark_submit(),
+            "--master", f"local[{args.cores}]",
+            "--py-files", zpath,
+            mjob,
+            "--input", inp,
+            "--catalog-root", os.path.join(tmp, "warehouse_monitor"),
+            "--shuffle-partitions", "8",
+        ]
+        print("running:", " ".join(mcmd), flush=True)
+        mo = subprocess.run(mcmd, capture_output=True, text=True,
+                            timeout=600, cwd=jobdir, env=env)
+        if mo.returncode != 0:
+            sys.stderr.write(mo.stdout[-4000:] + "\n" + mo.stderr[-4000:])
+            raise SystemExit(
+                f"monitor spark-submit failed rc={mo.returncode}")
+        mm = json.loads([l for l in mo.stdout.splitlines()
+                         if l.startswith("{")][-1])
+        assert mm["stages"]["mon_tier_1m_rows"] > 0, mm
+        assert mm["stages"]["mon_flags_rows"] > 0, mm
+        assert mm["skipped_units"] == 0, mm
+
         print(json.dumps({"submit_smoke": "ok",
                           "n_turns": m["n_turns"],
                           "tiers": {t: m["stages"][f"tier_{t}_rows"]
                                     for t in ("1m", "1h", "1d")},
                           "refresh_modes": [m1["mode"], m2["mode"]],
                           "refresh_affected_days": m2["affected_days"],
+                          "monitor_flags": mm["stages"]["mon_flags_rows"],
                           "wall_sec": m["wall_sec"]}))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
