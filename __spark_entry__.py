@@ -833,6 +833,16 @@ def q_dq_checks_1d(spark, sf_dir):
                                   lo=1.0, hi=200.0)
 
 
+def q_asof_snapshot(spark, sf_dir):
+    # instant query: every conversation's latest 1m sample at the
+    # evaluation time — one map-side-combined max/max_by aggregate
+    # (no window, no corpus sort; engine strategy differs from the
+    # oracle's row_number formulation on purpose)
+    out = tsanalytics.asof_snapshot(
+        _t1m_mean(spark, sf_dir), "2024-01-20 12:00:00", ("mean_v",))
+    return _round_cols(out, ["mean_v"])
+
+
 def q_burstiness_1d(spark, sf_dir):
     # inter-arrival burstiness per (conversation, day): mean gap, CV
     # and the Goh–Barabási B = (σ−μ)/(σ+μ) — the arrival-pattern twin
@@ -1332,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incident_coverage_1d": q_incident_coverage_1d,
         "dq_checks_1d": q_dq_checks_1d,
         "burstiness_1d": q_burstiness_1d,
+        "asof_snapshot": q_asof_snapshot,
         "rollup_1h": q_rollup_1h,
         # displaced by the round-4 journey layer — all four were
         # driver-green in round 3 and are byte-unchanged since:

@@ -93,6 +93,7 @@ HEADLINE = [
     "incident_coverage_1d",
     "dq_checks_1d",
     "burstiness_1d",
+    "asof_snapshot",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

@@ -98,3 +98,21 @@ def test_single_shuffle_plan(spark):
     plan = rollup_points(fresh, "1m")._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 1, plan
+
+
+def test_route_tier_picks_finest_within_budget():
+    from yahoo_anomaly_detection_spark.operators.rollup import route_tier
+
+    assert route_tier(6 * 3600, 500) == "1m"        # 360 points
+    assert route_tier(30 * 86400, 1000) == "1h"     # 720 points
+    assert route_tier(5 * 365 * 86400, 2000) == "1d"
+    # nothing fits → coarsest
+    assert route_tier(10 * 365 * 86400, 10) == "1d"
+    # exact boundary: ceil(span/secs) == budget still fits
+    assert route_tier(500 * 60, 500) == "1m"
+    assert route_tier(500 * 60 + 1, 500) == "1h"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        route_tier(0, 10)
+    with _pt.raises(ValueError):
+        route_tier(60, 0)

@@ -1214,3 +1214,42 @@ def test_burstiness_single_exchange(spark):
     df = _pts(spark, [("a", i, 1.0) for i in range(10)])
     out = tsa.burstiness(df, order_cols=("event_id",))
     assert _exchanges(out) == 1, _plan(out)
+
+
+def test_ensemble_flags_plan_shape(spark):
+    # the shared series is materialized ONCE and fans out to all
+    # three detectors (cache reused on every consumer); the flag
+    # joins are equi-joins on the point identity — never a cartesian
+    from yahoo_anomaly_detection_spark import caching
+
+    df = _series1(spark, [float(i % 7) for i in range(50)])
+    with caching.scope():
+        out = tsa.ensemble_flags(df, "mean_v")
+        out.count()
+        p = _plan(out)
+    assert "CartesianProduct" not in p, p
+    assert p.count("InMemoryTableScan") >= 3, p
+
+
+# ------------------------------------------------------------ asof_snapshot
+def test_asof_snapshot_latest_at_or_before(spark):
+    df = _series1(spark, [1.0, 2.0, 3.0, 4.0], key="a").unionByName(
+        _series1(spark, [9.0], key="late").withColumn(
+            "bucket_start",
+            F.col("bucket_start") + F.expr("INTERVAL 1 HOUR")))
+    # evaluation instant = the second bucket of series a; "late" has
+    # nothing at or before it → no row
+    at = "2023-11-14 22:14:20"  # 1700000060 UTC
+    rows = {r["conv_id"]: r
+            for r in tsa.asof_snapshot(df, at, ("mean_v",)).collect()}
+    assert list(rows) == ["a"]
+    assert rows["a"]["mean_v"] == 2.0
+    assert str(rows["a"]["bucket_start"]) == at
+
+
+def test_asof_snapshot_is_one_aggregate_no_window(spark):
+    df = _series1(spark, [float(i) for i in range(20)])
+    out = tsa.asof_snapshot(df, "2023-11-14 23:00:00", ("mean_v",))
+    p = _plan(out)
+    assert _exchanges(out) == 1, p
+    assert "Window" not in p and "Sort" not in p, p

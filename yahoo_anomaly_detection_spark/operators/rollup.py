@@ -179,3 +179,27 @@ def salted_agg(df: DataFrame, key: str, aggs: list, salt_col: str = "salt",
     sums = [combiner(c) for c in partial.columns
             if c not in (key, salt_col)]
     return partial.groupBy(key).agg(*sums)
+
+
+def route_tier(span_seconds: float, max_points: int,
+               tiers: dict[str, int] = TIER_SECONDS) -> str:
+    """Pick the tier a dashboard range-query should read: the FINEST
+    tier whose point count over the requested span stays within the
+    renderer's budget (ceil(span / tier_seconds) ≤ max_points), else
+    the coarsest available — the TimescaleDB/Grafana continuous-
+    aggregate routing rule. Driver-side pure arithmetic: the decision
+    costs nothing and the chosen tier's scan is then partition-pruned
+    by the range predicate as usual.
+
+    A 6-hour panel at max 500 points routes to 1m (360 ≤ 500); a
+    30-day panel to 1h (720 ≤ 500 fails for 1m's 43,200, passes at
+    1h); a 5-year panel to 1d.
+    """
+    if span_seconds <= 0:
+        raise ValueError(f"span_seconds must be > 0, got {span_seconds}")
+    if max_points < 1:
+        raise ValueError(f"max_points must be >= 1, got {max_points}")
+    for name, secs in sorted(tiers.items(), key=lambda kv: kv[1]):
+        if -(-int(span_seconds) // secs) <= max_points:
+            return name
+    return max(tiers, key=tiers.get)

@@ -1346,6 +1346,35 @@ def absent_flags(tier_df: DataFrame, k: int = 3,
     )
 
 
+def asof_snapshot(df: DataFrame, at, value_cols: tuple[str, ...],
+                  key: str = "conv_id",
+                  bucket_col: str = "bucket_start") -> DataFrame:
+    """Instant query (PromQL's evaluation-time lookup / Grafana's
+    "current value" stat panel): for every series, its LATEST row at
+    or before ``at`` — the query a wall of stat tiles fires on every
+    refresh, so its plan must be an aggregate, not a sort.
+
+    ONE map-side-combined groupBy: ``max(bucket)`` plus one
+    ``max_by(col, bucket)`` per requested column — partials merge on
+    the reducers, no window, no per-series sort, no row_number over
+    the corpus (the naive formulation). The range filter pushes down
+    to the tier scan and prunes partitions. ``bucket_col`` is unique
+    per key in a tier table, so max_by ties cannot occur and the
+    row is deterministic. Series with no data at or before ``at``
+    produce no row (a dashboard shows "no data", not a stale value).
+    """
+    b = F.col(bucket_col)
+    lit_at = F.lit(at)
+    return (
+        df.where(b <= lit_at)
+        .groupBy(key)
+        .agg(
+            F.max(b).alias(bucket_col),
+            *[F.max_by(F.col(c), b).alias(c) for c in value_cols],
+        )
+    )
+
+
 def dq_profile(df: DataFrame, bucket_seconds: int = 86400,
                key: str = "conv_id", ts_col: str = "ts",
                value_col: str = "value",
@@ -2231,6 +2260,21 @@ SELECT conv_id, bucket_start,
 FROM f GROUP BY 1, 2
 """
 
+# instant query at a fixed evaluation time over the 1m mean series;
+# the oracle uses the window formulation (row_number DESC = 1), the
+# engine the aggregate one (max_by) — same relation, two strategies
+_ASOF_SNAPSHOT_SQL = f"""
+WITH {_T1M_BASE},
+r AS (
+    SELECT conv_id, bucket_start, mean_v,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY bucket_start DESC) AS rn
+    FROM t1m WHERE bucket_start <= TIMESTAMP '2024-01-20 12:00:00'
+)
+SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v
+FROM r WHERE rn = 1
+"""
+
 _BURSTINESS_SQL = """
 WITH pts AS (
     SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, ts FROM events
@@ -2279,4 +2323,5 @@ ORACLE_SQL = {
     "ensemble_flags": _ENSEMBLE_SQL,
     "dq_checks_1d": _DQ_SQL,
     "burstiness_1d": _BURSTINESS_SQL,
+    "asof_snapshot": _ASOF_SNAPSHOT_SQL,
 }
