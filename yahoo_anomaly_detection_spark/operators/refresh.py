@@ -189,7 +189,13 @@ def realtime_splice(tier_df: DataFrame, raw_points: DataFrame,
         raise ValueError(f"unknown tier {tier!r}")
     wm = (datetime.fromisoformat(watermark)
           if isinstance(watermark, str) else watermark)
-    epoch = wm.replace(tzinfo=None) - datetime(1970, 1, 1)
+    if wm.tzinfo is not None:
+        # normalize to the engine's UTC wall clock — .replace() alone
+        # would silently DROP a non-UTC offset and shift the splice
+        from datetime import timezone
+
+        wm = wm.astimezone(timezone.utc).replace(tzinfo=None)
+    epoch = wm - datetime(1970, 1, 1)
     if (int(epoch.total_seconds() * 1_000_000)
             % (TIER_SECONDS[tier] * 1_000_000)) != 0:
         raise ValueError(
