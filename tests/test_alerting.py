@@ -485,3 +485,35 @@ def test_interval_coverage_validation(spark):
     with pytest.raises(ValueError, match="bucket_seconds"):
         al.interval_coverage(iv, bucket_seconds=0,
                              start_col="s", end_col="e")
+
+
+def test_interval_coverage_property_vs_per_second_count(spark):
+    # random overlapping second-aligned intervals, merged first (the
+    # documented precondition), 10 s buckets: covered_s per bucket
+    # must equal brute-force per-second membership counting
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows, truth = [], {}
+    for key in ("k0", "k1", "k2"):
+        ivs = []
+        for _ in range(12):
+            s = int(rng.integers(0, 300))
+            e = s + int(rng.integers(0, 60))
+            ivs.append((s, e))
+            rows.append((key, s, e))
+        covered = set()
+        for s, e in ivs:
+            covered.update(range(s, e))
+        for sec in covered:
+            b = (1700000000 + sec) - (1700000000 + sec) % 10
+            truth[(key, b)] = truth.get((key, b), 0) + 1
+    merged = al.merge_intervals(_iv(spark, rows), keys=("conv_id",),
+                                start_col="s", end_col="e")
+    got = {
+        (r["conv_id"], int(r["bucket_start"].timestamp())): r["covered_s"]
+        for r in al.interval_coverage(
+            merged, bucket_seconds=10,
+            start_col="interval_start", end_col="interval_end").collect()
+    }
+    assert got == {k: float(v) for k, v in truth.items()}

@@ -1253,3 +1253,39 @@ def test_asof_snapshot_is_one_aggregate_no_window(spark):
     p = _plan(out)
     assert _exchanges(out) == 1, p
     assert "Window" not in p and "Sort" not in p, p
+
+
+def test_absent_flags_property_vs_python_walk(spark):
+    # random present-bucket subsets per series: skeleton, miss runs
+    # and the k-threshold must match a literal python walk
+    from yahoo_anomaly_detection_spark import caching
+
+    rng = np.random.default_rng(31)
+    rows, expect = [], {}
+    for key in ("p", "q", "r"):
+        n = int(rng.integers(2, 40))
+        present = sorted(rng.choice(n * 2, size=n, replace=False).tolist())
+        for m in present:
+            rows.append((key, 1700000040 + m * 60))
+        k = 3
+        run = 0
+        pset = set(present)
+        for m in range(present[0], present[-1] + 1):
+            if m in pset:
+                run = 0
+                expect[(key, m)] = (1, 0, 0)
+            else:
+                run += 1
+                expect[(key, m)] = (0, run, int(run >= k))
+    df = spark.createDataFrame(
+        rows, "conv_id string, epoch long"
+    ).select("conv_id",
+             F.timestamp_seconds(F.col("epoch")).alias("bucket_start"))
+    with caching.scope():
+        got = {
+            (r["conv_id"],
+             (int(r["bucket_start"].timestamp()) - 1700000040) // 60):
+            (r["present"], r["miss_run"], r["absent"])
+            for r in tsa.absent_flags(df, k=3).collect()
+        }
+    assert got == expect
