@@ -29,7 +29,7 @@ from yahoo_anomaly_detection_spark.operators import dedup, similarity, textstats
 from yahoo_anomaly_detection_spark.operators import multimodal, sessions
 from yahoo_anomaly_detection_spark.operators import tsanalytics
 from yahoo_anomaly_detection_spark.operators import alerting
-from yahoo_anomaly_detection_spark.operators import journeys
+from yahoo_anomaly_detection_spark.operators import enrich, journeys
 from yahoo_anomaly_detection_spark.operators import refresh as refresh_op
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
@@ -843,6 +843,29 @@ def q_asof_snapshot(spark, sf_dir):
     return _round_cols(out, ["mean_v"])
 
 
+def q_segment_rollup_1d(spark, sf_dir):
+    # star/snowflake metrics slice: events broadcast-enriched with
+    # customer segment and nation name (facts NEVER shuffle for the
+    # dims — two BroadcastHashJoins, plan-audited), then one
+    # map-side-combined (segment, nation, day) rollup
+    ev = ingest.load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"))
+    enriched = enrich.broadcast_enrich(ev, [
+        (ingest.load_table(spark, sf_dir, "customer"),
+         "user_id", "c_custkey", ("c_mktsegment", "c_nationkey")),
+        (ingest.load_table(spark, sf_dir, "nation"),
+         "c_nationkey", "n_nationkey", ("n_name",)),
+    ])
+    return enriched.groupBy(
+        "c_mktsegment", "n_name",
+        F.date_trunc("day", F.col("ts")).alias("bucket_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        portable_round(F.avg("value"), _R).alias("mean_v"),
+    )
+
+
 def q_burstiness_1d(spark, sf_dir):
     # inter-arrival burstiness per (conversation, day): mean gap, CV
     # and the Goh–Barabási B = (σ−μ)/(σ+μ) — the arrival-pattern twin
@@ -1343,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks_1d": q_dq_checks_1d,
         "burstiness_1d": q_burstiness_1d,
         "asof_snapshot": q_asof_snapshot,
+        "segment_rollup_1d": q_segment_rollup_1d,
         "rollup_1h": q_rollup_1h,
         # displaced by the round-4 journey layer — all four were
         # driver-green in round 3 and are byte-unchanged since:
@@ -1565,6 +1589,17 @@ st AS (SELECT avg(score) AS mu, stddev_pop(score) AS sigma FROM sc)
 SELECT CASE WHEN score > 3.0 * mu + sigma THEN 1 ELSE 0 END AS pred,
        count(*) AS n
 FROM sc, st GROUP BY 1 ORDER BY 1
+"""
+
+_SEGMENT_ROLLUP_SQL = """
+SELECT c.c_mktsegment, n.n_name,
+       date_trunc('day', e.ts) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(e.value), 4) AS mean_v
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2, 3
 """
 
 # absent()-style heartbeat oracle over the same gap-fill day window:
@@ -1933,6 +1968,7 @@ def oracle_sql() -> dict[str, str]:
         "pred_value_counts": _VALUE_COUNTS_SQL,
         "gapfill_1m": _GAPFILL_SQL,
         "absent_1m": _ABSENT_SQL,
+        "segment_rollup_1d": _SEGMENT_ROLLUP_SQL,
         # the splice's oracle is deliberately the PLAIN full-scan
         # tier SQL: the gate proves splice ≡ full recompute
         "realtime_rollup_1h": _tier_sql("hour", 3600),

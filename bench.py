@@ -94,6 +94,7 @@ HEADLINE = [
     "dq_checks_1d",
     "burstiness_1d",
     "asof_snapshot",
+    "segment_rollup_1d",
     "stratified_sample",
     "topk_per_band",
     "curated_corpus",

@@ -320,3 +320,54 @@ def test_incremental_latency_semi_prunes_tails(spark, points):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # the stateful hop itself stays one conv_id-keyed window exchange
     assert "Exchange hashpartitioning(conv_id" in plan, plan
+
+
+def test_broadcast_enrich_facts_never_shuffle(spark):
+    """Snowflake enrichment (facts→dim1→dim2) + rollup: every dim
+    join is a BroadcastHashJoin (never sort-merge — a SMJ would
+    shuffle the fact table per dimension) and the ONLY exchange is
+    the final map-side-combined groupBy."""
+    from yahoo_anomaly_detection_spark.operators.enrich import (
+        broadcast_enrich,
+    )
+
+    facts = spark.createDataFrame(
+        [(i % 5, 1700000000 + i, float(i)) for i in range(100)],
+        "user_id long, epoch long, value double",
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"), "value")
+    d1 = spark.createDataFrame(
+        [(i, f"seg{i % 2}", i % 3) for i in range(5)],
+        "c_custkey long, c_mktsegment string, c_nationkey int",
+    )
+    d2 = spark.createDataFrame(
+        [(i, f"nation{i}") for i in range(3)],
+        "n_nationkey int, n_name string",
+    )
+    out = broadcast_enrich(facts, [
+        (d1, "user_id", "c_custkey", ("c_mktsegment", "c_nationkey")),
+        (d2, "c_nationkey", "n_nationkey", ("n_name",)),
+    ]).groupBy("c_mktsegment", "n_name").agg(F.count(F.lit(1)).alias("n"))
+    p = _plan(out)
+    assert p.count("BroadcastHashJoin") == 2, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert _exchanges(out) == 1, p
+
+
+def test_broadcast_enrich_left_keeps_orphans(spark):
+    from yahoo_anomaly_detection_spark.operators.enrich import (
+        broadcast_enrich,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, 10.0), (99, 20.0)], "user_id long, value double")
+    dim = spark.createDataFrame(
+        [(1, "A")], "c_custkey long, seg string")
+    inner = broadcast_enrich(
+        facts, [(dim, "user_id", "c_custkey", ("seg",))]).collect()
+    assert [r["user_id"] for r in inner] == [1]
+    left = broadcast_enrich(
+        facts, [(dim, "user_id", "c_custkey", ("seg",))], how="left")
+    rows = {r["user_id"]: r["seg"] for r in left.collect()}
+    assert rows == {1: "A", 99: None}
+    with pytest.raises(ValueError, match="how must be"):
+        broadcast_enrich(facts, [], how="outer")
