@@ -1406,6 +1406,8 @@ def dq_profile(df: DataFrame, bucket_seconds: int = 86400,
     """
     if (lo is None) != (hi is None):
         raise ValueError("lo and hi must be given together")
+    if lo is not None and lo > hi:
+        raise ValueError(f"lo must be <= hi, got ({lo}, {hi})")
     ts = F.col(ts_col).cast("timestamp")
     v = F.col(value_col).cast("double")
     w_ingest = W.partitionBy(key).orderBy(*order_cols)
