@@ -33,6 +33,7 @@ from yahoo_anomaly_detection_spark.session import get_spark  # noqa: E402
 from yahoo_anomaly_detection_spark.sources.catalog import ParquetCatalog  # noqa: E402
 from yahoo_anomaly_detection_spark.operators.checkpoint import (  # noqa: E402
     CheckpointedRun,
+    StageRunner,
 )
 
 
@@ -58,7 +59,6 @@ def main(argv: list[str] | None = None) -> dict:
 
     from pyspark.sql import functions as F
 
-    from yahoo_anomaly_detection_spark import caching
     from yahoo_anomaly_detection_spark.operators import dedup, textstats
 
     spark = get_spark("curation-job",
@@ -93,40 +93,10 @@ def main(argv: list[str] | None = None) -> dict:
     metrics: dict = {"run_id": args.run_id, "stages": {}}
     t_all = time.time()
     docs = spark.read.parquet(args.input)
-
-    def stage_read(name):
-        """This run's committed output — pinned to the snapshot the
-        run recorded, NOT the table's latest (another run-id sharing
-        the warehouse may have overwritten it under different
-        parameters; an expired or missing pin raises loudly)."""
-        snap = run.output_snapshot(name)
-        if snap is None:
-            # a done-marked unit with no recorded snapshot (checkpoint
-            # row predates snapshot pinning): reading "latest" here
-            # would silently mix in another run's overwrites
-            raise RuntimeError(
-                f"stage {name!r} is checkpointed for run-id "
-                f"{args.run_id!r} but recorded no output snapshot — "
-                "resume isolation cannot be guaranteed; re-run with a "
-                "fresh --run-id"
-            )
-        return catalog.read(spark, name, snap)
-
-    def stage(name, build):
-        t0 = time.time()
-
-        def unit():
-            df = build()
-            snap = catalog.overwrite_table(df, name)
-            out = catalog.read(spark, name, snap)
-            metrics["stages"][f"{name}_rows"] = out.count()
-            caching.release_all()
-            return out, snap
-
-        executed = run.unit(name, "all", unit)
-        if not executed:
-            metrics["stages"][f"{name}_rows"] = stage_read(name).count()
-        metrics["stages"][name] = round(time.time() - t0, 2)
+    # shared stage scaffold (snapshot-pinned resume isolation) lives
+    # in operators/checkpoint.py — same contract as monitor_job
+    runner = StageRunner(run, metrics)
+    stage, stage_read = runner.stage, runner.read
 
     try:
         # per-row text-equality invariant column (BASELINE input_hint)

@@ -35,6 +35,7 @@ from yahoo_anomaly_detection_spark.session import get_spark  # noqa: E402
 from yahoo_anomaly_detection_spark.sources.catalog import ParquetCatalog  # noqa: E402
 from yahoo_anomaly_detection_spark.operators.checkpoint import (  # noqa: E402
     CheckpointedRun,
+    StageRunner,
 )
 
 
@@ -61,7 +62,6 @@ def main(argv: list[str] | None = None) -> dict:
 
     from pyspark.sql import functions as F
 
-    from yahoo_anomaly_detection_spark import caching
     from yahoo_anomaly_detection_spark.operators import alerting, tsanalytics
     from yahoo_anomaly_detection_spark.operators.rollup import (
         rollup_points, transcripts_latency,
@@ -76,33 +76,8 @@ def main(argv: list[str] | None = None) -> dict:
     metrics: dict = {"run_id": args.run_id, "stages": {}}
     t_all = time.time()
     bronze = bronze_transcripts(spark.read.parquet(args.input))
-
-    def stage_read(name):
-        snap = run.output_snapshot(name)
-        if snap is None:
-            raise RuntimeError(
-                f"stage {name!r} is checkpointed for run-id "
-                f"{args.run_id!r} but recorded no output snapshot — "
-                "resume isolation cannot be guaranteed; re-run with a "
-                "fresh --run-id"
-            )
-        return catalog.read(spark, name, snap)
-
-    def stage(name, build):
-        t0 = time.time()
-
-        def unit():
-            df = build()
-            snap = catalog.overwrite_table(df, name)
-            out = catalog.read(spark, name, snap)
-            metrics["stages"][f"{name}_rows"] = out.count()
-            caching.release_all()
-            return out, snap
-
-        executed = run.unit(name, "all", unit)
-        if not executed:
-            metrics["stages"][f"{name}_rows"] = stage_read(name).count()
-        metrics["stages"][name] = round(time.time() - t0, 2)
+    runner = StageRunner(run, metrics)
+    stage, stage_read = runner.stage, runner.read
 
     pad_us = int(args.pad_seconds) * 1_000_000
 

@@ -1079,9 +1079,12 @@ def test_stream_absence_alerts_fire_and_rearm(spark, tmp_path):
     feeds = [
         # batch 1: both report 00:00–00:02 → wm 00:02 after
         [("a", 0, 1.0), ("a", 1, 1.0), ("a", 2, 1.0),
-         ("b", 0, 1.0), ("b", 1, 1.0), ("b", 2, 1.0)],
-        # batch 2: only b; a's deadline (00:06) still > wm(00:02)
-        [("b", m, 1.0) for m in range(3, 11)],
+         ("b", 0, 1.0), ("b", 1, 1.0), ("b", 2, 1.0),
+         ("c", 0, 1.0)],
+        # batch 2: only b; a's deadline (00:06) still > wm(00:02).
+        # c recovers at 00:10 after a 9-bucket silence the watermark
+        # never reached — the retroactive channel must catch it
+        [("b", m, 1.0) for m in range(3, 11)] + [("c", 10, 1.0)],
         # batch 3: wm now 00:10 > 00:06 → a fires
         [("b", 11, 1.0)],
         # batch 4: a returns (re-arms, deadline 00:16)
@@ -1122,13 +1125,22 @@ def test_stream_absence_alerts_fire_and_rearm(spark, tmp_path):
         spark.read.parquet(out).collect(),
         key=lambda r: (r["conv_id"], r["silent_since"]),
     )
-    assert [r["conv_id"] for r in rows] == ["a", "a"]
-    assert all(r["missed_buckets"] == 3 for r in rows)
-    a1, a2 = rows
-    assert str(a1["silent_since"]) == "2024-01-01 00:03:00"
-    assert str(a1["alert_at"]) == "2024-01-01 00:06:00"
-    assert str(a2["silent_since"]) == "2024-01-01 00:13:00"
-    assert str(a2["alert_at"]) == "2024-01-01 00:16:00"
+    got = [(r["conv_id"], str(r["silent_since"]), str(r["alert_at"]),
+            r["missed_buckets"]) for r in rows]
+    assert got == [
+        # a: open silence fired by timeout (k reported), then re-arm
+        # after recovery and a second timeout fire
+        ("a", "2024-01-01 00:03:00", "2024-01-01 00:06:00", 3),
+        ("a", "2024-01-01 00:13:00", "2024-01-01 00:16:00", 3),
+        # b: 8-bucket silence CLOSED by its own 00:20 recovery before
+        # the watermark reached 00:15 — retroactive channel, actual
+        # count reported
+        ("b", "2024-01-01 00:12:00", "2024-01-01 00:15:00", 8),
+        # c: 9-bucket silence closed by the 00:10 recovery
+        # (retroactive), then never reports again (timeout, k)
+        ("c", "2024-01-01 00:01:00", "2024-01-01 00:04:00", 9),
+        ("c", "2024-01-01 00:11:00", "2024-01-01 00:14:00", 3),
+    ]
 
     # batch coherence: over a's observed buckets the FIRST bucket
     # absent_flags flags (k=3) is 00:05 — the streaming alert fires

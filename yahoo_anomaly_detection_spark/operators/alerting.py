@@ -221,6 +221,28 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
     return points.join(F.broadcast(intervals), cond, "inner")
 
 
+def _explode_to_buckets(intervals: DataFrame, start_col: str,
+                        end_col: str, b_us):
+    """Shared exact integer bucket math for half-open intervals: adds
+    ``_bkt`` (bucket-start epoch µs) with one row per ``b_us`` bucket
+    the interval touches. The last touched bucket holds ``end − 1µs``
+    (half-open); empty or inverted intervals explode to nothing. Used
+    by both :func:`interval_join_bucketed` and
+    :func:`interval_coverage` so the boundary rules cannot diverge."""
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    return intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.when(
+                e_us > s_us,
+                F.sequence(s_us - F.pmod(s_us, b_us),
+                           (e_us - 1) - F.pmod(e_us - 1, b_us), b_us),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ),
+    )
+
+
 def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
                            ts_col: str = "ts",
                            start_col: str = "interval_start",
@@ -248,27 +270,12 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
         raise ValueError(
             f"bucket_seconds must be >= 1, got {bucket_seconds}")
     b_us = F.lit(int(bucket_seconds) * _US)
-
-    def _bucket_of(us):
-        # exact integer bucket start (no double division at epoch-
-        # micros magnitudes): us − us mod B
-        return us - F.pmod(us, b_us)
-
-    s_us = F.unix_micros(intervals[start_col].cast("timestamp"))
-    e_us = F.unix_micros(intervals[end_col].cast("timestamp"))
-    # half-open end: the last touched bucket holds end − 1µs; empty
-    # or inverted intervals produce an empty sequence → dropped
-    iv = intervals.withColumn(
-        "_bkt",
-        F.explode(
-            F.when(
-                e_us > s_us,
-                F.sequence(_bucket_of(s_us), _bucket_of(e_us - 1), b_us),
-            ).otherwise(F.array().cast("array<bigint>"))
-        ),
-    )
+    iv = _explode_to_buckets(intervals, start_col, end_col, b_us)
     ts = points[ts_col].cast("timestamp")
-    pts = points.withColumn("_bkt", _bucket_of(F.unix_micros(ts)))
+    pts_us = F.unix_micros(ts)
+    # exact integer bucket start (no double division at epoch-micros
+    # magnitudes): us − us mod B
+    pts = points.withColumn("_bkt", pts_us - F.pmod(pts_us, b_us))
     # frame-qualified refs: the two sides may share column names
     # beyond _bkt (e.g. both carry a ts), and the broadcast path
     # tolerates that — the residual must not become ambiguous
@@ -313,16 +320,7 @@ def interval_coverage(intervals: DataFrame,
     b_us = F.lit(int(bucket_seconds) * _US)
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
-    exploded = intervals.withColumn(
-        "_bkt",
-        F.explode(
-            F.when(
-                e_us > s_us,
-                F.sequence(s_us - F.pmod(s_us, b_us),
-                           (e_us - 1) - F.pmod(e_us - 1, b_us), b_us),
-            ).otherwise(F.array().cast("array<bigint>"))
-        ),
-    )
+    exploded = _explode_to_buckets(intervals, start_col, end_col, b_us)
     ov_us = (F.least(e_us, F.col("_bkt") + b_us)
              - F.greatest(s_us, F.col("_bkt")))
     return (

@@ -145,3 +145,60 @@ class CheckpointedRun:
         self._done[(stage, partition_key)] = out_snap
         self.executed.append((stage, partition_key))
         return True
+
+
+class StageRunner:
+    """Shared whole-table stage scaffold for the multi-stage jobs
+    (curation / monitor): each stage commits its output through the
+    catalog as ONE checkpointed unit, records row counts + wall
+    seconds into a metrics dict, releases registry caches after the
+    action, and on resume reads back the snapshot THIS run pinned —
+    never the table's latest, which another run-id sharing the
+    warehouse may have overwritten under different parameters.
+
+    Extracted so the resume-isolation rules live in exactly one
+    place; jobs that need per-partition units (rollup/refresh) keep
+    calling :class:`CheckpointedRun` directly.
+    """
+
+    def __init__(self, run: CheckpointedRun, metrics: dict):
+        self.run = run
+        self.catalog = run.catalog
+        self.spark = run.spark
+        self.metrics = metrics
+
+    def read(self, name: str) -> DataFrame:
+        """This run's committed output, pinned to its recorded
+        snapshot (an expired or missing pin raises loudly)."""
+        snap = self.run.output_snapshot(name)
+        if snap is None:
+            # a done-marked unit with no recorded snapshot (checkpoint
+            # row predates snapshot pinning): reading "latest" here
+            # would silently mix in another run's overwrites
+            raise RuntimeError(
+                f"stage {name!r} is checkpointed for run-id "
+                f"{self.run.run_id!r} but recorded no output snapshot "
+                "— resume isolation cannot be guaranteed; re-run with "
+                "a fresh --run-id"
+            )
+        return self.catalog.read(self.spark, name, snap)
+
+    def stage(self, name: str, build: Callable[[], DataFrame]) -> None:
+        import time
+
+        from yahoo_anomaly_detection_spark import caching
+
+        t0 = time.time()
+
+        def unit():
+            df = build()
+            snap = self.catalog.overwrite_table(df, name)
+            out = self.catalog.read(self.spark, name, snap)
+            self.metrics["stages"][f"{name}_rows"] = out.count()
+            caching.release_all()
+            return out, snap
+
+        executed = self.run.unit(name, "all", unit)
+        if not executed:
+            self.metrics["stages"][f"{name}_rows"] = self.read(name).count()
+        self.metrics["stages"][name] = round(time.time() - t0, 2)

@@ -195,13 +195,17 @@ def realtime_splice(tier_df: DataFrame, raw_points: DataFrame,
         from datetime import timezone
 
         wm = wm.astimezone(timezone.utc).replace(tzinfo=None)
-    epoch = wm - datetime(1970, 1, 1)
-    if (int(epoch.total_seconds() * 1_000_000)
-            % (TIER_SECONDS[tier] * 1_000_000)) != 0:
+    epoch_us = int((wm - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    if epoch_us % (TIER_SECONDS[tier] * 1_000_000) != 0:
         raise ValueError(
             f"watermark {wm} is not aligned to the {tier} bucket grid — "
             f"a straddling bucket would be emitted twice, partially")
-    lit_wm = F.lit(wm)
+    # the literal is built from the SAME epoch micros the alignment
+    # check validated — F.lit(naive datetime) would round-trip through
+    # the DRIVER OS timezone (py4j DatetimeConverter uses time.mktime),
+    # silently shifting the splice on any non-UTC host while the
+    # UTC-based check above still passed
+    lit_wm = F.timestamp_micros(F.lit(epoch_us))
     materialized = tier_df.where(F.col("bucket_start") < lit_wm)
     tail = rollup_points(
         raw_points.where(F.col(ts_col).cast("timestamp") >= lit_wm),

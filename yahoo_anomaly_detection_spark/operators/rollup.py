@@ -195,11 +195,15 @@ def route_tier(span_seconds: float, max_points: int,
     30-day panel to 1h (720 ≤ 500 fails for 1m's 43,200, passes at
     1h); a 5-year panel to 1d.
     """
+    import math
+
     if span_seconds <= 0:
         raise ValueError(f"span_seconds must be > 0, got {span_seconds}")
     if max_points < 1:
         raise ValueError(f"max_points must be >= 1, got {max_points}")
     for name, secs in sorted(tiers.items(), key=lambda kv: kv[1]):
-        if -(-int(span_seconds) // secs) <= max_points:
+        # ceil on the UN-truncated span: int()-first would shave a
+        # fractional second and admit one point over the budget
+        if math.ceil(span_seconds / secs) <= max_points:
             return name
     return max(tiers, key=tiers.get)

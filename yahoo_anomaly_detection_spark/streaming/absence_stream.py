@@ -8,17 +8,31 @@ the one alert a data-driven operator cannot express: every other hop
 computes over rows that arrived; this one fires precisely BECAUSE no
 row arrived — only an event-time timeout can see that.
 
-Mechanism: per-conversation state holds one long (the last observed
-bucket start, µs). On data the state re-arms an EVENT-TIME timeout at
-``last + (k+1)·bucket`` — the instant the k-th consecutive empty
-bucket completes (matching batch semantics: ``absent_flags`` flags
-the k-th missing bucket; this alert fires when exactly that bucket
-closes). When the query's watermark passes the timeout with no new
-data, Spark invokes the state handler with ``hasTimedOut`` and the
-alert row is emitted: (conv_id, silent_since = last + bucket,
-alert_at = the timeout instant, missed_buckets = k). The state is
-then REMOVED: one alert per silence, and a conversation that returns
-re-arms from scratch (the next silence alerts again).
+Mechanism — two complementary channels, one alert per silence:
+
+- **Open silences (timeout channel).** Per-conversation state holds
+  one long (the last observed bucket start, µs). On data the state
+  re-arms an EVENT-TIME timeout at ``last + (k+1)·bucket`` — the
+  instant the k-th consecutive empty bucket completes (matching
+  batch semantics: ``absent_flags`` flags the k-th missing bucket;
+  this alert fires when exactly that bucket closes). When the
+  query's watermark passes the timeout with no new data, the alert
+  row is emitted with ``missed_buckets = k`` (the outage is still
+  open) and the state is REMOVED — a conversation that returns
+  re-arms from scratch, so the next silence alerts again.
+- **Closed silences (retroactive channel).** A gap of ≥ k full
+  buckets that ENDS with a recovery before the watermark reaches the
+  deadline would cancel its own timer (the watermark only chases
+  event time), so the data path also diffs the consecutive observed
+  buckets — the carried state followed by this batch's sorted unique
+  buckets — and emits one alert per interior gap of ≥ k missing
+  buckets, with ``missed_buckets`` = the ACTUAL count (the outage is
+  known complete). Spark never runs the timeout path for a group
+  with data in the batch, so the channels cannot double-fire.
+
+Alert rows: (conv_id, silent_since = last + bucket, alert_at =
+last + (k+1)·bucket — the instant the alert would have fired,
+missed_buckets as above).
 
 Late-data interaction: the timeout is clamped to just above the
 current watermark when a conversation's data arrives so late that
@@ -74,6 +88,8 @@ def stream_absence_alerts(tiers: DataFrame, k: int = 3,
     kk = int(k)
 
     def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
         if state.hasTimedOut:
             last_us = int(state.get[0])
             state.remove()
@@ -88,25 +104,54 @@ def stream_absence_alerts(tiers: DataFrame, k: int = 3,
                 }
             )
             return
-        mx = 0
+        chunks = []
         for pdf in pdfs:
             if len(pdf):
-                col = pdf["bucket_start"]
-                mx = max(mx, int(col.max().value) // 1000)
-        if mx == 0:
+                chunks.append(
+                    pdf["bucket_start"].to_numpy("datetime64[us]")
+                    .astype(np.int64)
+                )
+        if not chunks:
             return
+        us = np.unique(np.concatenate(chunks))
         if state.exists:
-            mx = max(mx, int(state.get[0]))
-        state.update((mx,))
-        deadline_ms = (mx + (kk + 1) * b_us) // 1000
+            last = int(state.get[0])
+            us = us[us > last]
+            seq = np.concatenate(([np.int64(last)], us))
+        else:
+            seq = us
+        state.update((int(seq[-1]),))
+        deadline_ms = (int(seq[-1]) + (kk + 1) * b_us) // 1000
         # event-time timeouts must sit strictly past the current
         # watermark; a conversation arriving later than its own
         # silence deadline clamps to "next batch" (alert_at keeps the
         # true event-time deadline — computed from state, not this)
         wm_ms = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
-        return
-        yield  # pragma: no cover — generator form required by Spark
+        # CLOSED silences: a gap of >= k full buckets that ended with
+        # a recovery IN this data (or since the carried state) would
+        # never reach its timeout — the watermark only chases event
+        # time, so a quick recovery cancels the timer before it fires.
+        # Detect every such interior gap retroactively from the
+        # consecutive diffs; these report the ACTUAL missed count
+        # (the outage is known complete), while timeout alerts report
+        # k (the outage is still open when they fire).
+        if len(seq) > 1:
+            d = np.diff(seq)
+            missed = d // b_us - 1
+            idx = np.nonzero(missed >= kk)[0]
+            if len(idx):
+                starts = seq[idx]
+                yield pd.DataFrame(
+                    {
+                        "conv_id": key[0],
+                        "silent_since": pd.to_datetime(starts + b_us,
+                                                       unit="us"),
+                        "alert_at": pd.to_datetime(
+                            starts + (kk + 1) * b_us, unit="us"),
+                        "missed_buckets": missed[idx].astype("int32"),
+                    }
+                )
 
     return (
         tiers.select("conv_id", "bucket_start")
