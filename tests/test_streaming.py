@@ -1156,3 +1156,46 @@ def test_stream_absence_alerts_fire_and_rearm(spark, tmp_path):
             .first()[0]
         )
     assert str(first_flagged) == "2024-01-01 00:05:00"
+
+
+def test_stream_absence_single_batch_interior_gaps(spark, tmp_path):
+    """Two >= k-bucket holes INSIDE one micro-batch's data: the
+    retroactive channel emits both alerts immediately — no watermark
+    movement required (it is the timeout channel that needs one)."""
+    from yahoo_anomaly_detection_spark.streaming.absence_stream import (
+        start_absence_to_parquet,
+        stream_absence_alerts,
+    )
+
+    src = str(tmp_path / "absrc1")
+    out = str(tmp_path / "about1")
+    ckpt = str(tmp_path / "abckpt1")
+    os.makedirs(src)
+    _mk_tier_rows(
+        spark, [("d", 0, 1.0), ("d", 10, 1.0), ("d", 20, 1.0)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    tiers = (
+        spark.readStream.schema(
+            "conv_id string, bucket_start timestamp, mean double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_absence_to_parquet(
+        stream_absence_alerts(tiers, k=3, bucket_seconds=60,
+                              watermark_delay="0 seconds"),
+        out, ckpt,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["conv_id"], str(r["silent_since"]), str(r["alert_at"]),
+         r["missed_buckets"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        ("d", "2024-01-01 00:01:00", "2024-01-01 00:04:00", 9),
+        ("d", "2024-01-01 00:11:00", "2024-01-01 00:14:00", 9),
+    ]

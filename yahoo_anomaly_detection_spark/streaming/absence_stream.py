@@ -47,6 +47,11 @@ costs exactly one timeout), so no TTL knob is needed.
 Input contract: finalized tier rows (conv_id, bucket_start) with a
 watermark set by THIS operator (``watermark_delay``); in-order
 per conversation across micro-batches like every downstream hop.
+Size ``watermark_delay`` to the CROSS-conversation event-time skew
+of the upstream tier: one fast-forward conversation advances the
+query watermark for everyone, and rows older than it are dropped by
+Spark's late-data filter before they reach the state handler (they
+can neither re-arm a timer nor close a gap).
 """
 
 from __future__ import annotations
