@@ -1314,15 +1314,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_streaks": q_type_streaks,
         "depth_hist": q_depth_hist,
         "next_gap_1d": q_next_gap_1d,
-        # -- round-3-green core set (entries CHANGED in round 4 stay
-        #    in-window: dedup_canonical's CC loop, the two-phase
-        #    events_vs_trailing_p95, value_percentiles' sketch param;
-        #    rollup_1m / gapfill_1m / ewma_1m / codec_roundtrip stay
-        #    as the north-star flagship four)
-        "rollup_1m": q_rollup_1m,
-        "gapfill_1m": q_gapfill_1m,
-        "ewma_1m": q_ewma_1m,
-        "codec_roundtrip": q_codec_roundtrip,
+        # -- round-3-green core set: only the entries whose round-4
+        #    change altered the OPERATOR SHAPE keep a window slot
+        #    (dedup_canonical's CC convergence fold, the two-phase
+        #    events_vs_trailing_p95, value_percentiles' sketch param).
+        #    rollup_1m / gapfill_1m / ewma_1m / codec_roundtrip cede
+        #    their slots to never-driver-checked round-4 entries:
+        #    their round-4 deltas are perf-internal (salted_agg
+        #    combiner, eager materialize, shared segmented-scan
+        #    scaffold; codec.py byte-unchanged), each is green on the
+        #    local sf0.001+sf0.01 gate replica and carries dedicated
+        #    pytest batteries, and their semantics stay driver-covered
+        #    in-window (tier_merge_refresh re-runs the rollup merge
+        #    math, holt_1m/holt_winters_1m exercise the same
+        #    recursive-scan scaffold as ewma, entry() smoke-runs the
+        #    rollup cascade every round). In their place: the three
+        #    never-checked operator FAMILIES with no other in-window
+        #    representative — realtime_rollup_1h (watermark splice of
+        #    sealed tier + live tail), asof_snapshot (instant as-of
+        #    state query), segment_rollup_1d (broadcast snowflake
+        #    dimension enrichment).
+        "trend_1d": q_trend_1d,
+        "realtime_rollup_1h": q_realtime_rollup_1h,
+        "asof_snapshot": q_asof_snapshot,
+        "segment_rollup_1d": q_segment_rollup_1d,
         "value_percentiles": q_value_percentiles,
         "events_vs_trailing_p95": q_events_vs_trailing_p95,
         "dedup_canonical": q_dedup_canonical,
@@ -1357,16 +1372,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    round-4 firsts, so this block rides the local gate
         #    replica (scripts/check_oracle.py — all green at sf0.001
         #    and sf0.01) this round and is first in line to rotate
-        #    into the round-5 window
-        "trend_1d": q_trend_1d,
+        #    into the round-5 window. The five left out here all have
+        #    independent correctness anchors: absent_1m and
+        #    incident_coverage_1d are property-tested against python
+        #    reference walks (tests/test_round4_ops.py),
+        #    ensemble_flags is a majority vote over three in-window
+        #    flag queries' logic, dq_checks_1d / burstiness_1d are
+        #    single-pass aggregate profiles with dq_profile pytest
+        #    coverage.
+        "rollup_1m": q_rollup_1m,
+        "gapfill_1m": q_gapfill_1m,
+        "ewma_1m": q_ewma_1m,
+        "codec_roundtrip": q_codec_roundtrip,
         "ensemble_flags": q_ensemble_flags,
         "absent_1m": q_absent_1m,
-        "realtime_rollup_1h": q_realtime_rollup_1h,
         "incident_coverage_1d": q_incident_coverage_1d,
         "dq_checks_1d": q_dq_checks_1d,
         "burstiness_1d": q_burstiness_1d,
-        "asof_snapshot": q_asof_snapshot,
-        "segment_rollup_1d": q_segment_rollup_1d,
         "rollup_1h": q_rollup_1h,
         # displaced by the round-4 journey layer — all four were
         # driver-green in round 3 and are byte-unchanged since:

@@ -68,6 +68,96 @@ def test_delete_where_conflict_raises(spark, cat):
     assert sorted(r.id for r in cat.read(spark, "t").collect()) == [1, 3]
 
 
+def test_merge_upsert_prunes_untouched_dirs(spark, cat):
+    """merge_upsert must NOT rewrite data dirs containing no matched
+    keys: their files stay byte-identical, and the snapshot summary
+    reports the prune/rewrite split."""
+    import hashlib
+
+    cat.append(_df(spark, [(1, "d1", 1.0)]), "t")
+    d1 = cat.snapshots("t")[-1].summary["added_path"]
+    cat.append(_df(spark, [(2, "d2", 2.0)]), "t")
+
+    def digests(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[p] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    before = digests(d1)
+    cat.merge_upsert(spark, _df(spark, [(2, "d2", 20.0), (3, "d3", 3.0)]),
+                     "t", key_cols=["id"])
+    snap = cat.snapshots("t")[-1]
+    assert snap.operation == "merge"
+    assert snap.summary["pruned_dirs"] == 1
+    assert snap.summary["rewritten_dirs"] == 1
+    assert d1 in snap.paths, "untouched dir must carry over by reference"
+    assert digests(d1) == before, "untouched dir was rewritten"
+    got = sorted((r.id, r.v) for r in cat.read(spark, "t").collect())
+    assert got == [(1, 1.0), (2, 20.0), (3, 3.0)]
+
+
+def test_merge_upsert_validations(spark, cat):
+    """Duplicate non-NULL source keys raise up front (Iceberg's
+    'multiple source rows matched'); multiple NULL-key source rows are
+    fine (all inserts); a source schema mismatch raises; and nothing
+    commits on a failed validation."""
+    cat.append(_df(spark, [(1, "d1", 1.0)]), "t")
+    n0 = len(cat.snapshots("t"))
+    with pytest.raises(ValueError, match="duplicate"):
+        cat.merge_upsert(spark, _df(spark, [(2, "a", 1.0), (2, "b", 2.0)]),
+                         "t", key_cols=["id"])
+    with pytest.raises(ValueError, match="schema-evolution"):
+        cat.merge_upsert(
+            spark,
+            spark.createDataFrame([(1, "d1")], "id int, day string"),
+            "t", key_cols=["id"])
+    with pytest.raises(ValueError, match="key column"):
+        cat.merge_upsert(spark, _df(spark, [(2, "a", 1.0)]), "t",
+                         key_cols=["nope"])
+    assert len(cat.snapshots("t")) == n0, "failed merge committed"
+    # two NULL-key rows share no key — both insert
+    cat.merge_upsert(spark, _df(spark, [(None, "x", 1.0),
+                                        (None, "y", 2.0)]),
+                     "t", key_cols=["id"])
+    assert cat.read(spark, "t").count() == 3
+
+
+def test_merge_upsert_conflict_raises(spark, cat):
+    """A commit landing between merge_upsert's probe and its manifest
+    commit raises CommitConflictError — committing the stale rewrite
+    would silently drop the concurrent append's rows. The merge also
+    breaks read_appended's incremental chain (non-append operation)."""
+    cat.append(_df(spark, [(1, "d1", 1.0)]), "t")
+    s1 = cat.current_snapshot_id("t")
+    orig = cat._write_data
+    injected = []
+
+    def inject(df, data_dir, pb):
+        out = orig(df, data_dir, pb)
+        if not injected:  # concurrent append after the source lands
+            injected.append(1)
+            ParquetCatalog(cat.root).append(
+                _df(spark, [(5, "d5", 5.0)]), "t")
+        return out
+
+    cat._write_data = inject
+    with pytest.raises(CommitConflictError):
+        cat.merge_upsert(spark, _df(spark, [(1, "d1", 10.0)]), "t",
+                         key_cols=["id"])
+    assert sorted(r.id for r in cat.read(spark, "t").collect()) == [1, 5]
+    cat._write_data = orig
+    cat.merge_upsert(spark, _df(spark, [(1, "d1", 10.0)]), "t",
+                     key_cols=["id"])
+    got = sorted((r.id, r.v) for r in cat.read(spark, "t").collect())
+    assert got == [(1, 10.0), (5, 5.0)]
+    with pytest.raises(ValueError, match="not appends"):
+        cat.read_appended(spark, "t", s1)
+
+
 def test_expire_spares_inflight_dirs_orphans_age_gated(spark, cat):
     """expire_snapshots deletes ONLY dirs expired snapshots referenced
     — a concurrent writer's data dir (on disk, not yet committed)

@@ -24,7 +24,7 @@ from yahoo_anomaly_detection_spark.sources.iceberg import (
 CONTRACT_METHODS = ["append", "overwrite_table", "delete_where", "read",
                     "snapshots", "current_snapshot_id", "exists",
                     "expire_snapshots", "compact", "remove_orphan_files",
-                    "replace_where", "read_appended"]
+                    "replace_where", "read_appended", "merge_upsert"]
 
 
 def test_adapter_interface_matches_shim():
@@ -170,6 +170,45 @@ def test_contract_replace_where(spark, catalog):
     with pytest.raises(FileNotFoundError):
         catalog.replace_where(spark, _df(spark, [(1, "d", 1.0)]),
                               "never_created", "day = 'd'")
+
+
+def test_contract_merge_upsert(spark, catalog):
+    """Keyed upsert (MERGE INTO ... UPDATE SET * / INSERT *): matched
+    target rows take the source's values, unmatched source rows
+    insert, everything else carries over — in ONE atomic commit, with
+    time travel to the pre-merge view intact."""
+    catalog.append(_df(spark, [(1, "d1", 1.0), (2, "d2", 2.0)]), "t10",
+                   partition_by=["day"])
+    pre = catalog.current_snapshot_id("t10")
+    n0 = len(catalog.snapshots("t10"))
+    catalog.merge_upsert(spark, _df(spark, [(2, "d2", 20.0),
+                                            (3, "d3", 3.0)]),
+                         "t10", key_cols=["id"])
+    got = sorted((r.id, r.v) for r in catalog.read(spark, "t10").collect())
+    assert got == [(1, 1.0), (2, 20.0), (3, 3.0)]
+    assert len(catalog.snapshots("t10")) == n0 + 1  # atomic: ONE commit
+    old = sorted((r.id, r.v)
+                 for r in catalog.read(spark, "t10", pre).collect())
+    assert old == [(1, 1.0), (2, 2.0)]
+    with pytest.raises(FileNotFoundError):
+        catalog.merge_upsert(spark, _df(spark, [(1, "d", 1.0)]),
+                             "never_created", key_cols=["id"])
+
+
+def test_contract_merge_upsert_null_keys_never_match(spark, catalog):
+    """ON t.k = s.k is plain equality: a NULL-key source row is an
+    insert, a NULL-key target row always survives (SQL MERGE)."""
+    catalog.append(_df(spark, [(None, "d0", 0.5), (1, "d1", 1.0)]), "t11")
+    catalog.merge_upsert(spark, _df(spark, [(None, "dX", 7.0),
+                                            (1, "d1", 10.0)]),
+                         "t11", key_cols=["id"])
+    got = sorted((r.id, r.day, r.v)
+                 for r in catalog.read(spark, "t11").collect()
+                 if r.id is not None)
+    assert got == [(1, "d1", 10.0)]
+    nulls = sorted(r.day for r in catalog.read(spark, "t11").collect()
+                   if r.id is None)
+    assert nulls == ["d0", "dX"]  # both NULL-key rows present
 
 
 def test_contract_read_appended(spark, catalog):

@@ -358,6 +358,135 @@ class ParquetCatalog:
 
         return self._commit(table, make)
 
+    def merge_upsert(self, spark: SparkSession, source: DataFrame,
+                     table: str, key_cols: list[str],
+                     partition_by: list[str] | None = None,
+                     broadcast_keys: bool = True) -> str:
+        """Iceberg ``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED
+        THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — the
+        keyed upsert, in ONE atomic commit.
+
+        Because the only clauses are update-all and insert-all, the
+        post-merge view is exactly ``(target ANTI-JOIN source ON keys)
+        ∪ source`` — so the copy-on-write plan is: probe each data dir
+        for key matches (left_semi, source side broadcast — the CDC /
+        refresh delta is small by construction; pass
+        ``broadcast_keys=False`` for a bulk backfill-sized source),
+        rewrite ONLY affected dirs with a left_anti filter, carry
+        untouched dirs over by reference, and add the source rows as
+        one new dir. Commit cost scales with the delta and the dirs it
+        touches, never with the 10^12-turn table.
+
+        Semantics pinned to SQL MERGE:
+
+        - a source key matching >1 target row updates them all (the
+          target is not required to be key-unique — matching Spark's
+          MERGE, where it is the SOURCE side that must not fan out);
+        - >1 NON-NULL-key source rows sharing a key raise
+          ``ValueError`` (Iceberg/Delta raise "multiple source rows
+          matched" at runtime; the shim validates up front);
+        - NULL join keys never match (``=``, not ``<=>``): a
+          NULL-key source row is an insert, a NULL-key target row
+          always survives;
+        - source columns must equal the target's by name — MERGE is
+          not a schema-evolution path (``allowMissingColumns`` is for
+          reads of historic dirs, not new writes).
+
+        Copy-on-write validation as in :meth:`delete_where` /
+        :meth:`replace_where`: probe + rewrite are computed against
+        the snapshot current at entry; if the table advances before
+        commit, :class:`CommitConflictError` — the caller retries
+        against the new snapshot. ``read_appended`` correctly refuses
+        incremental reads across a merge (operation != append).
+        """
+        from pyspark.sql import functions as F
+
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(
+                f"no snapshots for table {table!r} — create it with "
+                "append()/overwrite_table() first"
+            )
+        base = snaps[-1]
+        pb = partition_by if partition_by is not None \
+            else base.summary.get("partition_by")
+        if not key_cols:
+            raise ValueError("merge_upsert needs at least one key column")
+        missing = [k for k in key_cols if k not in source.columns]
+        if missing:
+            raise ValueError(f"key columns {missing} not in source "
+                             f"columns {source.columns}")
+        base_schema = base.summary.get("schema")
+        tgt_cols = (
+            [f["name"] for f in base_schema["fields"]]
+            if base_schema is not None
+            else self._read_dirs(spark, base.paths, None).columns
+        )
+        if set(source.columns) != set(tgt_cols):
+            raise ValueError(
+                f"merge_upsert source columns {sorted(source.columns)} != "
+                f"target columns {sorted(tgt_cols)}: MERGE is not a "
+                "schema-evolution path"
+            )
+
+        snap_id = self._new_snap_id()
+        # materialize the source FIRST: it is the new data dir of the
+        # final view, and re-reading it from disk makes the per-dir
+        # probes and the anti-join rewrite scan a cheap stable delta
+        # instead of recomputing an arbitrary upstream plan per dir
+        src_dir = self._new_data_dir(table, snap_id)
+        self._write_data(source, src_dir, pb)
+        src = self._read_dirs(spark, [src_dir], source.schema.jsonValue())
+
+        dup = (src.dropna(subset=key_cols).groupBy(*key_cols).count()
+               .where(F.col("count") > 1).limit(1).count())
+        if dup:
+            shutil.rmtree(src_dir, ignore_errors=True)
+            raise ValueError(
+                "merge_upsert source has duplicate rows per key "
+                f"{key_cols} — a MERGE target row would match multiple "
+                "source rows; de-duplicate the source first"
+            )
+        keys = src.select(*key_cols)
+        kb = F.broadcast(keys) if broadcast_keys else keys
+
+        def _untouched(p: str) -> bool:
+            d = self._read_dirs(spark, [p], base_schema)
+            return d.join(kb, key_cols, "left_semi").limit(1).count() == 0
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(8, len(base.paths)))
+        ) as ex:
+            empties = list(ex.map(_untouched, base.paths))
+        untouched = [p for p, e in zip(base.paths, empties) if e]
+        affected = [p for p, e in zip(base.paths, empties) if not e]
+        new_paths = list(untouched)
+        if affected:
+            rewrite_dir = src_dir + "_rw"
+            kept = self._read_dirs(spark, affected, base_schema).join(
+                kb, key_cols, "left_anti")
+            self._write_data(kept, rewrite_dir, pb)
+            new_paths.append(rewrite_dir)
+        new_paths.append(src_dir)
+
+        def make(cur: list[Snapshot]) -> Snapshot:
+            if not cur or cur[-1].snapshot_id != base.snapshot_id:
+                raise CommitConflictError(
+                    f"table {table!r} advanced past {base.snapshot_id!r} "
+                    "during merge_upsert — re-run against the new snapshot"
+                )
+            return Snapshot(
+                snap_id, base.snapshot_id, "merge", new_paths,
+                {"merge_keys": list(key_cols),
+                 "rewritten_dirs": len(affected),
+                 "pruned_dirs": len(untouched), "partition_by": pb,
+                 "schema": base_schema or source.schema.jsonValue()},
+            )
+
+        return self._commit(table, make)
+
     # ---------- maintenance ----------
     def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
         """Retire all but the newest ``keep_last`` snapshots and delete

@@ -47,6 +47,8 @@ which is the scaled-up version of the shim's per-commit-dir pruning.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import Snapshot
@@ -184,6 +186,41 @@ class IcebergCatalog:
                 "append()/overwrite_table() first"
             )
         df.writeTo(self._fqn(table)).overwrite(F.expr(predicate))
+        return self.current_snapshot_id(table)
+
+    def merge_upsert(self, spark: SparkSession, source: DataFrame,
+                     table: str, key_cols: list[str],
+                     partition_by: list[str] | None = None,
+                     broadcast_keys: bool = True) -> str:
+        """Native ``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED
+        THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
+
+        Semantics match the shim by construction: NULL keys never
+        match (``=``), duplicate non-NULL source keys raise at runtime
+        (Iceberg's "multiple source rows matched"), copy-on-write
+        rewrites only the files containing matches. ``partition_by``
+        and ``broadcast_keys`` are accepted for signature parity;
+        Iceberg keeps the table's own spec and Spark's AQE/statistics
+        pick the join strategy."""
+        if not self.exists(table):
+            raise FileNotFoundError(
+                f"no snapshots for table {table!r} — create it with "
+                "append()/overwrite_table() first"
+            )
+        if not key_cols:
+            raise ValueError("merge_upsert needs at least one key column")
+        view = f"_merge_src_{uuid.uuid4().hex[:8]}"
+        source.createOrReplaceTempView(view)
+        try:
+            on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+            spark.sql(
+                f"MERGE INTO {self._fqn(table)} t USING {view} s "
+                f"ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
         return self.current_snapshot_id(table)
 
     # ---------- maintenance ----------
