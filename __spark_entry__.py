@@ -651,6 +651,44 @@ def _t1m_mean(spark, sf_dir):
     )
 
 
+def _t1h_mean(spark, sf_dir):
+    """Hourly sibling of _t1m_mean (theilsen/spectral input); mirrors
+    the oracle module's _T1H_BASE CTE."""
+    return (
+        _series(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .groupBy("conv_id", F.date_trunc("hour", F.col("ts")).alias(
+            "bucket_start"))
+        .agg(F.avg(F.col("value").cast("double")).alias("mean_v"))
+    )
+
+
+def q_acf_1d(spark, sf_dir):
+    # per-(conversation, day) autocorrelation at lags 1..3 over the 1m
+    # mean series — the seasonality/persistence diagnostic; one hash
+    # exchange serves the lag window AND the groupBy, unpivot runs on
+    # the aggregated (3 rows/group) relation
+    return tsanalytics.acf(_t1m_mean(spark, sf_dir), "mean_v",
+                           lags=(1, 2, 3))
+
+
+def q_theilsen_1d(spark, sf_dir):
+    # Theil–Sen robust trend per (conversation, day) over the HOURLY
+    # tier (≤24 points → ≤276 pairs per group by construction): median
+    # of pairwise slopes + median intercept — the outlier-immune twin
+    # of trend_1d's OLS
+    return tsanalytics.theilsen_trend(_t1h_mean(spark, sf_dir), "mean_v")
+
+
+def q_spectral_power(spark, sf_dir):
+    # single-frequency DFT power at candidate periods (24h daily /
+    # 168h weekly) per conversation over the hourly series — fraction
+    # of variance a P-periodic sinusoid explains; ONE map-side-combined
+    # groupBy of six moment sums, no window, no sort
+    return tsanalytics.spectral_power(_t1h_mean(spark, sf_dir), "mean_v",
+                                      periods_h=(24, 168))
+
+
 def q_mad_flags(spark, sf_dir):
     """Robust (median/MAD) anomaly envelope over the per-conversation
     1m mean series — the outlier-immune twin of zscore_flags. Exact
@@ -1444,6 +1482,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ivf_cells": q_ivf_cells,
+        # round-4 late additions (past the window; local-replica-green
+        # at sf0.001 + sf0.01, first in line behind the five leftover
+        # firsts for the round-5 rotation)
+        "acf_1d": q_acf_1d,
+        "theilsen_1d": q_theilsen_1d,
+        "spectral_power": q_spectral_power,
     }
 
 

@@ -87,6 +87,9 @@ HEADLINE = [
     "depth_hist",
     "next_gap_1d",
     "trend_1d",
+    "acf_1d",
+    "theilsen_1d",
+    "spectral_power",
     "ensemble_flags",
     "absent_1m",
     "realtime_rollup_1h",

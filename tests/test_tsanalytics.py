@@ -1289,3 +1289,152 @@ def test_absent_flags_property_vs_python_walk(spark):
             for r in tsa.absent_flags(df, k=3).collect()
         }
     assert got == expect
+
+
+# ------------------------------------------------------------ acf
+DAY0 = 1704067200  # 2024-01-01 00:00:00 UTC, day-aligned
+
+
+def _tier(spark, rows):
+    """rows: (conv_id, minute_offset_from_DAY0, value)."""
+    return spark.createDataFrame(
+        [(c, DAY0 + m * 60, float(v)) for c, m, v in rows],
+        "conv_id string, epoch long, mean_v double",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.col("epoch")).alias("bucket_start"),
+        "mean_v",
+    )
+
+
+def test_acf_matches_pandas_autocorr(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    rows, series = [], {}
+    for conv, day in (("a", 0), ("a", 1), ("b", 0)):
+        n = int(rng.integers(8, 60))
+        # gappy minute grid within the day — lags are observational
+        mins = sorted(rng.choice(1440, size=n, replace=False).tolist())
+        vals = rng.normal(50, 10, size=n).cumsum()
+        series[(conv, day)] = vals
+        rows += [(conv, day * 1440 + m, v) for m, v in zip(mins, vals)]
+    out = tsa.acf(_tier(spark, rows), "mean_v", lags=(1, 2, 3)).collect()
+    got = {(r["conv_id"],
+            (int(r["bucket_start"].timestamp()) - DAY0) // 86400,
+            r["lag"]): (r["n_pairs"], r["acf"]) for r in out}
+    assert len(got) == 3 * 3  # 3 groups x 3 lags
+    for (conv, day), vals in series.items():
+        s = pd.Series(vals)
+        for k in (1, 2, 3):
+            n_pairs, a = got[(conv, day, k)]
+            assert n_pairs == len(vals) - k
+            assert a == pytest.approx(s.autocorr(lag=k), abs=2e-4)
+
+
+def test_acf_degenerate_groups_null(spark):
+    # constant series → zero variance → NULL (not NaN); single point →
+    # zero pairs → NULL
+    rows = [("c", m, 5.0) for m in range(10)] + [("solo", 0, 1.0)]
+    out = tsa.acf(_tier(spark, rows), "mean_v", lags=(1,)).collect()
+    by_conv = {r["conv_id"]: r for r in out}
+    assert by_conv["c"]["n_pairs"] == 9 and by_conv["c"]["acf"] is None
+    assert by_conv["solo"]["n_pairs"] == 0 and by_conv["solo"]["acf"] is None
+    with pytest.raises(ValueError, match="lags"):
+        tsa.acf(_tier(spark, rows), "mean_v", lags=())
+
+
+def test_acf_single_exchange(spark):
+    # the lag window and the groupBy share ONE hash exchange on
+    # (conv_id, day)
+    df = tsa.acf(_tier(spark, [("a", m, float(m)) for m in range(5)]),
+                 "mean_v")
+    assert _exchanges(df) == 1
+
+
+# ------------------------------------------------------------ theilsen
+def _tier_h(spark, rows):
+    """rows: (conv_id, hour_offset_from_DAY0, value)."""
+    return spark.createDataFrame(
+        [(c, DAY0 + h * 3600, float(v)) for c, h, v in rows],
+        "conv_id string, epoch long, mean_v double",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.col("epoch")).alias("bucket_start"),
+        "mean_v",
+    )
+
+
+def _theilsen_ref(xs, ys):
+    slopes = [
+        (ys[j] - ys[i]) / (xs[j] - xs[i])
+        for i in range(len(xs)) for j in range(i + 1, len(xs))
+    ]
+    slope = float(np.percentile(slopes, 50))
+    icpt = float(np.percentile([y - slope * x for x, y in zip(xs, ys)], 50))
+    return len(slopes), slope, icpt
+
+
+def test_theilsen_matches_reference_walk(spark):
+    rng = np.random.default_rng(11)
+    rows, groups = [], {}
+    for conv, day in (("a", 0), ("b", 0), ("b", 1)):
+        n = int(rng.integers(3, 24))
+        hrs = sorted(rng.choice(24, size=n, replace=False).tolist())
+        vals = [10.0 + 2.5 * h + float(rng.normal(0, 3)) for h in hrs]
+        groups[(conv, day)] = (hrs, vals)
+        rows += [(conv, day * 24 + h, v) for h, v in zip(hrs, vals)]
+    out = tsa.theilsen_trend(_tier_h(spark, rows), "mean_v").collect()
+    got = {(r["conv_id"],
+            (int(r["bucket_start"].timestamp()) - DAY0) // 86400): r
+           for r in out}
+    for (conv, day), (hrs, vals) in groups.items():
+        n_pairs, slope, icpt = _theilsen_ref([float(h) for h in hrs], vals)
+        r = got[(conv, day)]
+        assert r["n"] == len(hrs) and r["n_pairs"] == n_pairs
+        assert r["slope_per_h"] == pytest.approx(slope, abs=2e-4)
+        assert r["intercept"] == pytest.approx(icpt, abs=2e-4)
+
+
+def test_theilsen_robust_to_outlier_and_drops_singletons(spark):
+    # clean line y = 3x: one wild outlier leaves the pairwise-median
+    # slope exactly 3; a single-point group defines no slope → absent
+    rows = [("a", h, 3.0 * h) for h in range(10)] + [
+        ("a", 10, 1000.0), ("solo", 0, 7.0)]
+    out = tsa.theilsen_trend(_tier_h(spark, rows), "mean_v").collect()
+    assert [r["conv_id"] for r in out] == ["a"]
+    assert out[0]["slope_per_h"] == pytest.approx(3.0, abs=1e-4)
+
+
+# ------------------------------------------------------------ spectral
+def test_spectral_power_sinusoid_vs_noise(spark):
+    rng = np.random.default_rng(13)
+    hours = range(14 * 24)  # two weeks of hourly points
+    rows = (
+        [("daily", h, 100.0 + 10.0 * math.sin(2 * math.pi * h / 24))
+         for h in hours]
+        + [("noise", h, float(rng.normal(100, 10))) for h in hours]
+        + [("const", h, 42.0) for h in hours]
+    )
+    out = tsa.spectral_power(_tier_h(spark, rows), "mean_v",
+                             periods_h=(24, 168)).collect()
+    got = {(r["conv_id"], r["period_h"]): r for r in out}
+    assert got[("daily", 24)]["power_frac"] == pytest.approx(1.0, abs=1e-2)
+    assert got[("daily", 168)]["power_frac"] < 0.05
+    assert got[("noise", 24)]["power_frac"] < 0.1
+    assert got[("noise", 168)]["power_frac"] < 0.1
+    assert got[("const", 24)]["power_frac"] is None  # zero variance
+    assert all(r["n"] == 14 * 24 for r in out)
+    with pytest.raises(ValueError, match="periods_h"):
+        tsa.spectral_power(_tier_h(spark, rows), "mean_v", periods_h=(1,))
+
+
+def test_spectral_power_single_mapside_groupby(spark):
+    # six moment sums in ONE map-side-combined groupBy: exactly one
+    # exchange, no window/sort anywhere
+    df = tsa.spectral_power(
+        _tier_h(spark, [("a", h, float(h % 24)) for h in range(48)]),
+        "mean_v")
+    plan = _plan(df)
+    assert _exchanges(df) == 1
+    assert "Window" not in plan and "Sort" not in plan

@@ -1285,6 +1285,217 @@ def linear_trend(df: DataFrame, bucket_seconds: int = 86400,
     )
 
 
+def acf(tier_df: DataFrame, value_col: str, lags: tuple[int, ...] = (1, 2, 3),
+        key: str = "conv_id", bucket_col: str = "bucket_start",
+        group_seconds: int = 86400) -> DataFrame:
+    """Per-(series, group-bucket) sample autocorrelation at small lags
+    over an already-rolled-up tier series — the seasonality/persistence
+    diagnostic a forecasting layer runs before picking a model (high
+    acf(1) → smoothing helps; acf at the season lag → use Holt-Winters
+    over ``snaive``). Lags are in OBSERVATIONS over the ordered tier
+    buckets, not wall-clock: on a gappy series compose ``gapfill``
+    upstream when strict time alignment is wanted (the engine's
+    operators are designed to chain — same contract as ``lttb``/``m4``
+    consuming tier output).
+
+    acf(k) = Pearson r between x_t and x_{t−k} within the group — the
+    same estimator ``pandas.Series.autocorr(lag=k)`` uses. Degenerate
+    groups (fewer than 2 pairs, zero variance in either margin) yield
+    NULL on both engines (Spark's NaN is normalized to NULL to match
+    DuckDB's ``corr``).
+
+    Shape: ONE hash exchange on (key, group) serves the lag window
+    AND the groupBy (grouping keys = window partition keys, so the
+    aggregation reuses the window's clustering); all K lags ride one
+    window pass, and the unpivot to (lag, n_pairs, acf) rows runs on
+    the AGGREGATED relation — K rows per group, never K× the input.
+    Per-task input is one group of one series (a day of 1m buckets ≤
+    1440 rows), bounded regardless of series count.
+    """
+    if not lags or any(int(k) < 1 for k in lags):
+        raise ValueError(f"lags must be positive ints, got {lags!r}")
+    lags = tuple(int(k) for k in lags)
+    grp = _bucket_expr(bucket_col, group_seconds)
+    w = W.partitionBy(key, "_grp").orderBy(bucket_col)
+    pts = tier_df.select(
+        key, F.col(bucket_col),
+        grp.alias("_grp"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    lagged = pts.select(
+        key, "_grp", "_v",
+        *[F.lag("_v", k).over(w).alias(f"_l{k}") for k in lags],
+    )
+    # Pearson r from the six decomposable pair sums (the metric_corr
+    # idiom) instead of F.corr: ANSI mode turns corr's zero-variance
+    # division into an error, and the explicit guard gives DuckDB's
+    # NULL on degenerate groups
+    aggs = []
+    for k in lags:
+        x = F.when(F.col(f"_l{k}").isNotNull(), F.col("_v"))
+        y = F.when(F.col(f"_l{k}").isNotNull(), F.col(f"_l{k}"))
+        aggs += [
+            F.count(F.col(f"_l{k}")).alias(f"_n{k}"),
+            F.sum(x).alias(f"_sx{k}"), F.sum(y).alias(f"_sy{k}"),
+            F.sum(x * y).alias(f"_sxy{k}"),
+            F.sum(x * x).alias(f"_sxx{k}"),
+            F.sum(y * y).alias(f"_syy{k}"),
+        ]
+    agg = lagged.groupBy(key, "_grp").agg(*aggs)
+    for k in lags:
+        n = F.col(f"_n{k}").cast("double")
+        sx, sy = F.col(f"_sx{k}"), F.col(f"_sy{k}")
+        varx = n * F.col(f"_sxx{k}") - sx * sx
+        vary = n * F.col(f"_syy{k}") - sy * sy
+        agg = agg.withColumn(
+            f"_a{k}",
+            F.when((varx > 0) & (vary > 0),
+                   (n * F.col(f"_sxy{k}") - sx * sy)
+                   / F.sqrt(varx * vary)),
+        )
+    stack = ", ".join(
+        f"{k}, _n{k}, _a{k}" for k in lags
+    )
+    return agg.select(
+        key, F.col("_grp").alias(bucket_col),
+        F.expr(f"stack({len(lags)}, {stack}) AS (lag, n_pairs, _acf)"),
+    ).select(
+        key, bucket_col, F.col("lag").cast("int").alias("lag"),
+        "n_pairs", portable_round(F.col("_acf"), _R).alias("acf"),
+    )
+
+
+def theilsen_trend(tier_df: DataFrame, value_col: str,
+                   key: str = "conv_id", bucket_col: str = "bucket_start",
+                   group_seconds: int = 86400) -> DataFrame:
+    """Per-(series, group-bucket) Theil–Sen robust trend over a
+    rolled-up tier series: slope = median of all pairwise slopes,
+    intercept = median(y − slope·x) — the breakdown-point-29% robust
+    twin of ``linear_trend``'s OLS (one latency spike drags an OLS
+    slope; the pairwise median shrugs it off), the estimator
+    scipy.stats.theilslopes implements.
+
+    Only groups with ≥ 2 points appear (a single point defines no
+    slope); x is hours since the group-bucket start, matching
+    ``linear_trend``'s slope_per_h units so the two are directly
+    comparable.
+
+    Shape — and why it scales despite being O(points²): the pair
+    generation is a self-equi-join on (key, group) with an ``x <
+    x′`` filter, and the TIER bounds the points per group by
+    construction (1h tier × 1d group → ≤ 24 points → ≤ 276 pairs;
+    never run it on raw events). Exact ``percentile`` per group then
+    sorts ≤ 276 values — the single-reducer caveat of
+    ``value_percentiles`` does not bite at a tier-bounded group
+    size. ONE exchange clusters both join sides; the slope relation
+    (one row per group) hash-joins back for the intercept pass.
+    """
+    grp = _bucket_expr(bucket_col, group_seconds)
+    pts = tier_df.select(
+        key,
+        grp.alias("_grp"),
+        ((F.unix_micros(F.col(bucket_col).cast("timestamp"))
+          - F.unix_micros(grp)) / F.lit(3.6e9)).alias("_x"),
+        F.col(value_col).cast("double").alias("_y"),
+    ).where(F.col("_y").isNotNull())
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(
+        b,
+        (F.col(f"a.{key}") == F.col(f"b.{key}"))
+        & (F.col("a._grp") == F.col("b._grp"))
+        & (F.col("a._x") < F.col("b._x")),
+    ).select(
+        F.col(f"a.{key}").alias(key), F.col("a._grp").alias("_grp"),
+        ((F.col("b._y") - F.col("a._y"))
+         / (F.col("b._x") - F.col("a._x"))).alias("_s"),
+    )
+    sl = slopes.groupBy(key, "_grp").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile(F.col("_s"), 0.5).alias("_slope"),
+    )
+    out = pts.join(sl, on=[key, "_grp"]).groupBy(
+        key, "_grp", "n_pairs", "_slope"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(F.col("_y") - F.col("_slope") * F.col("_x"),
+                     0.5).alias("_icpt"),
+    )
+    return out.select(
+        key, F.col("_grp").alias(bucket_col), "n", "n_pairs",
+        portable_round(F.col("_slope"), _R).alias("slope_per_h"),
+        portable_round(F.col("_icpt"), _R).alias("intercept"),
+    )
+
+
+def spectral_power(tier_df: DataFrame, value_col: str,
+                   periods_h: tuple[int, ...] = (24, 168),
+                   key: str = "conv_id",
+                   bucket_col: str = "bucket_start") -> DataFrame:
+    """Single-frequency DFT power per series at CANDIDATE periods
+    (hours) over an HOURLY tier series — "does this metric breathe
+    daily (24) or weekly (168)?" — the Goertzel/periodogram probe
+    behind season-length auto-detection (pick the m for
+    holt_winters / snaive from the data instead of guessing).
+
+    power_frac at period P = 2·(Rc² + Ri²) / (n·SS) where Rc/Ri are
+    the mean-removed cosine/sine projections at frequency 1/P and SS
+    the total sum of squares — the fraction of variance a sinusoid
+    of period P explains: ≈1 for a pure P-periodic sinusoid sampled
+    over whole periods, ≈0 for white noise (E ≈ 2/n). NULL when the
+    series is constant (SS = 0) or has < 2 points.
+
+    Every term is a plain SUM of a map-side expression — Σv, Σv²,
+    Σcos, Σsin, Σv·cos, Σv·sin — so the whole operator is ONE
+    map-side-combined groupBy carrying 6 doubles per (series,
+    period): no window, no sort, no second exchange; the classic
+    moment-aggregate decomposition (same family as ``linear_trend``'s
+    regr_* and ``metric_corr``'s pair sums). The phase angle uses
+    ``(hour_index mod P)`` so both engines evaluate trig on the same
+    P distinct arguments (cross-engine cos/sin agree to ≤1 ulp;
+    portable rounding absorbs it).
+    """
+    if not periods_h or any(int(p) < 2 for p in periods_h):
+        raise ValueError(f"periods_h must be ints >= 2, got {periods_h!r}")
+    periods = tuple(int(p) for p in periods_h)
+    two_pi = 2.0 * math.pi
+    th = F.floor(
+        F.unix_micros(F.col(bucket_col).cast("timestamp"))
+        / F.lit(3_600_000_000)
+    ).cast("long")
+    pts = tier_df.select(
+        key, th.alias("_th"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    expanded = pts.select(
+        key, "_v",
+        F.explode(F.array(*[F.lit(p) for p in periods])).alias("period_h"),
+        "_th",
+    ).withColumn(
+        "_ang",
+        F.lit(two_pi) * F.pmod(F.col("_th"), F.col("period_h"))
+        / F.col("period_h"),
+    )
+    c, s, v = F.cos(F.col("_ang")), F.sin(F.col("_ang")), F.col("_v")
+    agg = expanded.groupBy(key, "period_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("_sv"), F.sum(v * v).alias("_svv"),
+        F.sum(c).alias("_sc"), F.sum(s).alias("_ss"),
+        F.sum(v * c).alias("_svc"), F.sum(v * s).alias("_svs"),
+    )
+    n = F.col("n").cast("double")
+    ss_tot = F.col("_svv") - F.col("_sv") * F.col("_sv") / n
+    rc = F.col("_svc") - F.col("_sv") * F.col("_sc") / n
+    ri = F.col("_svs") - F.col("_sv") * F.col("_ss") / n
+    power = F.when(
+        (F.col("n") >= 2) & (ss_tot > 0),
+        F.lit(2.0) * (rc * rc + ri * ri) / (n * ss_tot),
+    ).otherwise(F.lit(None).cast("double"))
+    return agg.select(
+        key, F.col("period_h").cast("int").alias("period_h"), "n",
+        portable_round(power, _R).alias("power_frac"),
+    )
+
+
 def absent_flags(tier_df: DataFrame, k: int = 3,
                  tier_seconds: int = 60,
                  key: str = "conv_id",
@@ -1573,6 +1784,101 @@ t1m AS (
            avg(value) AS mean_v
     FROM ev WHERE value IS NOT NULL GROUP BY 1, 2
 )
+"""
+
+# hourly sibling of _T1M_BASE (theilsen / spectral inputs)
+_T1H_BASE = """
+ev AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, value FROM events
+),
+t1h AS (
+    SELECT conv_id, date_trunc('hour', ts) AS bucket_start,
+           avg(value) AS mean_v
+    FROM ev WHERE value IS NOT NULL GROUP BY 1, 2
+)
+"""
+
+_ACF_SQL = f"""
+WITH {_T1M_BASE},
+lagged AS (
+    SELECT conv_id, date_trunc('day', bucket_start) AS day, mean_v,
+           lag(mean_v, 1) OVER w AS l1,
+           lag(mean_v, 2) OVER w AS l2,
+           lag(mean_v, 3) OVER w AS l3
+    FROM t1m
+    WINDOW w AS (PARTITION BY conv_id, date_trunc('day', bucket_start)
+                 ORDER BY bucket_start)
+),
+agg AS (
+    SELECT conv_id, day,
+           corr(mean_v, l1) AS a1, count(l1) AS n1,
+           corr(mean_v, l2) AS a2, count(l2) AS n2,
+           corr(mean_v, l3) AS a3, count(l3) AS n3
+    FROM lagged GROUP BY 1, 2
+)
+SELECT conv_id, day AS bucket_start, CAST(1 AS INT) AS lag,
+       n1 AS n_pairs, round(a1, 4) AS acf FROM agg
+UNION ALL
+SELECT conv_id, day, CAST(2 AS INT), n2, round(a2, 4) FROM agg
+UNION ALL
+SELECT conv_id, day, CAST(3 AS INT), n3, round(a3, 4) FROM agg
+"""
+
+_THEILSEN_SQL = f"""
+WITH {_T1H_BASE},
+pts AS (
+    SELECT conv_id, date_trunc('day', bucket_start) AS day,
+           (epoch_us(bucket_start)
+            - epoch_us(date_trunc('day', bucket_start))) / 3.6e9 AS x,
+           mean_v AS y
+    FROM t1h
+),
+slopes AS (
+    SELECT a.conv_id, a.day, (b.y - a.y) / (b.x - a.x) AS s
+    FROM pts a JOIN pts b
+      ON a.conv_id = b.conv_id AND a.day = b.day AND a.x < b.x
+),
+sl AS (
+    SELECT conv_id, day, count(*) AS n_pairs,
+           quantile_cont(s, 0.5) AS slope
+    FROM slopes GROUP BY 1, 2
+)
+SELECT p.conv_id, p.day AS bucket_start, count(*) AS n,
+       sl.n_pairs,
+       round(sl.slope, 4) AS slope_per_h,
+       round(quantile_cont(p.y - sl.slope * p.x, 0.5), 4) AS intercept
+FROM pts p JOIN sl ON p.conv_id = sl.conv_id AND p.day = sl.day
+GROUP BY p.conv_id, p.day, sl.n_pairs, sl.slope
+"""
+
+_SPECTRAL_SQL = f"""
+WITH {_T1H_BASE},
+pts AS (
+    SELECT conv_id,
+           epoch_us(bucket_start) // 3600000000 AS th,
+           mean_v AS v
+    FROM t1h
+),
+x AS (
+    SELECT conv_id, p.period, v,
+           cos(2 * pi() * (th % p.period) / p.period) AS c,
+           sin(2 * pi() * (th % p.period) / p.period) AS s
+    FROM pts CROSS JOIN (VALUES (24), (168)) p(period)
+),
+agg AS (
+    SELECT conv_id, period, count(*) AS n,
+           sum(v) AS sv, sum(v * v) AS svv,
+           sum(c) AS sc, sum(s) AS ss_,
+           sum(v * c) AS svc, sum(v * s) AS svs
+    FROM x GROUP BY 1, 2
+)
+SELECT conv_id, CAST(period AS INT) AS period_h, n,
+       round(CASE WHEN n >= 2 AND (svv - sv * sv / n) > 0
+             THEN 2 * ((svc - sv * sc / n) * (svc - sv * sc / n)
+                       + (svs - sv * ss_ / n) * (svs - sv * ss_ / n))
+                  / (n * (svv - sv * sv / n))
+             ELSE NULL END, 4) AS power_frac
+FROM agg
 """
 
 _MAD_SQL = f"""
@@ -2326,4 +2632,7 @@ ORACLE_SQL = {
     "dq_checks_1d": _DQ_SQL,
     "burstiness_1d": _BURSTINESS_SQL,
     "asof_snapshot": _ASOF_SNAPSHOT_SQL,
+    "acf_1d": _ACF_SQL,
+    "theilsen_1d": _THEILSEN_SQL,
+    "spectral_power": _SPECTRAL_SQL,
 }
