@@ -638,6 +638,24 @@ def q_active_users_1d(spark, sf_dir):
     return sessions.distinct_counts(_events_raw(spark, sf_dir))
 
 
+def q_rolling_actives_7d(spark, sf_dir):
+    # sliding 7-day distinct actives per observed day: corpus crosses
+    # ONE (user, day)-dedup exchange, the trailing-window explode runs
+    # on the deduped relation; oracle is the range-join formulation,
+    # so the gate proves explode ≡ range join (sketch=True switches to
+    # mergeable per-day HLL sketches for the 100 TB path)
+    return sessions.rolling_actives(_events_raw(spark, sf_dir),
+                                    window_days=7)
+
+
+def q_weighted_sample(spark, sf_dir):
+    # Efraimidis–Spirakis weight-proportional sample (k=50 by
+    # n_chars): map-side salted-hash priority + TakeOrderedAndProject
+    # — never a global sort
+    return textstats.weighted_sample(_docs(spark, sf_dir), k=50,
+                                     weight_col="n_chars", salt="w0")
+
+
 def _t1m_mean(spark, sf_dir):
     """Per-conversation 1m mean series (non-null values only) — the
     shared input of the tsanalytics detectors (mad/holt/ar2); mirrors
@@ -1488,6 +1506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_1d": q_acf_1d,
         "theilsen_1d": q_theilsen_1d,
         "spectral_power": q_spectral_power,
+        "rolling_actives_7d": q_rolling_actives_7d,
+        "weighted_sample": q_weighted_sample,
     }
 
 

@@ -99,6 +99,8 @@ HEADLINE = [
     "asof_snapshot",
     "segment_rollup_1d",
     "stratified_sample",
+    "weighted_sample",
+    "rolling_actives_7d",
     "topk_per_band",
     "curated_corpus",
     "dedup_exact",

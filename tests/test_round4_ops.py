@@ -763,3 +763,140 @@ def test_monitor_job_end_to_end_and_resume(spark, tmp_path):
     # resume: same run-id skips all five stages
     m2 = monitor_job.main(argv)
     assert m2["skipped_units"] == 5
+
+
+# ------------------------------------------------- rolling actives
+def test_rolling_actives_matches_python_walk(spark):
+    """Trailing 7-day distinct actives per observed day: a user active
+    twice in the window counts once; day−6 is in, day−7 is out; days
+    with no events never appear."""
+    from conftest import plan_str
+    from yahoo_anomaly_detection_spark.operators import sessions
+
+    day0 = 1704067200  # 2024-01-01, day-aligned
+    # (user, day) activity incl. a repeat visitor and a gap > window
+    acts = [(1, 0), (2, 0), (1, 1), (1, 3), (3, 3), (1, 3),
+            (2, 9), (1, 10), (4, 17)]
+    rows = [
+        (i, "x", day0 + d * 86400 + 60 * i, u)
+        for i, (u, d) in enumerate(acts)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, sec long, user_id long"
+    ).select("event_id", "event_type",
+             F.timestamp_seconds("sec").alias("ts"), "user_id")
+    out = sessions.rolling_actives(ev, window_days=7).collect()
+    got = {
+        (int(r["day"].timestamp()) - day0) // 86400:
+            (r["n_active"], r["n_events"])
+        for r in out
+    }
+    obs_days = sorted({d for _, d in acts})
+    expect = {}
+    for d in obs_days:
+        in_win = [(u, dd) for u, dd in acts if d - 6 <= dd <= d]
+        expect[d] = (len({u for u, _ in in_win}), len(in_win))
+    assert got == expect
+    # boundary pins: day 3 window [−3..3] has users {1,2,3}; day 10
+    # window [4..10] has {1,2} (day-3 activity aged out); day 17 sees
+    # only user 4
+    assert got[3] == (3, 6) and got[10] == (2, 2) and got[17] == (1, 1)
+    with pytest.raises(ValueError, match="window_days"):
+        sessions.rolling_actives(ev, window_days=0)
+    # plan: never the range-join formulation (no nested loop /
+    # cartesian); ONE corpus-touching exchange on (user, day), the
+    # rest run on the post-aggregate relation (count_distinct's
+    # expand adds 2 small-side exchanges)
+    plan = plan_str(sessions.rolling_actives(ev, 7))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_rolling_actives_sketch_parity_and_mergeable_plan(spark):
+    """sketch=True estimates within HLL error on a real cardinality
+    and plans mergeable partial sketches — the corpus-touching stage
+    is ONE map-side-combined exchange carrying sketches, not id
+    sets."""
+    from conftest import plan_str
+    from yahoo_anomaly_detection_spark.operators import sessions
+
+    day0 = 1704067200
+    n = 4000
+    rows = [
+        (i, "x", day0 + (i % 10) * 86400 + i, i % 800)
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, sec long, user_id long"
+    ).select("event_id", "event_type",
+             F.timestamp_seconds("sec").alias("ts"), "user_id")
+    exact = {r["day"]: r["n_active"]
+             for r in sessions.rolling_actives(ev, 7).collect()}
+    sk_df = sessions.rolling_actives(ev, 7, sketch=True)
+    sk = {r["day"]: r["n_active"] for r in sk_df.collect()}
+    assert set(sk) == set(exact)
+    for d, v in exact.items():
+        assert abs(sk[d] - v) <= max(3, 0.05 * v), (d, sk[d], v)
+    assert "partial_hll_sketch_agg" in plan_str(sk_df)
+
+
+# ------------------------------------------------- weighted sample
+def test_weighted_sample_matches_python_priorities(spark):
+    """A-ES priorities ln(u)/w reproduce bit-for-bit from the salted
+    md5; top-k selection matches the python sort; zero/NULL weights
+    are excluded."""
+    import hashlib
+    import math as m
+
+    from conftest import plan_str
+    from yahoo_anomaly_detection_spark.operators import textstats
+
+    rows = [(i, (i * 37) % 500 + 1) for i in range(200)]
+    rows += [(200, 0), (201, None)]  # excluded: zero / NULL weight
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+    def pri(doc_id, w):
+        h = hashlib.md5(f"w0:{doc_id}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 2**32
+        return m.log(u) / w
+
+    expect = sorted(
+        ((pri(i, w), i, w) for i, w in rows if w),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    out = textstats.weighted_sample(docs, k=25).collect()
+    assert len(out) == 25
+    got = {r["doc_id"]: (r["weight"], r["priority"]) for r in out}
+    assert set(got) == {i for _, i, _ in expect}
+    for p, i, w in expect:
+        assert got[i][0] == float(w)
+        assert got[i][1] == pytest.approx(p, abs=2e-4)
+    # k beyond corpus: every positive-weight doc survives
+    assert textstats.weighted_sample(docs, k=1000).count() == 200
+    # per-partition k-heap + driver merge, never a global corpus sort
+    assert "TakeOrderedAndProject" in plan_str(
+        textstats.weighted_sample(docs, k=25))
+    with pytest.raises(ValueError, match="k"):
+        textstats.weighted_sample(docs, k=0)
+
+
+def test_weighted_sample_weight_proportional_inclusion(spark):
+    """Statistical sanity over many salts: a doc with 9x the weight of
+    the others is included in the k-sample far more often than a
+    light doc (probability-proportional-to-size without
+    replacement)."""
+    from yahoo_anomaly_detection_spark.operators import textstats
+
+    rows = [(i, 900 if i < 10 else 100) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    heavy_hits = light_hits = 0
+    for s in range(12):
+        ids = {r["doc_id"] for r in textstats.weighted_sample(
+            docs, k=20, salt=f"s{s}").collect()}
+        heavy_hits += sum(1 for i in range(10) if i in ids)
+        light_hits += sum(1 for i in range(10, 100) if i in ids)
+    # heavy docs: 10 of 100 docs but 50% of total weight — expect
+    # heavy inclusion rate several times the light rate
+    heavy_rate = heavy_hits / (10 * 12)
+    light_rate = light_hits / (90 * 12)
+    assert heavy_rate > 2.5 * light_rate, (heavy_rate, light_rate)

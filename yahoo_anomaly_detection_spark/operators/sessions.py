@@ -216,6 +216,112 @@ FROM events GROUP BY 1, 2
 """
 
 
+def rolling_actives(events: DataFrame, window_days: int = 7,
+                    sketch: bool = False) -> DataFrame:
+    """Sliding-window distinct actives — for each OBSERVED day, the
+    distinct users and total events over the trailing ``window_days``
+    days ending that day (the 7-day-active / WAU-by-day product
+    metric, the sliding sibling of :func:`distinct_counts`).
+
+    The naive formulation is a time-range self-join (every day joined
+    to its trailing week of raw events) — quadratic blowup and a
+    range-join Spark can only plan as a nested loop. This operator
+    never builds it — the corpus crosses exactly ONE
+    map-side-combined exchange on either path, and the sliding-window
+    arithmetic runs on the small post-aggregate relation:
+
+    * exact path (default, the oracle): ``groupBy(user, day).count()``
+      is the single corpus-touching stage; one relation bounded by
+      users × days then serves everything — explode each row to the
+      ≤ ``window_days`` window-end days it contributes to (map-side),
+      ``count_distinct(user)`` per end day for actives, ``sum`` of
+      the carried per-(user, day) counts for event totals. The DuckDB
+      oracle deliberately USES the range-join formulation, so the
+      driver gate proves explode ≡ range join.
+    * ``sketch=True`` (the 100 TB path): ``groupBy(day)`` with
+      ``hll_sketch_agg(user)`` + ``count(*)`` — the corpus exchange
+      carries a fixed-size HyperLogLog sketch per (day, map task),
+      never the id sets — then the trailing-window union is
+      ``hll_union_agg`` over the exploded PER-DAY relation (#days ×
+      window rows TOTAL). Unlike ``approx_count_distinct``, sketches
+      of overlapping windows merge without touching the ids again —
+      the property that makes sliding distinct-counts tractable when
+      a single window no longer fits anywhere. Same schema; estimate
+      error is HLL's (bounded-vs-exact pytest).
+
+    Days with no events do not appear (there is no skeleton; compose
+    ``gapfill`` upstream if a dense calendar is wanted).
+
+    Output: (day, n_active, n_events) — trailing-window totals
+    keyed by window END day.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day = F.date_trunc("DAY", F.col("ts").cast("timestamp")).alias("day")
+    shift = "make_interval(0,0,0,_off,0,0,0)"
+
+    if sketch:
+        per_day = events.groupBy(day).agg(
+            F.hll_sketch_agg(F.col("user_id")).alias("_sk"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        base_day, carried = "day", ["_sk", "_c"]
+    else:
+        per_day = events.groupBy(F.col("user_id"), day).agg(
+            F.count(F.lit(1)).alias("_c"))
+        base_day, carried = "day", ["user_id", "_c"]
+
+    exploded = (
+        per_day.select(
+            *carried, base_day,
+            F.explode(F.array(*[F.lit(i)
+                                for i in range(window_days)])).alias("_off"),
+        )
+        .select(*carried, "_off",
+                (F.col(base_day) + F.expr(shift)).alias("_end"))
+    )
+    if sketch:
+        agg = exploded.groupBy("_end").agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("_sk"))).alias("n_active"),
+            F.sum("_c").alias("n_events"),
+            F.max(F.when(F.col("_off") == 0, True)).alias("_obs"),
+        )
+    else:
+        agg = exploded.groupBy("_end").agg(
+            F.count_distinct(F.col("user_id")).alias("n_active"),
+            F.sum("_c").alias("n_events"),
+            F.max(F.when(F.col("_off") == 0, True)).alias("_obs"),
+        )
+    # the explode emits phantom end days past the data's last observed
+    # day; an end day is OBSERVED iff some row reached it at offset 0
+    # — a flag riding the same aggregate, no extra scan or join
+    return (
+        agg.where(F.col("_obs"))
+        .select(F.col("_end").alias("day"), "n_active", "n_events")
+    )
+
+
+_ROLLING_ACTIVES_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+ec AS (
+    SELECT date_trunc('day', ts) AS day, count(*) AS c
+    FROM events GROUP BY 1
+)
+SELECT d.day,
+       (SELECT count(DISTINCT u.user_id) FROM ud u
+        WHERE u.day <= d.day
+          AND u.day > d.day - INTERVAL 7 DAY) AS n_active,
+       CAST((SELECT sum(e.c) FROM ec e
+             WHERE e.day <= d.day
+               AND e.day > d.day - INTERVAL 7 DAY) AS BIGINT) AS n_events
+FROM days d
+"""
+
+
 def funnel(events: DataFrame,
            steps: tuple[str, ...] = ("view", "click", "purchase"),
            user_col: str = "user_id", type_col: str = "event_type",
@@ -570,6 +676,7 @@ ORACLE_SQL = {
     "session_stats": _session_stats_sql(28800),
     "value_percentiles": _PERCENTILES_SQL,
     "active_users_1d": _DISTINCT_SQL,
+    "rolling_actives_7d": _ROLLING_ACTIVES_SQL,
     "funnel_steps": _funnel_sql(),
     "retention_cohorts": _RETENTION_SQL,
     "events_vs_trailing_p95": _ASOF_P95_SQL,

@@ -331,6 +331,67 @@ WHERE u < CASE band WHEN 0 THEN {rates[0]} WHEN 1 THEN {rates[1]}
 """
 
 
+def weighted_sample(docs: DataFrame, k: int = 50,
+                    weight_col: str = "n_chars",
+                    salt: str = "w0") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement,
+    probability proportional to weight (Efraimidis–Spirakis A-ES):
+    each doc gets priority ``ln(u)/w`` for a salted-hash uniform
+    ``u ∈ (0,1)`` — equivalent to ``u^(1/w)`` but stable in log
+    space — and the k highest priorities ARE a weight-proportional
+    sample. The quality-weighted cousin of :func:`stratified_sample`
+    (there: fixed rate per stratum; here: every doc's inclusion odds
+    scale with its own weight — sample a corpus proportional to
+    length, quality score, dedup-cluster size, …), reproducible
+    bit-for-bit across engines and runs (no RNG state; changing
+    ``salt`` draws an independent sample).
+
+    Scale shape: the priority is a pure map-side expression (same
+    salted-md5 uniform as ``stratified_sample``), and "k highest"
+    plans as TakeOrderedAndProject — a per-partition k-heap with a
+    k·P driver merge, NEVER a global sort of the corpus (plan-audit
+    test). Non-positive / NULL weights are excluded (zero weight =
+    zero inclusion probability; the oracle filter is identical).
+    Ties broken by doc_id; u is offset by +0.5/2³² so ln() never
+    sees 0.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (
+        (F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt),
+                                              F.col("doc_id"))), 1, 8),
+                16, 10).cast("double") + F.lit(0.5))
+        / F.lit(4294967296.0)
+    )
+    w = F.col(weight_col).cast("double")
+    pri = F.log(u) / w
+    return (
+        docs.where(w > 0)
+        .select("doc_id", w.alias("weight"), pri.alias("_p"))
+        .orderBy(F.desc("_p"), "doc_id")
+        .limit(k)
+        .select("doc_id", "weight",
+                portable_round(F.col("_p"), _R).alias("priority"))
+    )
+
+
+def _weighted_sample_sql(k: int, weight_col: str, salt: str) -> str:
+    u = (
+        f"(CAST(concat('0x', substr(md5(concat('{salt}', ':', "
+        f"CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5) "
+        f"/ 4294967296.0"
+    )
+    return f"""
+WITH p AS (
+    SELECT doc_id, CAST({weight_col} AS DOUBLE) AS weight,
+           ln({u}) / CAST({weight_col} AS DOUBLE) AS pri
+    FROM documents WHERE CAST({weight_col} AS DOUBLE) > 0
+)
+SELECT doc_id, weight, round(pri, 4) AS priority
+FROM p ORDER BY pri DESC, doc_id LIMIT {k}
+"""
+
+
 def topk_per_band(docs: DataFrame, k: int = 20,
                   bounded: bool = True) -> DataFrame:
     """Top-k docs per length band by composite quality (ties → lower
@@ -420,5 +481,6 @@ ORACLE_SQL = {
     "vocab_topk": _vocab_sql(100),
     "quality_filter": _quality_filter_sql(0.4, 0.01, ("en",)),
     "stratified_sample": _stratified_sql((0.25, 0.5, 1.0), "s0"),
+    "weighted_sample": _weighted_sample_sql(50, "n_chars", "w0"),
     "topk_per_band": _topk_per_band_sql(20),
 }
