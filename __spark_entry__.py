@@ -1198,6 +1198,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_recall_lsh(spark, sf_dir):
+    # recall@5 of single-bucket LSH against the exact cosine ranking,
+    # per query — the evaluation loop that tunes n_planes/nprobe;
+    # zero-hit queries appear with recall 0 (left join, not semi)
+    embs = _embs(spark, sf_dir)
+    return similarity.ann_recall(
+        similarity.lsh_bucketed_topk(embs, n_planes=8, query_mod=50, k=5),
+        similarity.brute_force_topk(embs, query_mod=50, k=5),
+        k=5,
+    )
+
+
 def q_ivf_cells(spark, sf_dir):
     # IVF coarse quantization: nearest-centroid cell per vector —
     # broadcast centroid array, map-side argmax fold, zero shuffle
@@ -1508,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_power": q_spectral_power,
         "rolling_actives_7d": q_rolling_actives_7d,
         "weighted_sample": q_weighted_sample,
+        "ann_recall_lsh": q_ann_recall_lsh,
     }
 
 

@@ -113,6 +113,7 @@ HEADLINE = [
     "embedding_near_dups",
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
+    "ann_recall_lsh",
     "ivf_topk",
     "lang_id",
     "quality_score",

@@ -900,3 +900,39 @@ def test_weighted_sample_weight_proportional_inclusion(spark):
     heavy_rate = heavy_hits / (10 * 12)
     light_rate = light_hits / (90 * 12)
     assert heavy_rate > 2.5 * light_rate, (heavy_rate, light_rate)
+
+
+# ------------------------------------------------- ann recall@k
+def test_ann_recall_properties(spark):
+    """ann_recall vs a python replay: brute-force vs itself = 1.0
+    everywhere; LSH recall matches the exact set-intersection count;
+    zero-hit queries still appear (left join, not semi)."""
+    from yahoo_anomaly_detection_spark.operators import similarity
+
+    embs = lcg_embeddings(spark, 300)
+    exact = similarity.brute_force_topk(embs, query_mod=50, k=5)
+    # identity: an exact result scored against itself is perfect
+    self_r = similarity.ann_recall(exact, exact, k=5).collect()
+    assert len(self_r) == 6  # vec_id % 50 == 0 -> 6 queries in 300
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 5 for r in self_r)
+
+    approx = similarity.lsh_bucketed_topk(embs, n_planes=8,
+                                          query_mod=50, k=5)
+    got = {r["q_id"]: (r["n_hits"], r["recall"])
+           for r in similarity.ann_recall(approx, exact, k=5).collect()}
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(ex)  # every exact query appears
+    for q, nbrs in ex.items():
+        hits = len(nbrs & ap.get(q, set()))
+        assert got[q] == (hits, pytest.approx(hits / 5.0, abs=1e-9))
+    # single-bucket LSH at 8 planes on 300 iid vectors cannot be
+    # perfect everywhere AND must beat random; both ends pinned
+    mean_recall = sum(v[1] for v in got.values()) / len(got)
+    assert 0.0 < mean_recall < 1.0
+    with pytest.raises(ValueError, match="k"):
+        similarity.ann_recall(approx, exact, k=0)

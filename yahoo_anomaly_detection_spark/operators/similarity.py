@@ -263,6 +263,53 @@ FROM ranked WHERE rk <= {k}
 """
 
 
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Recall@k of ANY approximate top-k against the exact ranking —
+    the evaluation operator that closes the ANN tuning loop: sweep
+    ``n_planes`` / ``nprobe`` / probe fan-out, measure recall here and
+    latency in the bench, pick the knee. Inputs are two top-k
+    relations with (q_id, neighbor_id) columns (the shared contract
+    of ``brute_force_topk`` / ``lsh_bucketed_topk`` /
+    ``lsh_multiprobe_topk`` / ``ivf_topk``), so every variant is
+    measurable against every baseline without new plumbing.
+
+    recall@k = |approx ∩ exact| / k per query, over EXACT's query
+    set — a query whose bucket held no true neighbors still appears
+    with recall 0 (left join, not semi), which is precisely the
+    failure the metric exists to expose.
+
+    Scale shape: both inputs are k·Q-row top-k relations — the
+    corpus-scale work happened producing them; this op is one small
+    equi-join + one map-side-combined groupBy on q_id.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a = approx.select("q_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        exact.select("q_id", "neighbor_id")
+        .join(a, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("_hit").alias("n_hits"))
+        .select(
+            "q_id", "n_hits",
+            portable_round(F.col("n_hits") / F.lit(float(k)),
+                           _R).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_sql(n_planes: int, query_mod: int, k: int) -> str:
+    return f"""
+WITH exact_r AS ({_brute_force_sql(query_mod, k)}),
+approx_r AS ({_lsh_topk_sql(n_planes, query_mod, k)})
+SELECT e.q_id, count(a.neighbor_id) AS n_hits,
+       round(count(a.neighbor_id) / {float(k)}, 4) AS recall
+FROM exact_r e LEFT JOIN approx_r a
+  ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.q_id
+"""
+
+
 def lsh_multiprobe_topk(embs: DataFrame, n_planes: int = 8,
                         query_mod: int = 50, k: int = 5) -> DataFrame:
     """Multi-probe LSH top-k: each query probes its own bucket PLUS
@@ -753,4 +800,5 @@ ORACLE_SQL = {
     "ann_lsh_buckets": _lsh_bucket_sql(8),
     "ann_lsh_topk": _lsh_topk_sql(8, 50, 5),
     "ann_lsh_multiprobe": _lsh_multiprobe_sql(8, 50, 5),
+    "ann_recall_lsh": _ann_recall_sql(8, 50, 5),
 }
