@@ -648,6 +648,14 @@ def q_rolling_actives_7d(spark, sf_dir):
                                     window_days=7)
 
 
+def q_tfidf_top3(spark, sf_dir):
+    # top-3 characteristic terms per doc by smoothed TF-IDF (sklearn
+    # formula); exploded corpus crosses ONE map-side-combined
+    # exchange, idf is a broadcast vocab-sized relation, the rank
+    # window partitions per doc (bounded by a doc's distinct tokens)
+    return textstats.tfidf_topk(_docs(spark, sf_dir), m=3)
+
+
 def q_weighted_sample(spark, sf_dir):
     # Efraimidis–Spirakis weight-proportional sample (k=50 by
     # n_chars): map-side salted-hash priority + TakeOrderedAndProject
@@ -1521,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_actives_7d": q_rolling_actives_7d,
         "weighted_sample": q_weighted_sample,
         "ann_recall_lsh": q_ann_recall_lsh,
+        "tfidf_top3": q_tfidf_top3,
     }
 
 

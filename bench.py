@@ -119,6 +119,7 @@ HEADLINE = [
     "quality_score",
     "quality_filter",
     "vocab_topk",
+    "tfidf_top3",
     "token_count",
     "doc_fingerprint",
     "multimodal_features",

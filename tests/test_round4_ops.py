@@ -936,3 +936,58 @@ def test_ann_recall_properties(spark):
     assert 0.0 < mean_recall < 1.0
     with pytest.raises(ValueError, match="k"):
         similarity.ann_recall(approx, exact, k=0)
+
+
+# ------------------------------------------------- tf-idf top terms
+def test_tfidf_matches_python_replay(spark):
+    """Smoothed TF-IDF (sklearn formula) reproduces a python replay
+    on a corpus with a stopword-like common term, a shared mid-df
+    term, and doc-unique terms; common terms never win rank 1."""
+    import math as m
+    import re
+
+    from conftest import plan_str
+    from yahoo_anomaly_detection_spark.operators import textstats
+
+    texts = {
+        0: "the cat sat on the mat the cat",
+        1: "the dog ate the bone",
+        2: "the cat chased the dog dog",
+        3: "quantum flux the capacitor",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    out = textstats.tfidf_topk(docs, m=2).collect()
+    got = {(r["doc_id"], r["rk"]): (r["token"], r["tf"], r["tfidf"])
+           for r in out}
+
+    toks = {i: re.findall("[a-z0-9]+", t.lower()) for i, t in texts.items()}
+    n = len(texts)
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    expect = {}
+    for i, ts in toks.items():
+        tf = {t: ts.count(t) for t in set(ts)}
+        scored = sorted(
+            ((tf[t] * (m.log((1 + n) / (1 + df[t])) + 1), t)
+             for t in tf),
+            key=lambda p: (-p[0], p[1]),
+        )[:2]
+        for rk, (x, t) in enumerate(scored, 1):
+            expect[(i, rk)] = (t, tf[t], round(x, 4))
+    assert set(got) == set(expect)
+    for key, (t, tf_, x) in expect.items():
+        gt, gtf, gx = got[key]
+        assert (gt, gtf) == (t, tf_)
+        assert gx == pytest.approx(x, abs=2e-4)
+    # idf discrimination: in doc 0, "cat" (tf=2, df=2) outranks "the"
+    # (tf=3 but df=N, idf floor 1.0) — 3.02 > 3.00
+    assert got[(0, 1)][0] == "cat" and got[(0, 2)][0] == "the"
+    with pytest.raises(ValueError, match="m must"):
+        textstats.tfidf_topk(docs, m=0)
+    # plan pins: idf side broadcast, no cartesian on the tf join (the
+    # 1-row N crossjoin on the vocab side is the one BNLJ allowed)
+    plan = plan_str(textstats.tfidf_topk(docs, m=2))
+    assert "BroadcastHashJoin" in plan

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
@@ -235,6 +236,99 @@ ranked AS (
     FROM counts
 )
 SELECT token, cnt, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def tfidf_topk(docs: DataFrame, m: int = 3,
+               broadcast_vocab: bool = True) -> DataFrame:
+    """Top-m characteristic terms per document by smoothed TF-IDF
+    (sklearn's formula: ``idf = ln((1+N)/(1+df)) + 1``) — the
+    keyword-extraction / doc-representation step between raw text and
+    topic bucketing in a curation pipeline, built on the same
+    tokenizer as ``vocab_topk`` so vocab and per-doc terms agree.
+
+    Scale shape — three exchanges, each of a RELATION SMALLER than
+    the last, and the exploded corpus crosses only the first:
+
+    1. ``groupBy(doc_id, token)`` term frequencies: map-side-combined,
+       so the wire carries deduped (doc, token, tf) rows, not raw
+       tokens. (The tempting one-exchange alternative — repartition by
+       doc_id up front so the final window reuses it — would push the
+       ENTIRE exploded corpus through an un-combined shuffle; strictly
+       worse.)
+    2. document frequencies: ``groupBy(token)`` over the tf relation
+       (already one row per (doc, token), so ``count`` IS df) — a
+       vocab-sized result. N rides a 1-row count cross-joined in
+       (broadcast), never a ``collect``.
+    3. tf ⋈ idf on token (``broadcast_vocab=True`` pins a broadcast —
+       right for any vocab that fits an executor; at web-tokenizer
+       vocab sizes set False for a plain token-keyed join), then the
+       per-doc rank window — partition size bounded by a DOC's
+       distinct tokens, never by corpus or vocab cardinality.
+
+    Ties at equal tfidf break by token ascending. Output:
+    (doc_id, token, tf, tfidf, rk), rk ≤ m.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("_n"))
+    df = (
+        tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            (F.log((F.lit(1.0) + F.col("_n"))
+                   / (F.lit(1.0) + F.col("_df"))) + F.lit(1.0))
+            .alias("_idf"),
+        )
+    )
+    if broadcast_vocab:
+        df = F.broadcast(df)
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc(F.col("tf") * F.col("_idf")), F.asc("token"))
+    return (
+        tf.join(df, on="token")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= m)
+        .select("doc_id", "token", "tf",
+                portable_round(F.col("tf") * F.col("_idf"),
+                               _R).alias("tfidf"),
+                "rk")
+    )
+
+
+def _tfidf_sql(m: int) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+idf AS (
+    SELECT token,
+           ln((1.0 + (SELECT count(*) FROM documents))
+              / (1.0 + count(*))) + 1.0 AS idf
+    FROM tf GROUP BY token
+),
+ranked AS (
+    SELECT tf.doc_id, tf.token, tf.tf, tf.tf * idf.idf AS x,
+           CAST(row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * idf.idf DESC, tf.token ASC) AS INT) AS rk
+    FROM tf JOIN idf ON tf.token = idf.token
+)
+SELECT doc_id, token, tf, round(x, 4) AS tfidf, rk
+FROM ranked WHERE rk <= {m}
 """
 
 
@@ -482,5 +576,6 @@ ORACLE_SQL = {
     "quality_filter": _quality_filter_sql(0.4, 0.01, ("en",)),
     "stratified_sample": _stratified_sql((0.25, 0.5, 1.0), "s0"),
     "weighted_sample": _weighted_sample_sql(50, "n_chars", "w0"),
+    "tfidf_top3": _tfidf_sql(3),
     "topk_per_band": _topk_per_band_sql(20),
 }
