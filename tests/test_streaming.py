@@ -1199,3 +1199,77 @@ def test_stream_absence_single_batch_interior_gaps(spark, tmp_path):
         ("d", "2024-01-01 00:01:00", "2024-01-01 00:04:00", 9),
         ("d", "2024-01-01 00:11:00", "2024-01-01 00:14:00", 9),
     ]
+
+
+# ------------------------------------------------ ingest dedup (hop 0)
+def test_stream_dedup_collapses_redeliveries(spark, tmp_path):
+    """At-least-once source → exactly-once relation: duplicates inside
+    one micro-batch AND redeliveries across micro-batches (within the
+    watermark) collapse to one row; chained through the 1m rollup, the
+    finalized buckets equal the batch rollup of the DEDUPED input —
+    counting any copy twice would show up in cnt/sum."""
+    from yahoo_anomaly_detection_spark.streaming.dedup_stream import (
+        stream_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    ddl = "event_id long, conv_id string, ts timestamp, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, c, f"2024-01-01 00:{m:02d}:{s:02d}", v)
+             for i, c, m, s, v in rows],
+            "event_id long, conv_id string, ts string, value double",
+        ).select("event_id", "conv_id",
+                 F.col("ts").cast("timestamp").alias("ts"), "value")
+
+    # batch 1: e1 delivered twice IN the same file
+    b1 = [(0, "a", 0, 1, 10.0), (1, "a", 0, 30, 20.0),
+          (1, "a", 0, 30, 20.0), (2, "b", 1, 5, 5.0)]
+    # batch 2: e0 and e2 redelivered across the micro-batch boundary,
+    # plus one genuinely new event
+    b2 = [(0, "a", 0, 1, 10.0), (2, "b", 1, 5, 5.0),
+          (3, "a", 1, 40, 30.0)]
+    # batch 3: advance the watermark far enough to finalize everything
+    b3 = [(9, "a", 30, 0, 1.0), (10, "b", 31, 0, 2.0)]
+
+    deduped = stream_dedup(
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        key_cols=("event_id",), watermark="10 minutes",
+    )
+    tiers = stream_rollup_1m(
+        deduped.select("conv_id", "ts", "value"), set_watermark=False)
+    mk(b1).coalesce(1).write.mode("append").parquet(src)
+    q = start_stream_to_parquet(tiers, out, ckpt, trigger_secs=1)
+    try:
+        q.processAllAvailable()
+        mk(b2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        mk(b3).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out)
+    clean = mk([(0, "a", 0, 1, 10.0), (1, "a", 0, 30, 20.0),
+                (2, "b", 1, 5, 5.0), (3, "a", 1, 40, 30.0)])
+    batch = rollup_points(clean.select("conv_id", "ts", "value"), "1m")
+    j = batch.alias("b").join(got.alias("s"),
+                              ["conv_id", "bucket_start"], "inner")
+    rows = j.select("conv_id", "bucket_start",
+                    F.col("b.cnt").alias("bc"), F.col("s.cnt").alias("sc"),
+                    F.col("b.sum").alias("bsum"),
+                    F.col("s.sum").alias("ssum")).collect()
+    # every early bucket finalized and exactly-once: a double-counted
+    # e1 would make cnt 3 / sum 30 in a's 00:00 bucket
+    assert len(rows) == 3
+    for r in rows:
+        assert r["sc"] == r["bc"], r
+        assert abs(r["ssum"] - r["bsum"]) < 1e-12, r
+    with pytest.raises(ValueError, match="key_cols"):
+        stream_dedup(spark.readStream.schema(ddl).parquet(src),
+                     key_cols=())

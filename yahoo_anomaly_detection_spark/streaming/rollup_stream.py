@@ -47,7 +47,8 @@ def read_point_stream(spark: SparkSession, path: str,
 
 
 def stream_rollup_1m(points: DataFrame,
-                     watermark: str = "10 minutes") -> DataFrame:
+                     watermark: str = "10 minutes",
+                     set_watermark: bool = True) -> DataFrame:
     """Watermarked per-conversation 1m bucket aggregate.
 
     The watermark bounds state: buckets older than (max event time −
@@ -55,11 +56,20 @@ def stream_rollup_1m(points: DataFrame,
     lets this run forever at 10^12-turn scale — late points inside the
     watermark still merge into their bucket; later ones are dropped
     (the batch path's idempotent re-rollup covers reprocessing).
+
+    ``set_watermark=False`` when an upstream hop already declared one
+    on ``ts`` (e.g. ``dedup_stream.stream_dedup``): Spark forbids
+    redefining a watermark mid-plan, and the upstream one composes —
+    the engine tracks the min across chained stateful operators.
     """
     _require_utc(points)
+    if not set_watermark:
+        points_wm = points
+    else:
+        points_wm = points.withWatermark("ts", watermark)
     v = F.col("value").cast("double")
     agg = (
-        points.withWatermark("ts", watermark)
+        points_wm
         .groupBy("conv_id", F.window("ts", "1 minute").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
