@@ -698,6 +698,14 @@ def q_acf_1d(spark, sf_dir):
                            lags=(1, 2, 3))
 
 
+def q_pacf_1d(spark, sf_dir):
+    # partial autocorrelation at lags 1..3 (Yule-Walker via the
+    # Durbin-Levinson closed forms) per (conversation, day) — reads
+    # the AR order off the same 1m series acf_1d diagnoses; one
+    # (key, day) exchange serves both window phases and the groupBy
+    return tsanalytics.pacf(_t1m_mean(spark, sf_dir), "mean_v")
+
+
 def q_theilsen_1d(spark, sf_dir):
     # Theil–Sen robust trend per (conversation, day) over the HOURLY
     # tier (≤24 points → ≤276 pairs per group by construction): median
@@ -1530,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "ann_recall_lsh": q_ann_recall_lsh,
         "tfidf_top3": q_tfidf_top3,
+        "pacf_1d": q_pacf_1d,
     }
 
 

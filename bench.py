@@ -88,6 +88,7 @@ HEADLINE = [
     "next_gap_1d",
     "trend_1d",
     "acf_1d",
+    "pacf_1d",
     "theilsen_1d",
     "spectral_power",
     "ensemble_flags",

@@ -1438,3 +1438,78 @@ def test_spectral_power_single_mapside_groupby(spark):
     plan = _plan(df)
     assert _exchanges(df) == 1
     assert "Window" not in plan and "Sort" not in plan
+
+
+# ------------------------------------------------------------ pacf
+def _pacf_ref(vals):
+    """Yule-Walker pacf at lags 1..3 via Durbin-Levinson on the
+    biased acovf — the python replay of the operator's closed forms."""
+    x = np.asarray(vals, dtype=float)
+    n = len(x)
+    m = x.mean()
+    c = [float(((x - m)[: n - k] * (x - m)[k:]).sum()) if n > k else None
+         for k in range(4)]
+    if not c[0] or c[0] <= 0:
+        return (None, None, None)
+    r = [None if ck is None else ck / c[0] for ck in c]
+    p1 = r[1]
+    d2 = None if r[1] is None else 1 - r[1] * r[1]
+    p2 = (None if r[2] is None or d2 is None or abs(d2) <= 1e-12
+          else (r[2] - r[1] * r[1]) / d2)
+    if p2 is None or r[3] is None:
+        return (p1, p2, None)
+    p21 = r[1] * (1 - p2)
+    d3 = 1 - p21 * r[1] - p2 * r[2]
+    p3 = (None if abs(d3) <= 1e-12
+          else (r[3] - p21 * r[2] - p2 * r[1]) / d3)
+    return (p1, p2, p3)
+
+
+def test_pacf_matches_python_durbin_levinson(spark):
+    rng = np.random.default_rng(17)
+    rows, series = [], {}
+    for conv, day in (("a", 0), ("a", 1), ("b", 0)):
+        n = int(rng.integers(8, 60))
+        mins = sorted(rng.choice(1440, size=n, replace=False).tolist())
+        vals = rng.normal(50, 10, size=n).cumsum()
+        series[(conv, day)] = vals
+        rows += [(conv, day * 1440 + m, v) for m, v in zip(mins, vals)]
+    out = tsa.pacf(_tier(spark, rows), "mean_v").collect()
+    got = {(r["conv_id"],
+            (int(r["bucket_start"].timestamp()) - DAY0) // 86400,
+            r["lag"]): r["pacf"] for r in out}
+    assert len(got) == 9
+    for (conv, day), vals in series.items():
+        for k, want in enumerate(_pacf_ref(vals), 1):
+            g = got[(conv, day, k)]
+            if want is None:
+                assert g is None
+            else:
+                assert g == pytest.approx(want, abs=2e-4), (conv, day, k)
+
+
+def test_pacf_ar1_cuts_off_after_lag1(spark):
+    # AR(1) with phi=0.8: pacf(1) ≈ 0.8, pacf(2)/pacf(3) ≈ 0 — the
+    # Box-Jenkins order-identification signature (acf instead decays
+    # geometrically and stays large at lag 2)
+    rng = np.random.default_rng(23)
+    x = [0.0]
+    for _ in range(799):
+        x.append(0.8 * x[-1] + float(rng.normal(0, 1)))
+    # spread across one day at 1-minute grid; two groups of 400
+    rows = [("ar", i * 2, v) for i, v in enumerate(x[:400])]
+    out = {r["lag"]: r["pacf"]
+           for r in tsa.pacf(_tier(spark, rows), "mean_v").collect()}
+    assert out[1] == pytest.approx(0.8, abs=0.1)
+    assert abs(out[2]) < 0.15 and abs(out[3]) < 0.15
+
+
+def test_pacf_degenerate_groups_null_and_single_exchange(spark):
+    rows = [("c", m, 5.0) for m in range(10)] + [("solo", 0, 1.0)]
+    out = tsa.pacf(_tier(spark, rows), "mean_v").collect()
+    by = {(r["conv_id"], r["lag"]): r["pacf"] for r in out}
+    assert all(by[("c", k)] is None for k in (1, 2, 3))  # zero variance
+    assert all(by[("solo", k)] is None for k in (1, 2, 3))  # no pairs
+    df = tsa.pacf(_tier(spark, [("a", m, float(m * m % 17))
+                                for m in range(30)]), "mean_v")
+    assert _exchanges(df) == 1

@@ -1365,6 +1365,89 @@ def acf(tier_df: DataFrame, value_col: str, lags: tuple[int, ...] = (1, 2, 3),
     )
 
 
+def pacf(tier_df: DataFrame, value_col: str,
+         key: str = "conv_id", bucket_col: str = "bucket_start",
+         group_seconds: int = 86400) -> DataFrame:
+    """Per-(series, group-bucket) PARTIAL autocorrelation at lags
+    1..3 — what ``acf`` leaves open: acf(2) is inflated by lag-1
+    persistence alone (an AR(1) series shows acf(k) = r^k at every
+    lag); pacf(k) is the lag-k correlation with lags 1..k−1 regressed
+    out, so the AR ORDER reads directly off where pacf cuts to ~0
+    (the Box-Jenkins identification step; picks the p for ``ar2_fit``
+    from the data). Yule-Walker estimator via the Durbin-Levinson
+    closed forms — the same recursion statsmodels' ``pacf_yw``
+    solves, unrolled to K=3:
+
+        φ11 = r1;  φ22 = (r2 − r1²)/(1 − r1²);  φ21 = r1(1 − φ22)
+        φ33 = (r3 − φ21 r2 − φ22 r1)/(1 − φ21 r1 − φ22 r2)
+
+    with r_k the biased autocovariance ratio c_k/c_0,
+    c_k = Σ(x_t − x̄)(x_{t+k} − x̄)/n over the ordered group. NULL
+    where undefined: zero variance, n ≤ k, or a |denominator| below
+    1e-12 (both engines branch identically).
+
+    Shape: ONE hash exchange on (key, group) — the ordered lag
+    window, the unbounded-frame group mean/count, and the final
+    groupBy all share it (two pipelined Window phases + the
+    map-side-combined aggregate, same single-exchange family as
+    ``acf``); the Durbin-Levinson arithmetic runs as column
+    expressions on the one-row-per-group aggregate. Per-task input is
+    one group of one series, bounded by the tier (≤1440 rows/day).
+    """
+    grp = _bucket_expr(bucket_col, group_seconds)
+    w_ord = W.partitionBy(key, "_grp").orderBy(bucket_col)
+    w_all = W.partitionBy(key, "_grp")
+    pts = tier_df.select(
+        key, F.col(bucket_col),
+        grp.alias("_grp"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    lagged = pts.select(
+        key, "_grp", "_v",
+        *[F.lag("_v", k).over(w_ord).alias(f"_l{k}") for k in (1, 2, 3)],
+        F.avg("_v").over(w_all).alias("_m"),
+    )
+    m = F.col("_m")
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((F.col("_v") - m) * (F.col("_v") - m)).alias("_c0"),
+    ]
+    for k in (1, 2, 3):
+        aggs.append(
+            F.sum(F.when(F.col(f"_l{k}").isNotNull(),
+                         (F.col("_v") - m) * (F.col(f"_l{k}") - m)))
+            .alias(f"_c{k}"))
+    agg = lagged.groupBy(key, "_grp").agg(*aggs)
+    # biased acovf ratios r_k = c_k / c_0 (the shared 1/n cancels);
+    # try_divide, not /: ANSI mode raises on the zero-variance /
+    # perfectly-linear divisors the guards below are filtering
+    r1 = F.try_divide(F.col("_c1"), F.col("_c0"))
+    r2 = F.try_divide(F.col("_c2"), F.col("_c0"))
+    r3 = F.try_divide(F.col("_c3"), F.col("_c0"))
+    d2 = F.lit(1.0) - r1 * r1
+    p2 = F.try_divide(r2 - r1 * r1, d2)
+    p21 = r1 * (F.lit(1.0) - p2)
+    d3 = F.lit(1.0) - p21 * r1 - p2 * r2
+    p3 = F.try_divide(r3 - p21 * r2 - p2 * r1, d3)
+    ok = (F.col("_c0") > 0)
+    eps = F.lit(1e-12)
+    agg = agg.select(
+        key, "_grp",
+        F.when(ok & (F.col("_n") > 1), r1).alias("_p1"),
+        F.when(ok & (F.col("_n") > 2) & (F.abs(d2) > eps), p2)
+        .alias("_p2"),
+        F.when(ok & (F.col("_n") > 3) & (F.abs(d2) > eps)
+               & (F.abs(d3) > eps), p3).alias("_p3"),
+    )
+    return agg.select(
+        key, F.col("_grp").alias(bucket_col),
+        F.expr("stack(3, 1, _p1, 2, _p2, 3, _p3) AS (lag, _pc)"),
+    ).select(
+        key, bucket_col, F.col("lag").cast("int").alias("lag"),
+        portable_round(F.col("_pc"), _R).alias("pacf"),
+    )
+
+
 def theilsen_trend(tier_df: DataFrame, value_col: str,
                    key: str = "conv_id", bucket_col: str = "bucket_start",
                    group_seconds: int = 86400) -> DataFrame:
@@ -1822,6 +1905,58 @@ UNION ALL
 SELECT conv_id, day, CAST(2 AS INT), n2, round(a2, 4) FROM agg
 UNION ALL
 SELECT conv_id, day, CAST(3 AS INT), n3, round(a3, 4) FROM agg
+"""
+
+_PACF_SQL = f"""
+WITH {_T1M_BASE},
+lagged AS (
+    SELECT conv_id, date_trunc('day', bucket_start) AS day, mean_v AS v,
+           lag(mean_v, 1) OVER w AS l1,
+           lag(mean_v, 2) OVER w AS l2,
+           lag(mean_v, 3) OVER w AS l3,
+           avg(mean_v) OVER (PARTITION BY conv_id,
+                             date_trunc('day', bucket_start)) AS m
+    FROM t1m
+    WINDOW w AS (PARTITION BY conv_id, date_trunc('day', bucket_start)
+                 ORDER BY bucket_start)
+),
+agg AS (
+    SELECT conv_id, day, count(*) AS n,
+           sum((v - m) * (v - m)) AS c0,
+           sum(CASE WHEN l1 IS NOT NULL THEN (v - m) * (l1 - m) END) AS c1,
+           sum(CASE WHEN l2 IS NOT NULL THEN (v - m) * (l2 - m) END) AS c2,
+           sum(CASE WHEN l3 IS NOT NULL THEN (v - m) * (l3 - m) END) AS c3
+    FROM lagged GROUP BY 1, 2
+),
+r AS (
+    SELECT conv_id, day, n,
+           CASE WHEN c0 > 0 THEN c1 / c0 END AS r1,
+           CASE WHEN c0 > 0 THEN c2 / c0 END AS r2,
+           CASE WHEN c0 > 0 THEN c3 / c0 END AS r3
+    FROM agg
+),
+lv2 AS (
+    SELECT *, CASE WHEN abs(1 - r1 * r1) > 1e-12
+                   THEN (r2 - r1 * r1) / (1 - r1 * r1) END AS p2
+    FROM r
+),
+lv3 AS (
+    SELECT *, r1 * (1 - p2) AS p21,
+           1 - r1 * (1 - p2) * r1 - p2 * r2 AS d3
+    FROM lv2
+),
+fin AS (
+    SELECT conv_id, day, r1 AS p1, p2,
+           CASE WHEN abs(d3) > 1e-12
+                THEN (r3 - p21 * r2 - p2 * r1) / d3 END AS p3
+    FROM lv3
+)
+SELECT conv_id, day AS bucket_start, CAST(1 AS INT) AS lag,
+       round(p1, 4) AS pacf FROM fin
+UNION ALL
+SELECT conv_id, day, CAST(2 AS INT), round(p2, 4) FROM fin
+UNION ALL
+SELECT conv_id, day, CAST(3 AS INT), round(p3, 4) FROM fin
 """
 
 _THEILSEN_SQL = f"""
@@ -2633,6 +2768,7 @@ ORACLE_SQL = {
     "burstiness_1d": _BURSTINESS_SQL,
     "asof_snapshot": _ASOF_SNAPSHOT_SQL,
     "acf_1d": _ACF_SQL,
+    "pacf_1d": _PACF_SQL,
     "theilsen_1d": _THEILSEN_SQL,
     "spectral_power": _SPECTRAL_SQL,
 }
