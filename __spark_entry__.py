@@ -29,7 +29,7 @@ from yahoo_anomaly_detection_spark.operators import dedup, similarity, textstats
 from yahoo_anomaly_detection_spark.operators import multimodal, sessions
 from yahoo_anomaly_detection_spark.operators import tsanalytics
 from yahoo_anomaly_detection_spark.operators import alerting
-from yahoo_anomaly_detection_spark.operators import enrich, journeys
+from yahoo_anomaly_detection_spark.operators import curation, enrich, journeys
 from yahoo_anomaly_detection_spark.operators import refresh as refresh_op
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
@@ -654,6 +654,35 @@ def q_tfidf_top3(spark, sf_dir):
     # exchange, idf is a broadcast vocab-sized relation, the rank
     # window partitions per doc (bounded by a doc's distinct tokens)
     return textstats.tfidf_topk(_docs(spark, sf_dir), m=3)
+
+
+def q_doc_repetition(spark, sf_dir):
+    # Gopher repetition rules (type/token ratio, top-2-gram fraction,
+    # duplicate-3-gram share + repetitive flag); exploded (1,2,3)-gram
+    # stream crosses one map-side-combined (doc, n, gram) exchange,
+    # then a shrinking per-doc rollup
+    return curation.doc_repetition(_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark, sf_dir):
+    # GPT-3-style benchmark decontamination: training docs flagged on
+    # any 4-gram collision with the deterministic eval slice
+    # (doc_id % 20 == 0); eval gram set broadcast, corpus never
+    # shuffles for the probe
+    return curation.decontaminate(_docs(spark, sf_dir), n=4, eval_mod=20)
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    # top-40 PMI collocations (min_count=5): two map-side-combined
+    # count exchanges, broadcast unigram vocab, TakeOrderedAndProject
+    return curation.pmi_bigrams(_docs(spark, sf_dir), k=40, min_count=5)
+
+
+def q_unigram_logppl(spark, sf_dir):
+    # CCNet-style perplexity quality score under the corpus's own
+    # unigram LM; ONE corpus exchange, vocab rollup rides the tf
+    # relation, surprisal join is broadcast
+    return curation.unigram_logppl(_docs(spark, sf_dir))
 
 
 def q_weighted_sample(spark, sf_dir):
@@ -1539,6 +1568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_lsh": q_ann_recall_lsh,
         "tfidf_top3": q_tfidf_top3,
         "pacf_1d": q_pacf_1d,
+        "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
+        "pmi_bigrams": q_pmi_bigrams,
+        "unigram_logppl": q_unigram_logppl,
     }
 
 
@@ -2115,6 +2148,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(tsanalytics.ORACLE_SQL)
     out.update(alerting.ORACLE_SQL)
     out.update(journeys.ORACLE_SQL)
+    out.update(curation.ORACLE_SQL)
     # capstone composition: intersection of three independently-
     # oracled doc_id sets (quality gate, canonical dedup survivors,
     # stratified sample)

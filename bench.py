@@ -121,6 +121,10 @@ HEADLINE = [
     "quality_filter",
     "vocab_topk",
     "tfidf_top3",
+    "doc_repetition",
+    "decontaminate",
+    "pmi_bigrams",
+    "unigram_logppl",
     "token_count",
     "doc_fingerprint",
     "multimodal_features",

@@ -1,0 +1,397 @@
+"""Corpus-curation quality operators: repetition profiling, benchmark
+decontamination, collocation mining, and unigram-LM perplexity scoring.
+
+The four filters a large-scale training-data pipeline runs between raw
+text and the dedup/sampling stages already in ``textstats``/``dedup``:
+
+- ``doc_repetition`` — the published Gopher repetition rules (Rae et
+  al. 2021, "Scaling Language Models", table A1): documents dominated
+  by a single repeated n-gram or by duplicated n-grams are low-quality
+  boilerplate (nav bars, SEO spam) and measurably hurt LM training.
+- ``decontaminate`` — n-gram-collision benchmark decontamination (the
+  GPT-3 appendix-C / PaLM procedure): any training document sharing an
+  n-gram with the held-out evaluation set is flagged so eval numbers
+  stay honest.
+- ``pmi_bigrams`` — pointwise-mutual-information collocations (Church
+  & Hanks 1990): the corpus-level phrase vocabulary (tokenizer merge
+  candidates, stop-phrase lists).
+- ``unigram_logppl`` — CCNet-style (Wenzek et al. 2019) perplexity
+  quality scoring, reduced to the unigram LM that needs no external
+  model artifact: mean token surprisal under the corpus's own unigram
+  distribution; gibberish and rare-token soup score high, repetitive
+  boilerplate scores low.
+
+All tokenization is ``split(text, ' ')`` on the word level (the same
+whitespace tokenizer as ``quality_score``) — JVM-side higher-order
+functions, no Python anywhere. Every operator has an exact DuckDB
+mirror in ``ORACLE_SQL``.
+
+No reference counterpart (the reference has no text layer); engine
+extension per SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark.functions.portable import portable_round
+
+_R = 4
+
+
+def _ngrams(n: int, arr: str = "_t") -> str:
+    """SQL expression: array of space-joined word n-grams of ``arr``
+    (empty array when the doc is shorter than n — guarded because
+    ``sequence(1, 0)`` would DESCEND, not return empty)."""
+    if n == 1:
+        return arr
+    parts = ", ".join(
+        f"element_at({arr}, i + {j})" if j else f"element_at({arr}, i)"
+        for j in range(n)
+    )
+    return (
+        f"IF(size({arr}) >= {n}, "
+        f"transform(sequence(1, size({arr}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})), "
+        f"array())"
+    )
+
+
+# ------------------------------------------------------------------
+# Gopher repetition rules
+# ------------------------------------------------------------------
+
+def doc_repetition(docs: DataFrame, top2_max: float = 0.20,
+                   dup3_max: float = 0.30) -> DataFrame:
+    """Per-document repetition profile + the Gopher repetitive flag.
+
+    Signals (word-level, same tokenizer as ``quality_score``):
+
+    - ``uniq_token_ratio`` — type/token ratio (distinct / total).
+    - ``top2gram_frac`` — fraction of tokens claimed by the single
+      most frequent 2-gram: ``2 · max_count(2-gram) / n_tokens``
+      (Gopher's "top n-gram fraction"; NULL when the doc has < 2
+      tokens).
+    - ``dup3gram_frac`` — duplicate-occurrence share of 3-grams:
+      ``(total − distinct) / total`` 3-gram occurrences (the
+      order-free formulation of Gopher's "duplicate n-gram fraction";
+      NULL when the doc has < 3 tokens).
+    - ``repetitive`` — 1 when either fraction exceeds its threshold
+      (defaults echo Gopher's published 0.20 / ~0.30 band), NULL
+      signals treated as passing.
+
+    Scale shape: one explode of the (1,2,3)-gram stream tagged with
+    its n, then TWO shrinking map-side-combined exchanges —
+    ``groupBy(doc_id, n, gram)`` (the only one the exploded corpus
+    crosses; map-side combine collapses each doc's repeats before the
+    wire) and ``groupBy(doc_id)`` over the already-deduped gram
+    relation. No window, no sort, no per-row Python; per-task state is
+    bounded by hash-aggregate spill, never by document length.
+    """
+    base = docs.select("doc_id", F.expr("split(text, ' ')").alias("_t"))
+    ng = base.select(
+        "doc_id",
+        F.explode(F.expr(
+            "flatten(array("
+            f"transform({_ngrams(1)}, g -> named_struct('n', 1, 'g', g)), "
+            f"transform({_ngrams(2)}, g -> named_struct('n', 2, 'g', g)), "
+            f"transform({_ngrams(3)}, g -> named_struct('n', 3, 'g', g))"
+            "))"
+        )).alias("_ng"),
+    ).select("doc_id", F.col("_ng.n").alias("_n"), F.col("_ng.g").alias("_g"))
+    cnt = ng.groupBy("doc_id", "_n", "_g").agg(
+        F.count(F.lit(1)).alias("_c"))
+    one = F.lit(1)
+    prof = cnt.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("_n") == 1, F.col("_c"))).alias("_tok"),
+        F.sum(F.when(F.col("_n") == 1, one)).alias("_typ"),
+        F.max(F.when(F.col("_n") == 2, F.col("_c"))).alias("_max2"),
+        F.sum(F.when(F.col("_n") == 3, F.col("_c"))).alias("_tot3"),
+        F.sum(F.when(F.col("_n") == 3, one)).alias("_dst3"),
+    )
+    top2 = F.lit(2.0) * F.col("_max2") / F.col("_tok")
+    dup3 = (F.col("_tot3") - F.col("_dst3")) / F.col("_tot3").cast("double")
+    flag = (
+        F.coalesce(top2 > F.lit(top2_max), F.lit(False))
+        | F.coalesce(dup3 > F.lit(dup3_max), F.lit(False))
+    )
+    return prof.select(
+        "doc_id",
+        F.col("_tok").cast("long").alias("n_tokens"),
+        portable_round(F.col("_typ") / F.col("_tok").cast("double"),
+                       _R).alias("uniq_token_ratio"),
+        portable_round(top2, _R).alias("top2gram_frac"),
+        portable_round(dup3, _R).alias("dup3gram_frac"),
+        flag.cast("int").alias("repetitive"),
+    )
+
+
+def _repetition_sql(top2_max: float, dup3_max: float) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (
+    SELECT doc_id, 1 AS n, unnest(tk) AS gram FROM t
+    UNION ALL
+    SELECT doc_id, 2, unnest(list_transform(range(1, len(tk)),
+        i -> tk[i] || ' ' || tk[i + 1])) FROM t
+    UNION ALL
+    SELECT doc_id, 3, unnest(list_transform(range(1, len(tk) - 1),
+        i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) FROM t
+),
+cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+prof AS (
+    SELECT doc_id,
+           sum(CASE WHEN n = 1 THEN c END) AS tok,
+           sum(CASE WHEN n = 1 THEN 1 END) AS typ,
+           max(CASE WHEN n = 2 THEN c END) AS max2,
+           sum(CASE WHEN n = 3 THEN c END) AS tot3,
+           sum(CASE WHEN n = 3 THEN 1 END) AS dst3
+    FROM cnt GROUP BY 1
+)
+SELECT doc_id,
+       CAST(tok AS BIGINT) AS n_tokens,
+       round(typ / CAST(tok AS DOUBLE), 4) AS uniq_token_ratio,
+       round(2.0 * max2 / tok, 4) AS top2gram_frac,
+       round((tot3 - dst3) / CAST(tot3 AS DOUBLE), 4) AS dup3gram_frac,
+       CAST(coalesce(2.0 * max2 / tok > {top2_max}, false)
+            OR coalesce((tot3 - dst3) / CAST(tot3 AS DOUBLE) > {dup3_max},
+                        false) AS INT) AS repetitive
+FROM prof
+"""
+
+
+# ------------------------------------------------------------------
+# benchmark decontamination
+# ------------------------------------------------------------------
+
+def decontaminate(docs: DataFrame, n: int = 3,
+                  eval_mod: int = 20) -> DataFrame:
+    """Flag training documents that collide with the held-out eval
+    set on any word n-gram (the GPT-3/PaLM decontamination check,
+    which uses n=13 on real corpora; n is a parameter).
+
+    The eval set here is carved deterministically from the same table
+    (``doc_id % eval_mod == 0``) — in production it is the benchmark
+    suite. Output: one row per NON-eval document with the count of
+    distinct n-grams it shares with any eval document and the
+    contaminated flag (docs with zero collisions are kept via the
+    left join — a decontamination report must list the clean docs).
+
+    Scale shape: per-doc grams are ``array_distinct``-ed BEFORE the
+    explode (JVM-side, so the join input is one row per (doc, gram)
+    and the final count is a plain map-side-combinable ``count``, not
+    a count-distinct). The eval gram set is distinct-ed on the tiny
+    eval slice and broadcast — the 100 TB training side never
+    shuffles for the probe (for benchmark suites too big to broadcast
+    whole, ship a Bloom filter of the gram hashes and verify the few
+    candidate hits exactly; the corpus side of the plan is unchanged).
+    One corpus exchange total: the ``groupBy(doc_id)`` hit count.
+    """
+    base = docs.select("doc_id", F.expr("split(text, ' ')").alias("_t"))
+    grams = base.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({_ngrams(n)})")).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+    bench = grams.where(is_eval).select("gram").distinct()
+    train = docs.where(~is_eval).select("doc_id")
+    hits = (
+        grams.where(~is_eval)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("_hits"), F.lit(0)).cast("long")
+        .alias("n_shared_grams"),
+        (F.coalesce(F.col("_hits"), F.lit(0)) > 0).cast("int")
+        .alias("contaminated"),
+    )
+
+
+def _decontaminate_sql(n: int, eval_mod: int) -> str:
+    joined = " || ' ' || ".join(f"tk[i + {j}]" if j else "tk[i]"
+                                for j in range(n))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - {n - 2}),
+                                     i -> {joined})) AS gram
+        FROM t)
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {eval_mod} = 0),
+hits AS (
+    SELECT doc_id, count(*) AS h
+    FROM g JOIN bench USING (gram)
+    WHERE doc_id % {eval_mod} <> 0
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS n_shared_grams,
+       CAST(coalesce(h.h, 0) > 0 AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {eval_mod} <> 0
+"""
+
+
+# ------------------------------------------------------------------
+# PMI collocations
+# ------------------------------------------------------------------
+
+def pmi_bigrams(docs: DataFrame, k: int = 40,
+                min_count: int = 5) -> DataFrame:
+    """Top-k word-bigram collocations by pointwise mutual information
+    (Church & Hanks 1990): ``pmi = ln(p(xy) / (p(x) · p(y)))`` with
+    ``p(xy) = c_xy / T₂`` over bigram occurrences and
+    ``p(x) = c_x / T₁`` over unigram occurrences. ``min_count`` drops
+    the rare-pair noise PMI is notorious for (a 1-occurrence pair of
+    two rare words maxes the score).
+
+    Scale shape: two map-side-combined count exchanges (bigram- and
+    vocab-sized outputs — the exploded corpus crosses each once);
+    both totals ride 1-row broadcast cross joins (no collect); the
+    unigram relation is broadcast twice into the bigram relation
+    (vocab-sized — the same ``broadcast_vocab`` caveat as
+    ``tfidf_topk`` applies at web-tokenizer scale); final top-k is
+    ``orderBy().limit(k)`` = TakeOrderedAndProject (per-partition
+    heap, never a global sort). Ordering ties break on the ROUNDED
+    pmi then bigram text, so both engines rank identically.
+    """
+    toks = docs.select("doc_id", F.expr("split(text, ' ')").alias("_t"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    )
+    t1 = uni.agg(F.sum("cw").cast("double").alias("_t1"))
+    bi_all = (
+        toks.select(F.explode(F.expr(_ngrams(2))).alias("bigram"))
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # T2 = ALL bigram occurrences (the probability denominator is the
+    # corpus, not the surviving pairs) — computed before min_count
+    t2 = bi_all.agg(F.sum("cnt").cast("double").alias("_t2"))
+    bi = bi_all.where(F.col("cnt") >= min_count)
+    w1 = F.expr("split(bigram, ' ')[0]")
+    w2 = F.expr("split(bigram, ' ')[1]")
+    u1 = uni.select(F.col("w").alias("_w1"), F.col("cw").alias("_c1"))
+    u2 = uni.select(F.col("w").alias("_w2"), F.col("cw").alias("_c2"))
+    scored = (
+        bi.withColumn("_w1", w1).withColumn("_w2", w2)
+        .join(F.broadcast(u1), "_w1")
+        .join(F.broadcast(u2), "_w2")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "bigram", "cnt",
+            portable_round(
+                F.log((F.col("cnt") / F.col("_t2"))
+                      / ((F.col("_c1") / F.col("_t1"))
+                         * (F.col("_c2") / F.col("_t1")))),
+                _R,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)
+
+
+def _pmi_sql(k: int, min_count: int) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+uni AS (
+    SELECT w, count(*) AS cw
+    FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1
+),
+t1 AS (SELECT CAST(sum(cw) AS DOUBLE) AS t1 FROM uni),
+bi_all AS (
+    SELECT bigram, count(*) AS cnt
+    FROM (SELECT unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+          FROM t)
+    GROUP BY 1
+),
+t2 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t2 FROM bi_all),
+bi AS (SELECT * FROM bi_all WHERE cnt >= {min_count}),
+scored AS (
+    SELECT bi.bigram, bi.cnt,
+           round(ln((bi.cnt / t2.t2)
+                    / ((u1.cw / t1.t1) * (u2.cw / t1.t1))), 4) AS pmi
+    FROM bi
+    JOIN uni u1 ON u1.w = string_split(bi.bigram, ' ')[1]
+    JOIN uni u2 ON u2.w = string_split(bi.bigram, ' ')[2]
+    CROSS JOIN t1 CROSS JOIN t2
+)
+SELECT bigram, cnt, pmi FROM scored
+ORDER BY pmi DESC, bigram ASC LIMIT {k}
+"""
+
+
+# ------------------------------------------------------------------
+# unigram-LM perplexity scoring
+# ------------------------------------------------------------------
+
+def unigram_logppl(docs: DataFrame) -> DataFrame:
+    """Per-document mean token surprisal under the corpus's own
+    unigram distribution: ``logppl = −(1/n) Σ ln(c_w / T)`` — the
+    model-free core of CCNet-style perplexity filtering (high =
+    rare-token soup / gibberish, low = common-word boilerplate; real
+    pipelines threshold both tails).
+
+    Scale shape: ONE map-side-combined corpus exchange total. Per-doc
+    term frequencies come from the same ``groupBy(doc_id, token)``
+    exchange pattern as ``tfidf_topk`` stage 1; the unigram LM is the
+    vocab-sized rollup OF that relation (sum of tf — no second corpus
+    pass), its total rides a 1-row broadcast cross join, and the
+    surprisal join is broadcast vocab into the (doc, token, tf)
+    relation followed by a ``groupBy(doc_id)`` of the deduped
+    relation.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.expr("split(text, ' ')")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    uni = tf.groupBy("w").agg(F.sum("tf").alias("cw"))
+    tot = uni.agg(F.sum("cw").cast("double").alias("_tot"))
+    lm = F.broadcast(
+        uni.crossJoin(F.broadcast(tot))
+        .select("w", F.log(F.col("cw") / F.col("_tot")).alias("_lp"))
+    )
+    return (
+        tf.join(lm, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (-F.sum(F.col("tf") * F.col("_lp"))
+             / F.sum("tf")).alias("_lppl"),
+        )
+        .select("doc_id", "n_tokens",
+                portable_round(F.col("_lppl"), _R).alias("logppl"))
+    )
+
+
+_LOGPPL_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+uni AS (SELECT w, sum(tf) AS cw FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS tot FROM uni)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       round(-sum(tf.tf * ln(uni.cw / tot.tot)) / sum(tf.tf), 4) AS logppl
+FROM tf JOIN uni USING (w) CROSS JOIN tot
+GROUP BY tf.doc_id, tot.tot
+"""
+
+
+ORACLE_SQL = {
+    "doc_repetition": _repetition_sql(0.20, 0.30),
+    # n=4 on the ~30-word synthetic vocabulary ≈ the selectivity a
+    # 13-gram check has on real text (3-grams flag ~87% of this
+    # corpus — the false-positive flood longer n exists to avoid)
+    "decontaminate": _decontaminate_sql(4, 20),
+    "pmi_bigrams": _pmi_sql(40, 5),
+    "unigram_logppl": _LOGPPL_SQL,
+}
