@@ -685,6 +685,14 @@ def q_unigram_logppl(spark, sf_dir):
     return curation.unigram_logppl(_docs(spark, sf_dir))
 
 
+def q_seq_pack(spark, sf_dir):
+    # next-fit sequence packing into 256-token training sequences,
+    # per-source streams ordered by doc_id; one key exchange + one
+    # vectorized mapInPandas pass (recursive-CTE oracle)
+    out = curation.seq_pack(_docs(spark, sf_dir), capacity=256)
+    return out.select("source", "doc_id", "n_tokens", "bin_id", "bin_fill")
+
+
 def q_weighted_sample(spark, sf_dir):
     # Efraimidis–Spirakis weight-proportional sample (k=50 by
     # n_chars): map-side salted-hash priority + TakeOrderedAndProject
@@ -733,6 +741,18 @@ def q_pacf_1d(spark, sf_dir):
     # the AR order off the same 1m series acf_1d diagnoses; one
     # (key, day) exchange serves both window phases and the groupBy
     return tsanalytics.pacf(_t1m_mean(spark, sf_dir), "mean_v")
+
+
+def q_kalman_1m(spark, sf_dir):
+    # local-level Kalman filter (q=0.2, r=1.0) per series — adaptive
+    # baseline with data-independent gain sequence, so the filter runs
+    # as a time-varying-weight block scan; recursive-CTE oracle
+    out = tsanalytics.kalman_level(_t1m_mean(spark, sf_dir), "mean_v",
+                                   q=0.2, r=1.0)
+    return _round_cols(
+        out.select("conv_id", "bucket_start", "mean_v", "level", "gain"),
+        ["mean_v", "level", "gain"],
+    )
 
 
 def q_theilsen_1d(spark, sf_dir):
@@ -1568,10 +1588,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_lsh": q_ann_recall_lsh,
         "tfidf_top3": q_tfidf_top3,
         "pacf_1d": q_pacf_1d,
+        "kalman_1m": q_kalman_1m,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
         "pmi_bigrams": q_pmi_bigrams,
         "unigram_logppl": q_unigram_logppl,
+        "seq_pack": q_seq_pack,
     }
 
 

@@ -125,6 +125,8 @@ HEADLINE = [
     "decontaminate",
     "pmi_bigrams",
     "unigram_logppl",
+    "seq_pack",
+    "kalman_1m",
     "token_count",
     "doc_fingerprint",
     "multimodal_features",

@@ -165,3 +165,57 @@ def test_logppl_lm_join_is_broadcast(spark):
     df = cu.unigram_logppl(_docs(spark, ["a b c", "a a d"]))
     p = plan_str(df)
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+# ------------------------------------------------------------ seq_pack
+def _pack_ref(sizes, cap):
+    out, b, fill = [], 0, None
+    for n in sizes:
+        if fill is None:
+            b, fill = 0, n
+        elif fill + n <= cap:
+            fill += n
+        else:
+            b, fill = b + 1, n
+        out.append((b, fill))
+    return out
+
+
+def test_seq_pack_matches_python_next_fit(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    sizes = {}
+    for src in ("s0", "s1", "s2"):
+        ns = [int(rng.integers(1, 40)) for _ in range(int(
+            rng.integers(2, 25)))]
+        if src == "s1":
+            ns.insert(1, 99)  # oversized doc: must sit in a bin alone
+        sizes[src] = ns
+        for n in ns:
+            rows.append((len(rows), " ".join(["w"] * n), src))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    out = {(r["source"], r["doc_id"]): r for r in
+           cu.seq_pack(docs, capacity=50).collect()}
+    assert len(out) == len(rows)
+    idx = 0
+    for src in ("s0", "s1", "s2"):
+        want = _pack_ref(sizes[src], 50)
+        for j, (wb, wf) in enumerate(want):
+            r = out[(src, idx)]
+            assert r["n_tokens"] == sizes[src][j]
+            assert (r["bin_id"], r["bin_fill"]) == (wb, wf), (src, j)
+            idx += 1
+    # the oversized doc occupies its own bin
+    over = [r for r in out.values()
+            if r["source"] == "s1" and r["n_tokens"] == 99]
+    assert over[0]["bin_fill"] == 99
+
+
+def test_seq_pack_single_exchange_and_validation(spark):
+    docs = _docs(spark, ["a b c", "d e", "f"]).withColumn(
+        "source", __import__("pyspark").sql.functions.lit("s"))
+    df = cu.seq_pack(docs, capacity=4)
+    assert count_exchanges(df) == 1
+    with pytest.raises(ValueError):
+        cu.seq_pack(docs, capacity=0)

@@ -1513,3 +1513,60 @@ def test_pacf_degenerate_groups_null_and_single_exchange(spark):
     df = tsa.pacf(_tier(spark, [("a", m, float(m * m % 17))
                                 for m in range(30)]), "mean_v")
     assert _exchanges(df) == 1
+
+
+# ------------------------------------------------------------ kalman
+def test_kalman_q0_is_running_mean(spark):
+    # q = 0, P0 = r: K_t = 1/(t+1) exactly, so the filter IS the
+    # cumulative mean — the closed-form pin of the gain recursion
+    vals = [3.0, 7.0, 2.0, 8.0, 5.0]
+    rows = [("a", m, v) for m, v in enumerate(vals)]
+    out = sorted(tsa.kalman_level(_tier(spark, rows), "mean_v",
+                                  q=0.0, r=1.0).collect(),
+                 key=lambda r: r["bucket_start"])
+    for t, r in enumerate(out):
+        want = sum(vals[: t + 1]) / (t + 1)
+        assert r["level"] == pytest.approx(want, abs=1e-12)
+        assert r["gain"] == pytest.approx(1.0 / (t + 1), abs=1e-12)
+
+
+def test_kalman_matches_python_walk_and_steady_state(spark):
+    rng = np.random.default_rng(5)
+    q, r = 0.2, 1.0
+    series = {c: rng.normal(10, 3, size=int(rng.integers(5, 120)))
+              for c in ("a", "b", "c")}
+    rows = [(c, m, float(v)) for c, vs in series.items()
+            for m, v in enumerate(vs)]
+    out = {}
+    for row in tsa.kalman_level(_tier(spark, rows), "mean_v",
+                                q=q, r=r).collect():
+        m = (int(row["bucket_start"].timestamp()) - DAY0) // 60
+        out[(row["conv_id"], m)] = row
+    for c, vs in series.items():
+        lvl, p = float(vs[0]), r
+        for t, x in enumerate(vs):
+            if t == 0:
+                g = 1.0
+            else:
+                pp = p + q
+                g = pp / (pp + r)
+                p = (1.0 - g) * pp
+                lvl = lvl + g * (x - lvl)
+            got = out[(c, t)]
+            assert got["level"] == pytest.approx(lvl, abs=1e-9), (c, t)
+            assert got["gain"] == pytest.approx(g, abs=1e-12)
+    # steady-state gain: (q + sqrt(q^2+4qr)) / (q + sqrt(q^2+4qr) + 2r)
+    s = (q + (q * q + 4 * q * r) ** 0.5)
+    k_inf = s / (s + 2 * r)
+    long_gain = out[("c", len(series["c"]) - 1)]["gain"] \
+        if len(series["c"]) > 50 else None
+    if long_gain is not None:
+        assert long_gain == pytest.approx(k_inf, abs=1e-6)
+
+
+def test_kalman_validates_and_single_exchange(spark):
+    with pytest.raises(ValueError):
+        tsa.kalman_level(_tier(spark, [("a", 0, 1.0)]), "mean_v", r=0.0)
+    df = tsa.kalman_level(
+        _tier(spark, [("a", m, float(m)) for m in range(5)]), "mean_v")
+    assert _exchanges(df) == 1

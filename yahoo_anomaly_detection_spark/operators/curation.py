@@ -386,6 +386,117 @@ GROUP BY tf.doc_id, tot.tot
 """
 
 
+# ------------------------------------------------------------------
+# sequence packing
+# ------------------------------------------------------------------
+
+def segmented_next_fit(tokens, seg_starts, capacity: int):
+    """Vectorized next-fit packing over many variable-length streams:
+    fill' = fill + n if it fits else n (new bin); bin id increments on
+    overflow. An oversized doc (n > capacity) takes a bin alone —
+    next-fit never splits a document. Same position-major block-scan
+    layout as ``stats.segmented_ewma`` (two int state vectors)."""
+    import numpy as np
+    from yahoo_anomaly_detection_spark.operators.stats import (
+        position_major_layout,
+    )
+
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    x = np.asarray(tokens, np.int64)
+    perm, k, bs, _, max_len = position_major_layout(seg_starts, n)
+    xs = x[perm]
+    fills = xs.copy()
+    bins = np.zeros(n, np.int64)
+    for t in range(1, max_len):
+        kt = k[t]
+        lo, plo = bs[t], bs[t - 1]
+        pf = fills[plo: plo + kt]
+        cur = xs[lo: lo + kt]
+        over = pf + cur > capacity
+        fills[lo: lo + kt] = np.where(over, cur, pf + cur)
+        bins[lo: lo + kt] = bins[plo: plo + kt] + over
+    out_b = np.empty(n, np.int64)
+    out_f = np.empty(n, np.int64)
+    out_b[perm] = bins
+    out_f[perm] = fills
+    return out_b, out_f
+
+
+def seq_pack(docs: DataFrame, capacity: int = 256,
+             keys: tuple[str, ...] = ("source",),
+             order_col: str = "doc_id") -> DataFrame:
+    """Sequence packing for LLM training: assign documents to
+    fixed-token-budget training sequences by NEXT-FIT in a
+    deterministic stream order — the step between a curated corpus
+    and the batch loader (packing several short documents per context
+    window instead of padding each to full length; T5 / GPT-3 style).
+
+    Next-fit (close the bin on first overflow, never revisit) is the
+    streaming-friendly packing discipline: one sequential pass per
+    stream, O(1) state, deterministic under (keys, order_col) — unlike
+    first-fit-decreasing it needs no global sort by size and no
+    open-bin index. Documents longer than ``capacity`` get a bin
+    alone (never split). Packing runs per ``keys`` stream (per-shard
+    packing, the production shape) via the shared
+    ``stats.segmented_scan`` scaffold — ONE key exchange, one
+    vectorized mapInPandas pass.
+
+    Output per doc: ``n_tokens`` (whitespace tokens), ``bin_id``
+    (0-based within the stream), ``bin_fill`` (stream-bin occupancy
+    AFTER placing the doc — the last doc of a bin reports its final
+    fill, giving the packing-efficiency rollup for free:
+    ``sum(n_tokens) / (count(distinct bins) · capacity)``).
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    import numpy as np
+    from pyspark.sql import types as T
+    from yahoo_anomaly_detection_spark.operators.stats import segmented_scan
+
+    base = docs.select(
+        *keys, order_col,
+        F.expr("size(split(text, ' '))").cast("long").alias("n_tokens"),
+    )
+
+    def kernel(pdf, starts):
+        bins, fills = segmented_next_fit(
+            pdf["n_tokens"].to_numpy(np.int64), starts, capacity)
+        return {"bin_id": bins, "bin_fill": fills}
+
+    return segmented_scan(
+        base, keys, order_col,
+        [("bin_id", T.LongType(), "int64"),
+         ("bin_fill", T.LongType(), "int64")],
+        kernel,
+    )
+
+
+def _seq_pack_sql(capacity: int) -> str:
+    return f"""
+WITH RECURSIVE t AS (
+    SELECT source, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+),
+pack AS (
+    SELECT source, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+    FROM t WHERE rn = 1
+    UNION ALL
+    SELECT s.source, s.doc_id, s.n_tokens, s.rn,
+           CASE WHEN p.bin_fill + s.n_tokens <= {capacity}
+                THEN p.bin_id ELSE p.bin_id + 1 END,
+           CASE WHEN p.bin_fill + s.n_tokens <= {capacity}
+                THEN p.bin_fill + s.n_tokens ELSE s.n_tokens END
+    FROM pack p JOIN t s ON s.source = p.source AND s.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tokens, bin_id, bin_fill FROM pack
+"""
+
+
 ORACLE_SQL = {
     "doc_repetition": _repetition_sql(0.20, 0.30),
     # n=4 on the ~30-word synthetic vocabulary ≈ the selectivity a
@@ -394,4 +505,5 @@ ORACLE_SQL = {
     "decontaminate": _decontaminate_sql(4, 20),
     "pmi_bigrams": _pmi_sql(40, 5),
     "unigram_logppl": _LOGPPL_SQL,
+    "seq_pack": _seq_pack_sql(256),
 }

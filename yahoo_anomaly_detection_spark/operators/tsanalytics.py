@@ -450,6 +450,99 @@ def holt_winters(df: DataFrame, value_col: str, alpha: float = 0.3,
     )
 
 
+def kalman_gains(max_len: int, q: float, r: float) -> np.ndarray:
+    """Kalman gain sequence of the local-level model — DATA-INDEPENDENT
+    (the variance recursion never reads the observations), so the whole
+    filter collapses to a time-varying EWMA with precomputed weights:
+
+        P₀ = r (diffuse-prior posterior: lim K₀ = 1);
+        Pₚ = P + q;  K = Pₚ/(Pₚ + r);  P ← (1−K)·Pₚ.
+
+    With q = 0 and P₀ = r this gives K_t = 1/(t+1) exactly — the
+    running mean (pinned in pytest); q > 0 converges K to the steady
+    state (q + √(q² + 4qr)) / (q + √(q² + 4qr) + 2r).
+    """
+    gains = np.empty(max_len, np.float64)
+    gains[0] = 1.0
+    p = float(r)
+    for t in range(1, max_len):
+        pp = p + q
+        g = pp / (pp + r)
+        gains[t] = g
+        p = (1.0 - g) * pp
+    return gains
+
+
+def segmented_kalman(values: np.ndarray, seg_starts: np.ndarray,
+                     q: float, r: float) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized local-level Kalman filter over many variable-length
+    segments: level ← level + K_t·(x − level) with the precomputed
+    :func:`kalman_gains` sequence (position-indexed — every segment's
+    variance recursion starts from the same diffuse prior). Same
+    position-major block-scan layout as :func:`segmented_holt`.
+    Returns (level, gain-per-row)."""
+    from yahoo_anomaly_detection_spark.operators.stats import (
+        position_major_layout,
+    )
+
+    n = len(values)
+    if n == 0:
+        return np.empty(0, np.float64), np.empty(0, np.float64)
+    x = np.asarray(values, np.float64)
+    perm, k, bs, _, max_len = position_major_layout(seg_starts, n)
+    xs = x[perm]
+    ls = xs.copy()
+    gs = np.empty(n, np.float64)
+    gs[bs[0]: bs[0] + k[0]] = 1.0
+    gains = kalman_gains(max_len, q, r)
+    for t in range(1, max_len):
+        kt = k[t]
+        lo, plo = bs[t], bs[t - 1]
+        g = gains[t]
+        prev = ls[plo: plo + kt]
+        ls[lo: lo + kt] = prev + g * (xs[lo: lo + kt] - prev)
+        gs[lo: lo + kt] = g
+    out_l = np.empty(n, np.float64)
+    out_g = np.empty(n, np.float64)
+    out_l[perm] = ls
+    out_g[perm] = gs
+    return out_l, out_g
+
+
+def kalman_level(df: DataFrame, value_col: str, q: float = 0.2,
+                 r: float = 1.0, keys: tuple[str, ...] = ("conv_id",),
+                 order_col: str = "bucket_start") -> DataFrame:
+    """Local-level Kalman filter per series (the state-space smoother
+    behind every "adaptive baseline" dashboard): observation
+    x_t = μ_t + ε (var r), state μ_t = μ_{t−1} + η (var q). Unlike
+    EWMA's fixed α, the gain adapts — high while the level estimate is
+    uncertain (early samples), settling to the steady state q/r
+    dictates. The one-state-plus-variance member of the recursive-scan
+    family (ewma 1 → this 1+P → holt 2 → holt_winters 2+m); because
+    the variance recursion is data-independent the filter runs as a
+    time-varying-weight block scan through the shared
+    :func:`stats.segmented_scan` scaffold. Adds ``level`` (posterior
+    mean) and ``gain`` (K_t) columns; the innovation x − prior-mean is
+    recoverable downstream as (x − level) / (1 − gain) where gain < 1.
+    """
+    if q < 0 or r <= 0:
+        raise ValueError(f"need q >= 0, r > 0; got q={q}, r={r}")
+    from yahoo_anomaly_detection_spark.operators.stats import segmented_scan
+
+    def kernel(pdf, starts):
+        lvl, g = segmented_kalman(
+            pdf[value_col].to_numpy(np.float64), starts, q, r,
+        )
+        return {"level": lvl, "gain": g}
+
+    return segmented_scan(
+        df, keys, order_col,
+        [("level", T.DoubleType(), "float64"),
+         ("gain", T.DoubleType(), "float64")],
+        kernel,
+    )
+
+
 def segmented_cusum(dev: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
     """Vectorized one-sided CUSUM over many variable-length segments:
     S_t = max(0, S_{t−1} + dev_t), S_0 = 0 — so S_1 = max(0, dev_1).
@@ -2132,6 +2225,33 @@ SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
 FROM holt
 """
 
+_KALMAN_SQL = f"""
+WITH RECURSIVE {_T1M_BASE},
+seq AS (
+    SELECT conv_id, bucket_start, mean_v,
+           row_number() OVER (PARTITION BY conv_id ORDER BY bucket_start)
+               AS rn
+    FROM t1m
+),
+kf AS (
+    SELECT conv_id, rn, bucket_start, mean_v,
+           CAST(mean_v AS DOUBLE) AS level,
+           CAST(1.0 AS DOUBLE) AS p,
+           CAST(1.0 AS DOUBLE) AS gain
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.conv_id, s.rn, s.bucket_start, s.mean_v,
+           k.level + ((k.p + 0.2) / (k.p + 0.2 + 1.0))
+               * (s.mean_v - k.level) AS level,
+           (1.0 - (k.p + 0.2) / (k.p + 0.2 + 1.0)) * (k.p + 0.2) AS p,
+           (k.p + 0.2) / (k.p + 0.2 + 1.0) AS gain
+    FROM kf k JOIN seq s ON s.conv_id = k.conv_id AND s.rn = k.rn + 1
+)
+SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
+       round(level, 4) AS level, round(gain, 4) AS gain
+FROM kf
+"""
+
 _AR2_SQL = f"""
 WITH {_T1M_BASE},
 dm AS (
@@ -2748,6 +2868,7 @@ ORACLE_SQL = {
     "turn_taking": _TURN_TAKING_SQL,
     "time_weighted_1h": _TWA_SQL,
     "holt_1m": _HOLT_SQL,
+    "kalman_1m": _KALMAN_SQL,
     "ar2_flags": _AR2_SQL,
     "candles_1h": _CANDLES_SQL,
     "m4_1h": _M4_SQL,
