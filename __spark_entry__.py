@@ -656,6 +656,14 @@ def q_tfidf_top3(spark, sf_dir):
     return textstats.tfidf_topk(_docs(spark, sf_dir), m=3)
 
 
+def q_embedding_outliers(spark, sf_dir):
+    # per-label centroid-cosine outlier flags (embedding-space DQ):
+    # posexplode centroid avg is the only exchange the component
+    # stream crosses; centroids and per-label stats broadcast back —
+    # the corpus never shuffles, no low-cardinality window
+    return similarity.embedding_outliers(_embs(spark, sf_dir), z_thresh=2.0)
+
+
 def q_doc_repetition(spark, sf_dir):
     # Gopher repetition rules (type/token ratio, top-2-gram fraction,
     # duplicate-3-gram share + repetitive flag); exploded (1,2,3)-gram
@@ -741,6 +749,23 @@ def q_pacf_1d(spark, sf_dir):
     # the AR order off the same 1m series acf_1d diagnoses; one
     # (key, day) exchange serves both window phases and the groupBy
     return tsanalytics.pacf(_t1m_mean(spark, sf_dir), "mean_v")
+
+
+def q_hampel_1m(spark, sf_dir):
+    # Hampel despiking filter: ±3-sample centered rolling median/MAD
+    # via one collect_list window (Spark has no median over a frame);
+    # identical array-median formula on both engines
+    return tsanalytics.hampel_flags(_t1m_mean(spark, sf_dir), "mean_v",
+                                    k=3, nsig=3.0)
+
+
+def q_ewma_chart_1m(spark, sf_dir):
+    # EWMA control chart (Lucas-Saccucci): time-varying limit
+    # L·σ·sqrt((1−λ)^2t + λ/(2−λ)(1−(1−λ)^2t)) matching the engine's
+    # z0=x0 seed; recursion through the shared mapInPandas scan, the
+    # μ/σ window reuses the key exchange
+    return tsanalytics.ewma_chart(_t1m_mean(spark, sf_dir), "mean_v",
+                                  alpha=0.3, big_l=3.0)
 
 
 def q_kalman_1m(spark, sf_dir):
@@ -1589,6 +1614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": q_tfidf_top3,
         "pacf_1d": q_pacf_1d,
         "kalman_1m": q_kalman_1m,
+        "hampel_1m": q_hampel_1m,
+        "ewma_chart_1m": q_ewma_chart_1m,
+        "embedding_outliers": q_embedding_outliers,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
         "pmi_bigrams": q_pmi_bigrams,

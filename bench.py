@@ -127,6 +127,9 @@ HEADLINE = [
     "unigram_logppl",
     "seq_pack",
     "kalman_1m",
+    "hampel_1m",
+    "ewma_chart_1m",
+    "embedding_outliers",
     "token_count",
     "doc_fingerprint",
     "multimodal_features",

@@ -991,3 +991,54 @@ def test_tfidf_matches_python_replay(spark):
     # 1-row N crossjoin on the vocab side is the one BNLJ allowed)
     plan = plan_str(textstats.tfidf_topk(docs, m=2))
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------ embedding outliers
+def test_embedding_outliers_flags_planted_off_cluster_vector(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    rows = []
+    # two tight clusters around orthogonal axes + one planted stray
+    for i in range(30):
+        lab = i % 2
+        base = np.zeros(64)
+        base[lab] = 1.0
+        v = base + rng.normal(0, 0.05, size=64)
+        rows.append((i, [float(x) for x in v], lab))
+    stray = np.zeros(64)
+    stray[10] = 1.0  # label-0 vector pointing nowhere near axis 0
+    rows.append((100, [float(x) for x in stray], 0))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in
+           similarity.embedding_outliers(embs, z_thresh=2.0).collect()}
+    assert len(out) == 31
+    assert out[100]["outlier"] == 1
+    # the stray inflates label-0's cosine spread, so no genuine
+    # label-0 cluster member can sit 2 sigmas out beside it (label-1's
+    # tight spread may still flag its own worst member — z-scores are
+    # scale-free, that's the operator working as designed)
+    assert all(out[i]["outlier"] == 0
+               for i in range(30) if i % 2 == 0)
+    # python replay of the cosine for one cluster member
+    import numpy.linalg as la
+    vs0 = [np.array(r[1]) for r in rows if r[2] == 0]
+    cent = np.mean([v.astype(np.float32).astype(np.float64) for v in vs0],
+                   axis=0)
+    v7 = np.array(rows[14][1]).astype(np.float32).astype(np.float64)
+    want = float(v7 @ cent / (la.norm(v7) * la.norm(cent)))
+    assert out[14]["cos_centroid"] == pytest.approx(want, abs=2e-4)
+
+
+def test_embedding_outliers_corpus_never_shuffles_for_the_join(spark):
+    from conftest import plan_str
+
+    embs = lcg_embeddings(spark, 40).withColumn(
+        "label", (F.col("vec_id") % 3).cast("int"))
+    plan = plan_str(similarity.embedding_outliers(embs))
+    # all joins broadcast (the centroid BHJ appears twice — `scored`
+    # feeds both the stats aggregate and the final join, two pruned
+    # passes like quality_filter); no sort-merge, no window
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "Window" not in plan

@@ -1570,3 +1570,87 @@ def test_kalman_validates_and_single_exchange(spark):
     df = tsa.kalman_level(
         _tier(spark, [("a", m, float(m)) for m in range(5)]), "mean_v")
     assert _exchanges(df) == 1
+
+
+# ------------------------------------------------------------ hampel
+def _hampel_ref(vals, k=3, nsig=3.0):
+    out = []
+    n = len(vals)
+    for i in range(n):
+        fr = sorted(vals[max(0, i - k): min(n, i + k + 1)])
+        m = len(fr)
+        med = (fr[(m + 1) // 2 - 1] + fr[m // 2]) / 2.0
+        dev = sorted(abs(x - med) for x in fr)
+        mad = (dev[(m + 1) // 2 - 1] + dev[m // 2]) / 2.0
+        out.append((med, mad, abs(vals[i] - med) > nsig * 1.4826 * mad))
+    return out
+
+
+def test_hampel_matches_python_and_catches_lone_spike(spark):
+    rng = np.random.default_rng(29)
+    vals = list(rng.normal(100, 5, size=60))
+    vals[30] = 400.0  # lone spike a rolling MEAN would smear
+    rows = [("a", m, v) for m, v in enumerate(vals)]
+    got = sorted(tsa.hampel_flags(_tier(spark, rows), "mean_v").collect(),
+                 key=lambda r: r["bucket_start"])
+    want = _hampel_ref(vals)
+    for i, r in enumerate(got):
+        assert r["rolling_med"] == pytest.approx(want[i][0], abs=1e-4)
+        assert r["rolling_mad"] == pytest.approx(want[i][1], abs=1e-4)
+        assert r["flag"] == int(want[i][2]), i
+    assert got[30]["flag"] == 1
+    # neighbors of the spike survive (the median ignores the spike)
+    assert got[29]["flag"] == 0 and got[31]["flag"] == 0
+
+
+def test_hampel_mad_zero_convention_and_plan(spark):
+    # locally constant frame: MAD = 0 -> ANY deviation flags
+    vals = [5.0] * 10 + [5.0001] + [5.0] * 10
+    rows = [("c", m, v) for m, v in enumerate(vals)]
+    got = sorted(tsa.hampel_flags(_tier(spark, rows), "mean_v").collect(),
+                 key=lambda r: r["bucket_start"])
+    assert got[10]["flag"] == 1
+    assert sum(r["flag"] for r in got) == 1
+    df = tsa.hampel_flags(_tier(spark, rows), "mean_v")
+    assert _exchanges(df) == 1
+    assert _plan(df).count("Window") == 1
+    with pytest.raises(ValueError):
+        tsa.hampel_flags(_tier(spark, rows), "mean_v", k=0)
+
+
+# ------------------------------------------------------------ ewma chart
+def test_ewma_chart_matches_python_replay(spark):
+    rng = np.random.default_rng(31)
+    lam, big_l = 0.3, 3.0
+    series = {c: list(rng.normal(20, 4, size=int(rng.integers(3, 50))))
+              for c in ("a", "b")}
+    series["a"][25:] = [40.0] * len(series["a"][25:])  # sustained shift
+    rows = [(c, m, v) for c, vs in series.items()
+            for m, v in enumerate(vs)]
+    got = {}
+    for r in tsa.ewma_chart(_tier(spark, rows), "mean_v",
+                            alpha=lam, big_l=big_l).collect():
+        m = (int(r["bucket_start"].timestamp()) - DAY0) // 60
+        got[(r["conv_id"], m)] = r
+    flagged = 0
+    for c, vs in series.items():
+        mu = float(np.mean(vs))
+        sig = float(np.std(vs))
+        z = vs[0]
+        for t, x in enumerate(vs):
+            if t > 0:
+                z = (1 - lam) * z + lam * x
+            d = (1 - lam) ** (2 * t)
+            lim = big_l * sig * math.sqrt(d + lam / (2 - lam) * (1 - d))
+            r = got[(c, t)]
+            assert r["ewma"] == pytest.approx(z, abs=1e-4), (c, t)
+            assert r["limit"] == pytest.approx(lim, abs=1e-4)
+            assert r["flag"] == int(abs(z - mu) > lim)
+            flagged += r["flag"]
+    assert flagged > 0  # the sustained shift must trip the chart
+    # t=0 limit is exactly L*sigma (the x0 seed carries full variance)
+    mu_a = got[("a", 0)]
+    assert mu_a["limit"] == pytest.approx(
+        big_l * float(np.std(series["a"])), abs=1e-4)
+    with pytest.raises(ValueError):
+        tsa.ewma_chart(_tier(spark, rows), "mean_v", alpha=0.0)

@@ -792,7 +792,81 @@ FROM ranked WHERE rk <= {k}
 """
 
 
+def embedding_outliers(embs: DataFrame, z_thresh: float = 2.0) -> DataFrame:
+    """Per-label centroid-cosine outlier detection — the embedding-space
+    data-quality filter of a curation pipeline (mislabeled / corrupt /
+    off-distribution vectors sit far from their class centroid; the
+    same signal contrastive-filtering pipelines threshold).
+
+    Every vector's cosine to its OWN label's mean vector, flagged when
+    it z-scores below −z_thresh against that label's cosine
+    distribution (one-sided: only the far tail is suspicious; being
+    unusually central is fine).
+
+    Scale shape: the centroid is a posexplode → map-side-combined
+    ``groupBy(label, pos)`` average — the only exchange the D×N
+    component stream crosses, with partial aggregation collapsing each
+    task's components before the wire — reassembled into (labels × D)
+    arrays and BROADCAST back; the per-label cosine mean/std is a
+    second map-side-combined aggregate over the N-row scored relation,
+    also broadcast. The corpus itself never shuffles. No window — the
+    VERDICT-flagged low-cardinality-key window shape is exactly what
+    the two broadcast joins avoid.
+    """
+    base = embs.select("vec_id", "label", _vecd("embedding").alias("e"))
+    comp = base.select("label", F.posexplode("e").alias("_p", "_x"))
+    cent = (
+        comp.groupBy("label", "_p").agg(F.avg("_x").alias("_c"))
+        .groupBy("label")
+        .agg(F.expr(
+            "transform(array_sort(collect_list(struct(_p, _c))),"
+            " s -> s._c)").alias("ce"))
+    )
+    scored = base.join(F.broadcast(cent), "label").select(
+        "vec_id", "label",
+        (_dot("e", "ce") / (_norm("e") * _norm("ce"))).alias("_cos"),
+    )
+    st = scored.groupBy("label").agg(
+        F.avg("_cos").alias("_mu"), F.stddev_pop("_cos").alias("_sig"))
+    return scored.join(F.broadcast(st), "label").select(
+        "vec_id", "label",
+        portable_round(F.col("_cos"), _R).alias("cos_centroid"),
+        (F.col("_cos") < F.col("_mu") - F.lit(z_thresh) * F.col("_sig"))
+        .cast("int").alias("outlier"),
+    )
+
+
+def _embedding_outliers_sql(z_thresh: float) -> str:
+    dot = _DOT_SQL.format(a="b.e", b="c.ce", dim=DIM)
+    return f"""
+WITH base AS (SELECT vec_id, label,
+                     {_VECD_SQL.format(e='embedding')} AS e
+              FROM embeddings),
+comp AS (
+    SELECT label, i, e[i] AS x
+    FROM base, (SELECT unnest(range(1, {DIM} + 1)) AS i)
+),
+cent AS (
+    SELECT label, list(c ORDER BY i) AS ce
+    FROM (SELECT label, i, avg(x) AS c FROM comp GROUP BY 1, 2)
+    GROUP BY 1
+),
+scored AS (
+    SELECT b.vec_id, b.label,
+           {dot} / ({_NORM_SQL.format(a='b.e')} *
+                    {_NORM_SQL.format(a='c.ce')}) AS _cos
+    FROM base b JOIN cent c USING (label)
+),
+st AS (SELECT label, avg(_cos) AS mu, stddev_pop(_cos) AS sig
+       FROM scored GROUP BY 1)
+SELECT s.vec_id, s.label, round(s._cos, 4) AS cos_centroid,
+       CAST(s._cos < st.mu - {z_thresh} * st.sig AS INT) AS outlier
+FROM scored s JOIN st USING (label)
+"""
+
+
 ORACLE_SQL = {
+    "embedding_outliers": _embedding_outliers_sql(2.0),
     "embedding_topk": _brute_force_sql(50, 5),
     "ivf_cells": _ivf_assign_sql(100),
     "ivf_topk": _ivf_topk_sql(100, 2, 50, 5),

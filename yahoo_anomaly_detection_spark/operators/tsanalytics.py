@@ -450,6 +450,113 @@ def holt_winters(df: DataFrame, value_col: str, alpha: float = 0.3,
     )
 
 
+def hampel_flags(tier_df: DataFrame, value_col: str, k: int = 3,
+                 nsig: float = 3.0, key: str = "conv_id",
+                 bucket_col: str = "bucket_start") -> DataFrame:
+    """Hampel despiking filter per series: flag samples more than
+    ``nsig`` scaled MADs from the CENTERED rolling median over the
+    ±k-sample frame — the classic single-spike remover (a lone spike
+    cannot drag a median the way it drags :func:`robust_flags`'
+    global envelope or a rolling mean; scale 1.4826·MAD ≈ σ under
+    normality). MAD = 0 (locally constant frame) flags ANY deviation,
+    the standard Hampel convention.
+
+    Spark has no ``median`` over a window frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC — verified on 4.1), so
+    the frame is materialized once with ``collect_list().over(frame)``
+    and the median/MAD fall out of JVM array expressions on the
+    sorted copy: with a 1-based sorted array of n elements,
+    median = (a[(n+1) div 2] + a[n div 2 + 1]) / 2 covers odd and
+    even n in one branch-free formula (odd → both indexes coincide).
+    The DuckDB oracle uses the IDENTICAL array formula — not its
+    native ``median()`` — so interpolation semantics can never drift.
+
+    Shape: ONE hash exchange on the series key; the single Window
+    operator carries the one collect_list; everything downstream is
+    per-row array math inside codegen-adjacent expressions. Per-row
+    state is the 2k+1-element frame — bounded by the parameter, not
+    the data.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = W.partitionBy(key).orderBy(bucket_col).rowsBetween(-k, k)
+    v = F.col(value_col).cast("double")
+    t = tier_df.select(
+        key, bucket_col, v.alias("_v"),
+    ).withColumn("_arr", F.sort_array(F.collect_list("_v").over(w)))
+    med = (
+        F.expr("element_at(_arr, cast((size(_arr) + 1) div 2 as int))")
+        + F.expr("element_at(_arr, cast(size(_arr) div 2 + 1 as int))")
+    ) / 2.0
+    t = t.withColumn("_med", med).withColumn(
+        "_dev", F.expr("sort_array(transform(_arr, x -> abs(x - _med)))")
+    )
+    mad = (
+        F.expr("element_at(_dev, cast((size(_dev) + 1) div 2 as int))")
+        + F.expr("element_at(_dev, cast(size(_dev) div 2 + 1 as int))")
+    ) / 2.0
+    t = t.withColumn("_mad", mad)
+    flag = (F.abs(F.col("_v") - F.col("_med"))
+            > F.lit(nsig * 1.4826) * F.col("_mad"))
+    return t.select(
+        key, bucket_col,
+        portable_round(F.col("_v"), _R).alias("value"),
+        portable_round(F.col("_med"), _R).alias("rolling_med"),
+        portable_round(F.col("_mad"), _R).alias("rolling_mad"),
+        flag.cast("int").alias("flag"),
+    )
+
+
+def ewma_chart(tier_df: DataFrame, value_col: str, alpha: float = 0.3,
+               big_l: float = 3.0, key: str = "conv_id",
+               bucket_col: str = "bucket_start") -> DataFrame:
+    """EWMA control chart (Roberts 1959; Lucas & Saccucci 1990) per
+    series: flag where |z_t − μ| exceeds L·σ_z(t), the TIME-VARYING
+    control limit of the EWMA statistic — tighter than the raw
+    z-score envelope because the EWMA variance is only a
+    λ/(2−λ) fraction of the sample variance at steady state, so the
+    chart catches small sustained shifts points-wise envelopes miss
+    (the same target as CUSUM, in chart form).
+
+    z follows the engine's :func:`stats.ewma` recursion (z_0 = x_0,
+    NOT the textbook z_0 = μ), so the exact matching variance is used:
+    Var(z_t) = σ²·[(1−λ)^{2t} + λ/(2−λ)·(1−(1−λ)^{2t})] for iid x
+    (the (1−λ)^{2t} term carries the x_0 seed; at t=0 the limit is
+    exactly L·σ). μ, σ are the per-series full-history mean and
+    population std.
+
+    Shape: the recursion runs through the shared mapInPandas scan
+    (one key exchange); the μ/σ window and the position index reuse
+    that key partitioning — no second corpus exchange.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from yahoo_anomaly_detection_spark.operators.stats import ewma
+
+    base = tier_df.select(
+        key, bucket_col, F.col(value_col).cast("double").alias("_v"))
+    e = ewma(base, "_v", alpha, keys=(key,), order_col=bucket_col,
+             out_col="_z")
+    w_all = W.partitionBy(key)
+    w_ord = W.partitionBy(key).orderBy(bucket_col)
+    lam = float(alpha)
+    t = (F.row_number().over(w_ord) - 1).cast("double")
+    decay = F.pow(F.lit(1.0 - lam), 2.0 * t)
+    e = e.withColumn("_mu", F.avg("_v").over(w_all)).withColumn(
+        "_sig", F.stddev_pop("_v").over(w_all))
+    lim = F.lit(big_l) * F.col("_sig") * F.sqrt(
+        decay + F.lit(lam / (2.0 - lam)) * (F.lit(1.0) - decay))
+    e = e.withColumn("_lim", lim)
+    return e.select(
+        key, bucket_col,
+        portable_round(F.col("_v"), _R).alias("value"),
+        portable_round(F.col("_z"), _R).alias("ewma"),
+        portable_round(F.col("_lim"), _R).alias("limit"),
+        (F.abs(F.col("_z") - F.col("_mu")) > F.col("_lim"))
+        .cast("int").alias("flag"),
+    )
+
+
 def kalman_gains(max_len: int, q: float, r: float) -> np.ndarray:
     """Kalman gain sequence of the local-level model — DATA-INDEPENDENT
     (the variance recursion never reads the observations), so the whole
@@ -2225,6 +2332,71 @@ SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
 FROM holt
 """
 
+_HAMPEL_SQL = f"""
+WITH {_T1M_BASE},
+fr AS (
+    SELECT conv_id, bucket_start, mean_v AS v,
+           list_sort(list(mean_v) OVER (
+               PARTITION BY conv_id ORDER BY bucket_start
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+    FROM t1m
+),
+med AS (
+    SELECT *, (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+              AS m
+    FROM fr
+),
+mad AS (
+    SELECT *, list_sort(list_transform(arr, x -> abs(x - m))) AS dev
+    FROM med
+)
+SELECT conv_id, bucket_start,
+       round(v, 4) AS value, round(m, 4) AS rolling_med,
+       round((dev[(len(dev) + 1) // 2] + dev[len(dev) // 2 + 1]) / 2.0, 4)
+           AS rolling_mad,
+       CAST(abs(v - m) > 3.0 * 1.4826 *
+            ((dev[(len(dev) + 1) // 2] + dev[len(dev) // 2 + 1]) / 2.0)
+            AS INT) AS flag
+FROM mad
+"""
+
+_EWMA_CHART_SQL = f"""
+WITH {_T1M_BASE},
+arr AS (
+    SELECT conv_id,
+           list(mean_v ORDER BY bucket_start) AS vs,
+           list(bucket_start ORDER BY bucket_start) AS bs
+    FROM t1m GROUP BY 1
+),
+ew AS (
+    SELECT conv_id, bs, vs,
+           list_transform(generate_series(1, len(vs)),
+               i -> list_reduce(vs[1:i],
+                                (acc, x) -> acc + 0.3 * (x - acc))) AS es
+    FROM arr
+),
+flat AS (
+    SELECT conv_id, unnest(bs) AS bucket_start, unnest(vs) AS v,
+           unnest(es) AS z,
+           unnest(generate_series(0, len(vs) - 1)) AS t
+    FROM ew
+),
+st AS (
+    SELECT *, avg(v) OVER w AS mu, stddev_pop(v) OVER w AS sig
+    FROM flat WINDOW w AS (PARTITION BY conv_id)
+),
+lim AS (
+    SELECT *,
+           3.0 * sig * sqrt(power(0.7, 2.0 * t)
+               + (0.3 / 1.7) * (1.0 - power(0.7, 2.0 * t))) AS l
+    FROM st
+)
+SELECT conv_id, bucket_start, round(v, 4) AS value, round(z, 4) AS ewma,
+       round(l, 4) AS "limit",
+       CAST(abs(z - mu) > l AS INT) AS flag
+FROM lim
+"""
+
 _KALMAN_SQL = f"""
 WITH RECURSIVE {_T1M_BASE},
 seq AS (
@@ -2869,6 +3041,8 @@ ORACLE_SQL = {
     "time_weighted_1h": _TWA_SQL,
     "holt_1m": _HOLT_SQL,
     "kalman_1m": _KALMAN_SQL,
+    "hampel_1m": _HAMPEL_SQL,
+    "ewma_chart_1m": _EWMA_CHART_SQL,
     "ar2_flags": _AR2_SQL,
     "candles_1h": _CANDLES_SQL,
     "m4_1h": _M4_SQL,
