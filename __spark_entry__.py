@@ -701,6 +701,38 @@ def q_seq_pack(spark, sf_dir):
     return out.select("source", "doc_id", "n_tokens", "bin_id", "bin_fill")
 
 
+def q_dup_ngram_spans(spark, sf_dir):
+    # substring-level duplication profile (Lee et al. ExactSubstr at
+    # 4-gram granularity): per doc, fraction of distinct 4-grams also
+    # present in another doc; hashed-shingle relation shuffles ONCE
+    # on the gram key, per-gram doc counts join back on the same
+    # partitioning, shrinking per-doc rollup
+    return dedup.dup_ngram_spans(_docs(spark, sf_dir), n=4)
+
+
+def q_heavy_hitters(spark, sf_dir):
+    # exact phi-heavy-hitters: per-partition Misra-Gries sketch
+    # (bounded P*(k+1) candidate rows) + broadcast-semi-join exact
+    # recount; output thresholded at cnt > phi*N
+    return textstats.heavy_hitters(_docs(spark, sf_dir), phi=0.01,
+                                   counters=400)
+
+
+def q_bpe_pairs(spark, sf_dir):
+    # BPE merge round 0: adjacent char-pair counts over word
+    # occurrences, map-side-combined pair rollup (pair-vocab-sized),
+    # TakeOrderedAndProject top-30
+    return curation.bpe_pair_counts(_docs(spark, sf_dir), k=30)
+
+
+def q_sax_1h(spark, sf_dir):
+    # PAA + SAX per (conv, hour): broadcast per-series stats, ONE
+    # map-side-combined (conv, hour, frame) exchange, word assembly
+    # on the frame-sized relation
+    return tsanalytics.sax_words(
+        _series_with_id(spark, sf_dir), n_frames=4, alphabet=4)
+
+
 def q_weighted_sample(spark, sf_dir):
     # Efraimidis–Spirakis weight-proportional sample (k=50 by
     # n_chars): map-side salted-hash priority + TakeOrderedAndProject
@@ -1622,6 +1654,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": q_pmi_bigrams,
         "unigram_logppl": q_unigram_logppl,
         "seq_pack": q_seq_pack,
+        # round-4 final wave: substring-span dedup, MG heavy hitters,
+        # BPE pair stats, PAA+SAX words (replica-green sf0.001+sf0.01)
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "heavy_hitters": q_heavy_hitters,
+        "bpe_pairs": q_bpe_pairs,
+        "sax_1h": q_sax_1h,
     }
 
 

@@ -126,6 +126,10 @@ HEADLINE = [
     "pmi_bigrams",
     "unigram_logppl",
     "seq_pack",
+    "dup_ngram_spans",
+    "heavy_hitters",
+    "bpe_pairs",
+    "sax_1h",
     "kalman_1m",
     "hampel_1m",
     "ewma_chart_1m",

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
@@ -497,6 +498,66 @@ SELECT source, doc_id, n_tokens, bin_id, bin_fill FROM pack
 """
 
 
+# ------------------------------------------------------------------
+# BPE pair statistics (tokenizer training, merge round 0)
+# ------------------------------------------------------------------
+
+def bpe_pair_counts(docs: DataFrame, k: int = 30) -> DataFrame:
+    """Adjacent-character-pair counts over all word occurrences — the
+    statistic byte-pair encoding (Sennrich et al. 2016) maximizes to
+    pick each merge: the top-k pairs here ARE the first k candidate
+    merges of a character-level BPE tokenizer trained on this corpus
+    (before any merge is applied).
+
+    Scale shape: explode words (narrow), expand each word occurrence
+    to its length-1 adjacent pairs via a JVM ``transform(sequence)``
+    (whole-stage codegen, no Python), then ONE map-side-combined
+    ``groupBy(pair)`` whose output is pair-vocabulary-sized (≤ a few
+    thousand for any natural-language byte alphabet — the reason BPE
+    training scales at all), finished with distributed top-k
+    (TakeOrderedAndProject, never a global sort). Pair counts are
+    per-OCCURRENCE (a corpus word appearing 1000× contributes 1000×),
+    matching the BPE objective, not the distinct-word vocabulary.
+    """
+    words = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), "
+                   "i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(k)
+    return top.select(
+        "pair", "cnt",
+        F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("pair"))
+        ).cast("int").alias("rank"),
+    )
+
+
+def _bpe_pairs_sql(k: int) -> str:
+    return f"""
+WITH w AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+    FROM documents
+),
+p AS (
+    SELECT unnest(list_transform(range(1, length(w)),
+                                 i -> substr(w, i, 2))) AS pair
+    FROM w WHERE length(w) >= 2
+),
+c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1)
+SELECT pair, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INT) AS rank
+FROM c ORDER BY cnt DESC, pair ASC LIMIT {k}
+"""
+
+
 ORACLE_SQL = {
     "doc_repetition": _repetition_sql(0.20, 0.30),
     # n=4 on the ~30-word synthetic vocabulary ≈ the selectivity a
@@ -506,4 +567,5 @@ ORACLE_SQL = {
     "pmi_bigrams": _pmi_sql(40, 5),
     "unigram_logppl": _LOGPPL_SQL,
     "seq_pack": _seq_pack_sql(256),
+    "bpe_pairs": _bpe_pairs_sql(30),
 }

@@ -1023,6 +1023,83 @@ SELECT sha256(text) AS text_sha, count(*) AS n_dups, min(doc_id) AS keeper
 FROM corpus GROUP BY 1
 """
 
+
+# ------------------------------------------------- duplicate spans
+def dup_ngram_spans(docs: DataFrame, n: int = 4) -> DataFrame:
+    """Substring-level duplication profile: for every document, the
+    fraction of its distinct word n-grams that also occur in at least
+    one OTHER document (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", the ExactSubstr signal at n-gram
+    granularity). Doc-level dedup (sha/minhash/simhash above) misses
+    boilerplate spans embedded in otherwise-unique documents; this is
+    the per-doc score a curation pipeline thresholds to drop or trim
+    template-heavy text.
+
+    Scale shape: reuses :func:`shingles` (distinct per-doc n-grams as
+    md5-prefix longs — 8-byte keys, not ~30-byte gram strings), so
+    the gram relation shuffles ONCE on the hashed gram: per-gram
+    containing-doc counts via map-side-combined ``groupBy(shingle)``,
+    joined back to the (already shingle-partitioned) gram relation —
+    AQE reuses the exchange, no second corpus-wide shuffle on the
+    gram key — then a shrinking per-doc rollup. The gram→count
+    relation is corpus-vocabulary-sized and NEVER collected or
+    broadcast: at 100 TB it is billions of rows and stays
+    distributed. Docs shorter than n words surface with
+    ``n_grams = 0`` and a NULL fraction rather than vanishing.
+
+    Cross-doc sharing counts DOCUMENTS (grams are distinct per doc),
+    so a gram repeated only inside one doc does not mark itself
+    shared — that within-doc signal is ``doc_repetition``'s job
+    (curation.py).
+    """
+    sh = caching.materialize(shingles(docs, n))
+    cnts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        sh.join(cnts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias(
+                "shared_grams"),
+        )
+    )
+    out = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("shared_grams", F.lit(0)).alias("shared_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                portable_round(
+                    F.col("shared_grams") / F.col("n_grams"), _R),
+            ).alias("dup_frac"),
+        )
+    )
+    return out
+
+
+def _dup_spans_sql(n: int) -> str:
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{_shingle_sql(n)},
+cnts AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY 1),
+per_doc AS (
+    SELECT sh.doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_grams
+    FROM sh JOIN cnts c USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.shared_grams, 0) AS shared_grams,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN round(CAST(p.shared_grams AS DOUBLE) / p.n_grams, 4)
+       END AS dup_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
 ORACLE_SQL = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
@@ -1034,4 +1111,5 @@ ORACLE_SQL = {
     "simhash_hamming": _SIMHASH_HAMMING_SQL,
     "dup_clusters": _DUP_CLUSTERS_SQL,
     "dedup_canonical": _DEDUP_CANONICAL_SQL,
+    "dup_ngram_spans": _dup_spans_sql(4),
 }

@@ -567,6 +567,126 @@ SELECT doc_id, band, quality, rk FROM r WHERE rk <= {k}
 """
 
 
+# ------------------------------------------------- heavy hitters
+def _mg_merge(summary: dict, batch_tokens, batch_counts, k: int) -> None:
+    """Merge a batch's exact token counts into a running Misra-Gries
+    summary of at most ``k`` counters, in place. Mergeable-summaries
+    formulation (Agarwal et al. 2013): add the counts, then if more
+    than k counters remain, subtract the (k+1)-st largest count from
+    every counter and drop the non-positive ones. Batch-vectorized —
+    the per-token work is pandas/numpy C loops, not Python."""
+    import numpy as np
+
+    for tok, c in zip(batch_tokens, batch_counts):
+        summary[tok] = summary.get(tok, 0) + int(c)
+    if len(summary) > k:
+        vals = np.fromiter(summary.values(), dtype=np.int64,
+                           count=len(summary))
+        # (k+1)-st largest = index k of the descending order
+        thresh = int(np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1])
+        for tok in list(summary):
+            nv = summary[tok] - thresh
+            if nv > 0:
+                summary[tok] = nv
+            else:
+                del summary[tok]
+
+
+def heavy_hitters(docs: DataFrame, phi: float = 0.01,
+                  counters: int = 400) -> DataFrame:
+    """Exact φ-heavy-hitters over the corpus vocabulary: every token
+    whose frequency exceeds ``phi`` of all tokens, with its exact
+    count and corpus frequency. The frequent-items primitive of a
+    tokenizer/stop-list pipeline — unlike :func:`vocab_topk` (fixed
+    k), the output size is data-driven by a frequency threshold.
+
+    Two passes, both with bounded shuffle — the classic exact
+    heavy-hitter shape at 100 TB:
+
+    1. **Sketch pass**: per input partition, a Misra-Gries summary of
+       ``counters`` counters runs inside ``mapInPandas`` directly on
+       the scan partitions (no exchange feeds it). Each partition
+       emits ≤ ``counters`` candidate rows plus ONE null-token row
+       carrying the partition's token count, so the whole sketch
+       output is ≤ P·(counters+1) rows regardless of corpus size.
+       MG's guarantee (count underestimate ≤ n_p/(counters+1), and
+       by pigeonhole across partitions any token with global
+       frequency > N/(counters+1) survives in at least one summary)
+       makes the candidate union a provable superset of the true
+       heavy hitters whenever ``phi > 1/(counters+1)`` — enforced.
+    2. **Verify pass**: exact recount of the token stream
+       semi-joined (broadcast — the candidate set is bounded) against
+       the candidates, map-side-combined, filtered at ``cnt > φ·N``.
+
+    The only driver-side materialization is the bounded sketch
+    output (the same per-round-scalar budget as the CC convergence
+    counts). Result is exact and deterministic — MG's order-dependent
+    internals only ever widen the candidate set, never the answer.
+    """
+    if not phi > 1.0 / (counters + 1):
+        raise ValueError(
+            f"phi={phi} must exceed 1/(counters+1)={1.0/(counters+1):.6f} "
+            "or the Misra-Gries candidate union is not a guaranteed "
+            "superset of the true heavy hitters")
+
+    toks = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("token")
+    )
+
+    k = counters
+
+    def sketch(batches):
+        import pandas as pd
+
+        summary: dict = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            n += int(vc.sum())
+            _mg_merge(summary, vc.index.to_numpy(), vc.to_numpy(), k)
+        out = pd.DataFrame(
+            {"token": list(summary.keys()) + [None],
+             "lb": list(summary.values()) + [n]}
+        )
+        yield out
+
+    sk = toks.mapInPandas(sketch, "token string, lb long").collect()
+    n_total = sum(r.lb for r in sk if r.token is None)
+    cand = sorted({r.token for r in sk if r.token is not None})
+    spark = docs.sparkSession
+    cand_df = spark.createDataFrame([(t,) for t in cand], "token string")
+
+    exact = (
+        toks.join(F.broadcast(cand_df), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > F.lit(float(phi)) * F.lit(float(n_total)))
+        .select(
+            "token",
+            "cnt",
+            portable_round(
+                F.col("cnt") / F.lit(float(n_total)), _R).alias("freq"),
+        )
+    )
+    return exact
+
+
+def _heavy_hitters_sql(phi: float) -> str:
+    return f"""
+WITH tk AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+),
+n AS (SELECT count(*) AS n FROM tk)
+SELECT token, count(*) AS cnt,
+       round(count(*) / (SELECT CAST(n AS DOUBLE) FROM n), 4) AS freq
+FROM tk GROUP BY token
+HAVING count(*) > {phi} * (SELECT n FROM n)
+"""
+
+
 ORACLE_SQL = {
     "lang_id": _lang_sql(),
     "quality_score": _quality_sql(),
@@ -578,4 +698,5 @@ ORACLE_SQL = {
     "weighted_sample": _weighted_sample_sql(50, "n_chars", "w0"),
     "tfidf_top3": _tfidf_sql(3),
     "topk_per_band": _topk_per_band_sql(20),
+    "heavy_hitters": _heavy_hitters_sql(0.01),
 }

@@ -899,6 +899,137 @@ def m4(events: DataFrame, bucket_seconds: int = 3600,
     )
 
 
+# Gaussian equiprobable breakpoints (Lin et al. 2003, table 2) —
+# symbol i covers the i-th of |alphabet| equal-probability slices of
+# N(0,1); z is compared ROUNDED (portable_round) so both engines make
+# the same boundary call.
+SAX_BREAKPOINTS = {
+    3: (-0.4307, 0.4307),
+    4: (-0.6745, 0.0, 0.6745),
+    5: (-0.8416, -0.2533, 0.2533, 0.8416),
+}
+_SAX_ALPHA = "abcde"
+
+
+def sax_words(events: DataFrame, n_frames: int = 4, alphabet: int = 4,
+              key: str = "conv_id", ts_col: str = "ts",
+              value_col: str = "value") -> DataFrame:
+    """PAA + SAX symbolization per (series, hour): split each hour
+    into ``n_frames`` equal frames, average each frame (Piecewise
+    Aggregate Approximation — Keogh et al. 2001), z-normalize the
+    frame means against the SERIES' own global mean/std (population),
+    and bin by the Gaussian equiprobable breakpoints into a
+    ``n_frames``-character word (Symbolic Aggregate approXimation —
+    Lin et al. 2003). The symbolic index every motif-discovery /
+    similarity-search pipeline builds over raw telemetry: two hours
+    with the same word are shape-similar regardless of level, and the
+    word table is what gets inverted-indexed.
+
+    Scale shape: per-series stats travel as ONE row per series
+    (map-side-combined groupBy, broadcast back — never a window over
+    the raw relation); the frame rollup is ONE map-side-combined
+    ``groupBy(key, hour, frame)`` exchange of the raw points; the
+    word assembly then rolls the already frame-sized relation up to
+    (key, hour) — ``array_sort(collect_list(struct))`` is safe on
+    ≤ ``n_frames`` rows per group and makes the concat order
+    deterministic regardless of shuffle arrival. Frames with no
+    samples are simply absent from the word (sparse hours yield
+    shorter words; ``n_frames`` is the maximum length) — gap-filling
+    first is :mod:`gapfill`'s job, deliberately not duplicated here.
+
+    Output: (key, bucket_start, word, n_frames, n).
+    """
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(
+            f"alphabet must be one of {sorted(SAX_BREAKPOINTS)}, "
+            f"got {alphabet}")
+    if 60 % n_frames != 0:
+        raise ValueError(f"n_frames must divide 60, got {n_frames}")
+    frame_minutes = 60 // n_frames
+
+    pts = events.where(F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("double")
+    ts = F.col(ts_col).cast("timestamp")
+
+    stats = pts.groupBy(key).agg(
+        F.avg(v).alias("_mu"), F.stddev_pop(v).alias("_sd"))
+
+    frames = (
+        pts.groupBy(
+            F.col(key),
+            F.date_trunc("hour", ts).alias("bucket_start"),
+            F.floor(F.minute(ts) / F.lit(frame_minutes))
+            .cast("int").alias("_frame"),
+        )
+        .agg(F.avg(v).alias("_fm"), F.count(F.lit(1)).alias("_n"))
+    )
+
+    z = portable_round(
+        F.when(F.col("_sd") > 0,
+               (F.col("_fm") - F.col("_mu")) / F.col("_sd"))
+        .otherwise(F.lit(0.0)),
+        _R,
+    )
+    sym = F.lit(_SAX_ALPHA[alphabet - 1])
+    for i in range(alphabet - 2, -1, -1):
+        sym = F.when(z < F.lit(SAX_BREAKPOINTS[alphabet][i]),
+                     F.lit(_SAX_ALPHA[i])).otherwise(sym)
+
+    symed = frames.join(F.broadcast(stats), key).select(
+        key, "bucket_start", "_frame", "_n", sym.alias("_sym"))
+
+    return (
+        symed.groupBy(key, "bucket_start")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_frame", "_sym"))),
+                    lambda s: s["_sym"],
+                ),
+                "",
+            ).alias("word"),
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.sum("_n").alias("n"),
+        )
+    )
+
+
+def _sax_sql(n_frames: int, alphabet: int) -> str:
+    fm = 60 // n_frames
+    bps = SAX_BREAKPOINTS[alphabet]
+    case = "CASE " + " ".join(
+        f"WHEN z < {bps[i]} THEN '{_SAX_ALPHA[i]}'"
+        for i in range(alphabet - 1)
+    ) + f" ELSE '{_SAX_ALPHA[alphabet - 1]}' END"
+    return f"""
+WITH pts AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, ts,
+           CAST(value AS DOUBLE) AS v
+    FROM events WHERE value IS NOT NULL
+),
+st AS (SELECT conv_id, avg(v) AS mu, stddev_pop(v) AS sd
+       FROM pts GROUP BY 1),
+fr AS (
+    SELECT conv_id, date_trunc('hour', ts) AS bucket_start,
+           CAST(floor(minute(ts) / {fm}) AS INT) AS frame,
+           avg(v) AS fm, count(*) AS n
+    FROM pts GROUP BY 1, 2, 3
+),
+sym AS (
+    SELECT fr.conv_id, bucket_start, frame, n, {case} AS s
+    FROM (SELECT fr.*, round(CASE WHEN sd > 0 THEN (fm - mu) / sd
+                                  ELSE 0.0 END, 4) AS z
+          FROM fr JOIN st USING (conv_id)) fr
+)
+SELECT conv_id, bucket_start,
+       string_agg(s, '' ORDER BY frame) AS word,
+       CAST(count(*) AS INT) AS n_frames,
+       CAST(sum(n) AS BIGINT) AS n
+FROM sym GROUP BY 1, 2
+"""
+
+
 def changepoints(df: DataFrame, value_col: str, w: int = 10,
                  k: float = 3.0, keys: tuple[str, ...] = ("conv_id",),
                  order_col: str = "bucket_start") -> DataFrame:
@@ -3066,4 +3197,5 @@ ORACLE_SQL = {
     "pacf_1d": _PACF_SQL,
     "theilsen_1d": _THEILSEN_SQL,
     "spectral_power": _SPECTRAL_SQL,
+    "sax_1h": _sax_sql(4, 4),
 }
