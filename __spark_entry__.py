@@ -733,6 +733,32 @@ def q_sax_1h(spark, sf_dir):
         _series_with_id(spark, sf_dir), n_frames=4, alphabet=4)
 
 
+def q_sax_motifs(spark, sf_dir):
+    # fleet-wide recurring hour-shapes: top-20 complete SAX words
+    # with occurrence + distinct-series counts; rides the sax word
+    # exchanges, motif rollup is word-vocabulary-sized. 2 half-hour
+    # frames — the sparse fixture rarely fills four 15-min frames
+    return tsanalytics.sax_motifs(
+        _series_with_id(spark, sf_dir), k=20, n_frames=2, alphabet=4)
+
+
+def q_sigma_clip_1d(spark, sf_dir):
+    # masking-aware outliers: 2-round iterative sigma clipping per
+    # (conv, day) — round 2 recomputes mean/std over round-1
+    # survivors; both rounds chained on ONE key exchange
+    return tsanalytics.sigma_clip(
+        _series_with_id(spark, sf_dir), k=3.0, rounds=2)
+
+
+def q_leadlag_1h(spark, sf_dir):
+    # lead-lag sweep: Pearson r of (x_t, y_{t+L}) for L in [-3, 3]
+    # hours per metric pair, best lag marked; corpus crosses one
+    # grid exchange, lag join/rank run on the reduced grid
+    return tsanalytics.leadlag_corr(
+        _events_raw(spark, sf_dir), tsanalytics.XCORR_METRICS,
+        max_lag=3)
+
+
 def q_weighted_sample(spark, sf_dir):
     # Efraimidis–Spirakis weight-proportional sample (k=50 by
     # n_chars): map-side salted-hash priority + TakeOrderedAndProject
@@ -1660,6 +1686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "bpe_pairs": q_bpe_pairs,
         "sax_1h": q_sax_1h,
+        "sax_motifs": q_sax_motifs,
+        "sigma_clip_1d": q_sigma_clip_1d,
+        "leadlag_1h": q_leadlag_1h,
     }
 
 

@@ -130,6 +130,9 @@ HEADLINE = [
     "heavy_hitters",
     "bpe_pairs",
     "sax_1h",
+    "sax_motifs",
+    "sigma_clip_1d",
+    "leadlag_1h",
     "kalman_1m",
     "hampel_1m",
     "ewma_chart_1m",

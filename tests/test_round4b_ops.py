@@ -215,6 +215,128 @@ def test_sax_plan_broadcast_stats_three_exchanges(spark):
     assert "Window" not in plan
 
 
+def test_sax_motifs_counts_and_series(spark):
+    rows = []
+    base = 1699999200
+    shapes = {0: [0.0] * 4 + [10.0] * 4,
+              1: [0.0] * 4 + [10.0] * 4,
+              2: [10.0] * 4 + [0.0] * 4}
+    eid = 0
+    for conv in ("c1", "c2"):
+        for h, vals in shapes.items():
+            for i, v in enumerate(vals):
+                rows.append((conv, eid, base + h * 3600 + i * 450, v))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "conv_id string, event_id long, epoch long, value double"
+    ).select("conv_id", "event_id",
+             F.timestamp_seconds("epoch").alias("ts"), "value")
+    out = tsanalytics.sax_motifs(ev, k=5, n_frames=2).collect()
+    by_word = {r.word: r for r in out}
+    # "ad" twice per series x 2 series; "da" once per series
+    assert by_word["ad"].n_occurrences == 4
+    assert by_word["ad"].n_series == 2 and by_word["ad"].rank == 1
+    assert by_word["da"].n_occurrences == 2 and by_word["da"].n_series == 2
+
+
+# ------------------------------------------------- sigma clipping
+def _sigma_events(spark, vals):
+    # 60 s spacing keeps every point inside ONE day bucket (the SAX
+    # helper's 450 s spacing crosses midnight after 16 points)
+    base = 1699999200
+    rows = [("c1", i, base + i * 60, v) for i, v in enumerate(vals)]
+    return spark.createDataFrame(
+        rows, "conv_id string, event_id long, epoch long, value double"
+    ).select("conv_id", "event_id",
+             F.timestamp_seconds("epoch").alias("ts"), "value")
+
+
+def test_sigma_clip_unmasks_second_outlier(spark):
+    import numpy as np
+
+    vals = [10.0] * 20 + [1000.0, 25.0]
+    ev = _sigma_events(spark, vals)
+    out = {r.event_id: r for r in
+           tsanalytics.sigma_clip(ev, k=3.0, rounds=2).collect()}
+    # independent numpy replay of the two rounds
+    a = np.array(vals)
+    z1 = np.abs(a - a.mean()) / a.std()
+    assert z1[20] > 3.0 and z1[21] <= 3.0  # 1000 masks 25 in round 1
+    surv = a[z1 <= 3.0]
+    z2 = np.abs(25.0 - surv.mean()) / surv.std()
+    assert z2 > 3.0  # unmasked in round 2
+    assert out[20].clipped_round == 1
+    assert out[21].clipped_round == 2
+    assert all(out[i].clipped_round == 0 and out[i].flag == 0
+               for i in range(20))
+    assert out[21].flag == 1
+
+
+def test_sigma_clip_constant_group_never_flags(spark):
+    ev = _sigma_events(spark, [7.0] * 6)
+    out = tsanalytics.sigma_clip(ev, k=3.0, rounds=2).collect()
+    assert all(r.clipped_round == 0 and r.z_last is None for r in out)
+
+
+def test_sigma_clip_rounds_guard_and_single_exchange(spark):
+    ev = _sigma_events(spark, [float(i) for i in range(12)])
+    with pytest.raises(ValueError, match="rounds"):
+        tsanalytics.sigma_clip(ev, rounds=0)
+    out = tsanalytics.sigma_clip(ev, k=3.0, rounds=3)
+    # all rounds chain onto ONE (key, bucket) hash exchange
+    assert count_exchanges(out) == 1, plan_str(out)
+
+
+# ------------------------------------------------- lead-lag sweep
+def _leadlag_events(spark):
+    # metric "b" is metric "a" delayed by exactly 2 grid hours
+    base = 1699999200
+    a_vals = [0.0, 1.0, 2.0, 3.0, 1.0, 5.0, 0.0, 2.0, 4.0, 3.0]
+    rows = []
+    for h, v in enumerate(a_vals):
+        rows.append((1000 + h, base + h * 3600 + 60, "a", v))
+        rows.append((2000 + h, base + (h + 2) * 3600 + 120, "b", v))
+    return spark.createDataFrame(
+        rows, "event_id long, epoch long, event_type string, value double"
+    ).select("event_id", F.timestamp_seconds("epoch").alias("ts"),
+             "event_type", "value")
+
+
+def test_leadlag_finds_planted_shift(spark):
+    out = tsanalytics.leadlag_corr(
+        _leadlag_events(spark), ("a", "b"), max_lag=3).collect()
+    rows = {r.lag: r for r in out}
+    assert len(rows) == 7
+    best = [r for r in out if r.best == 1]
+    assert len(best) == 1 and best[0].lag == 2
+    assert rows[2].r == 1.0 and rows[2].n_pts == 10
+    # metric_a always leads in the planted data
+    assert rows[2].metric_a == "a" and rows[2].metric_b == "b"
+
+
+def test_leadlag_guards(spark):
+    ev = _leadlag_events(spark)
+    with pytest.raises(ValueError, match="metrics"):
+        tsanalytics.leadlag_corr(ev, ("a",))
+    with pytest.raises(ValueError, match="max_lag"):
+        tsanalytics.leadlag_corr(ev, ("a", "b"), max_lag=0)
+
+
+def test_leadlag_grid_join_is_broadcast_no_cartesian(spark):
+    out = tsanalytics.leadlag_corr(
+        _leadlag_events(spark), ("a", "b"), max_lag=2)
+    plan = plan_str(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # shifted-grid self-join
+    # both lag-join sides read the CACHED grid (raw events cross the
+    # grid aggregate once, at cache-fill time) — InMemoryTableScan's
+    # printed subtree repeats the build plan's exchange, so the raw
+    # count includes phantom cached exchanges; the live ones are the
+    # lag groupBy + the best-rank window over the reduced relation
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert count_exchanges(out) <= 6, plan
+
+
 # sweep any caches the dup-span runs left behind
 from yahoo_anomaly_detection_spark import caching  # noqa: E402
 

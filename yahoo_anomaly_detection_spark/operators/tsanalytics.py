@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
+from yahoo_anomaly_detection_spark import caching
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
 _R = 4
@@ -1030,6 +1031,108 @@ FROM sym GROUP BY 1, 2
 """
 
 
+def sigma_clip(events: DataFrame, k: float = 3.0, rounds: int = 2,
+               keys: tuple[str, ...] = ("conv_id",),
+               bucket_seconds: int = 86400, ts_col: str = "ts",
+               value_col: str = "value",
+               id_cols: tuple[str, ...] = ("event_id",)) -> DataFrame:
+    """Iterative sigma clipping per (series, bucket) — the
+    masking-aware outlier pass (astropy ``sigma_clip`` semantics;
+    the fixed-threshold cousin of the generalized-ESD family): round
+    1 flags everything beyond k·σ of the FULL group's mean/std; each
+    later round recomputes mean/std over the SURVIVORS only and
+    flags again. A single-shot z-score envelope (``zscore_flags``)
+    suffers masking — one huge spike inflates σ enough to hide
+    smaller genuine outliers; recomputing after removal unmasks
+    them. Output marks each point with the round that clipped it
+    (0 = never clipped) plus the final round's rounded z.
+
+    Scale shape: every round is a pair of unbounded-frame
+    conditional aggregates over the SAME (keys, bucket) partition —
+    Spark chains all ``rounds`` Window phases onto ONE hash exchange
+    (the sessionize idiom), so the raw relation shuffles exactly
+    once no matter how many rounds run. No per-round job, no
+    driver-side loop state — the iteration is unrolled into the
+    plan (rounds is a small compile-time constant, 2–4 in practice).
+
+    z comparisons use the ROUNDED |z| (portable_round) so both
+    engines make the same boundary call; σ = 0 (or a round that
+    clipped everything) leaves remaining points unflagged — a
+    constant survivor set is converged, matching the oracle branch.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    v = F.col(value_col).cast("double")
+    df = events.where(v.isNotNull()).select(
+        *keys, *id_cols,
+        _bucket_expr(ts_col, int(bucket_seconds)).alias("bucket_start"),
+        v.alias("_v"),
+    )
+    win = W.partitionBy(*keys, "bucket_start")
+    clipped = F.lit(0)  # 0 = still in the survivor set
+    z = F.lit(None).cast("double")
+    for r in range(1, rounds + 1):
+        keep = clipped == 0
+        mu = F.avg(F.when(keep, F.col("_v"))).over(win)
+        sd = F.stddev_pop(F.when(keep, F.col("_v"))).over(win)
+        # try_divide, not /: ANSI mode raises on σ = 0; DuckDB's
+        # float division by zero is NULL, so the branches agree
+        zr = portable_round(
+            F.try_divide(F.abs(F.col("_v") - mu), sd), _R)
+        hit = keep & (zr > F.lit(k))
+        df = df.select(
+            "*",
+            F.when(hit, F.lit(r)).otherwise(clipped).alias(f"_c{r}"),
+            F.when(keep, zr).otherwise(z).alias(f"_z{r}"),
+        )
+        clipped = F.col(f"_c{r}")
+        z = F.col(f"_z{r}")
+    return df.select(
+        *keys, *id_cols, "bucket_start",
+        portable_round(F.col("_v"), _R).alias("value"),
+        clipped.cast("int").alias("clipped_round"),
+        z.alias("z_last"),
+        (clipped > 0).cast("int").alias("flag"),
+    )
+
+
+def _sigma_clip_sql(k: float, rounds: int) -> str:
+    body = """
+pts AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id,
+           date_trunc('day', ts) AS bucket_start,
+           CAST(value AS DOUBLE) AS v
+    FROM events WHERE value IS NOT NULL
+),
+r0 AS (SELECT conv_id, event_id, bucket_start, v,
+              0 AS clipped_round, CAST(NULL AS DOUBLE) AS z
+       FROM pts)"""
+    for r in range(1, rounds + 1):
+        body += f""",
+r{r} AS (
+    SELECT conv_id, event_id, bucket_start, v,
+           CASE WHEN clipped_round = 0 AND zz > {k}
+                THEN {r} ELSE clipped_round END AS clipped_round,
+           CASE WHEN clipped_round = 0 THEN zz ELSE z END AS z
+    FROM (
+        SELECT *,
+               round(abs(v - avg(CASE WHEN clipped_round = 0 THEN v END)
+                             OVER w)
+                     / stddev_pop(CASE WHEN clipped_round = 0 THEN v END)
+                           OVER w, 4) AS zz
+        FROM r{r - 1}
+        WINDOW w AS (PARTITION BY conv_id, bucket_start)
+    )
+)"""
+    return f"""
+WITH {body}
+SELECT conv_id, event_id, bucket_start, round(v, 4) AS value,
+       CAST(clipped_round AS INT) AS clipped_round, z AS z_last,
+       CAST(clipped_round > 0 AS INT) AS flag
+FROM r{rounds}
+"""
+
+
 def changepoints(df: DataFrame, value_col: str, w: int = 10,
                  k: float = 3.0, keys: tuple[str, ...] = ("conv_id",),
                  order_col: str = "bucket_start") -> DataFrame:
@@ -1455,6 +1558,112 @@ def metric_corr(events: DataFrame, metrics: tuple[str, ...],
     return agg.select(
         "bucket_start", F.explode(F.array(*rows)).alias("_p")
     ).select("bucket_start", "_p.*")
+
+
+def leadlag_corr(events: DataFrame, metrics: tuple[str, ...],
+                 metric_col: str = "event_type", ts_col: str = "ts",
+                 value_col: str = "value", grid_seconds: int = 3600,
+                 max_lag: int = 3) -> DataFrame:
+    """Lead-lag detection between metric pairs: Pearson r of
+    ``(x_t, y_{t+L})`` for every grid lag L ∈ [−max_lag, max_lag] —
+    the "error rate leads latency by 2 hours" read-out incident
+    retrospectives and causal-graph builders start from, which
+    :func:`metric_corr` (lag 0 only) cannot see. Per ordered pair
+    the highest-|r| lag is marked ``best`` (tie → smallest lag);
+    negative lag means metric_a LAGS metric_b.
+
+    Scale shape: the raw corpus crosses exactly ONE map-side-combined
+    exchange (the shared grid aggregate — #grid-buckets wide rows);
+    everything after runs on that reduced relation: a 2·max_lag+1
+    lag explode, a self-equi-join on the SHIFTED grid timestamp with
+    the plain grid broadcast (exact timestamp arithmetic — gaps in
+    the grid align correctly, where a ``lead()`` window would slide
+    across holes), one grid-sized groupBy(lag) of the pair sums, and
+    a rank window over the (pairs × lags)-row result. NULL r (a lag
+    with no overlap / zero variance) sorts last on BOTH engines —
+    explicit ``NULLS LAST`` because DuckDB's DESC default is
+    nulls-first, Spark's is nulls-last.
+
+    Output: (metric_a, metric_b, lag, n_pts, r, best).
+    """
+    ms = list(metrics)
+    if len(ms) < 2:
+        raise ValueError(f"need at least 2 metrics, got {metrics}")
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    step = int(grid_seconds)
+    v = F.col(value_col).cast("double")
+    grid = (
+        events.where(v.isNotNull() & F.col(metric_col).isin(ms))
+        .groupBy(_bucket_expr(ts_col, step).alias("_grid"))
+        .agg(*[
+            F.avg(F.when(F.col(metric_col) == m, v)).alias(f"_m{i}")
+            for i, m in enumerate(ms)
+        ])
+    )
+    grid = caching.materialize(grid)
+    lags = list(range(-max_lag, max_lag + 1))
+    a = grid.select(
+        F.explode(F.array(*[F.lit(l) for l in lags])).alias("lag"),
+        F.col("_grid"),
+        *[F.col(f"_m{i}").alias(f"_x{i}") for i in range(len(ms))],
+    ).withColumn(
+        "_tgt",
+        F.timestamp_seconds(
+            F.unix_seconds(F.col("_grid")) + F.col("lag") * F.lit(step)),
+    )
+    b = grid.select(
+        F.col("_grid").alias("_tgt"),
+        *[F.col(f"_m{i}").alias(f"_y{i}") for i in range(len(ms))],
+    )
+    joined = a.join(F.broadcast(b), "_tgt")
+
+    pairs = [(i, j) for i in range(len(ms)) for j in range(len(ms))
+             if i < j]
+    aggs = []
+    for i, j in pairs:
+        x, y = F.col(f"_x{i}"), F.col(f"_y{j}")
+        both = x.isNotNull() & y.isNotNull()
+        xm, ym = F.when(both, x), F.when(both, y)
+        p = f"_{i}_{j}"
+        aggs += [
+            F.count(xm).alias(f"n{p}"),
+            F.sum(xm).alias(f"sx{p}"),
+            F.sum(ym).alias(f"sy{p}"),
+            F.sum(xm * ym).alias(f"sxy{p}"),
+            F.sum(xm * xm).alias(f"sxx{p}"),
+            F.sum(ym * ym).alias(f"syy{p}"),
+        ]
+    agg = joined.groupBy("lag").agg(*aggs)
+    rows = []
+    for i, j in pairs:
+        p = f"_{i}_{j}"
+        n = F.col(f"n{p}").cast("double")
+        sx, sy = F.col(f"sx{p}"), F.col(f"sy{p}")
+        sxy, sxx, syy = (F.col(f"sxy{p}"), F.col(f"sxx{p}"),
+                         F.col(f"syy{p}"))
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        r = F.when(
+            (varx > 0) & (vary > 0),
+            (n * sxy - sx * sy) / F.sqrt(varx * vary),
+        )
+        rows.append(F.struct(
+            F.lit(ms[i]).alias("metric_a"),
+            F.lit(ms[j]).alias("metric_b"),
+            F.col(f"n{p}").cast("long").alias("n_pts"),
+            portable_round(r, _R).alias("r"),
+        ))
+    flat = agg.select(
+        "lag", F.explode(F.array(*rows)).alias("_p")
+    ).select("_p.metric_a", "_p.metric_b", "lag", "_p.n_pts", "_p.r")
+    wbest = W.partitionBy("metric_a", "metric_b").orderBy(
+        F.abs(F.col("r")).desc_nulls_last(), F.col("lag").asc())
+    return flat.select(
+        "metric_a", "metric_b", F.col("lag").cast("int").alias("lag"),
+        "n_pts", "r",
+        (F.row_number().over(wbest) == 1).cast("int").alias("best"),
+    )
 
 
 def seasonal_naive_eval(df: DataFrame, value_col: str,
@@ -2904,6 +3113,125 @@ agg AS (
 """
 
 
+def _leadlag_sql(metrics: tuple[str, ...], max_lag: int,
+                 grid_seconds: int = 3600) -> str:
+    """Oracle mirror of :func:`leadlag_corr` at the driver defaults."""
+    ms = list(metrics)
+    in_list = ", ".join(f"'{m}'" for m in ms)
+    mcols = ",\n           ".join(
+        f"avg(CASE WHEN event_type = '{m}' THEN v END) AS m{i}"
+        for i, m in enumerate(ms))
+    xy = ", ".join(
+        [f"a.m{i} AS x{i}" for i in range(len(ms))]
+        + [f"b.m{i} AS y{i}" for i in range(len(ms))])
+    sums, selects = [], []
+    for i in range(len(ms)):
+        for j in range(len(ms)):
+            if i >= j:
+                continue
+            p = f"_{i}_{j}"
+            both = f"x{i} IS NOT NULL AND y{j} IS NOT NULL"
+            sums += [
+                f"count(CASE WHEN {both} THEN x{i} END) AS n{p}",
+                f"sum(CASE WHEN {both} THEN x{i} END) AS sx{p}",
+                f"sum(CASE WHEN {both} THEN y{j} END) AS sy{p}",
+                f"sum(CASE WHEN {both} THEN x{i} * y{j} END) AS sxy{p}",
+                f"sum(CASE WHEN {both} THEN x{i} * x{i} END) AS sxx{p}",
+                f"sum(CASE WHEN {both} THEN y{j} * y{j} END) AS syy{p}",
+            ]
+            nd = f"CAST(n{p} AS DOUBLE)"
+            varx = f"{nd} * sxx{p} - sx{p} * sx{p}"
+            vary = f"{nd} * syy{p} - sy{p} * sy{p}"
+            selects.append(f"""
+SELECT '{ms[i]}' AS metric_a, '{ms[j]}' AS metric_b, lag,
+       CAST(n{p} AS BIGINT) AS n_pts,
+       round(CASE WHEN ({varx}) > 0 AND ({vary}) > 0
+                  THEN ({nd} * sxy{p} - sx{p} * sy{p})
+                       / sqrt(({varx}) * ({vary}))
+             END, 4) AS r
+FROM agg""")
+    body = "\nUNION ALL".join(selects)
+    sums_sql = ",\n           ".join(sums)
+    return f"""
+WITH grid AS (
+    SELECT date_trunc('hour', ts) AS g,
+           {mcols}
+    FROM (SELECT event_type, ts, CAST(value AS DOUBLE) AS v
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ({in_list}))
+    GROUP BY 1
+),
+lags AS (SELECT unnest(range(-{max_lag}, {max_lag + 1})) AS lag),
+j AS (
+    SELECT l.lag, {xy}
+    FROM grid a CROSS JOIN lags l
+    JOIN grid b
+      ON b.g = a.g + (l.lag * {grid_seconds}) * INTERVAL 1 SECOND
+),
+agg AS (SELECT lag, {sums_sql} FROM j GROUP BY 1),
+flat AS ({body})
+SELECT metric_a, metric_b, CAST(lag AS INT) AS lag, n_pts, r,
+       CAST(row_number() OVER (
+                PARTITION BY metric_a, metric_b
+                ORDER BY abs(r) DESC NULLS LAST, lag ASC) = 1 AS INT)
+           AS best
+FROM flat
+"""
+
+
+def sax_motifs(events: DataFrame, k: int = 20, n_frames: int = 4,
+               alphabet: int = 4, key: str = "conv_id",
+               ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Corpus-level motif table over the SAX index: the k most
+    frequent COMPLETE hour-words (all ``n_frames`` frames present)
+    across every (series, hour), with how many distinct series
+    exhibit each shape — the "what does a normal hour look like /
+    which shapes recur fleet-wide" read-out that motif discovery
+    (Lin et al.'s original SAX use case) starts from.
+
+    Rides :func:`sax_words` (its exchanges dominate); the motif
+    rollup itself is a map-side-combined groupBy over the
+    one-row-per-(series, hour) word relation, distinct-series via
+    exact count_distinct, finished with TakeOrderedAndProject —
+    never a global sort.
+
+    Output: (word, n_occurrences, n_series, rank).
+    """
+    words = sax_words(events, n_frames=n_frames, alphabet=alphabet,
+                      key=key, ts_col=ts_col, value_col=value_col)
+    counts = (
+        words.where(F.col("n_frames") == n_frames)
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(key).alias("n_series"),
+        )
+    )
+    top = counts.orderBy(
+        F.desc("n_occurrences"), F.asc("word")).limit(k)
+    return top.select(
+        "word", "n_occurrences", "n_series",
+        F.row_number().over(
+            W.orderBy(F.desc("n_occurrences"), F.asc("word"))
+        ).cast("int").alias("rank"),
+    )
+
+
+def _sax_motifs_sql(k: int, n_frames: int, alphabet: int) -> str:
+    return f"""
+WITH sax AS ({_sax_sql(n_frames, alphabet)}),
+c AS (
+    SELECT word, count(*) AS n_occurrences,
+           count(DISTINCT conv_id) AS n_series
+    FROM sax WHERE n_frames = {n_frames} GROUP BY 1
+)
+SELECT word, n_occurrences, n_series,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, word ASC)
+            AS INT) AS rank
+FROM c ORDER BY n_occurrences DESC, word ASC LIMIT {k}
+"""
+
+
 def _holt_winters_sql(alpha: float = 0.3, beta: float = 0.1,
                       gamma: float = 0.2, m: int = 4) -> str:
     """Recursive-CTE mirror of the additive Holt-Winters recursion,
@@ -3198,4 +3526,10 @@ ORACLE_SQL = {
     "theilsen_1d": _THEILSEN_SQL,
     "spectral_power": _SPECTRAL_SQL,
     "sax_1h": _sax_sql(4, 4),
+    # 2 half-hour frames: the synthetic series are sparse (most
+    # (conv, hour) populate one 15-min frame), so 4-frame-complete
+    # words would be a zero-row gate; 2-frame words carry signal
+    "sax_motifs": _sax_motifs_sql(20, 2, 4),
+    "sigma_clip_1d": _sigma_clip_sql(3.0, 2),
+    "leadlag_1h": _leadlag_sql(XCORR_METRICS, 3),
 }
