@@ -1296,6 +1296,15 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup.canonical_corpus(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_cluster_split(spark, sf_dir):
+    # leakage-safe train/val/test split at near-dup-cluster
+    # granularity: split key = CC cluster id (own doc_id when
+    # unclustered), salted-md5 uniform -> 80/10/10; cluster relation
+    # joins back small, split math pure map-side
+    return dedup.cluster_split(_docs(spark, sf_dir), ratios=(0.8, 0.1),
+                               salt="cs0", n=3, threshold=0.5)
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash32(_docs(spark, sf_dir))
 
@@ -1689,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_motifs": q_sax_motifs,
         "sigma_clip_1d": q_sigma_clip_1d,
         "leadlag_1h": q_leadlag_1h,
+        "cluster_split": q_cluster_split,
     }
 
 

@@ -991,6 +991,61 @@ def canonical_corpus(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     )
 
 
+def cluster_split(docs: DataFrame,
+                  ratios: tuple[float, float] = (0.8, 0.1),
+                  salt: str = "cs0",
+                  n: int = 3, threshold: float = 0.5,
+                  max_iter: int = 20,
+                  pairs: DataFrame | None = None,
+                  reliable: bool = False) -> DataFrame:
+    """Leakage-safe train/val/test assignment at near-duplicate-CLUSTER
+    granularity: every document in a near-dup cluster is assigned the
+    SAME split, so a validation/test example can never have a near-copy
+    sitting in train. Doc-level random splitting leaks exactly this way
+    (the within-corpus cousin of benchmark contamination —
+    :func:`~..curation.decontaminate` guards against external eval
+    sets; this guards the corpus against itself). The reference's fixed
+    train/val/test loaders (`Data/prepare_data.py:4-5`) never face this
+    because Yahoo S5 series are disjoint by construction; a scraped
+    text corpus is not.
+
+    Mechanics: the split key is the near-dup cluster id where one
+    exists (``dup_clusters``: MinHash+LSH candidates → exact-Jaccard
+    verify → connected components), else the doc's own id. A salted
+    md5 of the key maps to a uniform in [0, 1); ``u < ratios[0]`` →
+    train, ``< ratios[0] + ratios[1]`` → val, else test. Bit-for-bit
+    reproducible across engines and runs (no RNG state); a different
+    ``salt`` draws an independent partition.
+
+    Scale shape: the cluster relation is pair-derived — proportional
+    to the DUPLICATED subset, far smaller than the corpus — and joins
+    back on doc_id (broadcast when it fits, hash join otherwise); the
+    hash→uniform→split logic is pure map-side column math. No window,
+    no sort, no driver state beyond the CC rounds already inside
+    :func:`dup_clusters`."""
+    r0, r1 = ratios
+    cc = dup_clusters(docs, n, threshold, max_iter, pairs=pairs,
+                      reliable=reliable)
+    key = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt),
+                                             key)), 1, 8),
+               16, 10).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        with_dup_chains(docs).select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            key.alias("split_key"),
+            F.when(u < F.lit(r0), F.lit("train"))
+            .when(u < F.lit(r0 + r1), F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
 
 _CC_SQL_BODY = f"""
 WITH RECURSIVE corpus AS ({CHAIN_CORPUS_SQL}),
@@ -1015,6 +1070,24 @@ _DEDUP_CANONICAL_SQL = (
     + "SELECT doc_id FROM corpus "
     + "WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster)"
 )
+
+
+def _cluster_split_sql(ratios: tuple[float, float], salt: str) -> str:
+    r0, r1 = ratios
+    u = (
+        f"CAST(concat('0x', substr(md5(concat('{salt}', ':', "
+        f"CAST(coalesce(cc.cluster, c.doc_id) AS VARCHAR))), 1, 8)) "
+        f"AS BIGINT) / 4294967296.0"
+    )
+    return (
+        _CC_SQL_BODY
+        + f"""SELECT c.doc_id,
+       coalesce(cc.cluster, c.doc_id) AS split_key,
+       CASE WHEN {u} < {r0} THEN 'train'
+            WHEN {u} < {r0 + r1} THEN 'val'
+            ELSE 'test' END AS split
+FROM corpus c LEFT JOIN cc ON c.doc_id = cc.node"""
+    )
 
 
 _DEDUP_EXACT_SQL = f"""
@@ -1111,5 +1184,6 @@ ORACLE_SQL = {
     "simhash_hamming": _SIMHASH_HAMMING_SQL,
     "dup_clusters": _DUP_CLUSTERS_SQL,
     "dedup_canonical": _DEDUP_CANONICAL_SQL,
+    "cluster_split": _cluster_split_sql((0.8, 0.1), "cs0"),
     "dup_ngram_spans": _dup_spans_sql(4),
 }
