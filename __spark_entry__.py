@@ -1296,6 +1296,16 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup.canonical_corpus(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_mixture_sample(spark, sf_dir):
+    # token-budget data mixing: per-source sampling fraction
+    # min(1, budget*w/T_s) from ONE source-cardinality groupBy,
+    # broadcast back, salted-md5 Bernoulli map-side; src0 is
+    # deliberately over-asked (caps at frac=1.0)
+    return curation.mixture_sample(
+        _docs(spark, sf_dir), curation.MIXTURE_WEIGHTS,
+        curation.MIXTURE_BUDGET, salt="mx0")
+
+
 def q_cluster_split(spark, sf_dir):
     # leakage-safe train/val/test split at near-dup-cluster
     # granularity: split key = CC cluster id (own doc_id when
@@ -1699,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sigma_clip_1d": q_sigma_clip_1d,
         "leadlag_1h": q_leadlag_1h,
         "cluster_split": q_cluster_split,
+        "mixture_sample": q_mixture_sample,
     }
 
 

@@ -1,10 +1,10 @@
 """Round-4 final-wave operators: leakage-safe cluster-granular
-train/val/test splitting."""
+train/val/test splitting and token-budget mixture sampling."""
 
 import pytest
 from pyspark.sql import functions as F
 
-from yahoo_anomaly_detection_spark.operators import dedup
+from yahoo_anomaly_detection_spark.operators import curation, dedup
 
 
 @pytest.fixture(scope="module")
@@ -69,3 +69,58 @@ def test_cluster_split_ratios_approximate(spark, docs80):
     # 80 distinct keys at p=0.8: allow a generous binomial band
     assert 0.6 < train / n < 0.95
     assert keys.where(F.col("split").isin("val", "test")).count() > 0
+
+
+# ------------------------------------------------- mixture sampling
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    """3 sources x 100 docs x 10 tokens each = 1000 tokens/source."""
+    return spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))
+        .alias("source"),
+        F.expr("concat_ws(' ', transform(sequence(0, 9), "
+               "i -> concat('t', id, '_', i)))").alias("text"),
+    )
+
+
+def test_mixture_sample_caps_overasked_source(spark, mix_docs):
+    # s0 desired = 3000 * (2/4) = 1500 > 1000 available -> frac 1.0,
+    # every s0 doc survives; s1 desired = 750 -> frac 0.75
+    out = curation.mixture_sample(
+        mix_docs, {"s0": 2.0, "s1": 1.0, "s2": 1.0}, 3000).cache()
+    s0 = out.where(F.col("source") == "s0")
+    assert s0.count() == 100
+    assert s0.select("frac").distinct().collect()[0][0] == 1.0
+    fr1 = out.where(F.col("source") == "s1") \
+             .select("frac").distinct().collect()[0][0]
+    assert fr1 == 0.75
+    out.unpersist()
+
+
+def test_mixture_sample_excludes_unweighted_sources(spark, mix_docs):
+    out = curation.mixture_sample(mix_docs, {"s0": 1.0}, 500)
+    assert out.where(F.col("source") != "s0").count() == 0
+    # s0 frac = 500/1000 = 0.5: a real subset, not empty
+    n = out.count()
+    assert 0 < n < 100
+
+
+def test_mixture_sample_expected_token_mass(spark, mix_docs):
+    # all docs are 10 tokens, so realized tokens = 10 * kept docs;
+    # binomial(100, 0.5) stays within +-4 sigma = +-20 of 50
+    out = curation.mixture_sample(mix_docs, {"s1": 1.0}, 500)
+    got = out.agg(F.sum("n_tokens")).collect()[0][0]
+    assert 300 <= got <= 700
+
+
+def test_mixture_sample_deterministic_and_salted(spark, mix_docs):
+    w = {"s0": 1.0, "s1": 1.0}
+    a = {r.doc_id for r in
+         curation.mixture_sample(mix_docs, w, 1000, salt="mx0").collect()}
+    b = {r.doc_id for r in
+         curation.mixture_sample(mix_docs, w, 1000, salt="mx0").collect()}
+    c = {r.doc_id for r in
+         curation.mixture_sample(mix_docs, w, 1000, salt="zz").collect()}
+    assert a == b
+    assert a != c

@@ -558,7 +558,109 @@ FROM c ORDER BY cnt DESC, pair ASC LIMIT {k}
 """
 
 
+# ------------------------------------------------------------------
+# Token-budget mixture sampling (data mixing)
+# ------------------------------------------------------------------
+
+def mixture_sample(docs: DataFrame, weights: dict[str, float],
+                   budget_tokens: int, salt: str = "mx0") -> DataFrame:
+    """Token-budget data mixing: sample each source stream at the rate
+    that makes the EXPECTED token mass of the sampled corpus hit a
+    target mixture (the "data mixing" step every LLM training-data
+    pipeline runs between curation and packing — e.g. The Pile /
+    LLaMA-style source weighting). Given target weights ``{source:
+    w}`` and a total token ``budget``, source s is Bernoulli-sampled
+    at ``frac_s = min(1, budget · w_s / Σw / T_s)`` where ``T_s`` is
+    the source's total token count; sources absent from ``weights``
+    are excluded. Over-asked sources (desired > available) cap at 1.0
+    — the realized mixture then under-delivers that source, visible in
+    the returned ``frac`` column (= the epochs<1 signal; a real
+    pipeline would re-normalize or repeat-sample such sources).
+
+    Sampling is a salted md5 of doc_id (the :func:`~..textstats.
+    stratified_sample` idiom): bit-for-bit reproducible across engines
+    and runs, independent draws per salt, no RNG state.
+
+    Scale shape: per-source totals are ONE map-side-combined
+    ``groupBy(source)`` whose output is source-cardinality-sized
+    (tens to thousands of rows at 100 TB — never corpus-sized); the
+    frac relation broadcasts back onto the corpus, and the sampling
+    decision is pure map-side column math. No window, no sort, no
+    driver-side data state (weights are config, not data).
+    """
+    wsum = float(sum(weights.values()))
+    wexpr = F.lit(None).cast("double")
+    for src, w in weights.items():
+        wexpr = F.when(F.col("source") == src,
+                       F.lit(float(w) / wsum)).otherwise(wexpr)
+    tok = docs.select(
+        "doc_id", "source",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_tokens"),
+    )
+    frac = (
+        tok.groupBy("source")
+        .agg(F.sum("n_tokens").alias("total_tokens"))
+        .withColumn("w", wexpr)
+        .where(F.col("w").isNotNull())
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_tokens)) * F.col("w")
+                / F.col("total_tokens"),
+            ).alias("frac"),
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt),
+                                             F.col("doc_id"))), 1, 8),
+               16, 10).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        tok.join(F.broadcast(frac), "source")
+        .where(u < F.col("frac"))
+        .select("doc_id", "source", "n_tokens",
+                portable_round(F.col("frac"), _R).alias("frac"))
+    )
+
+
+def _mixture_sql(weights: dict[str, float], budget_tokens: int,
+                 salt: str) -> str:
+    wsum = float(sum(weights.values()))
+    cases = " ".join(
+        f"WHEN '{s}' THEN {float(w) / wsum!r}" for s, w in weights.items()
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+frac AS (
+    SELECT source,
+           least(1.0, {float(budget_tokens)} * (CASE source {cases} END)
+                 / sum(n_tokens)) AS frac
+    FROM tok GROUP BY source
+    HAVING (CASE source {cases} END) IS NOT NULL
+)
+SELECT t.doc_id, t.source, t.n_tokens, round(f.frac, 4) AS frac
+FROM tok t JOIN frac f USING (source)
+WHERE CAST(concat('0x', substr(md5(concat('{salt}', ':',
+           CAST(t.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+      / 4294967296.0 < f.frac
+"""
+
+
+# the driver query's mixture: one deliberately over-asked source
+# (src0 desired 1500 > its ~1435 available tokens -> frac caps at
+# 1.0), two fractional sources, all other sources excluded
+MIXTURE_WEIGHTS = {"src0": 6.0, "src1": 1.0, "src2": 1.0}
+MIXTURE_BUDGET = 2000
+
+
 ORACLE_SQL = {
+    "mixture_sample": _mixture_sql(MIXTURE_WEIGHTS, MIXTURE_BUDGET, "mx0"),
     "doc_repetition": _repetition_sql(0.20, 0.30),
     # n=4 on the ~30-word synthetic vocabulary ≈ the selectivity a
     # 13-gram check has on real text (3-grams flag ~87% of this
