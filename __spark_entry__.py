@@ -1296,6 +1296,16 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup.canonical_corpus(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_season_strength(spark, sf_dir):
+    # forecastability triage: trend/seasonal strength (FPP 13.2) from
+    # the stl_lite components; the strength rollup groups by the same
+    # series key the decomposition windows partition by (no second
+    # corpus exchange)
+    return tsanalytics.season_strength(
+        _t1m_mean(spark, sf_dir), "mean_v",
+        trend_halfwidth=5, phase="minute_of_hour")
+
+
 def q_mixture_sample(spark, sf_dir):
     # token-budget data mixing: per-source sampling fraction
     # min(1, budget*w/T_s) from ONE source-cardinality groupBy,
@@ -1710,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leadlag_1h": q_leadlag_1h,
         "cluster_split": q_cluster_split,
         "mixture_sample": q_mixture_sample,
+        "season_strength": q_season_strength,
     }
 
 

@@ -124,3 +124,47 @@ def test_mixture_sample_deterministic_and_salted(spark, mix_docs):
          curation.mixture_sample(mix_docs, w, 1000, salt="zz").collect()}
     assert a == b
     assert a != c
+
+
+# ------------------------------------------------- season strength
+from yahoo_anomaly_detection_spark.operators import tsanalytics  # noqa: E402
+from conftest import count_exchanges  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def stl_series(spark):
+    """Three planted series on a 4-hour minute grid: a pure linear
+    trend, a pure minute-of-hour pattern, and a constant."""
+    return spark.range(240).select(
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(id as int),0)")
+        .alias("bucket_start"),
+        F.col("id"),
+    ).selectExpr(
+        "stack(3, "
+        " 'trend',  cast(id as double), bucket_start,"
+        " 'season', cast(case when id % 60 < 30 then 10 else -10 end as double), bucket_start,"
+        " 'flat',   cast(5.0 as double), bucket_start"
+        ") as (conv_id, mean_v, bucket_start)"
+    )
+
+
+def test_season_strength_planted_components(spark, stl_series):
+    rows = {r.conv_id: r for r in tsanalytics.season_strength(
+        stl_series, "mean_v").collect()}
+    # linear series: centered rolling mean tracks it exactly except
+    # frame edges -> trend explains nearly everything
+    assert rows["trend"].trend_strength > 0.95
+    # minute-of-hour square wave: phase means capture it
+    assert rows["season"].seasonal_strength > 0.8
+    assert rows["season"].seasonal_strength > rows["trend"].seasonal_strength
+    # constant series: zero variance everywhere -> NULL, never 0/0
+    assert rows["flat"].trend_strength is None
+    assert rows["flat"].seasonal_strength is None
+    assert all(r.n_points == 240 for r in rows.values())
+
+
+def test_season_strength_single_exchange(spark, stl_series):
+    out = tsanalytics.season_strength(stl_series, "mean_v")
+    # decomposition windows + strength rollup all ride ONE conv_id
+    # hash exchange (the stack source is a local relation)
+    assert count_exchanges(out) == 1

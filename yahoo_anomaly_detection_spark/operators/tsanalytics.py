@@ -44,7 +44,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
@@ -1267,6 +1267,48 @@ def stl_lite(df: DataFrame, value_col: str,
     return base.withColumn(
         "seasonal", F.avg(detr).over(w_phase)
     ).withColumn("resid", detr - F.col("seasonal"))
+
+
+def season_strength(df: DataFrame, value_col: str,
+                    trend_halfwidth: int = 5,
+                    phase: str = "minute_of_hour",
+                    ts_col: str = "bucket_start",
+                    keys: tuple[str, ...] = ("conv_id",)) -> DataFrame:
+    """Forecastability triage per series: trend strength
+    ``max(0, 1 − var(resid)/var(trend + resid))`` and seasonal
+    strength ``max(0, 1 − var(resid)/var(seasonal + resid))`` over the
+    :func:`stl_lite` components (Hyndman & Athanasopoulos, *FPP*
+    §13.2 / the `tsfeatures` STL features). This is the fleet-wide
+    read-out that routes series to models: strength ≈ 1 → the
+    component explains the series (use :func:`holt` /
+    :func:`holt_winters`); ≈ 0 → noise (a naive/mean forecast is
+    already optimal, cf. ``snaive_eval``). Population variance
+    (ddof=0) per the engine's numpy-matching convention (SURVEY A2).
+
+    Degenerate groups are NULL on both engines: a component whose
+    denominator variance is 0 (constant series → trend+resid
+    constant) yields NULL strength, never a 0/0.
+
+    Scale shape: rides the stl_lite exchange — the strength rollup
+    groups by the SAME series key the decomposition windows partition
+    by, so the aggregate reuses that partitioning (no second corpus
+    exchange); output is series-cardinality-sized.
+    """
+    stl = stl_lite(df, value_col, trend_halfwidth, phase, ts_col, keys)
+    key_cols = list(keys)
+
+    def strength(component: str) -> Column:
+        vd = F.var_pop(F.col(component) + F.col("resid"))
+        vr = F.var_pop(F.col("resid"))
+        return F.when(
+            vd > 0, F.greatest(F.lit(0.0), F.lit(1.0) - vr / vd)
+        ).otherwise(F.lit(None).cast("double"))
+
+    return stl.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        portable_round(strength("trend"), 4).alias("trend_strength"),
+        portable_round(strength("seasonal"), 4).alias("seasonal_strength"),
+    )
 
 
 def lttb(df: DataFrame, value_col: str, n_out: int = 20,
@@ -2832,6 +2874,39 @@ SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v,
 FROM sea
 """
 
+_SEASON_STRENGTH_SQL = f"""
+WITH {{base}},
+tr AS (
+    SELECT conv_id, bucket_start, mean_v,
+           avg(mean_v) OVER (PARTITION BY conv_id ORDER BY bucket_start
+               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS trend,
+           minute(bucket_start) AS phase
+    FROM t1m
+),
+sea AS (
+    SELECT conv_id, trend,
+           avg(mean_v - trend) OVER (PARTITION BY conv_id, phase)
+               AS seasonal,
+           mean_v
+    FROM tr
+),
+comp AS (
+    SELECT conv_id, trend, seasonal,
+           mean_v - trend - seasonal AS resid
+    FROM sea
+)
+SELECT conv_id, count(*) AS n_points,
+       round(CASE WHEN var_pop(trend + resid) > 0
+             THEN greatest(0.0, 1.0 - var_pop(resid)
+                                      / var_pop(trend + resid)) END, 4)
+           AS trend_strength,
+       round(CASE WHEN var_pop(seasonal + resid) > 0
+             THEN greatest(0.0, 1.0 - var_pop(resid)
+                                      / var_pop(seasonal + resid)) END, 4)
+           AS seasonal_strength
+FROM comp GROUP BY conv_id
+"""
+
 # LTTB picks are sequential per series (not SQL-expressible); the
 # oracle verifies the selection INVARIANTS from the input alone:
 # exactly least(n, n_out) points kept, endpoints always kept. The
@@ -3511,6 +3586,7 @@ ORACLE_SQL = {
     "psi_drift_1d": _psi_sql(HIST_BOUNDARIES),
     "seasonal_zscore": _SEASONAL_SQL,
     "stl_lite_1m": _STL_SQL.format(base=_T1M_BASE),
+    "season_strength": _SEASON_STRENGTH_SQL.format(base=_T1M_BASE),
     "lttb_check": _LTTB_CHECK_SQL.format(base=_T1M_BASE),
     "cusum_flags": _CUSUM_SQL,
     "hist_quantile_1d": _hist_quantile_sql(0.95, HIST_BOUNDARIES),
