@@ -1296,6 +1296,14 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup.canonical_corpus(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_ks_drift_1d(spark, sf_dir):
+    # exact two-sample KS per (event_type, day) vs previous observed
+    # day — binless sibling of psi_drift_1d; pair relation broadcasts,
+    # fanned samples cross ONE (key, pair-day) exchange serving both
+    # ECDF windows and the max rollup
+    return tsanalytics.ks_drift(_events_raw(spark, sf_dir))
+
+
 def q_season_strength(spark, sf_dir):
     # forecastability triage: trend/seasonal strength (FPP 13.2) from
     # the stl_lite components; the strength rollup groups by the same
@@ -1721,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "mixture_sample": q_mixture_sample,
         "season_strength": q_season_strength,
+        "ks_drift_1d": q_ks_drift_1d,
     }
 
 

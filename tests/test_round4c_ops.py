@@ -168,3 +168,69 @@ def test_season_strength_single_exchange(spark, stl_series):
     # decomposition windows + strength rollup all ride ONE conv_id
     # hash exchange (the stack source is a local relation)
     assert count_exchanges(out) == 1
+
+
+# ------------------------------------------------- exact KS drift
+import numpy as np  # noqa: E402
+from conftest import plan_str  # noqa: E402
+
+
+def _ks_numpy(a, b):
+    """sup_x |F_a(x) - F_b(x)| evaluated at every pooled sample."""
+    a, b = np.sort(np.asarray(a, float)), np.sort(np.asarray(b, float))
+    pts = np.concatenate([a, b])
+    fa = np.searchsorted(a, pts, side="right") / len(a)
+    fb = np.searchsorted(b, pts, side="right") / len(b)
+    return float(np.abs(fa - fb).max())
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [(t, ts, float(v)) for t, ts, v in rows],
+        "event_type string, ts timestamp, value double")
+
+
+def test_ks_drift_planted_identical_and_disjoint(spark):
+    import datetime as dt
+    rows = []
+    for d, base in ((1, 0), (2, 0), (3, 100)):  # day2 == day1, day3 shifted
+        for i in range(10):
+            rows.append(("a", dt.datetime(2024, 1, d, 12, 0, i), base + i))
+    out = {r.bucket_start.day: r for r in
+           tsanalytics.ks_drift(_mk_events(spark, rows)).collect()}
+    assert set(out) == {2, 3}  # first day has no predecessor
+    assert out[2].ks == 0.0          # identical distributions
+    assert out[3].ks == 1.0          # disjoint supports
+    assert out[2].n_cur == out[2].n_ref == 10
+    assert out[3].prev_bucket.day == 2
+
+
+def test_ks_drift_matches_numpy_replica(spark):
+    import datetime as dt
+    import random
+    rng = random.Random(7)
+    rows, by_day = [], {1: [], 2: [], 3: []}
+    for d in by_day:
+        for i in range(rng.randrange(8, 40)):
+            v = round(rng.gauss(d * 2.0, 1.0 + d), 3)
+            by_day[d].append(v)
+            rows.append(("m", dt.datetime(2024, 2, d, 3, 0, 0)
+                         + dt.timedelta(seconds=i), v))
+    out = {r.bucket_start.day: r.ks for r in
+           tsanalytics.ks_drift(_mk_events(spark, rows)).collect()}
+    for d in (2, 3):
+        exp = round(_ks_numpy(by_day[d], by_day[d - 1]) + 1e-9, 4)
+        assert abs(out[d] - exp) < 1e-9, (d, out[d], exp)
+
+
+def test_ks_drift_plan_broadcasts_pairs(spark):
+    import datetime as dt
+    rows = [("a", dt.datetime(2024, 1, 1 + d, 0, 0, i), float(i))
+            for d in range(3) for i in range(5)]
+    out = tsanalytics.ks_drift(_mk_events(spark, rows))
+    p = plan_str(out)
+    assert "BroadcastHashJoin" in p       # pair relation never shuffles pts
+    assert "SortMergeJoin" not in p
+    # exchanges: days distinct + lag window (both day-relation-sized)
+    # + the single corpus (key, pair-day) exchange
+    assert count_exchanges(out) <= 3

@@ -1824,6 +1824,130 @@ def psi_drift(events: DataFrame,
     )
 
 
+def ks_drift(events: DataFrame, bucket_seconds: int = 86400,
+             key: str = "event_type", ts_col: str = "ts",
+             value_col: str = "value") -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between each
+    (series, day) value distribution and the series' previous
+    observed day — the binless sibling of :func:`psi_drift`:
+    ``D = sup_x |F_day(x) − F_prev(x)|`` evaluated at every sample
+    point, so it is sensitive to ANY distribution change (PSI only
+    sees mass moving across its fixed bin boundaries; a shift
+    entirely inside one bin is invisible to it and fully visible
+    here). Same pairing convention as PSI: previous OBSERVED day per
+    series, first day of each series excluded.
+
+    Mechanics: the tiny (key, day → previous day) relation fans each
+    sample to the ≤2 comparisons it feeds — as the CURRENT side of
+    its own day's pair and the REFERENCE side of the next observed
+    day's pair — via ONE broadcast join (never a per-pair re-scan).
+    Both empirical CDFs are cumulative-share windows ordered by value
+    with a RANGE frame (ties are frame peers, so F(x) counts ≤ x on
+    both engines — the exact ECDF); D is the max over rows of the
+    absolute difference.
+
+    Scale shape: the pair relation is (series × days)-sized and
+    broadcasts; the fanned sample relation (≤ 2×) crosses ONE hash
+    exchange on (key, pair day) that serves both ECDF windows AND the
+    final max rollup. Per-task input is bounded by a single (series,
+    day ∪ prev day) sample set — the same boundedness contract as the
+    percentile rollups.
+
+    Output: (key, bucket_start, prev_bucket, n_cur, n_ref, ks).
+    """
+    bucket = _bucket_expr(ts_col, int(bucket_seconds))
+    v = F.col(value_col).cast("double")
+    pts = events.where(v.isNotNull()).select(
+        key, bucket.alias("_b"), v.alias("_v"))
+    days = pts.select(key, "_b").distinct()
+    w_key = W.partitionBy(key).orderBy("_b")
+    pairs = (
+        days.withColumn("_prev", F.lag("_b").over(w_key))
+        .where(F.col("_prev").isNotNull())
+    )
+    # explode (not union) so the day-pair subtree is computed once
+    roles = pairs.select(
+        key, F.col("_b").alias("_pair_b"), "_prev",
+        F.explode(F.array(
+            F.struct(F.col("_b").alias("_sample_b"),
+                     F.lit(1).alias("_is_cur")),
+            F.struct(F.col("_prev").alias("_sample_b"),
+                     F.lit(0).alias("_is_cur")),
+        )).alias("_r"),
+    ).select(key, "_pair_b", "_prev", "_r._sample_b", "_r._is_cur")
+    tagged = pts.alias("l").join(
+        F.broadcast(roles.alias("r")),
+        on=(F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("l._b") == F.col("r._sample_b")),
+    ).select(F.col(f"l.{key}").alias(key), "r._pair_b", "r._prev",
+             "r._is_cur", "l._v")
+    w_all = W.partitionBy(key, "_pair_b")
+    w_cum = w_all.orderBy("_v").rangeBetween(W.unboundedPreceding, 0)
+    cur = F.col("_is_cur")
+    ref = F.lit(1) - cur
+    n_cur = F.sum(cur).over(w_all)
+    n_ref = F.sum(ref).over(w_all)
+    d = F.abs(
+        F.sum(cur).over(w_cum).cast("double") / n_cur
+        - F.sum(ref).over(w_cum).cast("double") / n_ref
+    )
+    return (
+        tagged.select(key, "_pair_b", "_prev",
+                      n_cur.alias("_nc"), n_ref.alias("_nr"),
+                      d.alias("_d"))
+        .groupBy(key, F.col("_pair_b").alias("bucket_start"),
+                 F.col("_prev").alias("prev_bucket"))
+        .agg(F.max("_nc").alias("n_cur"), F.max("_nr").alias("n_ref"),
+             portable_round(F.max("_d"), _R).alias("ks"))
+    )
+
+
+def _ks_sql() -> str:
+    return """
+WITH pts AS (
+    SELECT event_type, date_trunc('day', ts) AS b, value AS v
+    FROM events WHERE value IS NOT NULL
+),
+days AS (SELECT DISTINCT event_type, b FROM pts),
+pairs AS (
+    SELECT event_type, b, lag(b) OVER (PARTITION BY event_type
+                                       ORDER BY b) AS prev
+    FROM days
+),
+roles AS (
+    SELECT event_type, b AS sample_b, b AS pair_b, prev, 1 AS is_cur
+    FROM pairs WHERE prev IS NOT NULL
+    UNION ALL
+    SELECT event_type, prev, b, prev, 0 FROM pairs
+    WHERE prev IS NOT NULL
+),
+tagged AS (
+    SELECT p.event_type, r.pair_b, r.prev, r.is_cur, p.v
+    FROM pts p JOIN roles r
+      ON p.event_type = r.event_type AND p.b = r.sample_b
+),
+cdf AS (
+    SELECT event_type, pair_b, prev,
+           sum(is_cur) OVER (PARTITION BY event_type, pair_b) AS n_cur,
+           sum(1 - is_cur) OVER (PARTITION BY event_type, pair_b)
+               AS n_ref,
+           abs(CAST(sum(is_cur) OVER w AS DOUBLE)
+                 / sum(is_cur) OVER (PARTITION BY event_type, pair_b)
+               - CAST(sum(1 - is_cur) OVER w AS DOUBLE)
+                 / sum(1 - is_cur)
+                   OVER (PARTITION BY event_type, pair_b)) AS d
+    FROM tagged
+    WINDOW w AS (PARTITION BY event_type, pair_b ORDER BY v
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, pair_b AS bucket_start, prev AS prev_bucket,
+       CAST(max(n_cur) AS BIGINT) AS n_cur,
+       CAST(max(n_ref) AS BIGINT) AS n_ref,
+       round(max(d), 4) AS ks
+FROM cdf GROUP BY 1, 2, 3
+"""
+
+
 def linear_trend(df: DataFrame, bucket_seconds: int = 86400,
                  key: str = "conv_id", ts_col: str = "ts",
                  value_col: str = "value") -> DataFrame:
@@ -3584,6 +3708,7 @@ ORACLE_SQL = {
     "snaive_eval": _SNAIVE_SQL.format(base=_T1M_BASE),
     "holt_winters_1m": _holt_winters_sql().format(base=_T1M_BASE),
     "psi_drift_1d": _psi_sql(HIST_BOUNDARIES),
+    "ks_drift_1d": _ks_sql(),
     "seasonal_zscore": _SEASONAL_SQL,
     "stl_lite_1m": _STL_SQL.format(base=_T1M_BASE),
     "season_strength": _SEASON_STRENGTH_SQL.format(base=_T1M_BASE),
