@@ -1296,6 +1296,13 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup.canonical_corpus(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_char_entropy(spark, sf_dir):
+    # order-0 bits/char quality signal: decomposable
+    # H = log2(n) - sum(k*log2 k)/n over per-(doc, char) counts —
+    # two map-side-combined aggregates, no window/sort/Python
+    return textstats.char_entropy(_docs(spark, sf_dir))
+
+
 def q_ks_drift_1d(spark, sf_dir):
     # exact two-sample KS per (event_type, day) vs previous observed
     # day — binless sibling of psi_drift_1d; pair relation broadcasts,
@@ -1730,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "season_strength": q_season_strength,
         "ks_drift_1d": q_ks_drift_1d,
+        "char_entropy": q_char_entropy,
     }
 
 

@@ -234,3 +234,45 @@ def test_ks_drift_plan_broadcasts_pairs(spark):
     # exchanges: days distinct + lag window (both day-relation-sized)
     # + the single corpus (key, pair-day) exchange
     assert count_exchanges(out) <= 3
+
+
+# ------------------------------------------------- char entropy
+from yahoo_anomaly_detection_spark.operators import textstats  # noqa: E402
+
+
+def test_char_entropy_planted_distributions(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"),          # zero entropy, single char
+         (2, "abababab"),          # exactly 1 bit/char, norm = 1
+         (3, "abcdabcd"),          # exactly 2 bits/char
+         (4, "aaab")],             # H = 2 - (3*log2 3)/4
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in textstats.char_entropy(docs).collect()}
+    assert rows[1].entropy_bits == 0.0
+    assert rows[1].norm_entropy is None        # d = 1: NULL, not 0/0
+    assert rows[1].n_distinct_chars == 1
+    assert rows[2].entropy_bits == 1.0
+    assert rows[2].norm_entropy == 1.0
+    assert rows[3].entropy_bits == 2.0
+    import math
+    exp = round(2 - 3 * math.log2(3) / 4 + 1e-9, 4)
+    assert rows[4].entropy_bits == exp
+    assert rows[4].n_chars_counted == 4
+
+
+def test_char_entropy_python_replica(spark):
+    import collections
+    import math
+    import random
+    rng = random.Random(3)
+    texts = ["".join(rng.choice("abcdefgh XYZ01") for _ in
+                     range(rng.randrange(5, 200))) for _ in range(25)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: r.entropy_bits for r in
+           textstats.char_entropy(docs).collect()}
+    for i, t in enumerate(texts):
+        c = collections.Counter(t.lower())
+        n = sum(c.values())
+        h = -sum(k / n * math.log2(k / n) for k in c.values())
+        assert abs(got[i] - round(h + 1e-9, 4)) < 2e-4, i

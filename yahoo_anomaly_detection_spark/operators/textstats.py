@@ -146,6 +146,83 @@ FROM t
 """
 
 
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the quality signal that separates natural text (English ≈ 4–4.5
+    bits/char over a modest alphabet) from the two failure modes the
+    length/stopword heuristics of :func:`quality_score` miss: repeated-
+    character runs / template spam (entropy → 0) and base64 / binary
+    soup / encrypted junk (entropy → log2(alphabet), normalized → 1
+    over a LARGE alphabet). The standard cheap proxy for the
+    compression-ratio filter (H ≈ the bits/char an order-0 coder
+    achieves), with no compressor dependency.
+
+    Computed in the decomposable form ``H = log2(n) − Σ k·log2(k) / n``
+    over per-(doc, char) counts k, so the whole operator is two
+    map-side-combined aggregates: the exploded char stream collapses
+    to ≤ |alphabet| rows per doc per map task BEFORE the first
+    exchange, and the second exchange carries one partial per doc.
+    No window, no sort, no Python. ``norm_entropy = H / log2(d)``
+    (NULL for single-char docs — never 0/0).
+
+    Output: (doc_id, n_chars_counted, n_distinct_chars, entropy_bits,
+    norm_entropy).
+    """
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "")).alias("_c"),
+        )
+        .where(F.col("_c") != "")
+        .groupBy("doc_id", "_c")
+        .agg(F.count(F.lit(1)).alias("_k"))
+    )
+    k = F.col("_k").cast("double")
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("_k").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(k * F.log2(k)).alias("_s"),
+    )
+    n = F.col("n_chars_counted").cast("double")
+    d = F.col("n_distinct_chars")
+    h = F.log2(n) - F.col("_s") / n
+    return agg.select(
+        "doc_id", "n_chars_counted", "n_distinct_chars",
+        portable_round(h, 4).alias("entropy_bits"),
+        portable_round(
+            F.when(d > 1, h / F.log2(d.cast("double")))
+            .otherwise(F.lit(None).cast("double")), 4
+        ).alias("norm_entropy"),
+    )
+
+
+_CHAR_ENTROPY_SQL = """
+WITH ch AS (
+    SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+    FROM documents
+),
+cnt AS (
+    SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+    FROM ch WHERE c <> '' GROUP BY 1, 2
+),
+agg AS (
+    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars_counted,
+           count(*) AS n_distinct_chars,
+           sum(k * log2(k)) AS s
+    FROM cnt GROUP BY 1
+)
+SELECT doc_id, n_chars_counted, n_distinct_chars,
+       round(log2(CAST(n_chars_counted AS DOUBLE))
+             - s / n_chars_counted, 4) AS entropy_bits,
+       round(CASE WHEN n_distinct_chars > 1
+             THEN (log2(CAST(n_chars_counted AS DOUBLE))
+                   - s / n_chars_counted)
+                  / log2(CAST(n_distinct_chars AS DOUBLE)) END, 4)
+           AS norm_entropy
+FROM agg
+"""
+
+
 def token_count(docs: DataFrame) -> DataFrame:
     """Whitespace + regex token counts + a BPE-ish estimate
     (ceil(chars/4) — the standard ~4-chars-per-token heuristic)."""
@@ -691,6 +768,7 @@ ORACLE_SQL = {
     "lang_id": _lang_sql(),
     "quality_score": _quality_sql(),
     "token_count": _TOKEN_SQL,
+    "char_entropy": _CHAR_ENTROPY_SQL,
     "doc_fingerprint": _FP_SQL,
     "vocab_topk": _vocab_sql(100),
     "quality_filter": _quality_filter_sql(0.4, 0.01, ("en",)),
