@@ -1296,6 +1296,15 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup.canonical_corpus(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_rate_5m(spark, sf_dir):
+    # per-sample trailing 5m reset-corrected counter rate (PromQL
+    # rate(m[5m]) at every sample): lag window + half-open RANGE-sum
+    # window both ride ONE series-key exchange
+    return tsanalytics.rate_range(
+        _series_with_id(spark, sf_dir), window_seconds=300,
+        order_cols=("event_id",))
+
+
 def q_char_entropy(spark, sf_dir):
     # order-0 bits/char quality signal: decomposable
     # H = log2(n) - sum(k*log2 k)/n over per-(doc, char) counts —
@@ -1738,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "season_strength": q_season_strength,
         "ks_drift_1d": q_ks_drift_1d,
         "char_entropy": q_char_entropy,
+        "rate_5m": q_rate_5m,
     }
 
 

@@ -140,6 +140,11 @@ HEADLINE = [
     "token_count",
     "doc_fingerprint",
     "multimodal_features",
+    "cluster_split",
+    "mixture_sample",
+    "season_strength",
+    "ks_drift_1d",
+    "char_entropy",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -276,3 +276,59 @@ def test_char_entropy_python_replica(spark):
         n = sum(c.values())
         h = -sum(k / n * math.log2(k / n) for k in c.values())
         assert abs(got[i] - round(h + 1e-9, 4)) < 2e-4, i
+
+
+# ------------------------------------------------- per-sample rate
+def _mk_counter(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, ts, None if v is None else float(v))
+         for c, i, ts, v in rows],
+        "conv_id string, event_id long, ts timestamp, value double")
+
+
+def test_rate_range_resets_and_window_bounds(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        ("a", 0, t0, 10.0),            # first sample: no baseline
+        ("a", 1, t0 + 100 * s, 15.0),  # +5
+        ("a", 2, t0 + 200 * s, 3.0),   # reset -> +3
+        ("a", 3, t0 + 500 * s, 4.0),   # +1; samples 0,1 out of 5m window
+    ]
+    out = {r.event_id: r for r in tsanalytics.rate_range(
+        _mk_counter(spark, rows), window_seconds=300,
+        order_cols=("event_id",)).collect()}
+    assert out[0].increase_w is None and out[0].rate_per_s is None
+    assert out[1].increase_w == 5.0
+    assert out[2].increase_w == 8.0          # 5 + 3 within (t-300, t]
+    # at event 3 (t=500): events at 200 (inc 3) and 500 (inc 1) are in
+    # (200, 500]; event 1 at t=100 is out; event 2 at exactly t-300=200
+    # is EXCLUDED (half-open)
+    assert out[3].increase_w == 1.0
+    assert out[3].rate_per_s == round(1.0 / 300 + 1e-9, 4)
+
+
+def test_rate_range_half_open_boundary_exact(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [("b", 0, t0, 0.0),
+            ("b", 1, t0 + dt.timedelta(seconds=300), 7.0)]
+    out = {r.event_id: r for r in tsanalytics.rate_range(
+        _mk_counter(spark, rows), window_seconds=300,
+        order_cols=("event_id",)).collect()}
+    # inc at event 1 is 7; its own sample is in the window, the
+    # boundary sample at exactly t-300 contributes no inc anyway
+    # (first sample, NULL) -> increase 7
+    assert out[1].increase_w == 7.0
+
+
+def test_rate_range_single_exchange(spark):
+    import datetime as dt
+    rows = [("a", i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+             float(i)) for i in range(10)]
+    out = tsanalytics.rate_range(_mk_counter(spark, rows),
+                                 window_seconds=60,
+                                 order_cols=("event_id",))
+    assert count_exchanges(out) == 1
+    assert out.where(F.col("rate_per_s").isNotNull()).count() == 9

@@ -185,6 +185,84 @@ def counter_rate(events: DataFrame, bucket_seconds: int = 60,
     )
 
 
+def rate_range(events: DataFrame, window_seconds: int = 300,
+               key: str = "conv_id", ts_col: str = "ts",
+               value_col: str = "value",
+               order_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-SAMPLE trailing-window counter rate — the PromQL
+    ``rate(m[5m])`` evaluation :func:`counter_rate` (bucketed) can't
+    give: at every sample, the reset-corrected increase over the
+    half-open trailing time window ``(t − w, t]`` and its per-second
+    rate, exact under irregular sampling (a RANGE frame on epoch
+    micros — the :func:`~.alerting.slo_burn` frame idiom — so sparse
+    and bursty series weigh by actual time, not row count). This is
+    the alerting-side primitive ("rate over the last 5 minutes, NOW")
+    that bucket rollups approximate with bucket-aligned edges.
+
+    Reset handling matches ``counter_rate``: per-sample increase is
+    ``v − lag(v)`` when the counter moved forward, ``v`` after a
+    reset (counter restarted from 0), NULL for the series' first
+    sample. A window containing no baselined sample yields NULL
+    increase/rate (unknowable, not zero).
+
+    Scale shape: the lag window and the trailing RANGE-sum window
+    both partition by the series key, so the corpus crosses ONE hash
+    exchange; the frame bound is a constant, per-task state is one
+    running frame. No join, no groupBy.
+
+    Output: input identity columns + (increase_w, rate_per_s).
+    """
+    w_s = int(window_seconds)
+    if w_s < 1:
+        raise ValueError(f"window_seconds must be >= 1, got {window_seconds}")
+    pts = events.where(F.col(value_col).isNotNull())
+    w_lag = W.partitionBy(key).orderBy(ts_col, *order_cols)
+    v = F.col(value_col).cast("double")
+    prev = F.lag(v).over(w_lag)
+    inc = (
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .when(v >= prev, v - prev)
+        .otherwise(v)
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_range = (
+        W.partitionBy(key).orderBy(us)
+        .rangeBetween(-(w_s * 1_000_000 - 1), 0)
+    )
+    win_inc = F.sum(inc).over(w_range)
+    return pts.select(
+        key, *order_cols, ts_col,
+        v.alias("value"),
+        portable_round(win_inc, _R).alias("increase_w"),
+        portable_round(win_inc / F.lit(float(w_s)), _R).alias("rate_per_s"),
+    )
+
+
+def _rate_range_sql(window_seconds: int) -> str:
+    us_bound = int(window_seconds) * 1_000_000 - 1
+    return f"""
+WITH pts AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, ts,
+           CAST(value AS DOUBLE) AS v, epoch_us(ts) AS us
+    FROM events WHERE value IS NOT NULL
+),
+inc AS (
+    SELECT conv_id, event_id, ts, v, us,
+           CASE WHEN lag(v) OVER w1 IS NULL THEN NULL
+                WHEN v >= lag(v) OVER w1 THEN v - lag(v) OVER w1
+                ELSE v END AS inc
+    FROM pts
+    WINDOW w1 AS (PARTITION BY conv_id ORDER BY ts, event_id)
+)
+SELECT conv_id, event_id, ts, v AS value,
+       round(sum(inc) OVER w2, 4) AS increase_w,
+       round(sum(inc) OVER w2 / {float(window_seconds)}, 4) AS rate_per_s
+FROM inc
+WINDOW w2 AS (PARTITION BY conv_id ORDER BY us
+              RANGE BETWEEN {us_bound} PRECEDING AND CURRENT ROW)
+"""
+
+
 def turn_taking(events: DataFrame, key: str = "user_id",
                 role_col: str = "event_type", ts_col: str = "ts",
                 order_cols: tuple[str, ...] = ("event_id",)) -> DataFrame:
@@ -3709,6 +3787,7 @@ ORACLE_SQL = {
     "holt_winters_1m": _holt_winters_sql().format(base=_T1M_BASE),
     "psi_drift_1d": _psi_sql(HIST_BOUNDARIES),
     "ks_drift_1d": _ks_sql(),
+    "rate_5m": _rate_range_sql(300),
     "seasonal_zscore": _SEASONAL_SQL,
     "stl_lite_1m": _STL_SQL.format(base=_T1M_BASE),
     "season_strength": _SEASON_STRENGTH_SQL.format(base=_T1M_BASE),
