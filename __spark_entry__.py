@@ -1296,6 +1296,14 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup.canonical_corpus(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_bigram_logppl(spark, sf_dir):
+    # word-order-sensitive perplexity: mean Laplace-smoothed bigram
+    # surprisal under the corpus's own bigram LM; transition relation
+    # collapses map-side per doc, LM is a rollup of it, V rides a
+    # 1-row broadcast cross join
+    return curation.bigram_logppl(_docs(spark, sf_dir), smoothing=0.5)
+
+
 def q_rate_5m(spark, sf_dir):
     # per-sample trailing 5m reset-corrected counter rate (PromQL
     # rate(m[5m]) at every sample): lag window + half-open RANGE-sum
@@ -1748,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_1d": q_ks_drift_1d,
         "char_entropy": q_char_entropy,
         "rate_5m": q_rate_5m,
+        "bigram_logppl": q_bigram_logppl,
     }
 
 

@@ -145,6 +145,8 @@ HEADLINE = [
     "season_strength",
     "ks_drift_1d",
     "char_entropy",
+    "rate_5m",
+    "bigram_logppl",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -332,3 +332,57 @@ def test_rate_range_single_exchange(spark):
                                  order_cols=("event_id",))
     assert count_exchanges(out) == 1
     assert out.where(F.col("rate_per_s").isNotNull()).count() == 9
+
+
+# ------------------------------------------------- bigram perplexity
+from yahoo_anomaly_detection_spark.operators import curation  # noqa: E402,F811
+
+
+def test_bigram_logppl_word_order_sensitivity(spark):
+    """Same unigram bag, different order: the coherent doc (made of
+    the corpus's dominant transitions) must score LOWER than the
+    shuffled doc — the signal unigram_logppl cannot see."""
+    base = ["the cat sat on the mat"] * 8
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)]
+        + [(100, "the cat sat on the mat"),
+           (101, "mat the on sat cat the")],   # same bag, scrambled
+        "doc_id long, text string")
+    uni = {r.doc_id: r.logppl for r in
+           curation.unigram_logppl(docs).collect()}
+    bi = {r.doc_id: r.logppl for r in
+          curation.bigram_logppl(docs).collect()}
+    assert uni[100] == uni[101]          # unigram LM is order-blind
+    assert bi[100] < bi[101]             # bigram LM is not
+    assert bi[100] == bi[0]              # identical docs score equal
+
+
+def test_bigram_logppl_python_replica(spark):
+    import collections
+    import math
+    texts = ["a b a c", "b a", "c c c", "a", "x y"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.logppl) for r in
+           curation.bigram_logppl(docs, smoothing=0.5).collect()}
+    # python replica
+    c12, c1 = collections.Counter(), collections.Counter()
+    vocab = set()
+    for t in texts:
+        ws = t.split(" ")
+        vocab |= set(ws)
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    V = len(vocab)
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert i not in got      # single-token doc: absent
+            continue
+        lp = [math.log((c12[p] + 0.5) / (c1[p[0]] + 0.5 * V))
+              for p in pairs]
+        exp = round(-sum(lp) / len(lp) + 1e-9, 4)
+        assert got[i][0] == len(pairs)
+        assert abs(got[i][1] - exp) < 2e-4, i

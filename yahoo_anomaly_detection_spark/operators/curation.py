@@ -387,6 +387,100 @@ GROUP BY tf.doc_id, tot.tot
 """
 
 
+def bigram_logppl(docs: DataFrame, smoothing: float = 0.5) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's own
+    Laplace-smoothed bigram LM:
+    ``logppl = −(1/m) Σ ln((c(w1,w2) + a) / (c(w1·) + a·V))`` over the
+    doc's m word transitions. The word-ORDER-sensitive step beyond
+    :func:`unigram_logppl`: a document built from globally common
+    words in an incoherent order (shuffled text, word-salad spam, SEO
+    keyword stuffing) has normal unigram perplexity but high bigram
+    perplexity — this is the signal that separates them. ``c(w1·)`` is
+    the context count (Σ_w2 c(w1, w2), i.e. occurrences of w1 that
+    HAVE a successor), V the distinct-token vocabulary, ``a`` the
+    Laplace constant so unseen transitions never hit log(0).
+
+    Scale shape: the (doc, w1, w2) transition relation collapses
+    map-side per doc before its ONE corpus-sized exchange; the bigram
+    LM (c12) is a rollup OF that relation, the context counts a
+    rollup of the LM, and V rides a 1-row broadcast cross join (no
+    collect). The surprisal join keys on (w1, w2): at web scale the
+    bigram vocabulary does NOT broadcast, so both sides hash-exchange
+    on the bigram key (the LM side is bigram-vocab-sized) and the
+    final rollup shuffles doc-keyed counts. Single-token documents
+    have no transitions and are absent from the output (documented —
+    left-join against the corpus to surface them as NULL).
+    """
+    s = float(smoothing)
+    if s <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("_t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(_t) >= 2 THEN transform(sequence(1, "
+            "size(_t) - 1), i -> struct(element_at(_t, i) AS w1, "
+            "element_at(_t, i + 1) AS w2)) ELSE array() END"
+        )).alias("_b"),
+    ).select("doc_id", "_b.w1", "_b.w2")
+    bf = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("_k"))
+    big = bf.groupBy("w1", "w2").agg(F.sum("_k").alias("_c12"))
+    ctx = big.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    vdf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("_w"))
+        .agg(F.countDistinct("_w").cast("double").alias("_v"))
+    )
+    lp = (
+        big.join(ctx, "w1")
+        .crossJoin(F.broadcast(vdf))
+        .select(
+            "w1", "w2",
+            F.log((F.col("_c12") + F.lit(s))
+                  / (F.col("_c1") + F.lit(s) * F.col("_v"))).alias("_lp"),
+        )
+    )
+    return (
+        bf.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_k").cast("long").alias("n_bigrams"),
+            portable_round(
+                -F.sum(F.col("_k") * F.col("_lp")) / F.sum("_k"), _R
+            ).alias("logppl"),
+        )
+    )
+
+
+def _bigram_logppl_sql(smoothing: float) -> str:
+    s = float(smoothing)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+bf AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+big AS (SELECT w1, w2, sum(k) AS c12 FROM bf GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+v AS (
+    SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+),
+lp AS (
+    SELECT big.w1, big.w2,
+           ln((big.c12 + {s}) / (ctx.c1 + {s} * v.v)) AS lp
+    FROM big JOIN ctx USING (w1) CROSS JOIN v
+)
+SELECT bf.doc_id, CAST(sum(bf.k) AS BIGINT) AS n_bigrams,
+       round(-sum(bf.k * lp.lp) / sum(bf.k), 4) AS logppl
+FROM bf JOIN lp ON bf.w1 = lp.w1 AND bf.w2 = lp.w2
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------
 # sequence packing
 # ------------------------------------------------------------------
@@ -668,6 +762,7 @@ ORACLE_SQL = {
     "decontaminate": _decontaminate_sql(4, 20),
     "pmi_bigrams": _pmi_sql(40, 5),
     "unigram_logppl": _LOGPPL_SQL,
+    "bigram_logppl": _bigram_logppl_sql(0.5),
     "seq_pack": _seq_pack_sql(256),
     "bpe_pairs": _bpe_pairs_sql(30),
 }
