@@ -1296,6 +1296,13 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup.canonical_corpus(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_key_skew(spark, sf_dir):
+    # exact hot-key profile via count-of-counts: one corpus exchange,
+    # exact Gini + count percentiles computed on the tiny
+    # frequency-of-frequencies relation (no corpus/key-relation sort)
+    return sessions.key_skew(_events_raw(spark, sf_dir), key="user_id")
+
+
 def q_bigram_logppl(spark, sf_dir):
     # word-order-sensitive perplexity: mean Laplace-smoothed bigram
     # surprisal under the corpus's own bigram LM; transition relation
@@ -1757,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "rate_5m": q_rate_5m,
         "bigram_logppl": q_bigram_logppl,
+        "key_skew": q_key_skew,
     }
 
 

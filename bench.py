@@ -147,6 +147,7 @@ HEADLINE = [
     "char_entropy",
     "rate_5m",
     "bigram_logppl",
+    "key_skew",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -386,3 +386,47 @@ def test_bigram_logppl_python_replica(spark):
         exp = round(-sum(lp) / len(lp) + 1e-9, 4)
         assert got[i][0] == len(pairs)
         assert abs(got[i][1] - exp) < 2e-4, i
+
+
+# ------------------------------------------------- key skew profile
+from yahoo_anomaly_detection_spark.operators import sessions  # noqa: E402
+
+
+def _gini_numpy(counts):
+    c = np.sort(np.asarray(counts, float))
+    n = len(c)
+    ranks = np.arange(1, n + 1)
+    return float(2 * (ranks * c).sum() / (n * c.sum()) - (n + 1) / n)
+
+
+def test_key_skew_numpy_replica_and_percentiles(spark):
+    import random
+    rng = random.Random(11)
+    # skewed: key k appears k times for k in 1..40, plus a hot key
+    rows = [(f"k{k}",) for k in range(1, 41) for _ in range(k)]
+    rows += [("hot",)] * 500
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "user_id string")
+    r = sessions.key_skew(df, key="user_id").collect()[0]
+    counts = list(range(1, 41)) + [500]
+    assert r.n_keys == 41
+    assert r.n_rows == sum(counts)
+    assert r.max_cnt == 500
+    assert r.top1_share == round(500 / sum(counts) + 1e-9, 4)
+    assert r.gini == round(_gini_numpy(counts) + 1e-9, 4)
+    # inverse-ECDF percentiles: lowest count with cum keys >= q*n
+    sc = sorted(counts)
+    for q, got in ((0.5, r.p50_cnt), (0.9, r.p90_cnt), (0.99, r.p99_cnt)):
+        import math as _m
+        exp = sc[_m.ceil(q * len(sc)) - 1]
+        assert got == exp, (q, got, exp)
+
+
+def test_key_skew_uniform_gini_zero(spark):
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(20) for _ in range(7)],
+        "user_id string")
+    r = sessions.key_skew(df).collect()[0]
+    assert r.gini == 0.0
+    assert r.p50_cnt == r.p99_cnt == r.max_cnt == 7
+    assert r.top1_share == round(7 / 140 + 1e-9, 4)

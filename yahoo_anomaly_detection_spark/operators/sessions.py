@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -643,6 +643,92 @@ def events_vs_trailing_p95(events: DataFrame) -> DataFrame:
     )
 
 
+def key_skew(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Exact key-skew profile of any keyed relation — the hot-key /
+    shuffle-planning diagnostic (SURVEY §4's salting rewrite needs to
+    KNOW which relations are skewed; this is the operator that tells
+    you, and the DQ read-out for "one conversation is 40% of the
+    corpus"). One row: total rows, distinct keys, max per-key count,
+    exact p50/p90/p99 of the per-key count distribution, the largest
+    key's share, and the exact Gini coefficient of rows-over-keys
+    (0 = uniform, → 1 = one key owns everything).
+
+    The whole profile is exact WITHOUT any corpus- or key-cardinality
+    sort, via the count-of-counts (frequency-of-frequencies, the
+    Good–Turing relation): per-key counts (ONE map-side-combined
+    corpus exchange) roll up to (count value c, #keys with that count
+    m) — a relation whose size is the number of DISTINCT count
+    values, tiny even when keys number in the billions (it is bounded
+    by max-count and in practice by ~hundreds). Percentiles are
+    cumulative sums over it (inverse ECDF, lowest c with cum ≥ q·n);
+    Gini uses the tie-block rank identity
+    ``Σ_i rank_i·c_i = Σ_c c·(below·m + m(m+1)/2)`` (ties share equal
+    c, so any within-tie rank order gives the same sum), then
+    ``G = 2S/(nT) − (n+1)/n``. The only window runs over the tiny
+    count-of-counts relation.
+    """
+    counts = events.groupBy(key).agg(F.count(F.lit(1)).alias("_c"))
+    cc = counts.groupBy("_c").agg(F.count(F.lit(1)).alias("_m"))
+    w = W.orderBy("_c").rowsBetween(W.unboundedPreceding, 0)
+    cum = cc.select("_c", "_m", F.sum("_m").over(w).alias("_cum"))
+    c, m = F.col("_c"), F.col("_m")
+    totals = cum.agg(
+        F.sum(m).alias("n_keys"),
+        F.sum(c * m).alias("n_rows"),
+        F.max(c).alias("max_cnt"),
+        F.sum(c * ((F.col("_cum") - m) * m
+                   + m * (m + 1) / F.lit(2.0))).alias("_s"),
+    )
+    joined = cum.crossJoin(F.broadcast(totals))
+    nn = F.first("n_keys").cast("double")
+    tt = F.first("n_rows").cast("double")
+
+    def pctq(q: float, name: str) -> Column:
+        return F.min(
+            F.when(F.col("_cum") >= F.lit(q) * F.col("n_keys"), c)
+        ).alias(name)
+
+    return joined.agg(
+        F.first("n_rows").alias("n_rows"),
+        F.first("n_keys").alias("n_keys"),
+        F.first("max_cnt").alias("max_cnt"),
+        pctq(0.5, "p50_cnt"), pctq(0.9, "p90_cnt"), pctq(0.99, "p99_cnt"),
+        portable_round(
+            F.first("max_cnt").cast("double") / tt, 4).alias("top1_share"),
+        portable_round(
+            F.lit(2.0) * F.first("_s") / (nn * tt) - (nn + 1) / nn, 4
+        ).alias("gini"),
+    )
+
+
+_KEY_SKEW_SQL = """
+WITH counts AS (
+    SELECT user_id, count(*) AS c FROM events GROUP BY 1
+),
+cc AS (SELECT c, count(*) AS m FROM counts GROUP BY 1),
+cum AS (
+    SELECT c, m,
+           sum(m) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+    FROM cc
+),
+tot AS (
+    SELECT sum(m) AS n_keys, sum(c * m) AS n_rows, max(c) AS max_cnt,
+           sum(c * ((cum - m) * m + m * (m + 1) / 2.0)) AS s
+    FROM cum
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_keys AS BIGINT) AS n_keys, max_cnt,
+       (SELECT min(c) FROM cum WHERE cum >= 0.5 * tot.n_keys) AS p50_cnt,
+       (SELECT min(c) FROM cum WHERE cum >= 0.9 * tot.n_keys) AS p90_cnt,
+       (SELECT min(c) FROM cum WHERE cum >= 0.99 * tot.n_keys) AS p99_cnt,
+       round(CAST(max_cnt AS DOUBLE) / n_rows, 4) AS top1_share,
+       round(2.0 * s / (CAST(n_keys AS DOUBLE) * n_rows)
+             - (n_keys + 1.0) / n_keys, 4) AS gini
+FROM tot
+"""
+
+
 _ASOF_P95_SQL = """
 WITH p AS (
     SELECT event_type, date_trunc('day', ts) AS day,
@@ -680,4 +766,5 @@ ORACLE_SQL = {
     "funnel_steps": _funnel_sql(),
     "retention_cohorts": _RETENTION_SQL,
     "events_vs_trailing_p95": _ASOF_P95_SQL,
+    "key_skew": _KEY_SKEW_SQL,
 }
