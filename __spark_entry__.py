@@ -1296,6 +1296,15 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup.canonical_corpus(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_sax_discords(spark, sf_dir):
+    # per-series rarest complete hour-shape (HOT-SAX-style discord):
+    # rides the sax word exchanges; word counts join back
+    # vocab-sized, top-1 window partitions by series. 2 half-hour
+    # frames like sax_motifs (sparse fixture)
+    return tsanalytics.sax_discords(
+        _series_with_id(spark, sf_dir), n_frames=2, alphabet=4)
+
+
 def q_key_skew(spark, sf_dir):
     # exact hot-key profile via count-of-counts: one corpus exchange,
     # exact Gini + count percentiles computed on the tiny
@@ -1765,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_5m": q_rate_5m,
         "bigram_logppl": q_bigram_logppl,
         "key_skew": q_key_skew,
+        "sax_discords": q_sax_discords,
     }
 
 

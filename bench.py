@@ -148,6 +148,7 @@ HEADLINE = [
     "rate_5m",
     "bigram_logppl",
     "key_skew",
+    "sax_discords",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -430,3 +430,32 @@ def test_key_skew_uniform_gini_zero(spark):
     assert r.gini == 0.0
     assert r.p50_cnt == r.p99_cnt == r.max_cnt == 7
     assert r.top1_share == round(7 / 140 + 1e-9, 4)
+
+
+# ------------------------------------------------- SAX discords
+def test_sax_discords_planted_unique_shape(spark):
+    """Two series repeat the same hour shape for 6 hours; one hour of
+    series b is a planted inverted shape unique in the corpus -> it
+    must be b's discord with corpus count 1."""
+    import datetime as dt
+    rows = []
+    t0 = dt.datetime(2024, 5, 1)
+    for conv in ("a", "b"):
+        for h in range(6):
+            for mnt in range(60):
+                # rising-then-falling shape, identical every hour
+                v = float(mnt if mnt < 30 else 60 - mnt)
+                if conv == "b" and h == 3:
+                    v = -v       # planted inversion: unique shape
+                rows.append((conv, t0 + dt.timedelta(hours=h,
+                                                     minutes=mnt), v))
+    df = spark.createDataFrame(rows,
+                               "conv_id string, ts timestamp, value double")
+    out = {r.conv_id: r for r in tsanalytics.sax_discords(
+        df, n_frames=2, alphabet=4).collect()}
+    assert out["b"].bucket_start.hour == 3
+    assert out["b"].n_occurrences == 1
+    # series a: every hour shares the corpus-dominant word; tie-break
+    # picks its earliest hour
+    assert out["a"].bucket_start.hour == 0
+    assert out["a"].n_occurrences > 1

@@ -3509,6 +3509,60 @@ FROM c ORDER BY n_occurrences DESC, word ASC LIMIT {k}
 """
 
 
+def sax_discords(events: DataFrame, n_frames: int = 4,
+                 alphabet: int = 4, key: str = "conv_id",
+                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Per-series SAX discord: the hour whose COMPLETE hour-word is
+    rarest corpus-wide — the anomaly-candidate read-out that
+    complements :func:`sax_motifs` (motif = the shape everyone has;
+    discord = the shape almost nobody has, Keogh's HOT SAX idea at
+    hour granularity). A series whose discord word has occurrence 1
+    spent that hour in a shape NO other (series, hour) exhibits —
+    the triage list an on-call engineer reads first.
+
+    Deterministic tie-break: lowest corpus count, then earliest hour.
+
+    Scale shape: rides :func:`sax_words` (its exchanges dominate);
+    the word-count relation is word-vocabulary-sized and joins back
+    onto the one-row-per-(series, hour) word relation; the final
+    top-1 window partitions by series, so per-task input is one
+    series' hour count — bounded by retention, never corpus-wide.
+
+    Output: (key, bucket_start, word, n_occurrences) — one row per
+    series that has at least one complete word.
+    """
+    words = sax_words(events, n_frames=n_frames, alphabet=alphabet,
+                      key=key, ts_col=ts_col, value_col=value_col)
+    complete = words.where(F.col("n_frames") == n_frames).select(
+        key, "bucket_start", "word")
+    counts = complete.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"))
+    w = W.partitionBy(key).orderBy(
+        F.asc("n_occurrences"), F.asc("bucket_start"))
+    return (
+        complete.join(counts, "word")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(key, "bucket_start", "word", "n_occurrences")
+    )
+
+
+def _sax_discords_sql(n_frames: int, alphabet: int) -> str:
+    return f"""
+WITH sax AS ({_sax_sql(n_frames, alphabet)}),
+complete AS (
+    SELECT conv_id, bucket_start, word FROM sax
+    WHERE n_frames = {n_frames}
+),
+c AS (SELECT word, count(*) AS n_occurrences FROM complete GROUP BY 1)
+SELECT conv_id, bucket_start, word, n_occurrences
+FROM complete JOIN c USING (word)
+QUALIFY row_number() OVER (PARTITION BY conv_id
+                           ORDER BY n_occurrences ASC,
+                                    bucket_start ASC) = 1
+"""
+
+
 def _holt_winters_sql(alpha: float = 0.3, beta: float = 0.1,
                       gamma: float = 0.2, m: int = 4) -> str:
     """Recursive-CTE mirror of the additive Holt-Winters recursion,
@@ -3788,6 +3842,7 @@ ORACLE_SQL = {
     "psi_drift_1d": _psi_sql(HIST_BOUNDARIES),
     "ks_drift_1d": _ks_sql(),
     "rate_5m": _rate_range_sql(300),
+    "sax_discords": _sax_discords_sql(2, 4),
     "seasonal_zscore": _SEASONAL_SQL,
     "stl_lite_1m": _STL_SQL.format(base=_T1M_BASE),
     "season_strength": _SEASON_STRENGTH_SQL.format(base=_T1M_BASE),
