@@ -1296,6 +1296,13 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup.canonical_corpus(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def q_anomaly_movers(spark, sf_dir):
+    # day-over-day anomaly-rate movers: per-series global z-envelope
+    # stats broadcast back, one (series, day) corpus exchange, lag +
+    # day-rank windows on the tiny rate relation
+    return alerting.anomaly_movers(_events_raw(spark, sf_dir), y=3.0)
+
+
 def q_sax_discords(spark, sf_dir):
     # per-series rarest complete hour-shape (HOT-SAX-style discord):
     # rides the sax word exchanges; word counts join back
@@ -1775,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logppl": q_bigram_logppl,
         "key_skew": q_key_skew,
         "sax_discords": q_sax_discords,
+        "anomaly_movers": q_anomaly_movers,
     }
 
 

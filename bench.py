@@ -149,6 +149,7 @@ HEADLINE = [
     "bigram_logppl",
     "key_skew",
     "sax_discords",
+    "anomaly_movers",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

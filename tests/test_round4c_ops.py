@@ -459,3 +459,31 @@ def test_sax_discords_planted_unique_shape(spark):
     # picks its earliest hour
     assert out["a"].bucket_start.hour == 0
     assert out["a"].n_occurrences > 1
+
+
+# ------------------------------------------------- anomaly movers
+from yahoo_anomaly_detection_spark.operators import alerting  # noqa: E402
+
+
+def test_anomaly_movers_planted_deterioration(spark):
+    """Series 'bad' goes from 0 breaches on day 1 to many on day 2;
+    series 'calm' stays flat -> 'bad' must be day-2's rank 1 with a
+    positive delta, 'calm' delta 0."""
+    import datetime as dt
+    rows = []
+    for d in (1, 2):
+        for i in range(50):
+            rows.append(("calm", dt.datetime(2024, 6, d, 1, 0, i), 10.0))
+            v = 200.0 if (d == 2 and i < 20) else 10.0
+            rows.append(("bad", dt.datetime(2024, 6, d, 1, 0, i), v))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double")
+    out = {r.event_type: r for r in alerting.anomaly_movers(
+        df, y=1.0).collect()}
+    # only day 2 appears (day 1 has no predecessor)
+    assert all(r.bucket_start.day == 2 for r in out.values())
+    assert out["bad"].day_rank == 1
+    assert out["bad"].delta > 0.3
+    assert out["bad"].rate == 0.4 and out["bad"].prev_rate == 0.0
+    assert out["calm"].delta == 0.0
+    assert out["calm"].day_rank == 2

@@ -586,7 +586,101 @@ SELECT conv_id, bucket_start, round(mean_v, 4) AS mean_v, notify
 FROM acc
 """
 
+def anomaly_movers(events: DataFrame, y: float = 3.0,
+                   key: str = "event_type", ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Day-over-day anomaly-rate movers — the on-call dashboard's
+    "what got WORSE today" list: per (series, day) the share of
+    samples breaching the series' global z-envelope
+    ``mean + y·std`` (the reference's detector threshold,
+    `StatsTesting/arma_anm_detc.py:62`, population std per SURVEY
+    A2), its delta vs the series' previous observed day, and the
+    series' rank within the day by that delta (1 = biggest
+    deterioration). Point detectors say "this sample is anomalous";
+    this says "this SERIES is degrading", which is what gets paged on.
+
+    Scale shape: per-series envelope stats are ONE map-side-combined
+    groupBy broadcast back onto the corpus (never a window over raw
+    rows); the (series, day) rate rollup is the only corpus-sized
+    exchange; the lag and rank windows run on the (series × days)
+    relation. Days without a predecessor are excluded (no delta).
+
+    Output: (key, bucket_start, n, rate, prev_rate, delta, day_rank).
+    """
+    v = F.col(value_col).cast("double")
+    pts = events.where(v.isNotNull())
+    stats = pts.groupBy(key).agg(
+        F.avg(v).alias("_mu"), F.stddev_pop(v).alias("_sd"))
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp"))
+    flagged = (
+        pts.join(F.broadcast(stats), key)
+        .select(
+            key, day.alias("bucket_start"),
+            (v > F.col("_mu") + F.lit(float(y)) * F.col("_sd"))
+            .cast("int").alias("_flag"),
+        )
+    )
+    rates = flagged.groupBy(key, "bucket_start").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("_flag").alias("_rate"))
+    w_key = W.partitionBy(key).orderBy("bucket_start")
+    with_prev = rates.withColumn("_prev", F.lag("_rate").over(w_key)) \
+                     .where(F.col("_prev").isNotNull())
+    delta = F.col("_rate") - F.col("_prev")
+    w_day = W.partitionBy("bucket_start").orderBy(
+        F.desc("_delta"), F.asc(key))
+    return (
+        with_prev.withColumn("_delta", delta)
+        .select(
+            key, "bucket_start", "n",
+            portable_round(F.col("_rate"), 4).alias("rate"),
+            portable_round(F.col("_prev"), 4).alias("prev_rate"),
+            portable_round(F.col("_delta"), 4).alias("delta"),
+            F.row_number().over(w_day).cast("int").alias("day_rank"),
+        )
+    )
+
+
+def _anomaly_movers_sql(y: float) -> str:
+    return f"""
+WITH pts AS (
+    SELECT event_type, ts, CAST(value AS DOUBLE) AS v FROM events
+    WHERE value IS NOT NULL
+),
+st AS (
+    SELECT event_type, avg(v) AS mu, stddev_pop(v) AS sd
+    FROM pts GROUP BY 1
+),
+fl AS (
+    SELECT p.event_type, date_trunc('day', p.ts) AS bucket_start,
+           CASE WHEN p.v > st.mu + {float(y)} * st.sd
+                THEN 1 ELSE 0 END AS flag
+    FROM pts p JOIN st USING (event_type)
+),
+r AS (
+    SELECT event_type, bucket_start, count(*) AS n,
+           avg(flag) AS rate
+    FROM fl GROUP BY 1, 2
+),
+d AS (
+    SELECT event_type, bucket_start, n, rate,
+           lag(rate) OVER (PARTITION BY event_type
+                           ORDER BY bucket_start) AS prev_rate
+    FROM r
+)
+SELECT event_type, bucket_start, n,
+       round(rate, 4) AS rate,
+       round(prev_rate, 4) AS prev_rate,
+       round(rate - prev_rate, 4) AS delta,
+       CAST(row_number() OVER (
+           PARTITION BY bucket_start
+           ORDER BY rate - prev_rate DESC, event_type ASC) AS INT)
+           AS day_rank
+FROM d WHERE prev_rate IS NOT NULL
+"""
+
+
 ORACLE_SQL = {
+    "anomaly_movers": _anomaly_movers_sql(3.0),
     "alert_cooldown": _ALERT_COOLDOWN_SQL,
     "breach_intervals": _BREACH_INTERVALS_SQL,
     "merged_intervals": _MERGED_INTERVALS_SQL,
