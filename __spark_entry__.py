@@ -1303,6 +1303,44 @@ def q_anomaly_movers(spark, sf_dir):
     return alerting.anomaly_movers(_events_raw(spark, sf_dir), y=3.0)
 
 
+def q_ddsketch_1d(spark, sf_dir):
+    # DDSketch relative-error quantiles per (series, day): the corpus
+    # crosses ONE map-side-combined (key, day, log-bucket) exchange —
+    # exact mergeable bucket counts, never samples; p50/p95/p99 each
+    # guaranteed within 1% relative error of the true rank sample
+    return tsanalytics.ddsketch_quantiles(_series(spark, sf_dir))
+
+
+def _t1d_mean(spark, sf_dir):
+    """Per-conversation DAILY mean series — the cross-sectional axis
+    input (all conversations share day buckets, so the fleet
+    median/MAD at each day carries real signal; minute buckets are
+    almost never shared on this fixture)."""
+    return (
+        _series(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .groupBy("conv_id", F.date_trunc("day", F.col("ts")).alias(
+            "bucket_start"))
+        .agg(F.avg(F.col("value").cast("double")).alias("mean_v"))
+    )
+
+
+def q_fleet_outliers(spark, sf_dir):
+    """Cross-sectional robust envelope: each conversation's daily
+    mean vs the FLEET's median/MAD that day — flags who is abnormal
+    vs everyone else today (mad_flags is the within-series twin; the
+    grouping key flips from conv_id to the day bucket, so per-group
+    size is fleet cardinality, not retention length)."""
+    out = tsanalytics.robust_flags(
+        _t1d_mean(spark, sf_dir), "mean_v", k=3.0,
+        keys=("bucket_start",))
+    return _round_cols(
+        out.select("conv_id", "bucket_start", "mean_v", "med", "mad",
+                   "flag"),
+        ["mean_v", "med", "mad"],
+    )
+
+
 def q_sax_discords(spark, sf_dir):
     # per-series rarest complete hour-shape (HOT-SAX-style discord):
     # rides the sax word exchanges; word counts join back
@@ -1783,6 +1821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "sax_discords": q_sax_discords,
         "anomaly_movers": q_anomaly_movers,
+        "ddsketch_1d": q_ddsketch_1d,
+        "fleet_outliers": q_fleet_outliers,
     }
 
 

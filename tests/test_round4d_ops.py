@@ -1,0 +1,92 @@
+"""Round-4 wave-d operators: DDSketch relative-error quantiles and
+the cross-sectional fleet outlier envelope."""
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yahoo_anomaly_detection_spark.operators import tsanalytics
+
+
+# ------------------------------------------------- ddsketch_quantiles
+@pytest.fixture(scope="module")
+def lognormal_series(spark):
+    rng = np.random.default_rng(7)
+    vals = np.exp(rng.normal(3.0, 1.2, size=2000))
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [("a", t0 + dt.timedelta(seconds=i), float(v))
+            for i, v in enumerate(vals)]
+    return vals, spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, value double")
+
+
+def test_ddsketch_within_relative_error(spark, lognormal_series):
+    """The DDSketch guarantee: for every q, the estimate is within
+    rel_error of the TRUE rank-ceil(q*n) sample (not the interpolated
+    quantile) — checked against a numpy sort on 2000 lognormal
+    values spanning ~4 orders of magnitude."""
+    vals, df = lognormal_series
+    alpha = 0.01
+    out = {r.q: r for r in tsanalytics.ddsketch_quantiles(
+        df, qs=(0.5, 0.95, 0.99), rel_error=alpha).collect()}
+    srt = np.sort(vals)
+    for q in (0.5, 0.95, 0.99):
+        true = srt[math.ceil(q * len(srt)) - 1]
+        est = out[q].est
+        assert abs(est - true) <= alpha * true * (1 + 1e-6), (q, est, true)
+        assert out[q].n == len(vals)
+
+
+def test_ddsketch_merges_like_a_sketch(spark):
+    """Bucket counts are exact longs: the sketch over a union equals
+    the union of sketches (here: same data split across two days must
+    give per-day rows, and re-bucketing to one coarse bucket via a
+    second call over the union gives the same estimate as one pass)."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [("a", t0 + dt.timedelta(hours=i % 48), float(1.5 ** (i % 10) ))
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, value double")
+    one = tsanalytics.ddsketch_quantiles(
+        df, qs=(0.9,), bucket_seconds=7 * 86400).collect()
+    # split into halves, union, same call -> identical result
+    a = df.where(F.dayofmonth("ts") == 1)
+    b = df.where(F.dayofmonth("ts") != 1)
+    two = tsanalytics.ddsketch_quantiles(
+        a.unionByName(b), qs=(0.9,), bucket_seconds=7 * 86400).collect()
+    assert one == two
+
+
+def test_ddsketch_drops_nonpositive_and_validates(spark):
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [("a", t0, -5.0), ("a", t0, 0.0), ("a", t0, None),
+            ("a", t0, 10.0), ("a", t0, 10.0)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, value double")
+    out = tsanalytics.ddsketch_quantiles(df, qs=(0.5,)).collect()
+    assert len(out) == 1 and out[0].n == 2
+    assert abs(out[0].est - 10.0) <= 0.01 * 10.0 + 1e-6
+    with pytest.raises(ValueError):
+        tsanalytics.ddsketch_quantiles(df, rel_error=1.5)
+    with pytest.raises(ValueError):
+        tsanalytics.ddsketch_quantiles(df, qs=(0.0,))
+
+
+# ------------------------------------------------- fleet outliers
+def test_fleet_envelope_flags_cross_sectional_outlier(spark):
+    """Ten series share a day bucket; nine sit near 10, one at 1000.
+    Grouping by the bucket (keys=('bucket_start',)) must flag exactly
+    the deviant conversation — the within-series MAD would see a
+    1-point series and flag nothing."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [(f"c{i}", t0, 10.0 + i * 0.1) for i in range(9)]
+    rows.append(("deviant", t0, 1000.0))
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_start timestamp, mean_v double")
+    out = tsanalytics.robust_flags(
+        df, "mean_v", k=3.0, keys=("bucket_start",))
+    flagged = [r.conv_id for r in out.where("flag = 1").collect()]
+    assert flagged == ["deviant"]

@@ -1520,6 +1520,119 @@ def hist_quantile(events: DataFrame, q: float = 0.95,
     )
 
 
+def ddsketch_quantiles(events: DataFrame,
+                       qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                       rel_error: float = 0.01,
+                       bucket_seconds: int = 86400, key: str = "conv_id",
+                       ts_col: str = "ts",
+                       value_col: str = "value") -> DataFrame:
+    """DDSketch quantiles per (series, bucket) — Datadog's
+    relative-error quantile sketch (Masson/Rim/Lee, VLDB'19): every
+    positive value maps to log-spaced bucket
+    ``i = ceil(ln(v)/ln(γ))`` with ``γ = (1+α)/(1−α)``, and the
+    quantile estimate ``2·γ^i/(γ+1)`` (the bucket midpoint in log
+    space) is within relative error α of the true rank-``⌈q·n⌉``
+    sample — a GUARANTEE, unlike ``approx_percentile``'s rank error.
+
+    Why it earns a slot next to ``hist_quantile`` (fixed boundaries:
+    accuracy collapses when the data outgrows the grid) and
+    ``_percentile(rel_error=)`` (rank-error KLL): DDSketch's bucket
+    counts are exact longs keyed by an integer — they merge across
+    partitions, days and re-rollups by plain addition, and the
+    relative-error bound survives every merge. This makes the sketch
+    the right shape for tier cascades: a 1m→1h→1d quantile rollup is
+    ``sum(cnt) groupBy (key, bucket', idx)``, no re-touching samples.
+
+    Scale shape: the corpus crosses ONE map-side-combined
+    ``groupBy (key, bucket, idx)`` exchange — each map task emits at
+    most one row per live log-bucket (~a few hundred per group at
+    α=1%), so the exchange carries sketches, never samples. The
+    cumsum/total windows and the quantile probe run on the
+    bucket-count relation (sketch-sized); the final groupBy is
+    (groups × qs)-sized. No window or sort ever touches raw samples.
+
+    Determinism across engines: the bucket index subtracts 1e-9
+    before ``ceil`` (the house ``portable_round`` epsilon idiom), so
+    a last-ulp difference between the JVM's and DuckDB's ``ln`` at a
+    bucket boundary cannot flip the integer; ``γ``/``ln γ`` are
+    embedded as identical ``repr`` literals on both sides.
+
+    Semantics: only ``v > 0`` enters the sketch (standard DDSketch —
+    a production store keeps a separate zero/negative-store; latency
+    and counter metrics are positive). Output one row per
+    (key, bucket_start, q): ``n`` (sketched sample count) and the
+    estimate ``est``.
+    """
+    if not 0.0 < rel_error < 1.0:
+        raise ValueError(f"rel_error must be in (0, 1), got {rel_error}")
+    if not qs or any(not 0.0 < q < 1.0 for q in qs):
+        raise ValueError(f"qs must all be in (0, 1), got {qs}")
+    gamma = (1.0 + float(rel_error)) / (1.0 - float(rel_error))
+    lng = math.log(gamma)
+    v = F.col(value_col).cast("double")
+    pts = events.where(v.isNotNull() & (v > 0))
+    idx = F.ceil(F.log(v) / F.lit(lng) - F.lit(1e-9))
+    buckets = pts.groupBy(
+        F.col(key),
+        _bucket_expr(ts_col, int(bucket_seconds)).alias("bucket_start"),
+        idx.alias("idx"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wg = W.partitionBy(key, "bucket_start")
+    wcum = wg.orderBy("idx").rowsBetween(W.unboundedPreceding, 0)
+    cum = buckets.select(
+        key, "bucket_start", "idx",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wg).alias("n"),
+    )
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    cand = cum.select(key, "bucket_start", "idx", "cum", "n", qcol).where(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n").cast("double")))
+    est = (F.lit(2.0) * F.pow(F.lit(gamma), F.col("idx"))
+           / F.lit(gamma + 1.0))
+    return (
+        cand.groupBy(key, "bucket_start", "q")
+        .agg(F.min("idx").alias("idx"), F.max("n").alias("n"))
+        .select(key, "bucket_start", "q", "n",
+                portable_round(est, _R).alias("est"))
+    )
+
+
+def _ddsketch_sql(qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                  rel_error: float = 0.01) -> str:
+    gamma = (1.0 + float(rel_error)) / (1.0 - float(rel_error))
+    lng = math.log(gamma)
+    vals = ", ".join(f"({q!r})" for q in qs)
+    return f"""
+WITH pts AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, ts,
+           CAST(value AS DOUBLE) AS v
+    FROM events WHERE value IS NOT NULL AND value > 0
+),
+b AS (
+    SELECT conv_id, date_trunc('day', ts) AS bucket_start,
+           ceil(ln(v) / {lng!r} - 1e-9) AS idx, count(*) AS cnt
+    FROM pts GROUP BY 1, 2, 3
+),
+c AS (
+    SELECT conv_id, bucket_start, idx,
+           CAST(sum(cnt) OVER (PARTITION BY conv_id, bucket_start
+                               ORDER BY idx) AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY conv_id, bucket_start)
+                AS BIGINT) AS n
+    FROM b
+),
+cand AS (
+    SELECT c.conv_id, c.bucket_start, q.q, c.n, c.idx
+    FROM c CROSS JOIN (VALUES {vals}) AS q(q)
+    WHERE c.cum >= ceil(q.q * c.n)
+)
+SELECT conv_id, bucket_start, q, max(n) AS n,
+       round(2.0 * pow({gamma!r}, min(idx)) / {gamma + 1.0!r}, 4) AS est
+FROM cand GROUP BY 1, 2, 3
+"""
+
+
 def _run_segments(df: DataFrame, flag_col: str, keys: tuple[str, ...],
                   order_col: str,
                   max_gap_seconds: int | None) -> DataFrame:
@@ -2821,6 +2934,40 @@ SELECT d.conv_id, d.bucket_start,
 FROM dev d JOIN mad a USING (conv_id)
 """
 
+# cross-sectional twin of _MAD_SQL: the robust envelope across the
+# FLEET at each day bucket (who is abnormal vs everyone else today),
+# instead of along each series' own history. Same interpolated
+# median/MAD math; the grouping key flips from conv_id to the bucket.
+_FLEET_SQL = f"""
+WITH ev AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, value FROM events
+),
+t1d AS (
+    SELECT conv_id, date_trunc('day', ts) AS bucket_start,
+           avg(value) AS mean_v
+    FROM ev WHERE value IS NOT NULL GROUP BY 1, 2
+),
+med AS (
+    SELECT bucket_start, quantile_cont(mean_v, 0.5) AS med
+    FROM t1d GROUP BY 1
+),
+dev AS (
+    SELECT t.conv_id, t.bucket_start, t.mean_v, m.med,
+           abs(t.mean_v - m.med) AS adev
+    FROM t1d t JOIN med m USING (bucket_start)
+),
+mad AS (
+    SELECT bucket_start, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY 1
+)
+SELECT d.conv_id, d.bucket_start,
+       round(d.mean_v, 4) AS mean_v,
+       round(d.med, 4) AS med,
+       round(a.mad, 4) AS mad,
+       CASE WHEN d.adev > 3.0 * 1.4826 * a.mad THEN 1 ELSE 0 END AS flag
+FROM dev d JOIN mad a USING (bucket_start)
+"""
+
 _COUNTER_RATE_SQL = """
 WITH pts AS (
     SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, ts,
@@ -3867,4 +4014,6 @@ ORACLE_SQL = {
     "sax_motifs": _sax_motifs_sql(20, 2, 4),
     "sigma_clip_1d": _sigma_clip_sql(3.0, 2),
     "leadlag_1h": _leadlag_sql(XCORR_METRICS, 3),
+    "ddsketch_1d": _ddsketch_sql(),
+    "fleet_outliers": _FLEET_SQL,
 }
