@@ -29,6 +29,7 @@ from yahoo_anomaly_detection_spark.operators import dedup, similarity, textstats
 from yahoo_anomaly_detection_spark.operators import multimodal, sessions
 from yahoo_anomaly_detection_spark.operators import tsanalytics
 from yahoo_anomaly_detection_spark.operators import alerting
+from yahoo_anomaly_detection_spark.operators import sketches
 from yahoo_anomaly_detection_spark.operators import curation, enrich, journeys
 from yahoo_anomaly_detection_spark.operators import refresh as refresh_op
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
@@ -1341,6 +1342,30 @@ def q_fleet_outliers(spark, sf_dir):
     )
 
 
+def q_hll_actives_1d(spark, sf_dir):
+    # per-day approx-distinct users via the HLL register file — the
+    # sketch crosses ONE (day, reg)-combined exchange (<=2^10 rows per
+    # day), never one row per distinct user; exact count alongside
+    # for auditability
+    return sketches.hll_distinct(_events_raw(spark, sf_dir))
+
+
+def q_hll_cascade_7d(spark, sf_dir):
+    # tier-cascade proof for the non-decomposable aggregate: weekly
+    # distinct estimated by MERGING daily registers (max) equals the
+    # direct weekly sketch bit-for-bit — distinct rollups can ride
+    # the same incremental machinery as sum/cnt tiers
+    return sketches.hll_cascade(_events_raw(spark, sf_dir))
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    # exact top-20 users probed against a 4x2048 Count-Min counter
+    # file: bounded-memory frequency estimates (est >= exact always),
+    # integer-exact in both engines
+    return sketches.cms_topk_compare(_events_raw(spark, sf_dir),
+                                     "user_id", k=20)
+
+
 def q_sax_discords(spark, sf_dir):
     # per-series rarest complete hour-shape (HOT-SAX-style discord):
     # rides the sax word exchanges; word counts join back
@@ -1823,6 +1848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_movers": q_anomaly_movers,
         "ddsketch_1d": q_ddsketch_1d,
         "fleet_outliers": q_fleet_outliers,
+        "hll_actives_1d": q_hll_actives_1d,
+        "hll_cascade_7d": q_hll_cascade_7d,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -2398,6 +2426,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(sessions.ORACLE_SQL)
     out.update(tsanalytics.ORACLE_SQL)
     out.update(alerting.ORACLE_SQL)
+    out.update(sketches.ORACLE_SQL)
     out.update(journeys.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)
     # capstone composition: intersection of three independently-

@@ -150,6 +150,11 @@ HEADLINE = [
     "key_skew",
     "sax_discords",
     "anomaly_movers",
+    "ddsketch_1d",
+    "fleet_outliers",
+    "hll_actives_1d",
+    "hll_cascade_7d",
+    "cms_heavy_hitters",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -90,3 +90,79 @@ def test_fleet_envelope_flags_cross_sectional_outlier(spark):
         df, "mean_v", k=3.0, keys=("bucket_start",))
     flagged = [r.conv_id for r in out.where("flag = 1").collect()]
     assert flagged == ["deviant"]
+
+
+# ------------------------------------------------- sketches (HLL/CMS)
+from yahoo_anomaly_detection_spark.operators import sketches  # noqa: E402
+
+
+def test_hll_raw_branch_accuracy_50k(spark):
+    """50k distinct ids in one group — deep in the raw-estimator
+    regime (E >> 2.5m) — must land within 5 standard errors
+    (1.04/sqrt(m) each) of the truth."""
+    df = spark.range(50_000).select(
+        F.lit(1).alias("g"), F.col("id").cast("string").alias("uid"))
+    regs = sketches.hll_registers(df, "uid", ("g",), p=10)
+    est = sketches.hll_estimate(regs, ("g",), p=10).first().est
+    se = 1.04 / (1024 ** 0.5)
+    assert abs(est - 50_000) <= 5 * se * 50_000, est
+
+
+def test_hll_linear_counting_small_n(spark):
+    """60 distinct ids with m=1024 registers: linear counting is
+    near-exact (every collision-free register counts one id)."""
+    df = spark.range(60).select(
+        F.lit(1).alias("g"), F.col("id").cast("string").alias("uid"))
+    regs = sketches.hll_registers(df, "uid", ("g",), p=10)
+    est = sketches.hll_estimate(regs, ("g",), p=10).first().est
+    assert abs(est - 60) <= 4, est
+
+
+def test_hll_register_merge_is_lossless(spark):
+    """max-merging per-day register files == sketching the union
+    directly: the property that makes distinct counts tierable."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(days=i % 10, hours=i % 13), str(i % 700))
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "ts timestamp, uid string")
+    out = sketches.hll_cascade(df, id_col="uid", ts_col="ts").collect()
+    assert len(out) == 2  # two epoch-weeks
+    for r in out:
+        assert r.est_merged == r.est_direct
+        assert abs(r.est_merged - r.n_exact) / r.n_exact < 0.15
+
+
+def test_hll_rejects_bad_p(spark):
+    df = spark.range(3).select(F.col("id").cast("string").alias("uid"),
+                               F.lit(1).alias("g"))
+    with pytest.raises(ValueError):
+        sketches.hll_registers(df, "uid", ("g",), p=3)
+
+
+def test_cms_never_underestimates_and_bounds(spark):
+    """Zipf-ish planted frequencies: est >= exact for every key
+    (structural), and with w=2048, N=6000 the overestimate stays
+    under the epsilon*N bound (e/2048 * 6000 = ~8)."""
+    rows = []
+    for i in range(200):
+        freq = 100 if i < 10 else 25
+        rows += [(f"k{i}",)] * freq
+    # 10*100 + 190*25 = 5750 rows
+    df = spark.createDataFrame(rows, "uid string")
+    out = sketches.cms_topk_compare(df, "uid", k=15).collect()
+    assert len(out) == 15
+    n_total = 5750
+    eps_bound = math.e / 2048 * n_total
+    for r in out:
+        assert r.est >= r.n_exact, r
+        assert r.est - r.n_exact <= eps_bound, r
+    # top-10 exact counts must be the planted heavy keys
+    heavy = {r.uid for r in out if r.n_exact == 100}
+    assert heavy == {f"k{i}" for i in range(10)}
+
+
+def test_cms_rejects_bad_params(spark):
+    df = spark.range(3).select(F.col("id").cast("string").alias("uid"))
+    with pytest.raises(ValueError):
+        sketches.cms_sketch(df, "uid", d=0)

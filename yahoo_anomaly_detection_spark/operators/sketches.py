@@ -1,0 +1,374 @@
+"""Mergeable cardinality / frequency sketches: HyperLogLog distinct
+counts and Count-Min frequency estimates.
+
+Why the engine carries these next to the exact operators
+(``active_users_1d``'s COUNT(DISTINCT), ``heavy_hitters``'s exact
+groupBy): distinct counts and frequencies are the two aggregates that
+do NOT decompose over a rollup cascade — ``sum(distinct_per_day)``
+over a week counts repeat visitors once per day, so an exact 7d
+number must re-touch the raw events. At 10^12 turns that re-scan is
+the difference between a tier cascade (the north rule's shape) and a
+nightly full-table job. A sketch register file IS decomposable: HLL
+registers merge by ``max``, CMS counters merge by ``+`` — both
+associative and idempotent-safe, so every coarser tier derives from
+the finer tier's sketch, never from raw data, exactly like the
+sum/cnt/min/max columns in ``rollup.TIER_STATE_COLS``.
+
+Cross-engine determinism (the repo-wide contract, see dedup.py:8):
+every hash is an md5 hex-digit lane — ``conv(substr(md5(x),1,8),16,10)``
+(bits 1-32) and ``substr(..,9,8)`` (bits 33-64) — reproducible
+bit-for-bit in Spark, DuckDB, and any engine with md5. No
+``xxhash64``/``F.hash``: those are engine-private. The HLL estimator
+itself is deterministic: register harmonic sums add ≤2^p exact binary
+fractions ≥ 2^-33, so every partial sum fits a double EXACTLY
+(10+33 bits < 53) and no summation-order wobble exists; the only
+floats are one division and (small-range branch) one ``ln``, both
+absorbed by ``portable_round``.
+
+Scale shape: both sketches cross ONE map-side-combined exchange whose
+width is the sketch size — HLL: (groups × ≤2^p) register rows; CMS:
+(d × w) counter rows — INDEPENDENT of key cardinality. The exact
+twins shuffle one row per distinct key; at 10^9 users that exchange
+is the job, while the sketch exchange stays ~kilobytes per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.portable import portable_round
+
+_R = 4
+
+
+def _lane(c: Column, start: int) -> Column:
+    """32 md5 bits starting at hex digit ``start`` (1 or 9), as a
+    non-negative long — the house engine-portable hash lane."""
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), start, 8), 16, 10
+    ).cast("long")
+
+
+def _lane_sql(x: str, start: int) -> str:
+    return (f"CAST(concat('0x', substr(md5(CAST({x} AS VARCHAR)),"
+            f" {start}, 8)) AS BIGINT)")
+
+
+def _hll_alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _check_p(p: int) -> int:
+    if not 7 <= p <= 16:
+        raise ValueError(f"p must be in [7, 16], got {p}")
+    return 1 << p
+
+
+# --------------------------------------------------------------- HLL
+def hll_registers(df: DataFrame, id_col: str,
+                  group_cols: tuple[str, ...], p: int = 10) -> DataFrame:
+    """HLL register file per group: (group_cols…, reg, max_rho).
+
+    reg = low-lane hash mod 2^p; rho = leading-zero count of the
+    INDEPENDENT high lane + 1 (md5's bits 33-64), so the register
+    index steals no rho bits — the estimator sees a full 32-bit
+    geometric tail regardless of p. rho is computed with integer ops
+    only (``33 − length(bin(hi))``), never ``floor(log2)`` whose
+    libm last-ulp can disagree between engines at exact powers of 2.
+
+    One ``groupBy(group, reg) → max`` exchange; map-side combine
+    bounds each task's emission at 2^p rows per group.
+    """
+    m = _check_p(p)
+    idc = F.col(id_col)
+    hi = _lane(idc, 9)
+    rho = (F.when(hi == 0, F.lit(33))
+           .otherwise(F.lit(33) - F.length(F.conv(hi, 10, 2))))
+    return (
+        df.where(idc.isNotNull())
+        .select(*group_cols,
+                (_lane(idc, 1) % F.lit(m)).alias("reg"),
+                rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: tuple[str, ...],
+                 p: int = 10, out_col: str = "est") -> DataFrame:
+    """Fold a register file to one cardinality estimate per group.
+
+    Raw HLL ``α·m²/(V + Σ 2^-rho)`` with the standard small-range
+    linear-counting switch (E ≤ 2.5m and empty registers exist →
+    ``m·ln(m/V)``). Absent registers contribute 2^0 = 1 each via V.
+    No large-range correction: the rho lane is 32 bits wide and the
+    32-bit-hash collision regime starts ~10^9 per GROUP — beyond it,
+    raise p / widen the lane, not a correction curve.
+    """
+    m = _check_p(p)
+    alpha = _hll_alpha(m)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
+    )
+    v = F.lit(m) - F.col("_nz")
+    raw = F.lit(alpha * m * m) / (v.cast("double") + F.col("_s"))
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((v > 0) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
+    return agg.select(*group_cols, portable_round(est, _R).alias(out_col))
+
+
+def _hll_est_sql(regs_cte: str, grp: str, p: int, out: str = "est") -> str:
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    return f"""
+SELECT {grp},
+       round(CASE WHEN ({m} - count(*)) > 0
+                   AND {alpha * m * m!r} /
+                       (({m} - count(*)) + sum(pow(2.0, -max_rho)))
+                       <= {2.5 * m!r}
+             THEN {float(m)!r} * ln({float(m)!r} / ({m} - count(*)))
+             ELSE {alpha * m * m!r} /
+                  (({m} - count(*)) + sum(pow(2.0, -max_rho)))
+             END, 4) AS {out}
+FROM {regs_cte} GROUP BY {grp}
+"""
+
+
+def _hll_regs_sql(src: str, id_col: str, grp_expr: str, p: int) -> str:
+    m = 1 << p
+    hi = _lane_sql(id_col, 9)
+    return f"""(
+    SELECT {grp_expr} AS bucket_start,
+           ({_lane_sql(id_col, 1)} % {m}) AS reg,
+           max(CASE WHEN {hi} = 0 THEN 33
+                    ELSE 33 - length(format('{{:b}}', {hi})) END) AS max_rho
+    FROM {src} WHERE {id_col} IS NOT NULL
+    GROUP BY 1, 2
+)"""
+
+
+def hll_distinct(events: DataFrame, id_col: str = "user_id",
+                 bucket_seconds: int = 86400, ts_col: str = "ts",
+                 p: int = 10) -> DataFrame:
+    """Per-bucket approximate distinct ``id_col`` with the exact
+    count alongside: (bucket_start, n_exact, est).
+
+    The exact column exists to make the estimate auditable at test
+    scale (and gives the oracle a hard integer to match); at 100 TB a
+    caller keeps only the register file and drops the exact branch —
+    the sketch exchange is (buckets × ≤2^p) rows vs one row per
+    distinct id.
+    """
+    from .tsanalytics import _bucket_expr
+
+    bucketed = events.select(
+        _bucket_expr(ts_col, int(bucket_seconds)).alias("bucket_start"),
+        F.col(id_col),
+    )
+    regs = hll_registers(bucketed, id_col, ("bucket_start",), p)
+    est = hll_estimate(regs, ("bucket_start",), p)
+    exact = (bucketed.where(F.col(id_col).isNotNull())
+             .groupBy("bucket_start")
+             .agg(F.count_distinct(F.col(id_col)).alias("n_exact")))
+    return exact.join(est, "bucket_start").select(
+        "bucket_start", "n_exact", "est")
+
+
+def hll_cascade(events: DataFrame, id_col: str = "user_id",
+                fine_seconds: int = 86400,
+                coarse_seconds: int = 7 * 86400,
+                ts_col: str = "ts", p: int = 10) -> DataFrame:
+    """The tier-cascade proof: coarse-bucket estimates computed TWO
+    ways — ``est_merged`` folds the fine tier's register file up by
+    ``max`` (never re-reading events), ``est_direct`` sketches the
+    raw events at coarse grain. Register max is associative, so the
+    two columns are bit-identical — the property that lets a 1d→7d→
+    30d distinct rollup ride the same incremental-refresh machinery
+    as sum/cnt tiers (rollup.py's cascade). Output:
+    (bucket_start, est_merged, est_direct, n_exact).
+    """
+    from .tsanalytics import _bucket_expr
+
+    if coarse_seconds % fine_seconds:
+        raise ValueError(
+            f"coarse ({coarse_seconds}) must be a multiple of fine "
+            f"({fine_seconds}) for a lossless register merge")
+    fine = events.select(
+        _bucket_expr(ts_col, int(fine_seconds)).alias("fine_start"),
+        _bucket_expr(ts_col, int(coarse_seconds)).alias("bucket_start"),
+        F.col(id_col),
+    )
+    fine_regs = hll_registers(fine, id_col,
+                              ("bucket_start", "fine_start"), p)
+    merged = fine_regs.groupBy("bucket_start", "reg").agg(
+        F.max("max_rho").alias("max_rho"))
+    est_m = hll_estimate(merged, ("bucket_start",), p, out_col="est_merged")
+    direct = hll_registers(fine, id_col, ("bucket_start",), p)
+    est_d = hll_estimate(direct, ("bucket_start",), p, out_col="est_direct")
+    exact = (fine.where(F.col(id_col).isNotNull())
+             .groupBy("bucket_start")
+             .agg(F.count_distinct(F.col(id_col)).alias("n_exact")))
+    return (est_m.join(est_d, "bucket_start").join(exact, "bucket_start")
+            .select("bucket_start", "est_merged", "est_direct", "n_exact"))
+
+
+# --------------------------------------------------------- Count-Min
+def cms_sketch(df: DataFrame, key_col: str, d: int = 4,
+               w: int = 2048) -> DataFrame:
+    """Count-Min counter file: (hrow, bucket, cnt), d·w rows total.
+
+    Each key hashes to one bucket per row via salted md5 lanes
+    (salts ``cms0|``…); the counter file is the ONLY thing that
+    crosses the wire — one map-side-combined groupBy whose output is
+    d·w rows no matter how many distinct keys exist. Merging two
+    sketches (across partitions, days, or tiers) is counter
+    addition.
+    """
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1, w >= 2, got d={d}, w={w}")
+    kc = F.col(key_col)
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("hrow"),
+                 (_lane(F.concat(F.lit(f"cms{i}|"), kc.cast("string")), 1)
+                  % F.lit(w))
+                 .alias("bucket"))
+        for i in range(d)
+    ])
+    return (
+        df.where(kc.isNotNull())
+        .select(F.explode(rows).alias("h"))
+        .groupBy(F.col("h.hrow").alias("hrow"),
+                 F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_topk_compare(df: DataFrame, key_col: str, k: int = 20,
+                     d: int = 4, w: int = 2048) -> DataFrame:
+    """Exact top-k keys probed against the CMS: (key, n_exact, est).
+
+    est = min over the d counter rows — the classic one-sided bound
+    (est ≥ true; est ≤ true + εN w.h.p., ε = e/w). The exact branch
+    exists for auditability at test scale; the production pattern
+    streams candidate keys (e.g. from a heavy-hitters pass over one
+    partition) against a broadcast counter file — d·w longs, a few
+    KB — with no per-key state anywhere.
+
+    Integer-exact end to end: no float enters either engine, so the
+    oracle match is exact, not rounded.
+    """
+    kc = F.col(key_col)
+    sketch = cms_sketch(df, key_col, d=d, w=w)
+    exact = (df.where(kc.isNotNull()).groupBy(key_col)
+             .agg(F.count(F.lit(1)).alias("n_exact"))
+             .orderBy(F.col("n_exact").desc(), kc.asc())
+             .limit(k))
+    probes = exact.select(
+        key_col, "n_exact",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("hrow"),
+                     (_lane(F.concat(F.lit(f"cms{i}|"),
+                                      kc.cast("string")), 1)
+                      % F.lit(w)).alias("bucket"))
+            for i in range(d)
+        ])).alias("h"),
+    ).select(key_col, "n_exact", "h.hrow", "h.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["hrow", "bucket"])
+        .groupBy(key_col, "n_exact")
+        .agg(F.min("cnt").alias("est"))
+        .select(key_col, "n_exact", "est")
+    )
+
+
+# ------------------------------------------------------------ oracles
+_P = 10
+
+_HLL_1D_SQL = f"""
+WITH regs AS {_hll_regs_sql("events", "user_id",
+                            "date_trunc('day', ts)", _P)},
+est AS ({_hll_est_sql("regs", "bucket_start", _P)}),
+exact AS (
+    SELECT date_trunc('day', ts) AS bucket_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT exact.bucket_start, n_exact, est
+FROM exact JOIN est USING (bucket_start)
+"""
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+_HLL_CASCADE_SQL = f"""
+WITH fine AS (
+    SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % {_WEEK_US})
+               AS bucket_start,
+           date_trunc('day', ts) AS fine_start, user_id
+    FROM events WHERE user_id IS NOT NULL
+),
+fine_regs AS (
+    SELECT bucket_start, fine_start,
+           ({_lane_sql("user_id", 1)} % {1 << _P}) AS reg,
+           max(CASE WHEN {_lane_sql("user_id", 9)} = 0 THEN 33
+                    ELSE 33 - length(format('{{:b}}',
+                                            {_lane_sql("user_id", 9)}))
+               END) AS max_rho
+    FROM fine GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT bucket_start, reg, max(max_rho) AS max_rho
+    FROM fine_regs GROUP BY 1, 2
+),
+est_m AS ({_hll_est_sql("merged", "bucket_start", _P, out="est_merged")}),
+direct AS (
+    SELECT bucket_start, reg, max(max_rho) AS max_rho
+    FROM fine_regs GROUP BY 1, 2
+),
+est_d AS ({_hll_est_sql("direct", "bucket_start", _P, out="est_direct")}),
+exact AS (
+    SELECT bucket_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM fine GROUP BY 1
+)
+SELECT bucket_start, est_merged, est_direct, n_exact
+FROM est_m JOIN est_d USING (bucket_start) JOIN exact USING (bucket_start)
+"""
+
+
+def _cms_sql(key: str, k: int, d: int, w: int) -> str:
+    salted = [_lane_sql(f"concat('cms{i}|', {key})", 1) for i in range(d)]
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT {key}, n_exact, {i} AS hrow, "
+        f"({salted[i]} % {w}) AS bucket FROM topk"
+        for i in range(d)
+    )
+    sketch_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS hrow, ({salted[i]} % {w}) AS bucket FROM src"
+        for i in range(d)
+    )
+    return f"""
+WITH src AS (
+    SELECT {key} FROM events WHERE {key} IS NOT NULL
+),
+sketch AS (
+    SELECT hrow, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM ({sketch_rows}) GROUP BY 1, 2
+),
+topk AS (
+    SELECT {key}, CAST(count(*) AS BIGINT) AS n_exact
+    FROM src GROUP BY 1
+    ORDER BY n_exact DESC, {key} ASC LIMIT {k}
+),
+probes AS ({probe_rows})
+SELECT p.{key}, p.n_exact, CAST(min(s.cnt) AS BIGINT) AS est
+FROM probes p JOIN sketch s USING (hrow, bucket)
+GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL = {
+    "hll_actives_1d": _HLL_1D_SQL,
+    "hll_cascade_7d": _HLL_CASCADE_SQL,
+    "cms_heavy_hitters": _cms_sql("user_id", 20, 4, 2048),
+}
