@@ -1366,6 +1366,22 @@ def q_cms_heavy_hitters(spark, sf_dir):
                                      "user_id", k=20)
 
 
+def q_pagerank_types(spark, sf_dir):
+    # global stationary centrality of the journey graph (8-round
+    # power iteration, dangling mass redistributed): each round is
+    # one edge-keyed join + map-side-combined groupBy; rank /
+    # node-count / dangling relations broadcast — fully lazy, no
+    # driver action per round
+    return journeys.pagerank_types(_events_raw(spark, sf_dir))
+
+
+def q_benford_dq(spark, sf_dir):
+    # Benford first-digit forensic screen per event_type: integer-
+    # exact digit extraction (never floor(log10)), zero-filled digit
+    # spine, chi-square per key; ONE corpus (key, digit) exchange
+    return tsanalytics.benford_dq(_events_raw(spark, sf_dir))
+
+
 def q_sax_discords(spark, sf_dir):
     # per-series rarest complete hour-shape (HOT-SAX-style discord):
     # rides the sax word exchanges; word counts join back
@@ -1851,6 +1867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_actives_1d": q_hll_actives_1d,
         "hll_cascade_7d": q_hll_cascade_7d,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "pagerank_types": q_pagerank_types,
+        "benford_dq": q_benford_dq,
     }
 
 

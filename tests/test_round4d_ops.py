@@ -166,3 +166,91 @@ def test_cms_rejects_bad_params(spark):
     df = spark.range(3).select(F.col("id").cast("string").alias("uid"))
     with pytest.raises(ValueError):
         sketches.cms_sketch(df, "uid", d=0)
+
+
+# ------------------------------------------------- pagerank
+from yahoo_anomaly_detection_spark.operators import journeys  # noqa: E402
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    """Star: a,b,c,d all point to hub -> hub's rank must dominate and
+    ranks must sum to 1 (dangling hub redistributes its mass)."""
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub")],
+        "src string, dst string")
+    out = {r.node: r.pr for r in journeys.pagerank(edges).collect()}
+    assert max(out, key=out.get) == "hub"
+    assert abs(sum(out.values()) - 1.0) < 1e-3
+    # leaves are symmetric -> identical ranks
+    assert len({out[k] for k in "abcd"}) == 1
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Weighted 4-node graph vs an explicit numpy power iteration
+    with the same dangling handling and iteration count."""
+    import numpy as np
+    E = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+         ("c", "a", 1.0), ("c", "d", 1.0)]  # d is dangling
+    edges = spark.createDataFrame(E, "src string, dst string, w double")
+    out = {r.node: r.pr for r in journeys.pagerank(
+        edges, weight_col="w", iters=8).collect()}
+    idx = {"a": 0, "b": 1, "c": 2, "d": 3}
+    P = np.zeros((4, 4))
+    for s, t, w in E:
+        P[idx[s], idx[t]] = w
+    outdeg = P.sum(axis=1)
+    for i in range(4):
+        if outdeg[i]:
+            P[i] /= outdeg[i]
+    r = np.full(4, 0.25)
+    d = 0.85
+    for _ in range(8):
+        dangling = r[outdeg == 0].sum()
+        r = (1 - d) / 4 + d * (P.T @ r + dangling / 4)
+    for k, i in idx.items():
+        assert abs(out[k] - r[i]) < 1e-3, (k, out[k], r[i])
+
+
+def test_pagerank_rejects_bad_params(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        journeys.pagerank(edges, damping=1.0)
+    with pytest.raises(ValueError):
+        journeys.pagerank(edges, iters=0)
+
+
+# ------------------------------------------------- benford
+def test_benford_flags_uniform_but_passes_exponential(spark):
+    """Exponentially-spanning magnitudes follow Benford (small chi2);
+    a uniform [1000, 2000) feed pegs digit 1 (chi2 huge)."""
+    rows = []
+    # organic: 1.07^i spans 4 decades smoothly
+    for i in range(350):
+        rows.append(("organic", 1.07 ** i))
+    # fabricated: all values start with digit 1
+    for i in range(350):
+        rows.append(("capped", 1000.0 + i))
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = tsanalytics.benford_dq(df).collect()
+    chi = {r.event_type: r.chi2 for r in out}
+    assert chi["capped"] > 100 * max(chi["organic"], 1e-9)
+    # zero-filled spine: every key has exactly 9 digit rows
+    from collections import Counter
+    c = Counter(r.event_type for r in out)
+    assert c == {"organic": 9, "capped": 9}
+    capped = {r.digit: r for r in out if r.event_type == "capped"}
+    assert capped[1].share == 1.0 and capped[9].n_d == 0
+    # shares sum to 1 per key
+    for k in ("organic", "capped"):
+        assert abs(sum(r.share for r in out if r.event_type == k) - 1.0) \
+            < 1e-3
+
+
+def test_benford_excludes_sub_one_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("t", 0.5), ("t", None), ("t", -23.0), ("t", 7.2)],
+        "event_type string, value double")
+    out = tsanalytics.benford_dq(df).collect()
+    got = {r.digit: r.n_d for r in out}
+    assert got[2] == 1 and got[7] == 1  # |-23| -> 2, 7.2 -> 7
+    assert sum(got.values()) == 2

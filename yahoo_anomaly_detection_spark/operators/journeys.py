@@ -274,9 +274,160 @@ FROM g GROUP BY 1, 2
 """
 
 
+def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+             weight_col: str | None = None, damping: float = 0.85,
+             iters: int = 8) -> DataFrame:
+    """Weighted PageRank over an edge relation: (node, pr).
+
+    The centrality read-out of the journey graph
+    :func:`event_transitions` builds — which state do random walks of
+    the corpus' flows concentrate on — complementing the transition
+    MATRIX (local, one-hop) with the global stationary view. Power
+    iteration with a fixed ``iters`` (the oracle-friendly
+    formulation: a recursive fixpoint has no portable SQL mirror;
+    8 rounds at d=0.85 contract the residual by 0.85^8 ≈ 0.27^2,
+    ample for ranking stability on conversational flow graphs).
+
+    Dangling nodes (no out-edges — e.g. an event type that only ever
+    ends streams) redistribute their mass uniformly each round, the
+    standard stochastic-matrix completion, so ranks always sum to 1.
+
+    Scale shape: each round is ONE edge-keyed hash join (edges ⋈
+    ranks on src) + ONE map-side-combined groupBy(dst); the rank,
+    node-count and dangling-mass relations are node-cardinality- or
+    scalar-sized and broadcast — the corpus-scale edge relation is
+    never re-shuffled across rounds (it keeps its (src,dst) hash
+    partitioning). Each round's rank relation is eagerly
+    ``localCheckpoint``-ed (the Pregel superstep idiom,
+    :func:`dedup.connected_components`): the rank state feeds THREE
+    consumers next round (edge join, dangling sum, spine), so a lazy
+    plan would triple its subtree per round — 3^iters analysis blowup
+    — while the materialized state is only node-cardinality-sized.
+    Previous rounds' blocks are unpersisted as soon as the next round
+    materializes (no session-lifetime accumulation).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    wcol = (F.col(weight_col).cast("double") if weight_col
+            else F.lit(1.0))
+    e = (edges.groupBy(F.col(src_col).alias("src"),
+                       F.col(dst_col).alias("dst"))
+         .agg(F.sum(wcol).alias("w")))
+    en = e.select(
+        "src", "dst",
+        (F.col("w") / F.sum("w").over(W.partitionBy("src"))).alias("p"),
+    )
+    from .dedup import _persistent_rdd_ids, _unpersist_rdd_ids
+
+    spark = edges.sparkSession
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ids_before = _persistent_rdd_ids(spark)
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", "n", (F.lit(1.0) / F.col("n")).alias("pr"),
+    ).localCheckpoint()
+    live_ids = _persistent_rdd_ids(spark) - ids_before
+    srcs = en.select(F.col("src").alias("node")).distinct()
+    d = float(damping)
+    for _ in range(iters):
+        contrib = (
+            en.join(F.broadcast(ranks.select(F.col("node").alias("src"),
+                                             "pr")), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("p") * F.col("pr")).alias("s"))
+        )
+        dang = (ranks.join(srcs, "node", "left_anti")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")))
+        ids_before = _persistent_rdd_ids(spark)
+        ranks = (
+            ranks.select("node", "n")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node", "n",
+                (F.lit(1.0 - d) / F.col("n")
+                 + F.lit(d) * (F.coalesce(F.col("s"), F.lit(0.0))
+                               + F.col("dm") / F.col("n"))).alias("pr"),
+            )
+        ).localCheckpoint()
+        new_ids = _persistent_rdd_ids(spark) - ids_before
+        _unpersist_rdd_ids(spark, live_ids)
+        live_ids = new_ids
+    return ranks.select("node", portable_round(F.col("pr"), _R).alias("pr"))
+
+
+def pagerank_types(events: DataFrame, damping: float = 0.85,
+                   iters: int = 8) -> DataFrame:
+    """PageRank of event types over the consecutive-event transition
+    graph (same edge construction as :func:`event_transitions`):
+    (event_type, pr)."""
+    w = _seq_window("user_id", "ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    out = pagerank(pairs, damping=damping, iters=iters)
+    return out.select(F.col("node").alias("event_type"), "pr")
+
+
+def _pagerank_sql(damping: float = 0.85, iters: int = 8) -> str:
+    # every r{i} references r{i-1} TWICE (edge join + dangling sum);
+    # DuckDB inlines plain CTEs, so without MATERIALIZED the plan tree
+    # doubles per round (2^iters scans of the events window — measured
+    # 90 s at sf0.001). MATERIALIZED pins each round to one evaluation.
+    d = repr(float(damping))
+    parts = [f"""
+WITH p AS MATERIALIZED (
+    SELECT event_type AS src,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS dst
+    FROM events
+),
+e AS MATERIALIZED (
+    SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+    FROM p WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+en AS MATERIALIZED (
+    SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+    FROM e
+),
+nodes AS MATERIALIZED (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS MATERIALIZED (
+    SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes
+)"""]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(f""",
+r{i} AS MATERIALIZED (
+    SELECT nodes.node,
+           (1.0 - {d}) / (SELECT n FROM nn)
+           + {d} * (COALESCE(c.s, 0.0)
+                    + (SELECT COALESCE(sum(pr), 0.0) FROM {prev}
+                       WHERE node NOT IN (SELECT src FROM en))
+                      / (SELECT n FROM nn)) AS pr
+    FROM nodes LEFT JOIN (
+        SELECT en.dst AS node, sum(en.p * {prev}.pr) AS s
+        FROM en JOIN {prev} ON en.src = {prev}.node GROUP BY 1
+    ) c USING (node)
+)""")
+    parts.append(f"""
+SELECT node AS event_type, round(pr, 4) AS pr FROM r{iters}
+""")
+    return "".join(parts)
+
+
 ORACLE_SQL = {
     "event_transitions": _TRANSITIONS_SQL,
     "type_streaks": _STREAKS_SQL,
     "depth_hist": _DEPTH_SQL,
     "next_gap_1d": _NEXT_GAP_SQL,
+    "pagerank_types": _pagerank_sql(),
 }

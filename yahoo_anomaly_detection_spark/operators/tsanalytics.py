@@ -3969,6 +3969,106 @@ FROM g GROUP BY 1, 2
 """
 
 
+def benford_dq(events: DataFrame, key: str = "event_type",
+               value_col: str = "value") -> DataFrame:
+    """Benford first-significant-digit audit per key: one row per
+    (key, digit 1..9) with observed count/share, the Benford
+    expectation log10(1+1/d), and the key's chi-square statistic —
+    the forensic DQ screen for fabricated / truncated / clipped
+    metric feeds (organically-generated magnitudes spanning decades
+    follow Benford; a capped sensor, a default-filled column, or
+    synthetic padding shows up as a digit-histogram bend long before
+    any distribution test on the values themselves).
+
+    Digit extraction is INTEGER-EXACT and engine-portable: rows with
+    |value| ≥ 1 only, first char of the decimal string of
+    floor(|value|) — never ``floor(log10)``, whose libm last-ulp at
+    exact powers of 10 can flip digit 1 to 9 between engines.
+    (Sub-1 magnitudes need value-dependent rescaling to reach their
+    first significant digit; excluding them keeps the audit exact —
+    standard practice is auditing ≥1 populations anyway.)
+
+    Zero-count digits are zero-FILLED (keys × 1..9 spine) — a chi2
+    over only observed digits would understate exactly the
+    pathologies this screen hunts (a feed that never produces digit
+    9). Shape: ONE map-side-combined (key, digit) groupBy on the
+    corpus; the spine fill, share window, and chi2 rollup all run on
+    the ≤ 9·|keys| relation.
+    """
+    v = F.abs(F.col(value_col).cast("double"))
+    digits = (
+        events.where(F.col(value_col).isNotNull() & (v >= 1))
+        .select(F.col(key),
+                F.substring(F.floor(v).cast("long").cast("string"), 1, 1)
+                .cast("int").alias("digit"))
+        .groupBy(key, "digit")
+        .agg(F.count(F.lit(1)).alias("n_d"))
+    )
+    spine = (digits.select(key).distinct()
+             .crossJoin(F.broadcast(
+                 events.sparkSession.range(1, 10)
+                 .select(F.col("id").cast("int").alias("digit")))))
+    filled = spine.join(digits, [key, "digit"], "left").select(
+        key, "digit", F.coalesce(F.col("n_d"), F.lit(0)).alias("n_d"))
+    wk = W.partitionBy(key)
+    exp_arr = F.array(*[F.lit(math.log10(1.0 + 1.0 / dd))
+                        for dd in range(1, 10)])
+    staged = filled.select(
+        key, "digit", "n_d",
+        F.sum("n_d").over(wk).alias("n"),
+        F.element_at(exp_arr, F.col("digit")).alias("_exp"),
+    )
+    chi_term = ((F.col("n_d") - F.col("n") * F.col("_exp")) ** 2
+                / (F.col("n") * F.col("_exp")))
+    return staged.select(
+        key, "digit", "n_d",
+        portable_round(
+            F.col("n_d") / F.col("n").cast("double"), _R).alias("share"),
+        portable_round(F.col("_exp"), _R).alias("expected"),
+        portable_round(F.sum(chi_term).over(wk), _R).alias("chi2"),
+    )
+
+
+_BENFORD_EXP = ", ".join(
+    repr(math.log10(1.0 + 1.0 / dd)) for dd in range(1, 10))
+
+_BENFORD_SQL = f"""
+WITH d AS (
+    SELECT event_type,
+           CAST(substr(CAST(CAST(floor(abs(CAST(value AS DOUBLE)))
+                                 AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+               AS digit,
+           count(*) AS n_d
+    FROM events
+    WHERE value IS NOT NULL AND abs(CAST(value AS DOUBLE)) >= 1
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT event_type, digit
+    FROM (SELECT DISTINCT event_type FROM d)
+    CROSS JOIN (SELECT unnest(range(1, 10)) AS digit)
+),
+f AS (
+    SELECT s.event_type, s.digit,
+           CAST(COALESCE(d.n_d, 0) AS BIGINT) AS n_d,
+           ([{_BENFORD_EXP}])[s.digit] AS expected
+    FROM spine s LEFT JOIN d USING (event_type, digit)
+),
+g AS (
+    SELECT event_type, digit, n_d, expected,
+           sum(n_d) OVER (PARTITION BY event_type) AS n
+    FROM f
+)
+SELECT event_type, digit, n_d,
+       round(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE), 4) AS share,
+       round(expected, 4) AS expected,
+       round(sum(pow(n_d - n * expected, 2)
+                 / (n * expected)) OVER w, 4) AS chi2
+FROM g
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+
 XCORR_METRICS = ("click", "error", "purchase", "signup", "view")
 
 ORACLE_SQL = {
@@ -4015,5 +4115,6 @@ ORACLE_SQL = {
     "sigma_clip_1d": _sigma_clip_sql(3.0, 2),
     "leadlag_1h": _leadlag_sql(XCORR_METRICS, 3),
     "ddsketch_1d": _ddsketch_sql(),
+    "benford_dq": _BENFORD_SQL,
     "fleet_outliers": _FLEET_SQL,
 }
