@@ -1382,6 +1382,27 @@ def q_benford_dq(spark, sf_dir):
     return tsanalytics.benford_dq(_events_raw(spark, sf_dir))
 
 
+def q_trigram_flows(spark, sf_dir):
+    # top-k order-3 journey paths: two leads over ONE user-key
+    # exchange, map-side-combined groupBy to <= |types|^3 rows,
+    # TakeOrderedAndProject top-k
+    return journeys.trigram_flows(_events_raw(spark, sf_dir), k=25)
+
+
+def q_shingle_novelty(spark, sf_dir):
+    # per-doc marginal-contribution novelty: share of the doc's
+    # 3-gram shingles first seen at this doc_id; one shingle-keyed
+    # window exchange + one doc-keyed rollup, no self-join
+    return curation.shingle_novelty(_docs(spark, sf_dir), n=3)
+
+
+def q_zipf_fit(spark, sf_dir):
+    # corpus Zipf power-law fit: OLS of log-count on log-rank over
+    # the top-100 vocab; one map-side-combined token groupBy, heap
+    # top-k, then a 100-row moment aggregate
+    return textstats.zipf_fit(_docs(spark, sf_dir), k=100)
+
+
 def q_sax_discords(spark, sf_dir):
     # per-series rarest complete hour-shape (HOT-SAX-style discord):
     # rides the sax word exchanges; word counts join back
@@ -1869,6 +1890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "pagerank_types": q_pagerank_types,
         "benford_dq": q_benford_dq,
+        "trigram_flows": q_trigram_flows,
+        "shingle_novelty": q_shingle_novelty,
+        "zipf_fit": q_zipf_fit,
     }
 
 

@@ -746,6 +746,89 @@ WHERE CAST(concat('0x', substr(md5(concat('{salt}', ':',
 """
 
 
+def shingle_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document contribution novelty: of the doc's distinct word
+    n-gram shingles, the fraction whose FIRST corpus occurrence (min
+    doc_id over all docs containing the shingle) is this doc —
+    (doc_id, n_shingles, n_novel, novelty).
+
+    The greedy-dedup ordering signal: processing a corpus in doc_id
+    order (the usual crawl-snapshot convention), ``novelty`` is
+    exactly the share of a doc's shingles that survive an
+    already-seen-shingle Bloom/set filter — near-0 docs are
+    boilerplate re-crawls contributing nothing new; near-1 docs are
+    fresh content. Complements pairwise dedup (``minhash_lsh_pairs``
+    finds twins; this scores *marginal contribution* even when no
+    single twin exists — e.g. a mashup of ten seen pages).
+
+    Shingles are the same 32-bit-md5-hashed distinct word n-grams as
+    :func:`dedup.shingles` (and hash-collision semantics match the
+    oracle exactly). Scale shape: ONE shingle-keyed exchange (the
+    min-doc_id window — no groupBy+join round trip) + ONE doc-keyed
+    map-side-combined rollup; no self-join, no corpus×corpus
+    anywhere. Docs with < n tokens have no shingles: n_shingles = 0,
+    novelty NULL.
+    """
+    from yahoo_anomaly_detection_spark.operators.dedup import shingles
+
+    sh = shingles(docs.select("doc_id", "text"), n)
+    first = sh.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("shingle")))
+    per_doc = first.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+        .alias("n_novel"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        F.when(
+            F.col("n_shingles") > 0,
+            portable_round(
+                F.col("n_novel") / F.col("n_shingles").cast("double"), _R),
+        ).alias("novelty"),
+    )
+
+
+def _novelty_sql(n: int) -> str:
+    from yahoo_anomaly_detection_spark.operators.dedup import HEXINT_SQL
+
+    g = HEXINT_SQL.format(x="g")
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+gram AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= {n}
+                       THEN list_transform(
+                               generate_series(1, len(w) - {n - 1}),
+                               i -> array_to_string(w[i:i + {n - 1}], ' '))
+                       ELSE [] END) AS g
+    FROM tok
+),
+sh AS (SELECT DISTINCT doc_id, {g} AS shingle FROM gram),
+fo AS (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+    FROM sh
+),
+pd AS (
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM fo GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(pd.n_shingles, 0) AS n_shingles,
+       COALESCE(pd.n_novel, 0) AS n_novel,
+       CASE WHEN pd.n_shingles > 0
+            THEN round(pd.n_novel / CAST(pd.n_shingles AS DOUBLE), 4)
+       END AS novelty
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 # the driver query's mixture: one deliberately over-asked source
 # (src0 desired 1500 > its ~1435 available tokens -> frac caps at
 # 1.0), two fractional sources, all other sources excluded
@@ -765,4 +848,5 @@ ORACLE_SQL = {
     "bigram_logppl": _bigram_logppl_sql(0.5),
     "seq_pack": _seq_pack_sql(256),
     "bpe_pairs": _bpe_pairs_sql(30),
+    "shingle_novelty": _novelty_sql(3),
 }

@@ -374,6 +374,50 @@ def pagerank_types(events: DataFrame, damping: float = 0.85,
     return out.select(F.col("node").alias("event_type"), "pr")
 
 
+def trigram_flows(events: DataFrame, k: int = 25,
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """Top-k order-3 journey paths: the most frequent (t1 → t2 → t3)
+    windows of consecutive event types within a user's stream —
+    (t1, t2, t3, n).
+
+    The sequence-mining step past the first-order matrix
+    (:func:`event_transitions`): funnels and retry storms that a
+    Markov view washes out (view→view→purchase vs view→error→view
+    have identical edge sets but different trigrams). Users
+    contribute max(0, depth-2) trigrams; ties at the k boundary
+    break by (t1, t2, t3) asc so the cut is deterministic.
+
+    Shape: TWO leads over the one user-key exchange (same Window →
+    one Exchange, pipelined), map-side-combined groupBy to ≤ |types|³
+    rows, top-k via orderBy().limit(k) = TakeOrderedAndProject."""
+    w = _seq_window(user_col, ts_col, id_col)
+    tri = events.select(
+        F.col(type_col).alias("t1"),
+        F.lead(type_col, 1).over(w).alias("t2"),
+        F.lead(type_col, 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    counts = tri.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), "t1", "t2", "t3").limit(k)
+
+
+def _trigram_sql(k: int) -> str:
+    return f"""
+WITH t AS (
+    SELECT event_type AS t1,
+           lead(event_type, 1) OVER w AS t2,
+           lead(event_type, 2) OVER w AS t3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, count(*) AS n
+FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT {k}
+"""
+
+
 def _pagerank_sql(damping: float = 0.85, iters: int = 8) -> str:
     # every r{i} references r{i-1} TWICE (edge join + dangling sum);
     # DuckDB inlines plain CTEs, so without MATERIALIZED the plan tree
@@ -430,4 +474,5 @@ ORACLE_SQL = {
     "depth_hist": _DEPTH_SQL,
     "next_gap_1d": _NEXT_GAP_SQL,
     "pagerank_types": _pagerank_sql(),
+    "trigram_flows": _trigram_sql(25),
 }

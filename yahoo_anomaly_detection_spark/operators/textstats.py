@@ -764,6 +764,102 @@ HAVING count(*) > {phi} * (SELECT n FROM n)
 """
 
 
+def zipf_fit(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Zipf power-law fit of the corpus token-frequency distribution:
+    OLS of log10(count) on log10(rank) over the top-k vocabulary —
+    ONE row (n_terms, slope, intercept, r2).
+
+    The corpus-health read-out tokenizer and data-mixing work leans
+    on: natural language sits near slope ≈ -1 (Zipf 1949); template
+    spam flattens the head (slope → 0 over the top ranks), dedup
+    failures steepen it, and a collapsed r2 means the frequency curve
+    is not a power law at all (machine-generated token soup). Ranks
+    tie-break by token asc so the fit is deterministic under count
+    ties.
+
+    Scale shape: explode → ONE map-side-combined groupBy(token)
+    (vocab-sized output ≪ corpus) → distributed top-k via
+    orderBy().limit(k) (TakeOrderedAndProject: per-partition heap,
+    never a global sort) → the rank window and the OLS moment
+    aggregate run on ≤ k rows.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    xy = top.select(
+        F.log10(
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+            .cast("double")
+        ).alias("x"),
+        F.log10(F.col("cnt").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.when(varx > 0, portable_round(slope, _R)).alias("slope"),
+        F.when(
+            varx > 0,
+            portable_round((F.col("sy") - slope * F.col("sx")) / F.col("n"),
+                           _R),
+        ).alias("intercept"),
+        F.when((varx > 0) & (vary > 0),
+               portable_round(cov * cov / (varx * vary), _R)).alias("r2"),
+    )
+
+
+def _zipf_sql(k: int) -> str:
+    return f"""
+WITH tok AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+),
+c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+top AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS r
+    FROM c ORDER BY cnt DESC, token ASC LIMIT {k}
+),
+xy AS (SELECT log10(CAST(r AS DOUBLE)) AS x,
+              log10(CAST(cnt AS DOUBLE)) AS y FROM top),
+m AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round((sy - (n * sxy - sx * sy)
+                             / (n * sxx - sx * sx) * sx) / n, 4)
+       END AS intercept,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round(pow(n * sxy - sx * sy, 2)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+       END AS r2
+FROM m
+"""
+
+
 ORACLE_SQL = {
     "lang_id": _lang_sql(),
     "quality_score": _quality_sql(),
@@ -777,4 +873,5 @@ ORACLE_SQL = {
     "tfidf_top3": _tfidf_sql(3),
     "topk_per_band": _topk_per_band_sql(20),
     "heavy_hitters": _heavy_hitters_sql(0.01),
+    "zipf_fit": _zipf_sql(100),
 }
