@@ -1403,6 +1403,26 @@ def q_zipf_fit(spark, sf_dir):
     return textstats.zipf_fit(_docs(spark, sf_dir), k=100)
 
 
+def q_survival_km(spark, sf_dir):
+    # Kaplan-Meier user-lifetime curve, right-censored at the corpus
+    # edge: one user-keyed map-side groupBy, broadcast cutoff, then
+    # all windows run on the <= |ages| relation
+    return journeys.survival_km(_events_raw(spark, sf_dir))
+
+
+def q_apdex_1h(spark, sf_dir):
+    # Apdex SLA-attainment per (type, hour): one map-side-combined
+    # groupBy, conditional sums fold in the combiner
+    return tsanalytics.apdex(_events_raw(spark, sf_dir), t_sat=50.0)
+
+
+def q_embed_quant_error(spark, sf_dir):
+    # int8 scalar-quantization QC: per-dim scales via one map-side
+    # (dim) groupBy broadcast back; quantize/mse/cosine are pure
+    # zip_with map work -- the corpus never shuffles
+    return similarity.quantization_error(_embs(spark, sf_dir), qmax=127)
+
+
 def q_sax_discords(spark, sf_dir):
     # per-series rarest complete hour-shape (HOT-SAX-style discord):
     # rides the sax word exchanges; word counts join back
@@ -1893,6 +1913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_flows": q_trigram_flows,
         "shingle_novelty": q_shingle_novelty,
         "zipf_fit": q_zipf_fit,
+        "survival_km": q_survival_km,
+        "apdex_1h": q_apdex_1h,
+        "embed_quant_error": q_embed_quant_error,
     }
 
 

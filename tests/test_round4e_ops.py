@@ -129,3 +129,125 @@ def test_zipf_fit_degenerate_single_term(spark):
                              k=10).collect()[0]
     assert row.n_terms == 1
     assert row.slope is None and row.intercept is None and row.r2 is None
+
+
+# ------------------------------------------------- survival_km
+def test_survival_km_textbook_small_sample(spark):
+    """5 users, cutoff day 10: deaths at ages 2 (u1) and 5 (u2, u3
+    censored at 5 is separate), one censored mid-range, two censored
+    at the edge. Hand-computed KM product."""
+    import datetime as dt
+    d0 = dt.datetime(2024, 1, 1)
+
+    def u(uid, first, last):
+        return [(uid * 100, d0 + dt.timedelta(days=first), uid, "a", 1.0),
+                (uid * 100 + 1, d0 + dt.timedelta(days=last), uid, "a", 1.0)]
+
+    rows = (u(1, 0, 2)      # dies at age 2
+            + u(2, 0, 5)    # dies at age 5
+            + u(3, 5, 10)   # last == cutoff -> censored at age 5
+            + u(4, 3, 10)   # censored at age 7
+            + u(5, 0, 10))  # censored at age 10
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = {r.t_day: r for r in journeys.survival_km(ev).collect()}
+    # ages: 2 (1 death, risk 5), 5 (1 death + 1 censored, risk 4),
+    #       7 (censored, risk 2), 10 (censored, risk 1)
+    assert out[2].n_risk == 5 and out[2].n_events == 1
+    assert out[5].n_risk == 4 and out[5].n_events == 1 \
+        and out[5].n_censored == 1
+    assert out[7].n_risk == 2 and out[7].n_events == 0
+    assert out[10].n_risk == 1 and out[10].n_censored == 1
+    s2 = 1 - 1 / 5
+    s5 = s2 * (1 - 1 / 4)
+    assert abs(out[2].survival - round(s2 + 1e-9, 4)) < 1e-9
+    assert abs(out[5].survival - round(s5 + 1e-9, 4)) < 1e-9
+    # censoring-only ages don't move the curve
+    assert out[7].survival == out[5].survival
+    assert out[10].survival == out[5].survival
+
+
+def test_survival_km_total_collapse_hits_zero(spark):
+    """Everyone dies at the same age before the cutoff -> survival 0
+    exactly (the ln(0) guard), and a later censored age stays 0."""
+    import datetime as dt
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in (1, 2):
+        rows += [(uid * 10, d0, uid, "a", 1.0),
+                 (uid * 10 + 1, d0 + dt.timedelta(days=3), uid, "a", 1.0)]
+    rows += [(90, d0, 9, "a", 1.0),
+             (91, d0 + dt.timedelta(days=8), 9, "a", 1.0)]  # sets cutoff
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = {r.t_day: r for r in journeys.survival_km(ev).collect()}
+    assert out[3].n_risk == 3 and out[3].n_events == 2
+    assert out[8].n_risk == 1 and out[8].n_events == 0
+    assert out[3].survival == round((1 - 2 / 3) + 1e-9, 4)
+    assert out[8].survival == out[3].survival
+
+
+# ------------------------------------------------- apdex
+def test_apdex_bands_and_score(spark):
+    from yahoo_anomaly_detection_spark.operators import tsanalytics
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 12, 10)
+    vals = [10.0, 50.0, 51.0, 200.0, 201.0, None]  # sat,sat,tol,tol,fru,drop
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, "a", v)
+            for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = tsanalytics.apdex(ev, t_sat=50.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.bucket_start == dt.datetime(2024, 1, 1, 12, 0)
+    assert (r.n, r.n_sat, r.n_tol) == (5, 2, 2)
+    assert abs(r.apdex - round((2 + 1) / 5 + 1e-9, 4)) < 1e-9
+
+
+# ------------------------------------------------- quantization_error
+def test_quantization_error_exact_tiny_vectors(spark):
+    """DIM=64 corpus of two vectors with hand-checkable scales: the
+    max-|x| vector reconstructs exactly on its extreme dims; mse
+    matches a numpy replica of the same quantizer."""
+    import numpy as np
+    from yahoo_anomaly_detection_spark.operators import similarity
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=64).astype(np.float32)
+    b = rng.normal(size=64).astype(np.float32)
+    embs = spark.createDataFrame(
+        [(1, a.tolist()), (2, b.tolist())],
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in
+           similarity.quantization_error(embs, qmax=127).collect()}
+    s = np.maximum(np.abs(a.astype(np.float64)),
+                   np.abs(b.astype(np.float64)))
+    for vid, v in ((1, a), (2, b)):
+        v = v.astype(np.float64)
+        q = np.sign(v) * np.floor(np.abs(v) / s * 127.0 + 0.5)
+        w = q * s / 127.0
+        mse = float(np.mean((v - w) ** 2))
+        cos = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+        assert abs(out[vid].mse - round(mse + 1e-9, 8)) < 1e-7
+        assert abs(out[vid].cos_sim - round(cos + 1e-9, 8)) < 1e-7
+        assert out[vid].cos_sim > 0.999
+
+
+def test_quantization_error_zero_dim_and_zero_vector(spark):
+    """An all-zero dimension (scale 0) dequantizes to 0 without a
+    division blowup; an all-zero vector gets cos_sim NULL, mse 0."""
+    from yahoo_anomaly_detection_spark.operators import similarity
+    z = [0.0] * 64
+    v = [0.0] * 63 + [2.0]
+    embs = spark.createDataFrame(
+        [(1, z), (2, v)], "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in
+           similarity.quantization_error(embs).collect()}
+    assert out[1].mse == 0.0 and out[1].cos_sim is None
+    assert out[2].mse == 0.0 and out[2].cos_sim == 1.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        similarity.quantization_error(embs, qmax=0)

@@ -401,6 +401,107 @@ def trigram_flows(events: DataFrame, k: int = 25,
     return counts.orderBy(F.desc("n"), "t1", "t2", "t3").limit(k)
 
 
+def survival_km(events: DataFrame, user_col: str = "user_id",
+                ts_col: str = "ts") -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (days from first
+    to last observed activity), right-censored at the corpus's last
+    observed day: one row per observed lifetime
+    (t_day, n_risk, n_events, n_censored, survival).
+
+    The churn read-out :func:`~.sessions.retention_cohorts` can't
+    give: naive retention treats users whose history is cut off by
+    the snapshot edge as churned, biasing lifetime low; KM counts
+    them at risk up to their censoring age and no further (Kaplan &
+    Meier 1958). A user whose last activity falls ON the corpus's
+    final day is censored (we cannot know they left); everyone else
+    "died" at age ``last_day − first_day``.
+
+    S(t) = Π_{s ≤ t} (1 − d(s)/n(s)) computed as exp(Σ ln·) over the
+    age-ordered relation, with the d(s) = n(s) collapse (survival
+    hits exactly 0) handled via a zero-factor counter rather than
+    ln(0), which engines disagree on (NULL vs −inf).
+
+    Scale shape: ONE map-side-combined user-keyed groupBy (corpus →
+    |users| rows), a broadcast scalar cutoff, then an age-keyed
+    rollup to ≤ |distinct lifetimes| rows (≤ observation span in
+    days) — every window below runs on that tiny relation."""
+    day = F.to_date(F.col(ts_col))
+    pu = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(day).alias("f"), F.max(day).alias("l"))
+    cutoff = events.agg(F.max(day).alias("cutoff"))
+    u = pu.crossJoin(F.broadcast(cutoff)).select(
+        F.datediff("l", "f").alias("t_day"),
+        (F.col("l") < F.col("cutoff")).cast("long").alias("d"),
+    )
+    a = u.groupBy("t_day").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("d").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("d")).alias("n_censored"),
+    )
+    w_risk = (W.orderBy(F.desc("t_day"))
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    r = a.select(
+        "t_day", "n_events", "n_censored",
+        F.sum("n_total").over(w_risk).alias("n_risk"),
+    )
+    w_cum = W.orderBy("t_day").rowsBetween(W.unboundedPreceding,
+                                           W.currentRow)
+    frac = F.col("n_events") / F.col("n_risk").cast("double")
+    z = F.sum((F.col("n_events") == F.col("n_risk")).cast("long")) \
+        .over(w_cum)
+    ls = F.sum(F.when(F.col("n_risk") > F.col("n_events"),
+                      F.log(F.lit(1.0) - frac))).over(w_cum)
+    return r.select(
+        "t_day", "n_risk", "n_events", "n_censored",
+        portable_round(
+            F.when(z > 0, F.lit(0.0))
+            .otherwise(F.exp(F.coalesce(ls, F.lit(0.0)))), _R)
+        .alias("survival"),
+    )
+
+
+_SURVIVAL_SQL = """
+WITH pu AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+    FROM events GROUP BY 1
+),
+c AS (SELECT max(CAST(ts AS DATE)) AS cutoff FROM events),
+u AS (
+    SELECT date_diff('day', f, l) AS t_day,
+           CASE WHEN l < (SELECT cutoff FROM c) THEN 1 ELSE 0 END AS d
+    FROM pu
+),
+a AS (
+    SELECT t_day, count(*) AS n_total,
+           CAST(sum(d) AS BIGINT) AS n_events,
+           CAST(count(*) - sum(d) AS BIGINT) AS n_censored
+    FROM u GROUP BY 1
+),
+r AS (
+    SELECT t_day, n_events, n_censored,
+           CAST(sum(n_total) OVER (
+               ORDER BY t_day DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_risk
+    FROM a
+),
+s AS (
+    SELECT t_day, n_risk, n_events, n_censored,
+           sum(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END) OVER w AS z,
+           sum(CASE WHEN n_risk > n_events
+                    THEN ln(1.0 - n_events / CAST(n_risk AS DOUBLE))
+               END) OVER w AS ls
+    FROM r
+    WINDOW w AS (ORDER BY t_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t_day, n_risk, n_events, n_censored,
+       round(CASE WHEN z > 0 THEN 0.0
+                  ELSE exp(COALESCE(ls, 0.0)) END, 4) AS survival
+FROM s
+"""
+
+
 def _trigram_sql(k: int) -> str:
     return f"""
 WITH t AS (
@@ -475,4 +576,5 @@ ORACLE_SQL = {
     "next_gap_1d": _NEXT_GAP_SQL,
     "pagerank_types": _pagerank_sql(),
     "trigram_flows": _trigram_sql(25),
+    "survival_km": _SURVIVAL_SQL,
 }

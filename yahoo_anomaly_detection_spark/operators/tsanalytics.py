@@ -4069,6 +4069,64 @@ WINDOW w AS (PARTITION BY event_type)
 """
 
 
+def apdex(events: DataFrame, t_sat: float = 50.0,
+          bucket_seconds: int = 3600, key: str = "event_type",
+          ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Apdex score per (key, bucket): the SLA-attainment index ops
+    dashboards standardize on (Apdex Alliance spec) — satisfied
+    (value ≤ T), tolerating (T < value ≤ 4T), frustrated (> 4T);
+    ``apdex = (n_sat + n_tol/2) / n`` ∈ [0, 1].
+
+    The single-number complement to :func:`~.sessions.value_percentiles`:
+    percentiles answer "how slow is the tail", Apdex answers "what
+    share of requests met the target" — robust to outlier magnitude
+    by construction. NULL values are a missed measurement, excluded.
+
+    Shape: ONE map-side-combined (key, bucket) groupBy on the corpus
+    — conditional sums fold in the combiner; no window, no join."""
+    v = F.col(value_col).cast("double")
+    sat = (v <= t_sat).cast("long")
+    tol = ((v > t_sat) & (v <= 4.0 * t_sat)).cast("long")
+    return (
+        events.where(v.isNotNull())
+        .groupBy(F.col(key), _bucket_expr(ts_col, int(bucket_seconds))
+                 .alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(sat).alias("n_sat"),
+            F.sum(tol).alias("n_tol"),
+        )
+        .select(
+            key, "bucket_start", "n", "n_sat", "n_tol",
+            portable_round(
+                (F.col("n_sat") + F.col("n_tol") / F.lit(2.0))
+                / F.col("n").cast("double"), _R).alias("apdex"),
+        )
+    )
+
+
+def _apdex_sql(t_sat: float) -> str:
+    t = repr(float(t_sat))
+    return f"""
+SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+       count(*) AS n,
+       CAST(sum(CASE WHEN CAST(value AS DOUBLE) <= {t}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+       CAST(sum(CASE WHEN CAST(value AS DOUBLE) > {t}
+                      AND CAST(value AS DOUBLE) <= 4.0 * {t}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tol,
+       round((sum(CASE WHEN CAST(value AS DOUBLE) <= {t}
+                       THEN 1 ELSE 0 END)
+              + sum(CASE WHEN CAST(value AS DOUBLE) > {t}
+                          AND CAST(value AS DOUBLE) <= 4.0 * {t}
+                         THEN 1 ELSE 0 END) / 2.0)
+             / CAST(count(*) AS DOUBLE), 4) AS apdex
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 XCORR_METRICS = ("click", "error", "purchase", "signup", "view")
 
 ORACLE_SQL = {
@@ -4116,5 +4174,6 @@ ORACLE_SQL = {
     "leadlag_1h": _leadlag_sql(XCORR_METRICS, 3),
     "ddsketch_1d": _ddsketch_sql(),
     "benford_dq": _BENFORD_SQL,
+    "apdex_1h": _apdex_sql(50.0),
     "fleet_outliers": _FLEET_SQL,
 }
