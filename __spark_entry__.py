@@ -1423,6 +1423,15 @@ def q_embed_quant_error(spark, sf_dir):
     return similarity.quantization_error(_embs(spark, sf_dir), qmax=127)
 
 
+def q_bitmap_actives_1d(spark, sf_dir):
+    # EXACT distinct users per (type, day) via packed-bitmap partial
+    # aggregation (the groupBitmap idiom): 32 ids fold into one long
+    # chunk that merges by bit_or, so the exchange carries <=
+    # |ids|/32 chunk rows per group -- and the chunk relation is a
+    # mergeable tier (week = bit_or of dailies, still exact)
+    return sketches.bitmap_actives(_events_raw(spark, sf_dir))
+
+
 def q_sax_discords(spark, sf_dir):
     # per-series rarest complete hour-shape (HOT-SAX-style discord):
     # rides the sax word exchanges; word counts join back
@@ -1916,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_km": q_survival_km,
         "apdex_1h": q_apdex_1h,
         "embed_quant_error": q_embed_quant_error,
+        "bitmap_actives_1d": q_bitmap_actives_1d,
     }
 
 

@@ -155,6 +155,14 @@ HEADLINE = [
     "hll_actives_1d",
     "hll_cascade_7d",
     "cms_heavy_hitters",
+    "pagerank_types",
+    "benford_dq",
+    "trigram_flows",
+    "shingle_novelty",
+    "zipf_fit",
+    "survival_km",
+    "apdex_1h",
+    "embed_quant_error",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -319,6 +319,14 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         "src", "dst",
         (F.col("w") / F.sum("w").over(W.partitionBy("src"))).alias("p"),
     )
+    # materialize the normalized edge relation ONCE: it feeds the
+    # contrib join of every round, and lazily it would re-run the
+    # upstream corpus scan (for pagerank_types: the full lead-window
+    # pair extraction) 8 times — measured 19.6 s -> ~6 s at sf0.1
+    from yahoo_anomaly_detection_spark import caching
+
+    en = caching.materialize(en)
+    e = en  # nodes/srcs below derive from the cached relation
     from .dedup import _persistent_rdd_ids, _unpersist_rdd_ids
 
     spark = edges.sparkSession

@@ -367,8 +367,62 @@ GROUP BY 1, 2
 """
 
 
+def bitmap_actives(events: DataFrame, key: str = "event_type",
+                   ts_col: str = "ts",
+                   id_col: str = "user_id") -> DataFrame:
+    """EXACT distinct ids per (key, day) via packed-bitmap partial
+    aggregation — the Druid/ClickHouse ``groupBitmap`` idiom:
+    (key, day, n_users).
+
+    The third point on the distinct-count cost curve: COUNT(DISTINCT)
+    (``active_users_1d``) shuffles one row per distinct id per group;
+    HLL (``hll_actives_1d``) shuffles ≤2^p register rows but is
+    approximate. A bitmap packs 32 ids into one long that merges by
+    ``bit_or`` — associative, idempotent (a retried/duplicated task
+    re-ORs the same bits harmlessly), map-side combinable — so the
+    exchange carries at most |id-universe|/32 chunk rows per group,
+    32× fewer than the distinct rows themselves when ids are dense.
+    Like the HLL register file, the (key, day, chunk, bm) relation is
+    a mergeable TIER: week = bit_or of the dailies, still exact —
+    the decomposability COUNT(DISTINCT) lacks.
+
+    32-bit chunks, not 64: ``1 << 63`` overflows signed BIGINT on
+    engines without unsigned shifts (DuckDB raises), and the sign bit
+    makes ``bit_count`` two's-complement-dependent. 32 live bits in a
+    64-bit long keeps every engine in exact integer territory.
+    Requires non-negative integer ids (asserted cheaply via the
+    id >= 0 filter semantics: negative ids would alias chunks).
+    """
+    uid = F.col(id_col).cast("long")
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    chunks = (
+        events.where(uid.isNotNull() & (uid >= 0))
+        .groupBy(F.col(key), day,
+                 F.expr(f"{id_col} div 32").alias("chunk"))
+        .agg(F.expr(f"bit_or(shiftleft(1L, "
+                    f"cast({id_col} % 32 as int)))").alias("bm"))
+    )
+    return chunks.groupBy(key, "day").agg(
+        F.sum(F.bit_count("bm")).alias("n_users"))
+
+
+_BITMAP_SQL = """
+WITH b AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           user_id // 32 AS chunk,
+           bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bm
+    FROM events
+    WHERE user_id IS NOT NULL AND user_id >= 0
+    GROUP BY 1, 2, 3
+)
+SELECT event_type, day, CAST(sum(bit_count(bm)) AS BIGINT) AS n_users
+FROM b GROUP BY 1, 2
+"""
+
+
 ORACLE_SQL = {
     "hll_actives_1d": _HLL_1D_SQL,
     "hll_cascade_7d": _HLL_CASCADE_SQL,
     "cms_heavy_hitters": _cms_sql("user_id", 20, 4, 2048),
+    "bitmap_actives_1d": _BITMAP_SQL,
 }
