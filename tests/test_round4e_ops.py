@@ -251,3 +251,67 @@ def test_quantization_error_zero_dim_and_zero_vector(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         similarity.quantization_error(embs, qmax=0)
+
+
+# ------------------------------------------------- bitmap_actives
+def test_bitmap_actives_matches_exact_distinct(spark):
+    """Packed-bitmap distinct equals COUNT(DISTINCT) exactly —
+    including ids that share a chunk, ids 32 apart (same bit,
+    different chunk), duplicates, and a multi-day key."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    for day, key, uids in [
+        (0, "a", [0, 1, 31, 32, 63, 64, 64, 1]),   # dup ids collapse
+        (0, "b", [5]),
+        (1, "a", [0, 1000000, 1000032]),            # sparse chunks
+    ]:
+        for u in uids:
+            rows.append((eid, t0 + dt.timedelta(days=day, seconds=eid),
+                         u, key, 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double")
+    from yahoo_anomaly_detection_spark.operators import sketches
+    got = {(r.event_type, r.day.day, r.n_users)
+           for r in sketches.bitmap_actives(ev).collect()}
+    exact = {(r.event_type, r.day.day, r.n)
+             for r in ev.groupBy("event_type",
+                                 F.date_trunc("day", "ts").alias("day"))
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got == exact
+    assert ("a", 1, 6) in got  # dups collapsed: {0,1,31,32,63,64}
+
+
+def test_bitmap_actives_weekly_tier_merge_is_exact(spark):
+    """The chunk relation is a mergeable tier: OR-ing daily chunk
+    bitmaps and popcounting gives the exact weekly distinct (repeat
+    visitors counted once), which sum(daily distinct) gets wrong."""
+    t0 = dt.datetime(2024, 6, 3)
+    rows = []
+    eid = 0
+    for day in range(7):
+        for u in [1, 2, day + 10]:  # 1,2 visit every day
+            rows.append((eid, t0 + dt.timedelta(days=day), u, "k", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double")
+    from yahoo_anomaly_detection_spark.operators import sketches
+    uid = F.col("user_id")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").alias("day"),
+                        F.expr("user_id div 32").alias("chunk"))
+             .agg(F.expr("bit_or(shiftleft(1L, "
+                         "cast(user_id % 32 as int)))").alias("bm")))
+    weekly = (daily.groupBy("event_type",
+                            F.date_trunc("week", "day").alias("week"),
+                            "chunk")
+              .agg(F.expr("bit_or(bm)").alias("bm"))
+              .groupBy("event_type", "week")
+              .agg(F.sum(F.bit_count("bm")).alias("n_users")))
+    [r] = weekly.collect()
+    assert r.n_users == 9  # {1,2} once + {10..16}, not 7*3=21

@@ -334,12 +334,24 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
              .union(e.select(F.col("dst").alias("node")))
              .distinct())
     n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # WHICH nodes are dangling is static across rounds (only their
+    # mass changes), so the membership anti-join runs ONCE here and
+    # rides the checkpointed rank state as a boolean — each round
+    # then computes the dangling mass with a plain conditional sum
+    # instead of re-shuffling ranks against the src set.
+    srcs = en.select(F.col("src").alias("node")).distinct()
     ids_before = _persistent_rdd_ids(spark)
-    ranks = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", "n", (F.lit(1.0) / F.col("n")).alias("pr"),
+    ranks = (
+        nodes.join(srcs.withColumn("has_out", F.lit(True)),
+                   "node", "left")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "node", "n",
+            (F.lit(1.0) / F.col("n")).alias("pr"),
+            (~F.coalesce(F.col("has_out"), F.lit(False))).alias("dangling"),
+        )
     ).localCheckpoint()
     live_ids = _persistent_rdd_ids(spark) - ids_before
-    srcs = en.select(F.col("src").alias("node")).distinct()
     d = float(damping)
     for _ in range(iters):
         contrib = (
@@ -348,15 +360,16 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("p") * F.col("pr")).alias("s"))
         )
-        dang = (ranks.join(srcs, "node", "left_anti")
-                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")))
+        dang = ranks.agg(
+            F.coalesce(F.sum(F.when(F.col("dangling"), F.col("pr"))),
+                       F.lit(0.0)).alias("dm"))
         ids_before = _persistent_rdd_ids(spark)
         ranks = (
-            ranks.select("node", "n")
-            .join(contrib, "node", "left")
+            ranks.select("node", "n", "dangling")
+            .join(F.broadcast(contrib), "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
-                "node", "n",
+                "node", "n", "dangling",
                 (F.lit(1.0 - d) / F.col("n")
                  + F.lit(d) * (F.coalesce(F.col("s"), F.lit(0.0))
                                + F.col("dm") / F.col("n"))).alias("pr"),
