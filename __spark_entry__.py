@@ -1432,6 +1432,29 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_grouping_cube_1d(spark, sf_dir):
+    # one-pass multi-granularity rollup: cube(type, day) plans as a
+    # single Expand (x4 map-side) into ONE map-side-combined hash
+    # aggregate -- one shuffle of partials, never four raw scans
+    return rollup.grouped_rollup(_events_raw(spark, sf_dir))
+
+
+def q_pot_tail(spark, sf_dir):
+    # EVT peaks-over-threshold tail model per series (SPOT-style):
+    # MoM GPD fit on exceedances over the per-series p95, extreme
+    # quantile at q=1e-3, breach count; the one-row-per-key model
+    # relation broadcasts back -- the raw relation never shuffles
+    return tsanalytics.pot_tail(_events_raw(spark, sf_dir))
+
+
+def q_markov_entropy(spark, sf_dir):
+    # journey-predictability profile: conditional next-state entropy
+    # per from-state + its pi-weighted share of the chain entropy
+    # rate; one user-key exchange, then everything runs on the
+    # <=|types|^2 count relation
+    return journeys.markov_entropy(_events_raw(spark, sf_dir))
+
+
 def q_sax_discords(spark, sf_dir):
     # per-series rarest complete hour-shape (HOT-SAX-style discord):
     # rides the sax word exchanges; word counts join back
@@ -1926,6 +1949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apdex_1h": q_apdex_1h,
         "embed_quant_error": q_embed_quant_error,
         "bitmap_actives_1d": q_bitmap_actives_1d,
+        "grouping_cube_1d": q_grouping_cube_1d,
+        "pot_tail": q_pot_tail,
+        "markov_entropy": q_markov_entropy,
     }
 
 
@@ -2504,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(sketches.ORACLE_SQL)
     out.update(journeys.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)
+    out["grouping_cube_1d"] = rollup.GROUPED_ROLLUP_SQL
     # capstone composition: intersection of three independently-
     # oracled doc_id sets (quality gate, canonical dedup survivors,
     # stratified sample)

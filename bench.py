@@ -163,6 +163,9 @@ HEADLINE = [
     "survival_km",
     "apdex_1h",
     "embed_quant_error",
+    "grouping_cube_1d",
+    "pot_tail",
+    "markov_entropy",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -1,0 +1,182 @@
+"""Round-4f operators: cube grouping-sets rollup, EVT
+peaks-over-threshold tail model, Markov journey entropy."""
+
+import datetime as dt
+import math
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import count_exchanges as _exchanges, plan_str as _plan
+from yahoo_anomaly_detection_spark.operators import (
+    journeys,
+    rollup,
+    tsanalytics,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+
+
+# ------------------------------------------------- grouped_rollup
+@pytest.fixture(scope="module")
+def small_events(spark):
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    for day in range(3):
+        for typ, vals in [("a", [1.0, 2.0, 3.0]), ("b", [10.0 + day])]:
+            for v in vals:
+                rows.append((eid, t0 + dt.timedelta(days=day,
+                                                    seconds=eid), 7,
+                             typ, v))
+                eid += 1
+    return _ev(spark, rows)
+
+
+def test_grouped_rollup_matches_four_separate_aggs(spark, small_events):
+    """cube output must equal the union of the four grains computed
+    independently — every lattice cell, exact counts and sums."""
+    got = {(r.event_type, str(r.day), r.gid, r.n, r.sum_v)
+           for r in rollup.grouped_rollup(small_events).collect()}
+    ev = small_events.withColumn("day", F.date_trunc("day", "ts"))
+    fine = {(r.event_type, str(r.day), 0, r.n, round(r.s + 1e-9, 4))
+            for r in ev.groupBy("event_type", "day")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()}
+    by_type = {(r.event_type, "1970-01-01 00:00:00", 1, r.n,
+                round(r.s + 1e-9, 4))
+               for r in ev.groupBy("event_type")
+               .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+               .collect()}
+    by_day = {("<all>", str(r.day), 2, r.n, round(r.s + 1e-9, 4))
+              for r in ev.groupBy("day")
+              .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+              .collect()}
+    [g] = ev.agg(F.count("*").alias("n"), F.sum("value").alias("s")) \
+        .collect()
+    grand = {("<all>", "1970-01-01 00:00:00", 3, g.n,
+              round(g.s + 1e-9, 4))}
+    assert got == fine | by_type | by_day | grand
+    # 3 days x 2 types (a every day, b every day) = 6 fine cells
+    assert len(got) == 6 + 2 + 3 + 1
+
+
+def test_grouped_rollup_single_expand_single_shuffle(spark, small_events):
+    """The cube must plan as ONE Expand feeding ONE exchange of
+    partial aggregates — never four scans or four shuffles."""
+    df = rollup.grouped_rollup(small_events)
+    plan = _plan(df)
+    assert len(re.findall(r"\bExpand\b", plan)) == 1, plan
+    assert _exchanges(df) == 1, plan
+
+
+# ------------------------------------------------- pot_tail
+def test_pot_tail_matches_numpy_replica(spark):
+    """MoM GPD fit + extreme quantile vs a straight numpy replica on
+    a heavy-ish synthetic sample."""
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(mean=1.0, sigma=0.8, size=4000)
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), i % 50, "k",
+             float(v)) for i, v in enumerate(vals)]
+    [r] = tsanalytics.pot_tail(_ev(spark, rows), q=0.001,
+                               u_q=0.95).collect()
+    n = len(vals)
+    t = np.quantile(vals, 0.95, method="linear")
+    exc = vals[vals > t] - t
+    m, s2 = exc.mean(), exc.var()
+    xi = 0.5 * (1 - m * m / s2)
+    sigma = 0.5 * m * (1 + m * m / s2)
+    z = t + sigma / xi * ((n * 0.001 / len(exc)) ** (-xi) - 1)
+    assert r.n == n and r.n_exc == len(exc)
+    assert r.thresh == pytest.approx(t, abs=2e-4)
+    assert r.xi == pytest.approx(xi, abs=2e-4)
+    assert r.sigma == pytest.approx(sigma, abs=2e-4)
+    assert r.z_q == pytest.approx(z, rel=1e-3)
+    assert r.n_above == int((vals > z).sum())
+    # the extreme quantile extrapolates BEYOND the threshold
+    assert r.z_q > r.thresh
+
+
+def test_pot_tail_degenerate_series_yields_null_model(spark):
+    """Constant exceedances (variance 0) and tiny series must emit
+    NULL model columns, not NaN/raise."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, "flat", 1.0)
+            for i in range(100)]
+    rows += [(200 + i, t0 + dt.timedelta(seconds=i), 1, "tiny",
+              float(i)) for i in range(1)]
+    out = {r.event_type: r for r in
+           tsanalytics.pot_tail(_ev(spark, rows)).collect()}
+    for k in ("flat", "tiny"):
+        r = out[k]
+        assert r.xi is None and r.sigma is None and r.z_q is None
+        assert r.n_above is None
+
+
+def test_pot_tail_broadcasts_model_never_shuffles_raw(spark):
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), i % 5, "k",
+             float(i % 97)) for i in range(500)]
+    df = tsanalytics.pot_tail(_ev(spark, rows))
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # every SortMergeJoin would mean a raw-relation shuffle
+    assert "SortMergeJoin" not in plan, plan
+
+
+# ------------------------------------------------- markov_entropy
+def test_markov_entropy_hand_cases(spark):
+    """Deterministic chain -> 0 bits; uniform 2-way fan-out -> 1 bit;
+    weights sum to the chain's entropy rate."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    # user 1: a->b a->b ... deterministic from 'a' (and b->a)
+    for i in range(8):
+        rows.append((eid, t0 + dt.timedelta(seconds=eid), 1,
+                     "ab"[i % 2], 1.0))
+        eid += 1
+    # user 2: walk c a c b c a c b -> from c: {a,b} twice each
+    for i, typ in enumerate("cacbcacb"):
+        rows.append((eid, t0 + dt.timedelta(seconds=eid), 2, typ, 1.0))
+        eid += 1
+    # user 3: d d d d -> from d: always d (deterministic)
+    for i in range(4):
+        rows.append((eid, t0 + dt.timedelta(seconds=eid), 3, "d", 1.0))
+        eid += 1
+    out = {r.from_type: r for r in
+           journeys.markov_entropy(_ev(spark, rows)).collect()}
+    assert out["d"].h_bits == 0.0  # deterministic chain
+    # from c: a,b,a,b -> uniform over 2 = 1 bit
+    assert out["c"].h_bits == 1.0
+    # from b: user1 b->a x3, user2 b->c x1 -> H(3/4, 1/4)
+    h_b = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert out["b"].h_bits == pytest.approx(h_b, abs=1e-4)
+    # a -> b (user1 x4) and a -> c (user2 x2): H(2/3,1/3)
+    h_a = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert out["a"].h_bits == pytest.approx(h_a, abs=1e-4)
+    total = sum(r.n_out for r in out.values())
+    rate = sum(r.n_out / total * r.h_bits for r in out.values())
+    assert sum(r.w_bits for r in out.values()) == \
+        pytest.approx(rate, abs=2e-4)
+
+
+def test_markov_entropy_single_user_key_exchange(spark):
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), i % 7,
+             "t%d" % (i % 3), 1.0) for i in range(300)]
+    df = journeys.markov_entropy(_ev(spark, rows))
+    plan = _plan(df)
+    # corpus-sized exchange: exactly one hashpartitioning(user_id)
+    assert len(re.findall(
+        r"Exchange hashpartitioning\(user_id", plan)) == 1, plan

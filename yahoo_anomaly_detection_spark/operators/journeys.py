@@ -599,3 +599,89 @@ ORACLE_SQL = {
     "trigram_flows": _trigram_sql(25),
     "survival_km": _SURVIVAL_SQL,
 }
+
+
+def markov_entropy(events: DataFrame, user_col: str = "user_id",
+                   type_col: str = "event_type", ts_col: str = "ts",
+                   id_col: str = "event_id") -> DataFrame:
+    """Entropy profile of the first-order Markov chain over event
+    types: for each from-state, the conditional next-state entropy
+    H(next | from) in bits and its weight π(from)·H in the chain's
+    overall entropy rate (π = empirical from-state share of all
+    transitions). A perfectly predictable journey step scores 0 bits;
+    a uniform fan-out over k successors scores log2(k) — the
+    information-theoretic complement of :func:`event_transitions`'
+    raw probabilities, standard in user-journey predictability
+    analysis (e.g. Song et al., Science 2010 mobility-entropy line
+    of work).
+
+    Output: (from_type, n_out, h_bits, w_bits), floats rounded to 4.
+
+    Scale shape: identical to :func:`event_transitions` — ONE
+    user-key exchange for the lead window; everything after runs on
+    the ≤|types|² count relation (window + one-row total broadcast),
+    never the corpus.
+    """
+    w = _seq_window(user_col, ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("c"))
+    tot_out = F.sum("c").over(W.partitionBy("from_type"))
+    p = F.col("c").cast("double") / tot_out.cast("double")
+    per_edge = counts.select(
+        "from_type", "c",
+        tot_out.alias("n_out"),
+        (-p * F.log2(p)).alias("term"),
+    )
+    per_from = per_edge.groupBy("from_type", "n_out").agg(
+        F.sum("term").alias("h"))
+    # grand-total via an empty-partition window over the <=|types|
+    # per-from rows: a separate agg + crossJoin would re-evaluate the
+    # corpus subtree (Spark does not dedupe the shared lineage)
+    n_total = F.sum("n_out").over(W.partitionBy()).cast("double")
+    return per_from.select(
+        "from_type", "n_out",
+        portable_round(F.col("h"), _R).alias("h_bits"),
+        portable_round(
+            F.col("n_out").cast("double") / n_total * F.col("h"), _R
+        ).alias("w_bits"),
+    )
+
+
+_MARKOV_ENTROPY_SQL = """
+WITH p AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+),
+c AS (
+    SELECT from_type, to_type, count(*) AS c
+    FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+e AS (
+    SELECT from_type, c,
+           sum(c) OVER (PARTITION BY from_type) AS n_out
+    FROM c
+),
+f AS (
+    SELECT from_type, n_out,
+           sum(-(CAST(c AS DOUBLE) / CAST(n_out AS DOUBLE))
+               * log2(CAST(c AS DOUBLE) / CAST(n_out AS DOUBLE)))
+               AS h
+    FROM e GROUP BY 1, 2
+)
+SELECT from_type, CAST(n_out AS BIGINT) AS n_out,
+       round(h, 4) AS h_bits,
+       round(CAST(n_out AS DOUBLE)
+             / (SELECT CAST(sum(n_out) AS DOUBLE) FROM f) * h, 4)
+           AS w_bits
+FROM f
+"""
+
+
+ORACLE_SQL["markov_entropy"] = _MARKOV_ENTROPY_SQL

@@ -207,3 +207,66 @@ def route_tier(span_seconds: float, max_points: int,
         if math.ceil(span_seconds / secs) <= max_points:
             return name
     return max(tiers, key=tiers.get)
+
+
+GROUPED_ALL = "<all>"
+GROUPED_ALL_TS = "1970-01-01 00:00:00"
+
+
+def grouped_rollup(events: DataFrame, type_col: str = "event_type",
+                   ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Multi-granularity OLAP rollup in ONE pass: per (type, day),
+    per type, per day, and grand total — ``cube(type, day)``, i.e.
+    the GROUPING SETS surface (SURVEY §2.4 aggregations, extended to
+    the cube lattice; no reference counterpart — the reference
+    aggregates one grain at a time).
+
+    Output: one row per lattice cell with ``gid`` =
+    GROUPING(type)*2 + GROUPING(day) (0 = finest, 3 = grand total);
+    super-aggregate NULLs are coalesced to sentinels
+    (:data:`GROUPED_ALL` / epoch) so cells stay distinguishable from
+    real NULL keys by ``gid`` alone, and the driver's string
+    canonicalization sees identical values from both engines.
+
+    Scale shape: Spark plans cube as a single Expand (×4 rows
+    map-side) feeding ONE map-side-combined hash aggregate — one
+    shuffle of partial aggregates, output = Σ cell cardinalities,
+    never four scans of the raw relation. For deep hierarchies
+    (year→month→day→hour) prefer cascading from the finest tier
+    (:func:`rollup_cascade`) — cube's Expand factor grows with the
+    lattice, the cascade's shuffles shrink with it.
+    """
+    from yahoo_anomaly_detection_spark.functions.portable import (
+        portable_round,
+    )
+
+    day = F.date_trunc("day", F.col(ts_col))
+    base = events.select(
+        F.col(type_col).alias("event_type"), day.alias("day"),
+        F.col(value_col).alias("v"))
+    agg = base.cube("event_type", "day").agg(
+        (F.grouping("event_type") * 2 + F.grouping("day")).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        portable_round(F.sum("v"), 4).alias("sum_v"),
+        portable_round(F.avg("v"), 4).alias("avg_v"),
+    )
+    return agg.select(
+        F.coalesce("event_type", F.lit(GROUPED_ALL)).alias("event_type"),
+        F.coalesce("day", F.lit(GROUPED_ALL_TS).cast("timestamp"))
+         .alias("day"),
+        "gid", "n", "sum_v", "avg_v",
+    )
+
+
+GROUPED_ROLLUP_SQL = f"""
+SELECT coalesce(event_type, '{GROUPED_ALL}') AS event_type,
+       coalesce(day, TIMESTAMP '{GROUPED_ALL_TS}') AS day,
+       GROUPING(event_type) * 2 + GROUPING(day) AS gid,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_v,
+       round(avg(value), 4) AS avg_v
+FROM (SELECT event_type, date_trunc('day', ts) AS day, value
+      FROM events)
+GROUP BY CUBE (event_type, day)
+"""

@@ -4177,3 +4177,135 @@ ORACLE_SQL = {
     "apdex_1h": _apdex_sql(50.0),
     "fleet_outliers": _FLEET_SQL,
 }
+
+
+def pot_tail(events: DataFrame, q: float = 0.001, u_q: float = 0.95,
+             key: str = "event_type",
+             value_col: str = "value") -> DataFrame:
+    """Peaks-over-threshold extreme-value tail model per series:
+    fit a generalized Pareto distribution (GPD) to the exceedances
+    over the per-series ``u_q`` quantile by method of moments, derive
+    the extreme quantile ``z_q`` at tail probability ``q``, and count
+    how many observed points breach it — the SPOT-style EVT detector
+    (Siffer et al., KDD 2017) that extends the reference's fixed
+    mean/std envelope (/root/reference/StatsTesting/arma_anm_detc.py:62)
+    to tail probabilities far beyond the observed range.
+
+    MoM GPD on exceedances e = v − t (t = u_q quantile, mean m,
+    population variance s²):  ξ = ½(1 − m²/s²),
+    σ = ½m(1 + m²/s²),  z_q = t + (σ/ξ)·((n·q/n_exc)^(−ξ) − 1).
+    Series with n_exc < 2, s² ≤ 0 or |ξ| < 1e-12 yield NULL model
+    columns (both engines apply the identical guard).
+
+    Output: (event_type, n, n_exc, thresh, xi, sigma, z_q, n_above)
+    — floats rounded to 4, one row per series key.
+
+    Scale shape: three passes over the raw relation, each a
+    map-side-combined aggregate on the series key (the quantile pass
+    is exact-percentile — swap ``approx_percentile`` at 100 TB per
+    :func:`yahoo_anomaly_detection_spark.operators.sessions.value_percentiles`);
+    the per-key model relation (one row per key) BROADCASTS back for
+    the exceedance and breach passes, so the raw relation never
+    shuffles. At scale, materialize the exceedance rows once
+    (~(1−u_q)·N rows) and run both the moment pass and the breach
+    count over that small relation — the breach set is a subset of
+    the exceedances whenever z_q > t, which holds for
+    q < n_exc/n (here 0.001 < 0.05).
+    """
+    v = F.col(value_col)
+    thr = events.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile({value_col}, {u_q})").alias("t"),
+    )
+    exc = (events.join(F.broadcast(thr), key)
+           .where(v > F.col("t"))
+           .groupBy(key)
+           .agg(F.count(F.lit(1)).alias("n_exc"),
+                F.avg(v - F.col("t")).alias("m"),
+                F.var_pop(v - F.col("t")).alias("s2")))
+    m, s2 = F.col("m"), F.col("s2")
+    xi = F.lit(0.5) * (F.lit(1.0) - m * m / s2)
+    sigma = F.lit(0.5) * m * (F.lit(1.0) + m * m / s2)
+    ok = (F.col("n_exc") >= 2) & (s2 > 0)
+    gpd = (thr.join(F.broadcast(exc), key, "left")
+           .withColumn("xi_raw", F.when(ok, xi))
+           .withColumn("ok2",
+                       ok & (F.abs(F.col("xi_raw")) > F.lit(1e-12)))
+           .select(
+               key, "n", "n_exc", "t",
+               F.when(F.col("ok2"), F.col("xi_raw")).alias("xi_u"),
+               F.when(F.col("ok2"), sigma).alias("sigma_u"),
+               F.when(
+                   F.col("ok2"),
+                   F.col("t") + sigma / F.col("xi_raw")
+                   * (F.pow(F.col("n") * F.lit(q) / F.col("n_exc"),
+                            -F.col("xi_raw")) - F.lit(1.0)),
+               ).alias("z_u"),
+           ))
+    above = (events.join(F.broadcast(gpd.select(key, "z_u")), key)
+             .where(v > F.col("z_u"))
+             .groupBy(key)
+             .agg(F.count(F.lit(1)).alias("n_above")))
+    return (gpd.join(F.broadcast(above), key, "left")
+            .select(
+                key, "n", "n_exc",
+                portable_round(F.col("t"), _R).alias("thresh"),
+                portable_round(F.col("xi_u"), _R).alias("xi"),
+                portable_round(F.col("sigma_u"), _R).alias("sigma"),
+                portable_round(F.col("z_u"), _R).alias("z_q"),
+                F.when(F.col("z_u").isNotNull(),
+                       F.coalesce(F.col("n_above"), F.lit(0)))
+                .alias("n_above"),
+            ))
+
+
+def _pot_sql(q: float = 0.001, u_q: float = 0.95) -> str:
+    return f"""
+WITH thr AS (
+    SELECT event_type, count(*) AS n,
+           quantile_cont(value, {u_q}) AS t
+    FROM events GROUP BY 1
+),
+exc AS (
+    SELECT e.event_type, count(*) AS n_exc,
+           avg(e.value - thr.t) AS m,
+           var_pop(e.value - thr.t) AS s2
+    FROM events e JOIN thr USING (event_type)
+    WHERE e.value > thr.t
+    GROUP BY 1
+),
+gpd AS (
+    SELECT thr.event_type, thr.n, exc.n_exc, thr.t,
+           CASE WHEN exc.n_exc >= 2 AND exc.s2 > 0
+                     AND abs(0.5 * (1.0 - exc.m*exc.m/exc.s2)) > 1e-12
+                THEN 0.5 * (1.0 - exc.m*exc.m/exc.s2) END AS xi_u,
+           CASE WHEN exc.n_exc >= 2 AND exc.s2 > 0
+                     AND abs(0.5 * (1.0 - exc.m*exc.m/exc.s2)) > 1e-12
+                THEN 0.5 * exc.m * (1.0 + exc.m*exc.m/exc.s2) END
+               AS sigma_u
+    FROM thr LEFT JOIN exc USING (event_type)
+),
+gz AS (
+    SELECT *,
+           t + sigma_u / xi_u
+             * (power(n * {q} / n_exc, -xi_u) - 1.0) AS z_u
+    FROM gpd
+),
+above AS (
+    SELECT e.event_type, count(*) AS n_above
+    FROM events e JOIN gz USING (event_type)
+    WHERE e.value > gz.z_u
+    GROUP BY 1
+)
+SELECT gz.event_type, gz.n, gz.n_exc,
+       round(gz.t, 4) AS thresh,
+       round(gz.xi_u, 4) AS xi,
+       round(gz.sigma_u, 4) AS sigma,
+       round(gz.z_u, 4) AS z_q,
+       CASE WHEN gz.z_u IS NOT NULL
+            THEN coalesce(above.n_above, 0) END AS n_above
+FROM gz LEFT JOIN above USING (event_type)
+"""
+
+
+ORACLE_SQL["pot_tail"] = _pot_sql()
