@@ -1432,6 +1432,29 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_shesd_flags(spark, sf_dir):
+    # seasonal-hybrid ESD (Twitter recipe over S5-style series):
+    # hour-of-day seasonal-median broadcast back, then 2 masking
+    # median/MAD rounds = 4 window phases on ONE (series, day)
+    # exchange
+    return tsanalytics.shesd_flags(_events_raw(spark, sf_dir))
+
+
+def q_journey_surprise(spark, sf_dir):
+    # per-user mean surprisal (bits/step) under the corpus Markov
+    # model -- anomalous TRAJECTORIES, not values; pair subtree
+    # serves counts + scoring via ReusedExchange, probs broadcast
+    return journeys.journey_surprise(_events_raw(spark, sf_dir))
+
+
+def q_kmv_overlap(spark, sf_dir):
+    # audience-overlap (union/intersection/Jaccard) between event
+    # types from bottom-k (KMV/theta) sketches -- the set-algebra
+    # sketch HLL can't do; bounded per-partition k-min then a
+    # k*P-survivor re-rank, pair math on sketch-sized relations
+    return sketches.kmv_overlap(_events_raw(spark, sf_dir), k=64)
+
+
 def q_grouping_cube_1d(spark, sf_dir):
     # one-pass multi-granularity rollup: cube(type, day) plans as a
     # single Expand (x4 map-side) into ONE map-side-combined hash
@@ -1950,6 +1973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quant_error": q_embed_quant_error,
         "bitmap_actives_1d": q_bitmap_actives_1d,
         "grouping_cube_1d": q_grouping_cube_1d,
+        "kmv_overlap": q_kmv_overlap,
+        "journey_surprise": q_journey_surprise,
+        "shesd_flags": q_shesd_flags,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

@@ -166,6 +166,9 @@ HEADLINE = [
     "grouping_cube_1d",
     "pot_tail",
     "markov_entropy",
+    "kmv_overlap",
+    "journey_surprise",
+    "shesd_flags",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -685,3 +685,77 @@ FROM f
 
 
 ORACLE_SQL["markov_entropy"] = _MARKOV_ENTROPY_SQL
+
+
+def journey_surprise(events: DataFrame, user_col: str = "user_id",
+                     type_col: str = "event_type", ts_col: str = "ts",
+                     id_col: str = "event_id",
+                     min_trans: int = 5) -> DataFrame:
+    """Sequence-anomaly score per user: mean surprisal (bits/step) of
+    the user's journey under the corpus-wide first-order Markov model
+    — each step costs −log2 P(to | from) with P from the global
+    transition counts, so users whose paths follow rare edges score
+    high. The sequence-level counterpart of the per-point detectors
+    (and of ``bigram_logppl`` on document text): anomaly = improbable
+    TRAJECTORY, not improbable value.
+
+    Output: (user_id, n_trans, bits) for users with at least
+    ``min_trans`` transitions, bits rounded to 4.
+
+    Scale shape: the pair relation (one user-key window exchange)
+    feeds both the global count aggregate and the scoring join —
+    identical subplans, so AQE's ReusedExchange serves both from ONE
+    physical shuffle; the ≤|types|² probability relation broadcasts
+    back and the final per-user rollup rides the same user-key
+    partitioning (superset-key distribution). No corpus re-shuffle.
+    """
+    w = _seq_window(user_col, ts_col, id_col)
+    pairs = events.select(
+        F.col(user_col).alias("uid"),
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("c"))
+    tot_out = F.sum("c").over(W.partitionBy("from_type"))
+    probs = counts.select(
+        "from_type", "to_type",
+        (F.col("c").cast("double") / tot_out.cast("double")).alias("p"))
+    scored = pairs.join(F.broadcast(probs), ["from_type", "to_type"])
+    return (scored.groupBy(F.col("uid").alias(user_col))
+            .agg(F.count(F.lit(1)).alias("n_trans"),
+                 F.avg(-F.log2("p")).alias("_bits"))
+            .where(F.col("n_trans") >= min_trans)
+            .select(user_col, "n_trans",
+                    portable_round(F.col("_bits"), _R).alias("bits")))
+
+
+def _journey_surprise_sql(min_trans: int = 5) -> str:
+    return f"""
+WITH p AS (
+    SELECT user_id AS uid, event_type AS from_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+),
+pairs AS (SELECT * FROM p WHERE to_type IS NOT NULL),
+c AS (
+    SELECT from_type, to_type, count(*) AS c
+    FROM pairs GROUP BY 1, 2
+),
+probs AS (
+    SELECT from_type, to_type,
+           CAST(c AS DOUBLE)
+           / CAST(sum(c) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM c
+)
+SELECT pairs.uid AS user_id, count(*) AS n_trans,
+       round(avg(-log2(probs.p)), 4) AS bits
+FROM pairs JOIN probs USING (from_type, to_type)
+GROUP BY 1
+HAVING count(*) >= {min_trans}
+"""
+
+
+ORACLE_SQL["journey_surprise"] = _journey_surprise_sql()

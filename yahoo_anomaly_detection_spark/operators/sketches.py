@@ -35,6 +35,7 @@ is the job, while the sketch exchange stays ~kilobytes per group.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Window as W
 
 from ..functions.portable import portable_round
 
@@ -426,3 +427,175 @@ ORACLE_SQL = {
     "cms_heavy_hitters": _cms_sql("user_id", 20, 4, 2048),
     "bitmap_actives_1d": _BITMAP_SQL,
 }
+
+
+# --------------------------------------------------------------- KMV
+KMV_M = float(1 << 60)  # hash space: 60 md5 bits (15 hex digits)
+
+
+def _kmv_hash(c: Column) -> Column:
+    """60-bit md5 hash lane as a non-negative long — wide enough that
+    k-min order statistics are collision-free in practice, narrow
+    enough to stay inside signed BIGINT on every engine."""
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketches(events: DataFrame, id_col: str = "user_id",
+                 key: str = "event_type", k: int = 64) -> DataFrame:
+    """K-minimum-values (bottom-k / theta) sketch per group:
+    (key, h, rk) — the k smallest 60-bit hashes of the distinct ids,
+    rank-ordered. The sketch family that supports set INTERSECTION
+    (and arbitrary set algebra), which HLL registers cannot: two KMV
+    sketches merge by union-then-truncate, and the overlap of their
+    k-min union estimates Jaccard directly (Beyer et al., SIGMOD'07).
+
+    Scale shape: one map-side-combined distinct on (key, h); then
+    k-min is DISTRIBUTIVE (the global k smallest survive any
+    partition-local k-min), so phase 1 ranks within
+    (key, physical partition) — bounded per task, never funneling a
+    key's full id set through one window task — and phase 2 re-ranks
+    only the ≤ k·P survivors per key. Same bounded-top-k idiom as
+    ``textstats.topk_per_band``.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    idc = F.col(id_col)
+    distinct = (events.where(idc.isNotNull())
+                .select(F.col(key), _kmv_hash(idc).alias("h"))
+                .distinct())
+    part = distinct.withColumn("pid", F.spark_partition_id())
+    w1 = W.partitionBy(key, "pid").orderBy("h")
+    surv = (part.withColumn("rk", F.row_number().over(w1))
+            .where(F.col("rk") <= k).drop("pid", "rk"))
+    w2 = W.partitionBy(key).orderBy("h")
+    return (surv.withColumn("rk", F.row_number().over(w2))
+            .where(F.col("rk") <= k))
+
+
+def kmv_overlap(events: DataFrame, id_col: str = "user_id",
+                key: str = "event_type", k: int = 64) -> DataFrame:
+    """Audience-overlap estimates for every group pair from KMV
+    sketches: (key_a, key_b, est_a, est_b, est_union, est_inter,
+    jaccard). est = (k−1)/θ with θ = v_k/M (exact count when the
+    sketch holds the whole set, i.e. fewer than k distinct ids);
+    intersection via ρ = |k-min(A∪B) ∩ A ∩ B| / |k-min(A∪B)|,
+    est_inter = ρ·est_union — the classic KMV set-algebra estimator.
+
+    Everything after :func:`kmv_sketches` runs on sketch-sized
+    relations (≤ |keys|²·2k rows): the pair spine is a tiny
+    self-cross of the key list, sketch sides broadcast, and the
+    union re-rank windows over ≤2k rows per pair.
+    """
+    sk = kmv_sketches(events, id_col, key, k).select(
+        F.col(key).alias("kk"), "h", "rk")
+    per_key = sk.groupBy("kk").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("h").alias("vk"))
+    est = F.when(
+        F.col("cnt") < k, F.col("cnt").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(KMV_M) / F.col("vk"))
+    per_key = per_key.select("kk", est.alias("est"))
+    ks = per_key.select(F.col("kk").alias("ka"))
+    pairs = (ks.crossJoin(ks.select(F.col("ka").alias("kb")))
+             .where(F.col("ka") < F.col("kb")))
+    side_a = pairs.join(F.broadcast(sk), F.col("ka") == F.col("kk")) \
+        .select("ka", "kb", "h", F.lit(1).alias("in_a"),
+                F.lit(0).alias("in_b"))
+    side_b = pairs.join(F.broadcast(sk), F.col("kb") == F.col("kk")) \
+        .select("ka", "kb", "h", F.lit(0).alias("in_a"),
+                F.lit(1).alias("in_b"))
+    u = (side_a.unionByName(side_b)
+         .groupBy("ka", "kb", "h")
+         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
+    wu = W.partitionBy("ka", "kb").orderBy("h")
+    topu = (u.withColumn("rk", F.row_number().over(wu))
+            .where(F.col("rk") <= k))
+    agg = topu.groupBy("ka", "kb").agg(
+        F.count(F.lit(1)).alias("m_u"),
+        F.max("h").alias("vk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("both"))
+    est_u = F.when(
+        F.col("m_u") < k, F.col("m_u").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(KMV_M) / F.col("vk"))
+    rho = F.col("both").cast("double") / F.col("m_u").cast("double")
+    out = (agg
+           .join(F.broadcast(per_key.select(F.col("kk").alias("ka"),
+                                            F.col("est").alias("ea"))),
+                 "ka")
+           .join(F.broadcast(per_key.select(F.col("kk").alias("kb"),
+                                            F.col("est").alias("eb"))),
+                 "kb"))
+    return out.select(
+        F.col("ka").alias("key_a"), F.col("kb").alias("key_b"),
+        portable_round(F.col("ea"), _R).alias("est_a"),
+        portable_round(F.col("eb"), _R).alias("est_b"),
+        portable_round(est_u, _R).alias("est_union"),
+        portable_round(rho * est_u, _R).alias("est_inter"),
+        portable_round(rho, _R).alias("jaccard"),
+    )
+
+
+def _kmv_sql(k: int = 64) -> str:
+    m = 1 << 60
+    h = ("CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),"
+         " 1, 15)) AS BIGINT)")
+    return f"""
+WITH d AS (
+    SELECT DISTINCT event_type AS kk, {h} AS h
+    FROM events WHERE user_id IS NOT NULL
+),
+sk AS (
+    SELECT kk, h,
+           row_number() OVER (PARTITION BY kk ORDER BY h) AS rk
+    FROM d QUALIFY rk <= {k}
+),
+pk AS (
+    SELECT kk,
+           CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                ELSE {float(k - 1)} * {float(m)} / max(h) END AS est
+    FROM sk GROUP BY kk
+),
+pairs AS (
+    SELECT a.kk AS ka, b.kk AS kb
+    FROM pk a, pk b WHERE a.kk < b.kk
+),
+u AS (
+    SELECT ka, kb, h, max(in_a) AS in_a, max(in_b) AS in_b
+    FROM (
+        SELECT p.ka, p.kb, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.kk = p.ka
+        UNION ALL
+        SELECT p.ka, p.kb, s.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk s ON s.kk = p.kb
+    ) GROUP BY 1, 2, 3
+),
+topu AS (
+    SELECT ka, kb, h, in_a, in_b,
+           row_number() OVER (PARTITION BY ka, kb ORDER BY h) AS rk
+    FROM u QUALIFY rk <= {k}
+),
+agg AS (
+    SELECT ka, kb, count(*) AS m_u, max(h) AS vk,
+           sum(in_a * in_b) AS both
+    FROM topu GROUP BY 1, 2
+)
+SELECT agg.ka AS key_a, agg.kb AS key_b,
+       round(pa.est, 4) AS est_a,
+       round(pb.est, 4) AS est_b,
+       round(CASE WHEN agg.m_u < {k} THEN CAST(agg.m_u AS DOUBLE)
+             ELSE {float(k - 1)} * {float(m)} / agg.vk END, 4)
+           AS est_union,
+       round(CAST(agg.both AS DOUBLE) / CAST(agg.m_u AS DOUBLE)
+             * CASE WHEN agg.m_u < {k} THEN CAST(agg.m_u AS DOUBLE)
+               ELSE {float(k - 1)} * {float(m)} / agg.vk END, 4)
+           AS est_inter,
+       round(CAST(agg.both AS DOUBLE) / CAST(agg.m_u AS DOUBLE), 4)
+           AS jaccard
+FROM agg
+JOIN pk pa ON pa.kk = agg.ka
+JOIN pk pb ON pb.kk = agg.kb
+"""
+
+
+ORACLE_SQL["kmv_overlap"] = _kmv_sql()

@@ -4309,3 +4309,136 @@ FROM gz LEFT JOIN above USING (event_type)
 
 
 ORACLE_SQL["pot_tail"] = _pot_sql()
+
+
+def shesd_flags(events: DataFrame, k: float = 3.0, rounds: int = 2,
+                key: str = "event_type", ts_col: str = "ts",
+                value_col: str = "value",
+                id_col: str = "event_id") -> DataFrame:
+    """Seasonal-hybrid ESD-style detector (the Twitter
+    AnomalyDetection recipe, Hochenbaum et al. 2017, over the same
+    Yahoo-S5-style series as the reference's z-score envelope):
+    subtract the per-(series, hour-of-day) seasonal MEDIAN, then run
+    ``rounds`` of masking-aware robust clipping on the residuals —
+    each round recomputes the survivor median and MAD per
+    (series, day) and flags |residual − med| > k·1.4826·MAD. Median/
+    MAD instead of mean/std resists the masking that motivates ESD:
+    one giant spike cannot inflate the scale estimate and hide its
+    neighbors (fixed-k rounds in place of the t-distribution critical
+    values — the iterative-trimming structure is the detector;
+    ``sigma_clip`` is the mean/std cousin).
+
+    Output: (event_type, event_id, bucket_start, resid, clipped_round
+    0=never, z_last, flag) — residuals and z rounded to 4.
+
+    Scale shape: the ≤(|series|·24)-row seasonal-median relation
+    comes from one map-side grouped aggregate and BROADCASTS back;
+    every clipping round is two chained Window phases (median, then
+    MAD of deviations) over the same (series, day) partition — all
+    ``2·rounds`` phases pipeline onto ONE hash exchange, and per-task
+    input is one series-day, bounded regardless of total history.
+    z comparisons use the ROUNDED z (both engines make the same
+    boundary call); MAD = 0 leaves the group's survivors unflagged
+    via try_divide's NULL.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    v = F.col(value_col).cast("double")
+    pts = events.where(v.isNotNull()).select(
+        F.col(key), F.col(id_col),
+        F.hour(ts_col).alias("_phase"),
+        F.date_trunc("day", F.col(ts_col)).alias("bucket_start"),
+        v.alias("_v"),
+    )
+    seas = pts.groupBy(key, "_phase").agg(
+        F.percentile("_v", F.lit(0.5)).alias("_smed"))
+    df = (pts.join(F.broadcast(seas), [key, "_phase"])
+          .withColumn("_r", F.col("_v") - F.col("_smed")))
+    win = W.partitionBy(key, "bucket_start")
+    clipped = F.lit(0)
+    z = F.lit(None).cast("double")
+    for r in range(1, rounds + 1):
+        keep = clipped == 0
+        df = df.withColumn(
+            f"_m{r}",
+            F.percentile(F.when(keep, F.col("_r")), F.lit(0.5))
+            .over(win))
+        mad = F.percentile(
+            F.when(keep, F.abs(F.col("_r") - F.col(f"_m{r}"))),
+            F.lit(0.5)).over(win)
+        zr = portable_round(
+            F.try_divide(F.abs(F.col("_r") - F.col(f"_m{r}")),
+                         mad * F.lit(MAD_SIGMA)), _R)
+        hit = keep & (zr > F.lit(k))
+        df = df.select(
+            "*",
+            F.when(hit, F.lit(r)).otherwise(clipped).alias(f"_c{r}"),
+            F.when(keep, zr).otherwise(z).alias(f"_z{r}"),
+        )
+        clipped = F.col(f"_c{r}")
+        z = F.col(f"_z{r}")
+    return df.select(
+        key, id_col, "bucket_start",
+        portable_round(F.col("_r"), _R).alias("resid"),
+        clipped.cast("int").alias("clipped_round"),
+        z.alias("z_last"),
+        (clipped > 0).cast("int").alias("flag"),
+    )
+
+
+def _shesd_sql(k: float = 3.0, rounds: int = 2) -> str:
+    body = """
+pts AS (
+    SELECT event_type, event_id,
+           CAST(hour(ts) AS INT) AS phase,
+           date_trunc('day', ts) AS bucket_start,
+           CAST(value AS DOUBLE) AS v
+    FROM events WHERE value IS NOT NULL
+),
+seas AS (
+    SELECT event_type, phase, quantile_cont(v, 0.5) AS smed
+    FROM pts GROUP BY 1, 2
+),
+r0 AS (
+    SELECT pts.event_type, pts.event_id, pts.bucket_start,
+           pts.v - seas.smed AS res,
+           0 AS clipped_round, CAST(NULL AS DOUBLE) AS z
+    FROM pts JOIN seas USING (event_type, phase)
+)"""
+    for r in range(1, rounds + 1):
+        body += f""",
+r{r} AS (
+    SELECT event_type, event_id, bucket_start, res,
+           CASE WHEN clipped_round = 0 AND zz > {k}
+                THEN {r} ELSE clipped_round END AS clipped_round,
+           CASE WHEN clipped_round = 0 THEN zz ELSE z END AS z
+    FROM (
+        SELECT *,
+               round(abs(res - med)
+                     / (quantile_cont(
+                            CASE WHEN clipped_round = 0
+                                 THEN abs(res - med) END, 0.5)
+                        OVER w * {MAD_SIGMA}), 4) AS zz
+        FROM (
+            SELECT *,
+                   quantile_cont(CASE WHEN clipped_round = 0
+                                      THEN res END, 0.5)
+                       OVER (PARTITION BY event_type, bucket_start)
+                       AS med
+            FROM r{r - 1}
+        )
+        WINDOW w AS (PARTITION BY event_type, bucket_start)
+    )
+)"""
+    return f"""
+WITH {body}
+SELECT event_type, event_id, bucket_start,
+       round(res, 4) AS resid,
+       CAST(clipped_round AS INT) AS clipped_round,
+       z AS z_last,
+       CAST(clipped_round > 0 AS INT) AS flag
+FROM r{rounds}
+"""
+
+
+ORACLE_SQL["shesd_flags"] = _shesd_sql()
