@@ -32,6 +32,7 @@ from yahoo_anomaly_detection_spark.operators import alerting
 from yahoo_anomaly_detection_spark.operators import sketches
 from yahoo_anomaly_detection_spark.operators import curation, enrich, journeys
 from yahoo_anomaly_detection_spark.operators import refresh as refresh_op
+from yahoo_anomaly_detection_spark.operators import layout
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
 TRAIN_END = "2024-01-15 00:00:00"
@@ -1432,6 +1433,29 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_did_impact(spark, sf_dir):
+    # difference-in-differences per series at the corpus midpoint:
+    # broadcast bounds + ONE conditional groupBy; control sums via
+    # empty-partition window over the |series| relation (global -
+    # treated), never a per-series corpus pass
+    return tsanalytics.did_impact(_events_raw(spark, sf_dir))
+
+
+def q_dominant_period(spark, sf_dir):
+    # AUTOPERIOD ACF-argmax: corpus -> hourly tier first, lag grid
+    # joins tier-vs-tier (bounded by tier size), per-(key, lag) corr
+    # map-side-combined, argmax over <=24 rows/key
+    return tsanalytics.dominant_period(_events_raw(spark, sf_dir))
+
+
+def q_compaction_plan(spark, sf_dir):
+    # Iceberg-style bin-pack compaction planner on the (type, day)
+    # file manifest: metadata-sized window cumsum, raw rows
+    # contribute one map-side-combined groupBy only
+    return layout.compaction_plan(_events_raw(spark, sf_dir),
+                                  target_rows=2_000)
+
+
 def q_shesd_flags(spark, sf_dir):
     # seasonal-hybrid ESD (Twitter recipe over S5-style series):
     # hour-of-day seasonal-median broadcast back, then 2 masking
@@ -1976,6 +2000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "journey_surprise": q_journey_surprise,
         "shesd_flags": q_shesd_flags,
+        "did_impact": q_did_impact,
+        "dominant_period": q_dominant_period,
+        "compaction_plan": q_compaction_plan,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }
@@ -2557,6 +2584,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(journeys.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)
     out["grouping_cube_1d"] = rollup.GROUPED_ROLLUP_SQL
+    out.update(layout.ORACLE_SQL)
     # capstone composition: intersection of three independently-
     # oracled doc_id sets (quality gate, canonical dedup survivors,
     # stratified sample)

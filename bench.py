@@ -169,6 +169,9 @@ HEADLINE = [
     "kmv_overlap",
     "journey_surprise",
     "shesd_flags",
+    "did_impact",
+    "dominant_period",
+    "compaction_plan",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -341,3 +341,122 @@ def test_shesd_single_exchange_all_rounds(spark):
         plan)
     assert len(corpus_ex) == 1, plan
     assert "BroadcastExchange" in plan, plan
+
+
+# ------------------------------------------------- did_impact
+def test_did_impact_isolates_fleet_drift(spark):
+    """A fleet-wide +5 shift yields did=0 for every series; a series
+    moving +10 while the other is flat splits +-10."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    # 10 pre + 10 post points per type; cut = midpoint
+    for typ, pre, post in [("a", 1.0, 11.0), ("b", 2.0, 2.0)]:
+        for i in range(10):
+            rows.append((eid, t0 + dt.timedelta(hours=i), 7, typ, pre))
+            eid += 1
+        for i in range(10):
+            rows.append((eid, t0 + dt.timedelta(hours=100 + i), 7,
+                         typ, post))
+            eid += 1
+    out = {r.event_type: r for r in
+           tsanalytics.did_impact(_ev(spark, rows)).collect()}
+    assert out["a"].pre_mean == 1.0 and out["a"].post_mean == 11.0
+    # a: own delta +10, control (b) delta 0 -> did = +10
+    assert out["a"].did == 10.0
+    # b: own delta 0, control (a) delta +10 -> did = -10
+    assert out["b"].did == -10.0
+    # fleet-wide drift: everyone +5 -> did = 0 for all
+    rows2 = []
+    eid = 0
+    for typ in ("a", "b", "c"):
+        for i in range(10):
+            rows2.append((eid, t0 + dt.timedelta(hours=i), 7, typ, 1.0))
+            eid += 1
+        for i in range(10):
+            rows2.append((eid, t0 + dt.timedelta(hours=100 + i), 7,
+                          typ, 6.0))
+            eid += 1
+    for r in tsanalytics.did_impact(_ev(spark, rows2)).collect():
+        assert r.did == 0.0
+
+
+def test_did_impact_two_corpus_scans_only(spark):
+    """Cost must be independent of |series|: the plan holds exactly
+    two scans of the raw relation (bounds + conditional agg)."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [(i, t0 + dt.timedelta(hours=i % 50), 7, "t%d" % (i % 6),
+             float(i % 9)) for i in range(600)]
+    df = tsanalytics.did_impact(_ev(spark, rows))
+    plan = _plan(df)
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+# ------------------------------------------------- dominant_period
+def test_dominant_period_finds_planted_cycle(spark):
+    """A clean 24h sinusoid -> lag 24; a 6h cycle -> lag 6 (the
+    smallest of the tied perfect lags 6/12/18/24)."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    for h in range(24 * 7):
+        rows.append((eid, t0 + dt.timedelta(hours=h), 7, "daily",
+                     math.sin(2 * math.pi * h / 24) + 2.0))
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(hours=h), 7, "sixh",
+                     math.sin(2 * math.pi * h / 6) + 2.0))
+        eid += 1
+    out = {r.event_type: r for r in
+           tsanalytics.dominant_period(_ev(spark, rows)).collect()}
+    assert out["daily"].best_lag == 24
+    assert out["daily"].best_corr == pytest.approx(1.0, abs=1e-3)
+    assert out["sixh"].best_lag == 6  # tie over {6,12,18,24} -> min
+    assert out["sixh"].best_corr == pytest.approx(1.0, abs=1e-3)
+
+
+def test_dominant_period_constant_series_emits_no_row(spark):
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [(i, t0 + dt.timedelta(hours=i), 7, "flat", 5.0)
+            for i in range(48)]
+    assert tsanalytics.dominant_period(_ev(spark, rows)).count() == 0
+
+
+# ------------------------------------------------- compaction_plan
+def test_compaction_plan_matches_python_replica(spark):
+    """Bin assignment == the greedy running-total replica; bins are
+    consecutive in day order and only the last bin of a key may be
+    under target."""
+    from yahoo_anomaly_detection_spark.operators import layout as lay
+    t0 = dt.datetime(2024, 6, 1)
+    sizes = [5, 5, 5, 5, 7, 2, 7, 25, 1]
+    rows = []
+    eid = 0
+    for day, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((eid, t0 + dt.timedelta(days=day,
+                                                seconds=eid % 3600),
+                         7, "k", 1.0))
+            eid += 1
+    got = sorted(
+        ((r.day.day, r.n_rows, r.bin_id, r.bin_rows, r.bin_files)
+         for r in lay.compaction_plan(_ev(spark, rows),
+                                      target_rows=10).collect()))
+    # replica
+    cum, plan = 0, []
+    for day, n in enumerate(sizes):
+        plan.append((day + 1, n, cum // 10))
+        cum += n
+    import collections
+    totals = collections.Counter()
+    files = collections.Counter()
+    for _, n, b in plan:
+        totals[b] += n
+        files[b] += 1
+    want = sorted((d, n, b, totals[b], files[b]) for d, n, b in plan)
+    assert got == want
+    # every bin except the last reaches the target
+    last = max(totals)
+    for b, tot in totals.items():
+        if b != last:
+            assert tot >= 10

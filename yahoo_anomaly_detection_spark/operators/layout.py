@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampType
 
@@ -152,3 +152,73 @@ def pruning_ratio(zmap: DataFrame,
     if not agg.total:
         return 0.0
     return 1.0 - agg.kept / agg.total
+
+
+def compaction_plan(events: DataFrame, target_rows: int = 10_000,
+                    key: str = "event_type",
+                    ts_col: str = "ts") -> DataFrame:
+    """Small-file compaction plan per table partition stream — the
+    Iceberg ``rewrite_data_files``/bin-pack maintenance planner made
+    explicit: treat each (key, day) slice as one data file, walk the
+    files of a key in day order accumulating row counts, and open a
+    new compaction bin whenever the running total crosses
+    ``target_rows`` (``bin = floor(cumulative_rows_before / target)``
+    — the standard streaming bin-pack heuristic: every bin except
+    possibly the last reaches the target, no bin is split).
+
+    Output: (key, day, n_rows, bin_id, bin_rows, bin_files) — each
+    file's assignment plus its bin's totals, the exact work-list a
+    compaction job executes.
+
+    Scale shape: the plan runs on the FILE MANIFEST relation (one row
+    per (key, day) — metadata-sized, like Iceberg's manifests), never
+    the raw rows; the raw relation contributes one map-side-combined
+    groupBy. The per-key cumsum window and the (key, bin) totals
+    pipeline on the manifest's key exchange — windowing a
+    metadata-sized relation by table key is exactly what a real
+    table-maintenance planner does.
+    """
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+    files = (events.groupBy(
+        F.col(key), F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows")))
+    w = Window.partitionBy(key).orderBy("day")
+    cum_before = F.coalesce(
+        F.sum("n_rows").over(w.rowsBetween(Window.unboundedPreceding,
+                                           -1)),
+        F.lit(0))
+    planned = files.withColumn(
+        "bin_id", F.floor(cum_before / F.lit(target_rows)).cast("long"))
+    wb = Window.partitionBy(key, "bin_id")
+    return planned.select(
+        key, "day", "n_rows", "bin_id",
+        F.sum("n_rows").over(wb).alias("bin_rows"),
+        F.count(F.lit(1)).over(wb).alias("bin_files"),
+    )
+
+
+def _compaction_sql(target_rows: int = 10_000) -> str:
+    return f"""
+WITH files AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           count(*) AS n_rows
+    FROM events GROUP BY 1, 2
+),
+planned AS (
+    SELECT event_type, day, n_rows,
+           CAST(floor(coalesce(sum(n_rows) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) / {target_rows}) AS BIGINT) AS bin_id
+    FROM files
+)
+SELECT event_type, day, n_rows, bin_id,
+       CAST(sum(n_rows) OVER (PARTITION BY event_type, bin_id)
+            AS BIGINT) AS bin_rows,
+       count(*) OVER (PARTITION BY event_type, bin_id) AS bin_files
+FROM planned
+"""
+
+
+ORACLE_SQL = {"compaction_plan": _compaction_sql()}

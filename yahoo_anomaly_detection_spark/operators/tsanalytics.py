@@ -4442,3 +4442,201 @@ FROM r{rounds}
 
 
 ORACLE_SQL["shesd_flags"] = _shesd_sql()
+
+
+def did_impact(events: DataFrame, key: str = "event_type",
+               ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Difference-in-differences release-impact estimate per series:
+    split the corpus at its temporal midpoint and, treating each
+    series as the "treated" group in turn with ALL OTHER series as
+    its control, report DiD = (post_t − pre_t) − (post_c − pre_c) —
+    the standard product-analytics answer to "did the metric move
+    MORE than the fleet moved" that a naive pre/post delta (which
+    absorbs fleet-wide drift) gets wrong.
+
+    Output: (event_type, pre_n, post_n, pre_mean, post_mean, did),
+    floats rounded to 4; series lacking pre or post data yield NULL
+    means/did on both engines.
+
+    Scale shape: one tiny min/max bounds aggregate broadcast back,
+    then ONE map-side-combined conditional aggregate per series; the
+    control-side sums come from an empty-partition window over the
+    |series|-row relation (global − treated), never a second corpus
+    pass for each series — the whole estimate costs two corpus scans
+    total, independent of |series|.
+    """
+    v = F.col(value_col).cast("double")
+    # NTZ-safe epoch: session TZ is UTC, so the ltz cast is identity
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    bounds = events.agg(
+        F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1"))
+    cut = (us(F.col("t0"))
+           + (us(F.col("t1")) - us(F.col("t0"))) / 2)
+    tagged = (events.crossJoin(F.broadcast(bounds))
+              .withColumn("_post",
+                          (us(F.col(ts_col)) >= cut).cast("int")))
+    per = tagged.groupBy(key).agg(
+        F.sum(F.when(F.col("_post") == 0, F.lit(1)).otherwise(0))
+        .alias("pre_n"),
+        F.sum("_post").cast("long").alias("post_n"),
+        F.sum(F.when(F.col("_post") == 0, v)).alias("pre_s"),
+        F.sum(F.when(F.col("_post") == 1, v)).alias("post_s"),
+    )
+    wall = W.partitionBy()
+    g_pre_n = F.sum("pre_n").over(wall)
+    g_post_n = F.sum("post_n").over(wall)
+    g_pre_s = F.sum("pre_s").over(wall)
+    g_post_s = F.sum("post_s").over(wall)
+    pre_mean = F.try_divide(F.col("pre_s"), F.col("pre_n"))
+    post_mean = F.try_divide(F.col("post_s"), F.col("post_n"))
+    c_pre = F.try_divide(g_pre_s - F.col("pre_s"),
+                         (g_pre_n - F.col("pre_n")).cast("double"))
+    c_post = F.try_divide(g_post_s - F.col("post_s"),
+                          (g_post_n - F.col("post_n")).cast("double"))
+    return per.select(
+        key,
+        F.col("pre_n").cast("long").alias("pre_n"), "post_n",
+        portable_round(pre_mean, _R).alias("pre_mean"),
+        portable_round(post_mean, _R).alias("post_mean"),
+        portable_round((post_mean - pre_mean) - (c_post - c_pre),
+                       _R).alias("did"),
+    )
+
+
+_DID_SQL = """
+WITH b AS (
+    SELECT epoch_us(min(ts))
+           + (epoch_us(max(ts)) - epoch_us(min(ts))) / 2.0 AS cut
+    FROM events
+),
+t AS (
+    SELECT event_type,
+           CASE WHEN epoch_us(ts) >= b.cut THEN 1 ELSE 0 END AS post,
+           CAST(value AS DOUBLE) AS v
+    FROM events, b
+),
+per AS (
+    SELECT event_type,
+           sum(CASE WHEN post = 0 THEN 1 ELSE 0 END) AS pre_n,
+           sum(post) AS post_n,
+           sum(CASE WHEN post = 0 THEN v END) AS pre_s,
+           sum(CASE WHEN post = 1 THEN v END) AS post_s
+    FROM t GROUP BY 1
+),
+g AS (
+    SELECT *,
+           sum(pre_n) OVER () AS g_pre_n,
+           sum(post_n) OVER () AS g_post_n,
+           sum(pre_s) OVER () AS g_pre_s,
+           sum(post_s) OVER () AS g_post_s
+    FROM per
+)
+SELECT event_type,
+       CAST(pre_n AS BIGINT) AS pre_n,
+       CAST(post_n AS BIGINT) AS post_n,
+       round(pre_s / pre_n, 4) AS pre_mean,
+       round(post_s / post_n, 4) AS post_mean,
+       round((post_s / post_n - pre_s / pre_n)
+             - ((g_post_s - post_s) / CAST(g_post_n - post_n AS DOUBLE)
+                - (g_pre_s - pre_s) / CAST(g_pre_n - pre_n AS DOUBLE)),
+             4) AS did
+FROM g
+"""
+
+
+def dominant_period(events: DataFrame, max_lag: int = 24,
+                    key: str = "event_type", ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """Autoperiod detection per series: the lag (in hours, 1..max_lag)
+    whose autocorrelation of the HOURLY mean series is highest — the
+    ACF-argmax half of the AUTOPERIOD method (Vlachos et al.,
+    SDM'05), answering "what seasonality should the seasonal
+    detectors (``seasonal_zscore``, ``shesd_flags``, ``snaive_eval``)
+    be configured with?". A 24h-periodic series returns 24.
+
+    Output: (event_type, best_lag, best_corr) — corr rounded to 4,
+    argmax on the ROUNDED corr with smallest-lag tie-break so both
+    engines make the same call; constant series (corr undefined at
+    every lag) emit no row.
+
+    Scale shape: the corpus collapses to the hourly tier first (one
+    map-side-combined groupBy); the lag grid (max_lag literal rows)
+    cross-joins THAT tier relation and the shifted equi-join runs
+    tier×lag vs tier — bounded by tier size, never raw rows. The
+    per-(key, lag) corr is one more map-side-combined aggregate and
+    the final argmax is a max_by over ≤max_lag rows per key.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    hourly = (events.groupBy(
+        F.col(key), F.date_trunc("hour", F.col(ts_col)).alias("b"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("v")))
+    lags = F.explode(
+        F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("lag")
+    grid = (hourly.select(F.col(key).alias("kk"), "b", "v", lags)
+            .withColumn(
+                "b2", F.col("b")
+                + F.expr("make_interval(0, 0, 0, 0, lag, 0, 0)")))
+    shifted = hourly.select(
+        F.col(key).alias("kk2"), F.col("b").alias("bs"),
+        F.col("v").alias("v2"))
+    joined = grid.join(
+        shifted,
+        (F.col("kk") == F.col("kk2")) & (F.col("bs") == F.col("b2")),
+    ).select("kk", "lag", "v", "v2")
+    # Pearson r from raw moments with try_divide — Spark's ANSI-mode
+    # corr RAISES on zero-variance input where DuckDB returns NULL;
+    # the explicit formula makes both engines emit NULL there
+    mom = joined.groupBy("kk", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum("v").alias("sx"), F.sum("v2").alias("sy"),
+        F.sum(F.col("v") * F.col("v2")).alias("sxy"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        F.sum(F.col("v2") * F.col("v2")).alias("syy"),
+    )
+    num = F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")
+    den = F.when((varx > 0) & (vary > 0), F.sqrt(varx * vary))
+    per_lag = (mom.select(
+        "kk", "lag",
+        portable_round(F.try_divide(num, den), _R).alias("c"))
+        .where(F.col("c").isNotNull()))
+    return (per_lag.groupBy(F.col("kk").alias(key))
+            .agg(F.max_by(F.col("lag"),
+                          F.struct(F.col("c"), -F.col("lag")))
+                 .alias("best_lag"),
+                 F.max("c").alias("best_corr")))
+
+
+def _dominant_period_sql(max_lag: int = 24) -> str:
+    return f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS b,
+           avg(CAST(value AS DOUBLE)) AS v
+    FROM events GROUP BY 1, 2
+),
+per_lag AS (
+    SELECT h.event_type, l.lag, round(corr(h.v, s.v), 4) AS c
+    FROM hourly h
+    CROSS JOIN (SELECT unnest(range(1, {max_lag} + 1)) AS lag) l
+    JOIN hourly s
+      ON s.event_type = h.event_type
+     AND s.b = h.b + to_hours(l.lag)
+    GROUP BY 1, 2
+    HAVING round(corr(h.v, s.v), 4) IS NOT NULL
+),
+ranked AS (
+    SELECT event_type, lag, c,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY c DESC, lag ASC) AS rn
+    FROM per_lag
+)
+SELECT event_type, CAST(lag AS BIGINT) AS best_lag, c AS best_corr
+FROM ranked WHERE rn = 1
+"""
+
+
+ORACLE_SQL["did_impact"] = _DID_SQL
+ORACLE_SQL["dominant_period"] = _dominant_period_sql()
