@@ -1273,3 +1273,76 @@ def test_stream_dedup_collapses_redeliveries(spark, tmp_path):
     with pytest.raises(ValueError, match="key_cols"):
         stream_dedup(spark.readStream.schema(ddl).parquet(src),
                      key_cols=())
+
+
+# ------------------------------------------------- streaming HLL
+def _mk_events(spark, rows):
+    """rows: (event_id, minute, user_id, event_type)."""
+    return spark.createDataFrame(
+        [(e, f"2024-01-01 00:{m:02d}:00", u, t, 1.0)
+         for e, m, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value")
+
+
+def test_stream_hll_matches_batch_estimate(spark, tmp_path):
+    """The journal's final entry per (key, day) must equal the BATCH
+    HLL estimate on the same data exactly — including across
+    micro-batches with overlapping user sets (register merge is
+    idempotent/commutative)."""
+    from yahoo_anomaly_detection_spark.operators.sketches import (
+        hll_distinct,
+    )
+    from yahoo_anomaly_detection_spark.streaming.sketch_stream import (
+        read_event_stream,
+        start_sketches_to_parquet,
+        stream_hll_distinct,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    batch1 = [(i, i % 50, i * 13 % 400, "a") for i in range(300)] + \
+             [(1000 + i, i % 50, i * 7 % 90, "b") for i in range(200)]
+    # second batch re-delivers half of batch1's users + new ones
+    batch2 = [(2000 + i, i % 50, i * 13 % 400, "a")
+              for i in range(150)] + \
+             [(3000 + i, i % 50, 500 + i, "a") for i in range(80)]
+
+    _mk_events(spark, batch1).coalesce(1).write.mode("append") \
+        .parquet(src)
+    stream = stream_hll_distinct(read_event_stream(spark, src), p=8)
+    q = start_sketches_to_parquet(stream, out, ckpt, trigger_secs=1)
+    try:
+        q.processAllAvailable()
+        _mk_events(spark, batch2).coalesce(1).write.mode("append") \
+            .parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    journal = spark.read.parquet(out)
+    # journal grows monotonically: 'a' saw two batches
+    seqs = {r.event_type: r.mx for r in
+            journal.groupBy("event_type")
+            .agg(F.max("upd_seq").alias("mx")).collect()}
+    assert seqs["a"] == 2 and seqs["b"] == 1
+    live = (journal.withColumn(
+        "rn", F.row_number().over(
+            __import__("pyspark").sql.Window
+            .partitionBy("event_type", "bucket_start")
+            .orderBy(F.desc("upd_seq"))))
+        .where("rn = 1").select("event_type", "bucket_start", "est"))
+    all_events = _mk_events(spark, batch1 + batch2)
+    want = {}
+    for t in ("a", "b"):
+        for r in hll_distinct(all_events.where(F.col("event_type") == t),
+                              p=8).collect():
+            want[(t, r.bucket_start)] = r.est
+    got = {(r.event_type, r.bucket_start): r.est for r in live.collect()}
+    assert got == want
+    assert len(got) == 2  # one day per type
