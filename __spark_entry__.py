@@ -1433,6 +1433,13 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_label_centroid_qc(spark, sf_dir):
+    # embedding cluster-quality audit: broadcast centroids, map-side
+    # cross-score collapsing to one row/vector in the combiner,
+    # |labels| output rows -- raw vectors never shuffle
+    return similarity.label_centroid_qc(_embs(spark, sf_dir))
+
+
 def q_did_impact(spark, sf_dir):
     # difference-in-differences per series at the corpus midpoint:
     # broadcast bounds + ONE conditional groupBy; control sums via
@@ -2003,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_impact": q_did_impact,
         "dominant_period": q_dominant_period,
         "compaction_plan": q_compaction_plan,
+        "label_centroid_qc": q_label_centroid_qc,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

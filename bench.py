@@ -172,6 +172,7 @@ HEADLINE = [
     "did_impact",
     "dominant_period",
     "compaction_plan",
+    "label_centroid_qc",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

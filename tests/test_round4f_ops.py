@@ -460,3 +460,37 @@ def test_compaction_plan_matches_python_replica(spark):
     for b, tot in totals.items():
         if b != last:
             assert tot >= 10
+
+
+# ------------------------------------------------- label_centroid_qc
+def test_label_centroid_qc_separates_planted_clusters(spark):
+    """Two orthogonal-ish planted clusters: silhouette ~ 1, positive
+    margin; randomized labels on the same vectors: silhouette ~ 0."""
+    from yahoo_anomaly_detection_spark.operators import similarity
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(60):
+        base = np.zeros(8)
+        lab = i % 2
+        base[lab * 4] = 10.0  # cluster axis
+        vec = base + rng.normal(0, 0.3, 8)
+        rows.append((i, [float(x) for x in vec], lab))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in
+           similarity.label_centroid_qc(embs).collect()}
+    for lab in (0, 1):
+        assert out[lab].n == 30
+        assert out[lab].silhouette > 0.8
+        assert out[lab].margin > 0.5
+        assert out[lab].intra_cos > 0.95
+    # same vectors, labels 50/50 mixed across the true clusters
+    # ((i//2)%2 agrees with the geometric label i%2 exactly half the
+    # time) -> both "clusters" have the same centroid, no structure
+    shuffled = spark.createDataFrame(
+        [(i, v, (i // 2) % 2) for i, v, _ in rows],
+        "vec_id long, embedding array<float>, label int")
+    out2 = similarity.label_centroid_qc(shuffled).collect()
+    for r in out2:
+        assert abs(r.silhouette) < 0.25
+        assert abs(r.margin) < 0.2

@@ -975,3 +975,100 @@ ORACLE_SQL = {
     "ann_lsh_multiprobe": _lsh_multiprobe_sql(8, 50, 5),
     "ann_recall_lsh": _ann_recall_sql(8, 50, 5),
 }
+
+
+def label_centroid_qc(embs: DataFrame) -> DataFrame:
+    """Cluster-quality audit of a labeled embedding table: per label,
+    the mean cosine to the OWN label centroid, the mean cosine to the
+    best OTHER centroid, and the centroid-silhouette — silhouette
+    computed per vector from cosine distances (a = 1 − own_cos,
+    b = 1 − best_other_cos, s = (b − a)/max(a, b)) and averaged. The
+    go/no-go before trusting labels for :func:`cluster split
+    <yahoo_anomaly_detection_spark.operators.curation>`-style
+    leakage-safe partitioning or classifier distillation: labels
+    whose silhouette ≈ 0 are not clusters, and their "separation"
+    margin is noise.
+
+    Output: (label, n, intra_cos, inter_cos, margin, silhouette) —
+    floats rounded to 4; degenerate vectors (zero norm) would NULL
+    through try-division on both engines.
+
+    Scale shape: centroids are ONE map-side-combined (label, dim)
+    aggregate reassembled to |labels| rows and BROADCAST; the
+    corpus cross-scores against that broadcast relation map-side
+    (N·|labels| intermediate rows that COLLAPSE to one row per
+    vector in the map-side combiner of the (vec) groupBy), then
+    |labels| rows of final aggregate — the corpus never shuffles
+    raw vectors.
+    """
+    base = embs.select("vec_id", "label", _vecd("embedding").alias("e"))
+    cent = (
+        base.select("label", F.posexplode("e").alias("_p", "_c"))
+        .groupBy("label", "_p").agg(F.avg("_c").alias("_c"))
+        .groupBy("label")
+        .agg(F.expr(
+            "transform(array_sort(collect_list(struct(_p, _c))),"
+            " s -> s._c)").alias("ce"))
+        .select(F.col("label").alias("clabel"), "ce")
+    )
+    crossed = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel",
+        (_dot("e", "ce") / (_norm("e") * _norm("ce"))).alias("_cos"),
+    )
+    per_vec = crossed.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"),
+                     F.col("_cos"))).alias("own"),
+        F.max(F.when(F.col("clabel") != F.col("label"),
+                     F.col("_cos"))).alias("other"),
+    )
+    a = F.lit(1.0) - F.col("own")
+    b = F.lit(1.0) - F.col("other")
+    sil = F.try_divide(b - a, F.greatest(a, b))
+    return (per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        portable_round(F.avg("own"), _R).alias("intra_cos"),
+        portable_round(F.avg("other"), _R).alias("inter_cos"),
+        portable_round(F.avg(F.col("own") - F.col("other")), _R)
+        .alias("margin"),
+        portable_round(F.avg(sil), _R).alias("silhouette"),
+    ))
+
+
+def _label_centroid_sql() -> str:
+    dot = _DOT_SQL.format(a="b.e", b="c.ce", dim=DIM)
+    return f"""
+WITH base AS (SELECT vec_id, label,
+                     {_VECD_SQL.format(e='embedding')} AS e
+              FROM embeddings),
+comp AS (
+    SELECT label, i, e[i] AS x
+    FROM base, (SELECT unnest(range(1, {DIM} + 1)) AS i)
+),
+cent AS (
+    SELECT label AS clabel, list(c ORDER BY i) AS ce
+    FROM (SELECT label, i, avg(x) AS c FROM comp GROUP BY 1, 2)
+    GROUP BY 1
+),
+crossed AS (
+    SELECT b.vec_id, b.label, c.clabel,
+           {dot} / ({_NORM_SQL.format(a='b.e')} *
+                    {_NORM_SQL.format(a='c.ce')}) AS _cos
+    FROM base b CROSS JOIN cent c
+),
+per_vec AS (
+    SELECT vec_id, label,
+           max(CASE WHEN clabel = label THEN _cos END) AS own,
+           max(CASE WHEN clabel <> label THEN _cos END) AS other
+    FROM crossed GROUP BY 1, 2
+)
+SELECT label, count(*) AS n,
+       round(avg(own), 4) AS intra_cos,
+       round(avg(other), 4) AS inter_cos,
+       round(avg(own - other), 4) AS margin,
+       round(avg(((1.0 - other) - (1.0 - own))
+                 / greatest(1.0 - own, 1.0 - other)), 4) AS silhouette
+FROM per_vec GROUP BY 1
+"""
+
+
+ORACLE_SQL["label_centroid_qc"] = _label_centroid_sql()
