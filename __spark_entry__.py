@@ -1433,6 +1433,12 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_weekend_effect(spark, sf_dir):
+    # Welch two-sample t per series (weekend vs weekday): six
+    # conditional moments fold in ONE map-side combiner
+    return tsanalytics.weekend_effect(_events_raw(spark, sf_dir))
+
+
 def q_label_centroid_qc(spark, sf_dir):
     # embedding cluster-quality audit: broadcast centroids, map-side
     # cross-score collapsing to one row/vector in the combiner,
@@ -2011,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_period": q_dominant_period,
         "compaction_plan": q_compaction_plan,
         "label_centroid_qc": q_label_centroid_qc,
+        "weekend_effect": q_weekend_effect,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

@@ -173,6 +173,7 @@ HEADLINE = [
     "dominant_period",
     "compaction_plan",
     "label_centroid_qc",
+    "weekend_effect",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

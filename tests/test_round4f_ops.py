@@ -494,3 +494,50 @@ def test_label_centroid_qc_separates_planted_clusters(spark):
     for r in out2:
         assert abs(r.silhouette) < 0.25
         assert abs(r.margin) < 0.2
+
+
+# ------------------------------------------------- weekend_effect
+def test_weekend_effect_matches_scipy_style_replica(spark):
+    """Welch t and Satterthwaite dof vs a numpy replica; planted
+    weekend shift detected, identical distributions not flagged."""
+    rng = np.random.default_rng(11)
+    t0 = dt.datetime(2024, 6, 3)  # a Monday
+    rows = []
+    eid = 0
+    wd_vals, we_vals = [], []
+    for day in range(28):
+        is_we = (t0 + dt.timedelta(days=day)).isoweekday() >= 6
+        for i in range(20):
+            v = float(rng.normal(10.0 + (3.0 if is_we else 0.0), 2.0))
+            rows.append((eid, t0 + dt.timedelta(days=day, hours=i % 24),
+                         7, "shifted", v))
+            (we_vals if is_we else wd_vals).append(v)
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(days=day, hours=i % 24),
+                         7, "flat", float(rng.normal(5.0, 1.0))))
+            eid += 1
+    out = {r.event_type: r for r in
+           tsanalytics.weekend_effect(_ev(spark, rows)).collect()}
+    a, b = np.array(wd_vals), np.array(we_vals)
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se2 = v1 / len(a) + v2 / len(b)
+    t_stat = (b.mean() - a.mean()) / math.sqrt(se2)
+    dof = se2 ** 2 / ((v1 / len(a)) ** 2 / (len(a) - 1)
+                      + (v2 / len(b)) ** 2 / (len(b) - 1))
+    r = out["shifted"]
+    assert r.n_wd == len(a) and r.n_we == len(b)
+    assert r.t_stat == pytest.approx(t_stat, abs=2e-4)
+    assert r.dof == pytest.approx(dof, abs=2e-3)
+    assert r.significant == 1
+    assert out["flat"].significant == 0
+    assert abs(out["flat"].t_stat) < 3.0
+
+
+def test_weekend_effect_degenerate_null(spark):
+    """All-weekday series (n_we = 0) emits NULL model columns."""
+    t0 = dt.datetime(2024, 6, 3)  # Monday
+    rows = [(i, t0 + dt.timedelta(hours=i % 48), 7, "wd_only",
+             float(i % 7)) for i in range(50)]  # Mon/Tue only
+    [r] = tsanalytics.weekend_effect(_ev(spark, rows)).collect()
+    assert r.n_we == 0
+    assert r.t_stat is None and r.dof is None and r.significant is None

@@ -4640,3 +4640,107 @@ FROM ranked WHERE rn = 1
 
 ORACLE_SQL["did_impact"] = _DID_SQL
 ORACLE_SQL["dominant_period"] = _dominant_period_sql()
+
+
+def weekend_effect(events: DataFrame, key: str = "event_type",
+                   ts_col: str = "ts", value_col: str = "value",
+                   t_crit: float = 2.0) -> DataFrame:
+    """Welch two-sample t-test of weekend vs weekday values per
+    series: t = (m_we − m_wd)/sqrt(s²_we/n_we + s²_wd/n_wd) with
+    Welch–Satterthwaite dof — the parametric mean-shift counterpart
+    of ``ks_drift_1d``'s distribution test, answering "does this
+    metric run HOTTER on weekends" with a significance-scaled number
+    instead of a raw delta (a calendar-effect check that prevents
+    weekday-trained thresholds from paging all weekend).
+
+    Output: (event_type, n_wd, n_we, mean_wd, mean_we, t_stat, dof,
+    significant) — floats rounded to 4; a side with n < 2 or both
+    variances 0 yields NULL t/dof/flag on both engines. ``dayofweek``
+    is engine-portable via the date arithmetic idiom (both engines
+    agree ISO Monday=1 via ``isoweekday``-style extraction).
+
+    Scale shape: ONE map-side-combined conditional-moment aggregate
+    per series — six sums fold in the combiner; nothing else touches
+    the corpus.
+    """
+    v = F.col(value_col).cast("double")
+    # ISO weekday 1..7 (Mon..Sun): weekday(ts) in Spark is 0=Mon
+    is_we = (F.weekday(F.col(ts_col)) >= 5).cast("int")
+    grp = events.groupBy(key).agg(
+        F.sum(F.lit(1) - is_we).cast("long").alias("n_wd"),
+        F.sum(is_we).cast("long").alias("n_we"),
+        F.sum(F.when(is_we == 0, v)).alias("s_wd"),
+        F.sum(F.when(is_we == 1, v)).alias("s_we"),
+        F.sum(F.when(is_we == 0, v * v)).alias("q_wd"),
+        F.sum(F.when(is_we == 1, v * v)).alias("q_we"),
+    )
+    n1, n2 = F.col("n_wd").cast("double"), F.col("n_we").cast("double")
+    m1 = F.col("s_wd") / n1
+    m2 = F.col("s_we") / n2
+    # unbiased sample variance from raw moments
+    v1 = (F.col("q_wd") - n1 * m1 * m1) / (n1 - 1)
+    v2 = (F.col("q_we") - n2 * m2 * m2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    ok = (F.col("n_wd") >= 2) & (F.col("n_we") >= 2) & (se2 > 0)
+    t = F.when(ok, (m2 - m1) / F.sqrt(se2))
+    dof = F.when(ok, se2 * se2 / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1)
+        + (v2 / n2) * (v2 / n2) / (n2 - 1)))
+    return grp.select(
+        key, "n_wd", "n_we",
+        portable_round(m1, _R).alias("mean_wd"),
+        portable_round(m2, _R).alias("mean_we"),
+        portable_round(t, _R).alias("t_stat"),
+        portable_round(dof, _R).alias("dof"),
+        F.when(ok, (F.abs(portable_round(t, _R)) > F.lit(t_crit))
+               .cast("int")).alias("significant"),
+    )
+
+
+def _weekend_sql(t_crit: float = 2.0) -> str:
+    return f"""
+WITH g AS (
+    SELECT event_type,
+           sum(CASE WHEN isodow(ts) >= 6 THEN 0 ELSE 1 END) AS n_wd,
+           sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS n_we,
+           sum(CASE WHEN isodow(ts) < 6 THEN CAST(value AS DOUBLE) END)
+               AS s_wd,
+           sum(CASE WHEN isodow(ts) >= 6 THEN CAST(value AS DOUBLE) END)
+               AS s_we,
+           sum(CASE WHEN isodow(ts) < 6
+                    THEN CAST(value AS DOUBLE) * value END) AS q_wd,
+           sum(CASE WHEN isodow(ts) >= 6
+                    THEN CAST(value AS DOUBLE) * value END) AS q_we
+    FROM events GROUP BY 1
+),
+m AS (
+    SELECT event_type, n_wd, n_we,
+           s_wd / n_wd AS m1, s_we / n_we AS m2,
+           (q_wd - n_wd * (s_wd / n_wd) * (s_wd / n_wd))
+               / (n_wd - 1) AS v1,
+           (q_we - n_we * (s_we / n_we) * (s_we / n_we))
+               / (n_we - 1) AS v2
+    FROM g
+),
+w AS (
+    SELECT *,
+           v1 / n_wd + v2 / n_we AS se2,
+           (n_wd >= 2 AND n_we >= 2 AND v1 / n_wd + v2 / n_we > 0)
+               AS ok
+    FROM m
+)
+SELECT event_type,
+       CAST(n_wd AS BIGINT) AS n_wd, CAST(n_we AS BIGINT) AS n_we,
+       round(m1, 4) AS mean_wd, round(m2, 4) AS mean_we,
+       CASE WHEN ok THEN round((m2 - m1) / sqrt(se2), 4) END AS t_stat,
+       CASE WHEN ok THEN round(se2 * se2 /
+            ((v1 / n_wd) * (v1 / n_wd) / (n_wd - 1)
+             + (v2 / n_we) * (v2 / n_we) / (n_we - 1)), 4) END AS dof,
+       CASE WHEN ok THEN
+            CAST(abs(round((m2 - m1) / sqrt(se2), 4)) > {t_crit}
+                 AS INT) END AS significant
+FROM w
+"""
+
+
+ORACLE_SQL["weekend_effect"] = _weekend_sql()
