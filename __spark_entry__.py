@@ -1433,6 +1433,21 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_fleet_incidents(spark, sf_dir):
+    # cross-series alert correlation: breach runs -> bucketed
+    # overlap-edge join (never all-pairs) -> reused CC min-label
+    # loop -> one row per fleet incident; iv_id is derived from
+    # natural keys so both engines agree on incident identity
+    flagged = _t1m_mean(spark, sf_dir).withColumn(
+        "breach", (F.col("mean_v") > 100.0).cast("int"))
+    iv = alerting.flag_intervals(flagged, "breach", sample_seconds=60)
+    iv = iv.withColumn(
+        "iv_id",
+        F.unix_seconds(F.col("interval_start").cast("timestamp"))
+        * F.lit(1_000_000) + F.col("conv_id").cast("long"))
+    return alerting.fleet_incidents(iv)
+
+
 def q_weekend_effect(spark, sf_dir):
     # Welch two-sample t per series (weekend vs weekday): six
     # conditional moments fold in ONE map-side combiner
@@ -2018,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "label_centroid_qc": q_label_centroid_qc,
         "weekend_effect": q_weekend_effect,
+        "fleet_incidents": q_fleet_incidents,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

@@ -174,6 +174,7 @@ HEADLINE = [
     "compaction_plan",
     "label_centroid_qc",
     "weekend_effect",
+    "fleet_incidents",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -517,3 +517,81 @@ def test_interval_coverage_property_vs_per_second_count(spark):
             start_col="interval_start", end_col="interval_end").collect()
     }
     assert got == {k: float(v) for k, v in truth.items()}
+
+
+# ------------------------------------------------- fleet_incidents
+def test_fleet_incidents_clusters_overlap_chains(spark):
+    """A transitive overlap chain A∩B, B∩C lands in ONE incident even
+    though A and C never overlap; a disjoint interval stays its own
+    singleton incident with its own id."""
+    from yahoo_anomaly_detection_spark.operators.alerting import (
+        fleet_incidents,
+    )
+    rows = [
+        # (iv_id, conv, start,            end,              dur)
+        (1, "a", "2024-01-01 00:00:00", "2024-01-01 01:00:00", 3600),
+        (2, "b", "2024-01-01 00:30:00", "2024-01-01 02:00:00", 5400),
+        (3, "c", "2024-01-01 01:45:00", "2024-01-01 03:00:00", 4500),
+        (9, "a", "2024-01-02 10:00:00", "2024-01-02 11:00:00", 3600),
+    ]
+    iv = spark.createDataFrame(
+        rows, "iv_id long, conv_id string, interval_start string, "
+              "interval_end string, duration_seconds long"
+    ).select("iv_id", "conv_id",
+             F.col("interval_start").cast("timestamp")
+             .alias("interval_start"),
+             F.col("interval_end").cast("timestamp")
+             .alias("interval_end"), "duration_seconds")
+    out = {r.incident_id: r for r in fleet_incidents(iv).collect()}
+    assert set(out) == {1, 9}
+    big = out[1]
+    assert big.n_intervals == 3 and big.n_series == 3
+    assert str(big.incident_start) == "2024-01-01 00:00:00"
+    assert str(big.incident_end) == "2024-01-01 03:00:00"
+    assert big.flagged_seconds == 3600 + 5400 + 4500
+    assert out[9].n_intervals == 1 and out[9].n_series == 1
+
+
+def test_fleet_incidents_half_open_touching_do_not_merge(spark):
+    """[0,1h) and [1h,2h) touch but do not overlap — separate
+    incidents (half-open semantics, same rule as the point joins)."""
+    from yahoo_anomaly_detection_spark.operators.alerting import (
+        fleet_incidents,
+    )
+    rows = [
+        (1, "a", "2024-01-01 00:00:00", "2024-01-01 01:00:00", 3600),
+        (2, "b", "2024-01-01 01:00:00", "2024-01-01 02:00:00", 3600),
+    ]
+    iv = spark.createDataFrame(
+        rows, "iv_id long, conv_id string, interval_start string, "
+              "interval_end string, duration_seconds long"
+    ).select("iv_id", "conv_id",
+             F.col("interval_start").cast("timestamp")
+             .alias("interval_start"),
+             F.col("interval_end").cast("timestamp")
+             .alias("interval_end"), "duration_seconds")
+    out = fleet_incidents(iv).collect()
+    assert sorted(r.incident_id for r in out) == [1, 2]
+    assert all(r.n_intervals == 1 for r in out)
+
+
+def test_fleet_incidents_edge_join_is_bucketed_not_cartesian(spark):
+    from yahoo_anomaly_detection_spark.operators.alerting import (
+        fleet_incidents,
+    )
+    rows = [(i, "s%d" % (i % 7),
+             "2024-01-01 %02d:00:00" % (i % 20),
+             "2024-01-01 %02d:30:00" % (i % 20), 1800)
+            for i in range(60)]
+    iv = spark.createDataFrame(
+        rows, "iv_id long, conv_id string, interval_start string, "
+              "interval_end string, duration_seconds long"
+    ).select("iv_id", "conv_id",
+             F.col("interval_start").cast("timestamp")
+             .alias("interval_start"),
+             F.col("interval_end").cast("timestamp")
+             .alias("interval_end"), "duration_seconds")
+    out = fleet_incidents(iv)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -691,3 +691,120 @@ ORACLE_SQL = {
     "incident_overlap_bucketed": _INCIDENT_OVERLAP_SQL,
     "incident_coverage_1d": _COVERAGE_SQL,
 }
+
+
+def fleet_incidents(intervals: DataFrame, id_col: str = "iv_id",
+                    series_col: str = "conv_id",
+                    start_col: str = "interval_start",
+                    end_col: str = "interval_end",
+                    bucket_seconds: int = 3600,
+                    max_iter: int = 20,
+                    shortcut: bool = True) -> DataFrame:
+    """Cross-series alert correlation: cluster overlapping breach
+    intervals from DIFFERENT series into fleet-level incidents — the
+    alert-dedup step every paging pipeline needs (50 series breaching
+    together is ONE infrastructure incident, not 50 pages). Two
+    intervals share an incident when their half-open time ranges
+    overlap (``a.start < b.end AND b.start < a.end``); incident
+    membership is the transitive closure, computed by reusing the
+    engine's :func:`~yahoo_anomaly_detection_spark.operators.dedup.\
+connected_components` min-label loop over the overlap graph.
+
+    ``id_col`` must be a numeric interval id that is identical across
+    engines (the caller derives it from natural keys, e.g.
+    ``epoch_seconds(start)·10^6 + series_number``) — the incident id
+    is the cluster's minimum ``iv_id``, so determinism of the output
+    is determinism of the ids.
+
+    Output per incident: (incident_id, n_intervals, n_series,
+    incident_start, incident_end, flagged_seconds).
+
+    Scale shape: the interval relation is runs, not samples —
+    orders of magnitude smaller than the corpus; overlap candidates
+    come from the bucketed equality decomposition
+    (:func:`_explode_to_buckets` on both sides, join on the bucket
+    id, exact residual filter, distinct) — never an all-pairs
+    θ-join; the CC loop shuffles node-keyed label rows per round
+    with lineage truncation, per-round block release, and an
+    optional reliable-checkpoint mode inherited from the dedup
+    operator.
+    """
+    from yahoo_anomaly_detection_spark.operators.dedup import (
+        connected_components,
+    )
+
+    b_us = F.lit(int(bucket_seconds) * _US)
+    left = _explode_to_buckets(intervals, start_col, end_col, b_us) \
+        .select(F.col(id_col).alias("ia"),
+                F.col(start_col).alias("sa"),
+                F.col(end_col).alias("ea"), "_bkt")
+    right = _explode_to_buckets(intervals, start_col, end_col, b_us) \
+        .select(F.col(id_col).alias("ib"),
+                F.col(start_col).alias("sb"),
+                F.col(end_col).alias("eb"), "_bkt")
+    edges = (
+        left.join(right, "_bkt")
+        .where((F.col("ia") < F.col("ib"))
+               & (F.col("sa") < F.col("eb"))
+               & (F.col("sb") < F.col("ea")))
+        .select("ia", "ib").distinct()
+    )
+    # overlap chains (A∩B, B∩C, …) give the incident graph a LARGE
+    # diameter — hours-long cascades converge in O(diameter) min-label
+    # rounds but O(log d) with pointer doubling, hence shortcut
+    # defaults ON here (unlike near-dup graphs, whose components are
+    # dense and shallow)
+    comp = connected_components(edges, "ia", "ib", max_iter=max_iter,
+                                shortcut=shortcut)
+    labeled = intervals.join(
+        comp.select(F.col("doc_id").alias(id_col),
+                    F.col("cluster")),
+        id_col, "left",
+    ).withColumn("_inc", F.coalesce("cluster", F.col(id_col)))
+    return labeled.groupBy(F.col("_inc").alias("incident_id")).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.countDistinct(series_col).alias("n_series"),
+        F.min(start_col).alias("incident_start"),
+        F.max(end_col).alias("incident_end"),
+        F.sum("duration_seconds").cast("long").alias("flagged_seconds"),
+    )
+
+
+_FLEET_INCIDENTS_SQL = f"""
+WITH RECURSIVE {_T1M_BASE},
+{BREACH_SEGS_SQL.strip()},
+iv AS (
+    SELECT conv_id,
+           min(bucket_start) AS s,
+           make_timestamp(epoch_us(max(bucket_start)) + 60000000) AS e,
+           CAST(count(*) * 60 AS BIGINT) AS dur,
+           CAST(epoch(min(bucket_start)) AS BIGINT) * 1000000
+               + CAST(conv_id AS BIGINT) AS iv_id
+    FROM sg WHERE breach = 1
+    GROUP BY conv_id, seg
+),
+edges AS (
+    SELECT a.iv_id AS src, b.iv_id AS dst
+    FROM iv a JOIN iv b
+      ON a.iv_id <> b.iv_id AND a.s < b.e AND b.s < a.e
+),
+reach(node, lab) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node),
+lab AS (
+    SELECT iv.*, coalesce(cc.cluster, iv.iv_id) AS inc
+    FROM iv LEFT JOIN cc ON cc.node = iv.iv_id
+)
+SELECT inc AS incident_id,
+       count(*) AS n_intervals,
+       count(DISTINCT conv_id) AS n_series,
+       min(s) AS incident_start,
+       max(e) AS incident_end,
+       CAST(sum(dur) AS BIGINT) AS flagged_seconds
+FROM lab GROUP BY 1
+"""
+
+ORACLE_SQL["fleet_incidents"] = _FLEET_INCIDENTS_SQL
