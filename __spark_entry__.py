@@ -1433,6 +1433,13 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_props_profile(spark, sf_dir):
+    # schema-on-read JSON payload profiling: ONE vectorized
+    # from_json parse per row (never per-field get_json_object),
+    # one map-side-combined aggregate
+    return enrich.props_profile(_events_raw(spark, sf_dir))
+
+
 def q_fleet_incidents(spark, sf_dir):
     # cross-series alert correlation: breach runs -> bucketed
     # overlap-edge join (never all-pairs) -> reused CC min-label
@@ -2034,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_qc": q_label_centroid_qc,
         "weekend_effect": q_weekend_effect,
         "fleet_incidents": q_fleet_incidents,
+        "props_profile": q_props_profile,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }
@@ -2616,6 +2624,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(curation.ORACLE_SQL)
     out["grouping_cube_1d"] = rollup.GROUPED_ROLLUP_SQL
     out.update(layout.ORACLE_SQL)
+    out.update(enrich.ORACLE_SQL)
     # capstone composition: intersection of three independently-
     # oracled doc_id sets (quality gate, canonical dedup survivors,
     # stratified sample)

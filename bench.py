@@ -175,6 +175,7 @@ HEADLINE = [
     "label_centroid_qc",
     "weekend_effect",
     "fleet_incidents",
+    "props_profile",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -541,3 +541,27 @@ def test_weekend_effect_degenerate_null(spark):
     [r] = tsanalytics.weekend_effect(_ev(spark, rows)).collect()
     assert r.n_we == 0
     assert r.t_stat is None and r.dof is None and r.significant is None
+
+
+# ------------------------------------------------- props_profile
+def test_props_profile_counts_malformed_and_missing(spark):
+    """Malformed JSON, missing field, JSON null, and typed values
+    must classify exactly; stats computed over present values only."""
+    from yahoo_anomaly_detection_spark.operators import enrich
+    t0 = dt.datetime(2024, 6, 1)
+    payloads = ['{"k": 10}', '{"k": 20}', '{"k": 30}',
+                '{"other": 1}',    # field absent
+                '{"k": null}',     # JSON null
+                'not json at all', # malformed
+                None]              # SQL NULL document
+    rows = [(i, t0 + dt.timedelta(seconds=i), 7, "t", 1.0, p)
+            for i, p in enumerate(payloads)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    [r] = enrich.props_profile(ev).collect()
+    assert r.n == 7
+    assert r.n_missing == 4
+    assert r.distinct_vals == 3
+    assert r.mean_val == 20.0
+    assert r.p95_val == pytest.approx(29.0, abs=1e-6)

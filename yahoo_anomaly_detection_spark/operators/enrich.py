@@ -50,3 +50,62 @@ def broadcast_enrich(
         )
         out = out.join(F.broadcast(pruned), on=fact_key, how=how)
     return out
+
+
+def props_profile(events: DataFrame, json_col: str = "props",
+                  field: str = "k",
+                  key: str = "event_type") -> DataFrame:
+    """Schema-on-read profiling of a semi-structured JSON payload
+    column — the first thing an engine does with an event stream's
+    ``props`` bag: extract a typed field and report its health and
+    distribution per series. Extraction uses ``from_json`` with an
+    EXPLICIT one-field schema (single vectorized JVM parse per row,
+    stays inside whole-stage codegen) — never ``get_json_object``
+    per field, which re-parses the document for every field pulled.
+
+    Output per key: (event_type, n, n_missing, distinct_vals,
+    mean_val, p95_val) — missing = unparseable document OR absent/
+    null field; floats rounded to 4.
+
+    Scale note: this is the PROFILING pass; a production pipeline
+    runs it once, then materializes the extracted columns into the
+    silver tier (parquet columns prune and push down; JSON strings
+    do neither), making repeated extraction cost disappear. One
+    map-side-combined aggregate; the JSON parse is map-side work.
+    """
+    parsed = F.from_json(
+        F.col(json_col), f"{field} BIGINT").getField(field)
+    base = events.select(F.col(key), parsed.alias("_v"))
+    from yahoo_anomaly_detection_spark.functions.portable import (
+        portable_round,
+    )
+
+    return base.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("_v").isNull(), 1)).alias("n_missing"),
+        F.countDistinct("_v").alias("distinct_vals"),
+        portable_round(F.avg("_v"), 4).alias("mean_val"),
+        portable_round(
+            F.expr("percentile(_v, 0.95)"), 4).alias("p95_val"),
+    )
+
+
+def _props_profile_sql(field: str = "k") -> str:
+    return f"""
+WITH b AS (
+    SELECT event_type,
+           TRY_CAST(json_extract(props, '$.{field}') AS BIGINT) AS v
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_missing,
+       count(DISTINCT v) AS distinct_vals,
+       round(avg(v), 4) AS mean_val,
+       round(quantile_cont(v, 0.95), 4) AS p95_val
+FROM b GROUP BY 1
+"""
+
+
+ORACLE_SQL = {"props_profile": _props_profile_sql()}
