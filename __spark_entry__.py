@@ -1433,6 +1433,13 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_fuzzy_token_pairs(spark, sf_dir):
+    # exact edit-distance-1 vocab pairs via FastSS deletion-
+    # neighborhood blocking + levenshtein verify on candidates only
+    # -- vocab-sized hash equi-join, never all-pairs
+    return textstats.fuzzy_token_pairs(_docs(spark, sf_dir))
+
+
 def q_props_profile(spark, sf_dir):
     # schema-on-read JSON payload profiling: ONE vectorized
     # from_json parse per row (never per-field get_json_object),
@@ -2042,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekend_effect": q_weekend_effect,
         "fleet_incidents": q_fleet_incidents,
         "props_profile": q_props_profile,
+        "fuzzy_token_pairs": q_fuzzy_token_pairs,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

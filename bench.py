@@ -176,6 +176,7 @@ HEADLINE = [
     "weekend_effect",
     "fleet_incidents",
     "props_profile",
+    "fuzzy_token_pairs",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

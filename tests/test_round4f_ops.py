@@ -565,3 +565,35 @@ def test_props_profile_counts_malformed_and_missing(spark):
     assert r.distinct_vals == 3
     assert r.mean_val == 20.0
     assert r.p95_val == pytest.approx(29.0, abs=1e-6)
+
+
+# ------------------------------------------------- fuzzy_token_pairs
+def test_fuzzy_token_pairs_finds_all_planted_edit1_variants(spark):
+    """Deletion-neighborhood blocking + levenshtein verify must find
+    every substitution/insertion/deletion typo exactly once, orient
+    counts, and exclude distance-2 pairs. (The driver corpus has no
+    ed-1 vocab pairs, so the oracle gate proves empty-set agreement;
+    the positives live here.)"""
+    from yahoo_anomaly_detection_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(1, "receive receive receive the parcel", "en", "s", 10),
+         (2, "recieve the parcel", "en", "s", 10),   # transposition: ed 2
+         (3, "receive receeive", "en", "s", 10),     # insertion: ed 1
+         (4, "banana bananas banana bananas", "en", "s", 10),
+         (5, "window windoq windows", "en", "s", 10),
+         (6, "totally unrelated words here", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    got = {(r.tok_a, r.tok_b): (r.n_a, r.n_b) for r in
+           textstats.fuzzy_token_pairs(docs, min_count=1,
+                                       min_len=4).collect()}
+    assert ("banana", "bananas") in got
+    assert ("receeive", "receive") in got
+    assert ("windoq", "window") in got
+    assert ("window", "windows") in got
+    assert ("windoq", "windows") not in got      # distance 2
+    assert ("receive", "recieve") not in got     # transposition = 2
+    # counts orient typo -> canonical
+    na, nb = got[("banana", "bananas")]
+    assert na == 2 and nb == 2
+    assert got[("receeive", "receive")] == (1, 4)

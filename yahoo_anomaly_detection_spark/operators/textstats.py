@@ -875,3 +875,90 @@ ORACLE_SQL = {
     "heavy_hitters": _heavy_hitters_sql(0.01),
     "zipf_fit": _zipf_sql(100),
 }
+
+
+def fuzzy_token_pairs(docs: DataFrame, min_count: int = 2,
+                      min_len: int = 4) -> DataFrame:
+    """Edit-distance-1 string-similarity join over the corpus
+    vocabulary — the typo/variant-clustering step of vocab hygiene
+    ("recieve"→"receive") — via DELETION-NEIGHBORHOOD blocking
+    (the FastSS idiom, Bocek et al. 2007): two tokens are within
+    edit distance 1 only if one appears in the other's 1-deletion
+    set or their 1-deletion sets intersect, so blocking on
+    {token} ∪ deletions(token) is a complete candidate generator.
+    Candidates are then VERIFIED with ``levenshtein() = 1``, making
+    the result exact.
+
+    Output: (tok_a, tok_b, n_a, n_b) with tok_a < tok_b — counts let
+    the caller orient typo→canonical (rare→frequent).
+
+    Scale shape: everything runs on the VOCAB relation (≪ corpus —
+    one map-side-combined token count first, filtered by
+    ``min_count``/``min_len``); the variant explosion is
+    ×(len+1) per token and the candidate join is a plain hash
+    equi-join on the variant key — never an all-pairs comparison;
+    levenshtein runs on candidates only. The same shape FastSS and
+    every blocked entity-resolution pipeline uses at scale.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    toks = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("token")
+    )
+    vocab = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+             .where((F.col("cnt") >= min_count)
+                    & (F.length("token") >= min_len)))
+    # variant key set: the token itself (pos 0) + each 1-deletion
+    variants = vocab.select(
+        "token", "cnt",
+        F.explode(F.expr(
+            "transform(sequence(0, length(token)), i -> "
+            "CASE WHEN i = 0 THEN token "
+            "ELSE concat(substring(token, 1, i - 1), "
+            "substring(token, i + 1, length(token))) END)"
+        )).alias("var"),
+    ).distinct()
+    a = variants.select(F.col("token").alias("tok_a"),
+                        F.col("cnt").alias("n_a"), "var")
+    b = variants.select(F.col("token").alias("tok_b"),
+                        F.col("cnt").alias("n_b"), "var")
+    cand = (a.join(b, "var")
+            .where(F.col("tok_a") < F.col("tok_b"))
+            .select("tok_a", "tok_b", "n_a", "n_b").distinct())
+    return cand.where(F.levenshtein("tok_a", "tok_b") == 1)
+
+
+def _fuzzy_pairs_sql(min_count: int = 2, min_len: int = 4) -> str:
+    return f"""
+WITH tok AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        AS token
+    FROM documents
+),
+vocab AS (
+    SELECT token, count(*) AS cnt
+    FROM tok GROUP BY 1
+    HAVING count(*) >= {min_count} AND length(token) >= {min_len}
+),
+variants AS (
+    SELECT DISTINCT token, cnt,
+           CASE WHEN i = 0 THEN token
+                ELSE concat(substr(token, 1, i - 1),
+                            substr(token, i + 1, length(token)))
+           END AS var
+    FROM vocab, unnest(range(0, length(token) + 1)) u(i)
+),
+cand AS (
+    SELECT DISTINCT a.token AS tok_a, b.token AS tok_b,
+                    a.cnt AS n_a, b.cnt AS n_b
+    FROM variants a JOIN variants b USING (var)
+    WHERE a.token < b.token
+)
+SELECT tok_a, tok_b, n_a, n_b
+FROM cand WHERE levenshtein(tok_a, tok_b) = 1
+"""
+
+
+ORACLE_SQL["fuzzy_token_pairs"] = _fuzzy_pairs_sql()
