@@ -1433,6 +1433,13 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_change_attribution(spark, sf_dir):
+    # Adtributor root-cause decomposition at the corpus midpoint:
+    # per-segment explanatory power + JS surprise; same two-scan
+    # shape as did_impact (bounds broadcast + ONE conditional agg)
+    return tsanalytics.change_attribution(_events_raw(spark, sf_dir))
+
+
 def q_fuzzy_token_pairs(spark, sf_dir):
     # exact edit-distance-1 vocab pairs via FastSS deletion-
     # neighborhood blocking + levenshtein verify on candidates only
@@ -2050,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleet_incidents": q_fleet_incidents,
         "props_profile": q_props_profile,
         "fuzzy_token_pairs": q_fuzzy_token_pairs,
+        "change_attribution": q_change_attribution,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

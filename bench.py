@@ -177,6 +177,7 @@ HEADLINE = [
     "fleet_incidents",
     "props_profile",
     "fuzzy_token_pairs",
+    "change_attribution",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -597,3 +597,32 @@ def test_fuzzy_token_pairs_finds_all_planted_edit1_variants(spark):
     na, nb = got[("banana", "bananas")]
     assert na == 2 and nb == 2
     assert got[("receeive", "receive")] == (1, 4)
+
+
+# ------------------------------------------------- change_attribution
+def test_change_attribution_pins_the_moving_segment(spark):
+    """One segment doubles, others hold: it owns EP = 1 and the
+    highest surprise; EPs sum to 1 over segments."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    for typ, pre_v, post_v in [("mover", 10.0, 20.0),
+                               ("flat1", 30.0, 30.0),
+                               ("flat2", 5.0, 5.0)]:
+        for i in range(10):
+            rows.append((eid, t0 + dt.timedelta(hours=i), 7, typ,
+                         pre_v))
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(hours=100 + i), 7,
+                         typ, post_v))
+            eid += 1
+    out = {r.event_type: r for r in
+           tsanalytics.change_attribution(_ev(spark, rows)).collect()}
+    assert out["mover"].ep == 1.0
+    assert out["flat1"].ep == 0.0 and out["flat2"].ep == 0.0
+    assert out["mover"].surprise > out["flat1"].surprise
+    assert out["mover"].surprise > out["flat2"].surprise
+    assert sum(r.ep for r in out.values()) == pytest.approx(1.0)
+    # flat segments still register SOME surprise: their SHARE of the
+    # total shrank when the mover grew
+    assert out["flat1"].surprise > 0
