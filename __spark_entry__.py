@@ -1433,6 +1433,13 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_funnel_latency(spark, sf_dir):
+    # time-to-convert view->purchase per conversion day: per-user
+    # anchor + conversion on ONE user-key exchange (sessionize
+    # idiom), day rollup over <=1 row/converting user
+    return sessions.funnel_latency(_events_raw(spark, sf_dir))
+
+
 def q_change_attribution(spark, sf_dir):
     # Adtributor root-cause decomposition at the corpus midpoint:
     # per-segment explanatory power + JS surprise; same two-scan
@@ -2058,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_profile": q_props_profile,
         "fuzzy_token_pairs": q_fuzzy_token_pairs,
         "change_attribution": q_change_attribution,
+        "funnel_latency": q_funnel_latency,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

@@ -178,6 +178,7 @@ HEADLINE = [
     "props_profile",
     "fuzzy_token_pairs",
     "change_attribution",
+    "funnel_latency",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

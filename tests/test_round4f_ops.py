@@ -626,3 +626,33 @@ def test_change_attribution_pins_the_moving_segment(spark):
     # flat segments still register SOME surprise: their SHARE of the
     # total shrank when the mover grew
     assert out["flat1"].surprise > 0
+
+
+# ------------------------------------------------- funnel_latency
+def test_funnel_latency_first_touch_and_strict_order(spark):
+    """Latency anchors at the FIRST step_a; a step_b before or at the
+    anchor does not convert; later duplicate conversions ignored."""
+    from yahoo_anomaly_detection_spark.operators import sessions
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        # user 1: view@0s, purchase@100s (and a later one, ignored)
+        (0, t0, 1, "view", 1.0),
+        (1, t0 + dt.timedelta(seconds=100), 1, "purchase", 1.0),
+        (2, t0 + dt.timedelta(seconds=500), 1, "purchase", 1.0),
+        # user 2: purchase BEFORE any view -> no conversion
+        (3, t0, 2, "purchase", 1.0),
+        (4, t0 + dt.timedelta(seconds=10), 2, "view", 1.0),
+        # user 3: purchase exactly AT the view instant -> no conversion
+        (5, t0, 3, "view", 1.0),
+        (6, t0, 3, "purchase", 1.0),
+        # user 4: second view closer to purchase -- anchor stays FIRST
+        (7, t0, 4, "view", 1.0),
+        (8, t0 + dt.timedelta(seconds=200), 4, "view", 1.0),
+        (9, t0 + dt.timedelta(seconds=300), 4, "purchase", 1.0),
+    ]
+    [r] = sessions.funnel_latency(_ev(spark, rows)).collect()
+    assert r.n_conversions == 2  # users 1 and 4
+    # latencies: 100 (user 1), 300 (user 4)
+    assert r.p50_s == pytest.approx(200.0)  # interpolated median
+    assert r.mean_s == pytest.approx(200.0)
+    assert r.p90_s == pytest.approx(280.0)  # 100 + 0.9*(300-100)

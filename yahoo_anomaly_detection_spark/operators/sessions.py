@@ -768,3 +768,88 @@ ORACLE_SQL = {
     "events_vs_trailing_p95": _ASOF_P95_SQL,
     "key_skew": _KEY_SKEW_SQL,
 }
+
+
+def funnel_latency(events: DataFrame, step_a: str = "view",
+                   step_b: str = "purchase",
+                   user_col: str = "user_id",
+                   type_col: str = "event_type",
+                   ts_col: str = "ts") -> DataFrame:
+    """Time-to-convert distribution for a two-step funnel: for each
+    user, the seconds from their FIRST ``step_a`` to their first
+    ``step_b`` strictly after it, rolled up by conversion day into
+    (day, n_conversions, p50_s, p90_s, mean_s) — the "how long does
+    view→purchase take, and is it drifting" metric that the step
+    COUNTS (:func:`funnel`) cannot answer.
+
+    First-touch attribution matches :func:`funnel`'s semantics: one
+    conversion per user at most, anchored at the user's earliest
+    ``step_a``; a ``step_b`` at the exact same timestamp does not
+    count (strictly after, consistent with the funnel's ordering
+    rule).
+
+    Scale shape: the sessionize idiom — the per-user anchor
+    (min ``step_a`` time) is a conditional min WINDOW over the
+    user partition, the conversion is a conditional min over the
+    same partition filtered to later ``step_b`` rows, so the corpus
+    hashes ONCE on the user key; the day rollup is a map-side-
+    combined aggregate over ≤ one row per converting user. Exact
+    percentiles over (day) groups — same caveat/SLA as
+    :func:`value_percentiles`, with ``approx_percentile`` as the
+    documented 100 TB path.
+    """
+    w = W.partitionBy(user_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ta = F.min(F.when(F.col(type_col) == step_a, us)).over(w)
+    tagged = events.select(
+        F.col(user_col), F.col(type_col), us.alias("_us"),
+        ta.alias("_ta"))
+    tb = (tagged
+          .where((F.col(type_col) == step_b)
+                 & F.col("_ta").isNotNull()
+                 & (F.col("_us") > F.col("_ta")))
+          .groupBy(user_col)
+          .agg(F.min("_us").alias("_tb"), F.min("_ta").alias("_ta2")))
+    conv = tb.select(
+        F.date_trunc(
+            "day", F.timestamp_micros(F.col("_tb"))).alias("day"),
+        ((F.col("_tb") - F.col("_ta2")) / F.lit(1e6)).alias("_lat"))
+    return conv.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        portable_round(
+            F.expr("percentile(_lat, 0.5)"), _R).alias("p50_s"),
+        portable_round(
+            F.expr("percentile(_lat, 0.9)"), _R).alias("p90_s"),
+        portable_round(F.avg("_lat"), _R).alias("mean_s"),
+    )
+
+
+def _funnel_latency_sql(step_a: str = "view",
+                        step_b: str = "purchase") -> str:
+    return f"""
+WITH t AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us,
+           min(CASE WHEN event_type = '{step_a}' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id) AS ta
+    FROM events
+),
+tb AS (
+    SELECT user_id, min(us) AS tb, min(ta) AS ta2
+    FROM t
+    WHERE event_type = '{step_b}' AND ta IS NOT NULL AND us > ta
+    GROUP BY 1
+),
+conv AS (
+    SELECT date_trunc('day', make_timestamp(tb)) AS day,
+           (tb - ta2) / 1e6 AS lat
+    FROM tb
+)
+SELECT day, count(*) AS n_conversions,
+       round(quantile_cont(lat, 0.5), 4) AS p50_s,
+       round(quantile_cont(lat, 0.9), 4) AS p90_s,
+       round(avg(lat), 4) AS mean_s
+FROM conv GROUP BY 1
+"""
+
+
+ORACLE_SQL["funnel_latency"] = _funnel_latency_sql()
