@@ -1433,6 +1433,12 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_pii_scan(spark, sf_dir):
+    # data-governance audit: per-source PII pattern doc/hit counts;
+    # pure map-side regex scan + ONE combined groupBy, no Python
+    return curation.pii_scan(_docs(spark, sf_dir))
+
+
 def q_funnel_latency(spark, sf_dir):
     # time-to-convert view->purchase per conversion day: per-user
     # anchor + conversion on ONE user-key exchange (sessionize
@@ -2066,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_token_pairs": q_fuzzy_token_pairs,
         "change_attribution": q_change_attribution,
         "funnel_latency": q_funnel_latency,
+        "pii_scan": q_pii_scan,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

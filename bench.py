@@ -179,6 +179,7 @@ HEADLINE = [
     "fuzzy_token_pairs",
     "change_attribution",
     "funnel_latency",
+    "pii_scan",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -219,3 +219,32 @@ def test_seq_pack_single_exchange_and_validation(spark):
     assert count_exchanges(df) == 1
     with pytest.raises(ValueError):
         cu.seq_pack(docs, capacity=0)
+
+
+# ------------------------------------------------- pii_scan
+def test_pii_scan_counts_planted_patterns_exactly(spark):
+    """Planted emails / phone runs / long ids classify per pattern
+    with exact doc and hit counts; clean docs contribute zeros."""
+    from yahoo_anomaly_detection_spark.operators import curation
+    docs = spark.createDataFrame(
+        [(1, "contact Bob.Smith+x@Example.ORG or sue@a.co today",
+          "en", "web", 10),                       # 2 emails
+         (2, "call +1 (555) 123-4567 now", "en", "web", 10),  # phone
+         (3, "ssn-ish 123456789 and card 4111111111111111",
+          "en", "web", 10),                       # 2 long ids
+         (4, "perfectly clean text here", "en", "web", 10),
+         (5, "id 987654321 only", "en", "books", 10)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r.source: r for r in curation.pii_scan(docs).collect()}
+    web = out["web"]
+    assert web.n_docs == 4
+    assert web.docs_email == 1 and web.hits_email == 2
+    # patterns overlap by design: doc 3's digit runs are also
+    # phone-shaped, so both doc 2 and doc 3 count as phone docs
+    assert web.docs_phone == 2 and web.hits_phone >= 2
+    assert web.docs_long_id == 1 and web.hits_long_id == 2
+    books = out["books"]
+    assert books.n_docs == 1
+    assert books.docs_long_id == 1 and books.hits_long_id == 1
+    assert books.docs_email == 0 and books.hits_email == 0

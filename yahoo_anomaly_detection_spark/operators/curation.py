@@ -850,3 +850,65 @@ ORACLE_SQL = {
     "bpe_pairs": _bpe_pairs_sql(30),
     "shingle_novelty": _novelty_sql(3),
 }
+
+
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "long_id": r"\b[0-9]{9,}\b",
+}
+
+
+def pii_scan(docs: DataFrame,
+             patterns: dict[str, str] = PII_PATTERNS) -> DataFrame:
+    """Data-governance PII audit per source: how many documents (and
+    total hits) match each sensitive-data pattern — the scrub-or-drop
+    decision a curation pipeline makes BEFORE text ships to training
+    (emails, phone-like runs, long numeric identifiers; the pattern
+    dict is caller-extensible). Patterns stay in the RE2 ∩ Java-regex
+    common subset so the Spark plan and the DuckDB oracle read the
+    same language.
+
+    Output per source: (source, n_docs, then per pattern
+    ``docs_<name>`` and ``hits_<name>``) — exact integers.
+
+    Scale shape: pure map-side ``regexp_extract_all`` over the text
+    column (whole-stage codegen, no Python), ONE map-side-combined
+    groupBy(source); output is |sources| rows. At 100 TB the regex
+    scan is bandwidth-bound — exactly the shape you want (no
+    shuffle, no second pass; add patterns without adding scans).
+    """
+    cols = []
+    for name, pat in patterns.items():
+        # Spark's SQL string literal consumes backslashes ('\b' ->
+        # 'b'); double them so the regex engine sees the original.
+        # DuckDB's standard SQL literals pass backslashes through
+        # untouched, so the oracle embeds the pattern verbatim.
+        spat = pat.replace("\\", "\\\\")
+        hits = F.size(F.expr(
+            f"regexp_extract_all(lower(text), '{spat}', 0)"))
+        cols.append(F.sum((hits > 0).cast("long"))
+                    .alias(f"docs_{name}"))
+        cols.append(F.sum(hits.cast("long")).alias(f"hits_{name}"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), *cols)
+
+
+def _pii_sql(patterns: dict[str, str] = PII_PATTERNS) -> str:
+    parts = []
+    for name, pat in patterns.items():
+        sq = pat.replace("'", "''")
+        h = f"len(regexp_extract_all(lower(text), '{sq}'))"
+        parts.append(
+            f"CAST(sum(CASE WHEN {h} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS docs_{name}")
+        parts.append(f"CAST(sum({h}) AS BIGINT) AS hits_{name}")
+    cols = ",\n       ".join(parts)
+    return f"""
+SELECT source, count(*) AS n_docs,
+       {cols}
+FROM documents GROUP BY 1
+"""
+
+
+ORACLE_SQL["pii_scan"] = _pii_sql()
