@@ -1346,3 +1346,69 @@ def test_stream_hll_matches_batch_estimate(spark, tmp_path):
     got = {(r.event_type, r.bucket_start): r.est for r in live.collect()}
     assert got == want
     assert len(got) == 2  # one day per type
+
+
+# ------------------------------------------------- streaming sessions
+def test_stream_sessions_match_batch_sessionize(spark, tmp_path):
+    """Closed streaming session windows must equal the batch
+    session_stats rows (count, sum, event-span duration) for every
+    session the watermark has closed — including a session whose
+    events SPAN two micro-batches."""
+    from yahoo_anomaly_detection_spark.operators.sessions import (
+        session_stats,
+    )
+    from yahoo_anomaly_detection_spark.streaming.session_stream import (
+        read_session_event_stream,
+        start_sessions_to_parquet,
+        stream_sessions,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    GAP = 60  # seconds; gaps below are well off the boundary
+
+    # user 1: two sessions; user 2: one session crossing the batch cut
+    batch1 = [(0, 0, 1, 10.0), (1, 20, 1, 20.0),   # u1 s0
+              (2, 300, 1, 5.0),                    # u1 s1 (gap 280)
+              (3, 290, 2, 7.0)]                    # u2 s0 begins
+    batch2 = [(4, 310, 2, 8.0),                    # u2 s0 continues
+              (5, 7200, 9, 1.0)]                   # far-future flush
+    def mk2(rows):
+        import datetime as _dt
+        t0 = _dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(e, t0 + _dt.timedelta(seconds=s), u, "t", v)
+             for e, s, u, v in rows],
+            "event_id long, ts timestamp, user_id long, event_type "
+            "string, value double")
+
+    mk2(batch1).coalesce(1).write.mode("append").parquet(src)
+    stream = stream_sessions(read_session_event_stream(spark, src),
+                             gap_seconds=GAP, watermark="5 minutes")
+    q = start_sessions_to_parquet(stream, out, ckpt, trigger_secs=1)
+    try:
+        q.processAllAvailable()
+        mk2(batch2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.user_id, str(r.session_start)):
+           (r.n_events, round(r.sum_value, 4),
+            (r.session_end - r.session_start).total_seconds() - GAP)
+           for r in spark.read.parquet(out).collect()}
+    # batch truth on the closed part (users 1 and 2)
+    batch = mk2(batch1 + batch2[:1])
+    want = {}
+    tagged = session_stats(batch, gap_seconds=GAP)
+    starts = {  # session start per (user, session_id) from raw rows
+        (1, 0): "2024-01-01 00:00:00", (1, 1): "2024-01-01 00:05:00",
+        (2, 0): "2024-01-01 00:04:50"}
+    for r in tagged.collect():
+        key = (r.user_id, starts[(r.user_id, r.session_id)])
+        want[key] = (r.n_events, round(r.sum_value, 4), r.duration_s)
+    assert got.items() >= want.items(), (got, want)
+    # u2's cross-batch session is ONE row with both events
+    assert got[(2, "2024-01-01 00:04:50")][0] == 2
