@@ -1433,6 +1433,25 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_ri_audit(spark, sf_dir):
+    # referential-integrity expectation suite over the star schema's
+    # five FK edges: per edge ONE combined child aggregate + a
+    # broadcast left_anti orphan count; edges union JVM-side
+    load = lambda t: ingest.load_table(spark, sf_dir, t)  # noqa: E731
+    return enrich.ri_audit([
+        ("orders->customer", load("orders"), "o_custkey",
+         load("customer"), "c_custkey"),
+        ("lineitem->orders", load("lineitem"), "l_orderkey",
+         load("orders"), "o_orderkey"),
+        ("customer->nation", load("customer"), "c_nationkey",
+         load("nation"), "n_nationkey"),
+        ("supplier->nation", load("supplier"), "s_nationkey",
+         load("nation"), "n_nationkey"),
+        ("nation->region", load("nation"), "n_regionkey",
+         load("region"), "r_regionkey"),
+    ])
+
+
 def q_pii_scan(spark, sf_dir):
     # data-governance audit: per-source PII pattern doc/hit counts;
     # pure map-side regex scan + ONE combined groupBy, no Python
@@ -2073,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_attribution": q_change_attribution,
         "funnel_latency": q_funnel_latency,
         "pii_scan": q_pii_scan,
+        "ri_audit": q_ri_audit,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

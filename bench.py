@@ -180,6 +180,7 @@ HEADLINE = [
     "change_attribution",
     "funnel_latency",
     "pii_scan",
+    "ri_audit",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

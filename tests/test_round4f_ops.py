@@ -656,3 +656,21 @@ def test_funnel_latency_first_touch_and_strict_order(spark):
     assert r.p50_s == pytest.approx(200.0)  # interpolated median
     assert r.mean_s == pytest.approx(200.0)
     assert r.p90_s == pytest.approx(280.0)  # 100 + 0.9*(300-100)
+
+
+# ------------------------------------------------- ri_audit
+def test_ri_audit_counts_orphans_and_nulls(spark):
+    """Planted orphan FKs and NULL FKs classify separately; clean
+    edges report zero orphans."""
+    from yahoo_anomaly_detection_spark.operators import enrich
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, None)],
+        "id long, fk long")
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+    [r] = enrich.ri_audit(
+        [("child->parent", child, "fk", parent, "pk")]).collect()
+    assert r.edge == "child->parent"
+    assert r.n_rows == 5
+    assert r.n_keys == 3          # countDistinct ignores NULL
+    assert r.n_null_fk == 1
+    assert r.n_orphans == 1       # fk=99; the NULL is NOT an orphan

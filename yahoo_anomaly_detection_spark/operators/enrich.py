@@ -109,3 +109,106 @@ FROM b GROUP BY 1
 
 
 ORACLE_SQL = {"props_profile": _props_profile_sql()}
+
+
+def ri_audit(edges: Sequence[tuple[str, DataFrame, str, DataFrame,
+                                   str]]) -> DataFrame:
+    """Referential-integrity audit across a star/snowflake schema:
+    for each declared FK edge ``(name, child, fk_col, parent,
+    pk_col)`` report child row count, distinct FK values, and ORPHAN
+    rows (FK values absent from the parent) — the expectation-suite
+    check that catches late-arriving dimensions, broken CDC feeds,
+    and partial backfills before a join silently drops facts
+    (inner-join fact loss is the classic silent-corruption mode).
+    NULL FKs are counted separately (``n_null_fk``) — a NULL is
+    "unknown", not an orphan, matching ANSI FK semantics.
+
+    Output: one row per edge — (edge, n_rows, n_keys, n_null_fk,
+    n_orphans).
+
+    Scale shape: per edge, ONE map-side-combined aggregate over the
+    child plus a BROADCAST left_anti against the parent's key set
+    (dimensions are broadcast-sized by definition; for a
+    billion-key parent swap in the bucketed-join variant). Edges
+    union JVM-side into one result relation.
+    """
+    outs = []
+    for name, child, fk, parent, pk in edges:
+        fkc = F.col(fk)
+        stats = child.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(fkc).alias("n_keys"),
+            F.count(F.when(fkc.isNull(), 1)).alias("n_null_fk"),
+        )
+        orphans = (
+            child.where(fkc.isNotNull())
+            .join(F.broadcast(parent.select(F.col(pk).alias(fk))
+                              .distinct()),
+                  fk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        outs.append(
+            stats.crossJoin(orphans)
+            .select(F.lit(name).alias("edge"), "n_rows", "n_keys",
+                    "n_null_fk", "n_orphans"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+STAR_EDGES_SQL = """
+SELECT 'orders->customer' AS edge, count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_keys,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_fk,
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND o.o_custkey NOT IN
+                   (SELECT c_custkey FROM customer)) AS BIGINT)
+           AS n_orphans
+FROM orders
+UNION ALL
+SELECT 'lineitem->orders', count(*),
+       count(DISTINCT l_orderkey),
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND l.l_orderkey NOT IN
+                   (SELECT o_orderkey FROM orders)) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'customer->nation', count(*),
+       count(DISTINCT c_nationkey),
+       CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST((SELECT count(*) FROM customer c
+             WHERE c.c_nationkey IS NOT NULL
+               AND c.c_nationkey NOT IN
+                   (SELECT n_nationkey FROM nation)) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'supplier->nation', count(*),
+       count(DISTINCT s_nationkey),
+       CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST((SELECT count(*) FROM supplier s
+             WHERE s.s_nationkey IS NOT NULL
+               AND s.s_nationkey NOT IN
+                   (SELECT n_nationkey FROM nation)) AS BIGINT)
+FROM supplier
+UNION ALL
+SELECT 'nation->region', count(*),
+       count(DISTINCT n_regionkey),
+       CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST((SELECT count(*) FROM nation n
+             WHERE n.n_regionkey IS NOT NULL
+               AND n.n_regionkey NOT IN
+                   (SELECT r_regionkey FROM region)) AS BIGINT)
+FROM nation
+"""
+
+
+ORACLE_SQL["ri_audit"] = STAR_EDGES_SQL
