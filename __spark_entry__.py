@@ -1433,6 +1433,12 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_fleet_beta(spark, sf_dir):
+    # per-series "market model" vs the fleet hourly mean: corpus ->
+    # hourly tier once, tier-sized factor join, ONE moment aggregate
+    return tsanalytics.fleet_beta(_events_raw(spark, sf_dir))
+
+
 def q_ri_audit(spark, sf_dir):
     # referential-integrity expectation suite over the star schema's
     # five FK edges: per edge ONE combined child aggregate + a
@@ -2093,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "pii_scan": q_pii_scan,
         "ri_audit": q_ri_audit,
+        "fleet_beta": q_fleet_beta,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

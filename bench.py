@@ -181,6 +181,7 @@ HEADLINE = [
     "funnel_latency",
     "pii_scan",
     "ri_audit",
+    "fleet_beta",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

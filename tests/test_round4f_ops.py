@@ -674,3 +674,33 @@ def test_ri_audit_counts_orphans_and_nulls(spark):
     assert r.n_keys == 3          # countDistinct ignores NULL
     assert r.n_null_fk == 1
     assert r.n_orphans == 1       # fk=99; the NULL is NOT an orphan
+
+
+# ------------------------------------------------- fleet_beta
+def test_fleet_beta_recovers_planted_betas(spark):
+    """Series built as y = beta*x + alpha on a shared factor recover
+    their betas exactly (r2 = 1); a constant series yields NULL."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    # factor value per hour h: f = 10 + (h % 7)
+    for h in range(100):
+        f = 10.0 + (h % 7)
+        for typ, beta, alpha in [("amp", 2.0, 1.0),
+                                 ("damp", 0.5, -3.0),
+                                 ("flat", 0.0, 4.0)]:
+            rows.append((eid, t0 + dt.timedelta(hours=h), 7, typ,
+                         beta * f + alpha))
+            eid += 1
+    out = {r.event_type: r for r in
+           tsanalytics.fleet_beta(_ev(spark, rows)).collect()}
+    # fleet mean x = mean over the 3 series = (2f+1 + .5f-3 + 4)/3
+    # = (2.5 f + 2)/3, linear in f -> each series still linear in x
+    # with slope beta_i / (2.5/3)
+    scale = 2.5 / 3
+    assert out["amp"].beta == pytest.approx(2.0 / scale, abs=1e-3)
+    assert out["damp"].beta == pytest.approx(0.5 / scale, abs=1e-3)
+    assert out["amp"].r2 == pytest.approx(1.0, abs=1e-4)
+    assert out["flat"].beta == pytest.approx(0.0, abs=1e-6)
+    assert out["flat"].r2 is None  # zero y-variance
+    assert out["amp"].n_buckets == 100

@@ -4847,3 +4847,92 @@ FROM sh
 
 
 ORACLE_SQL["change_attribution"] = _ATTRIBUTION_SQL
+
+
+def fleet_beta(events: DataFrame, key: str = "event_type",
+               ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Cross-sectional factor regression: per series, OLS of the
+    series' hourly mean on the FLEET hourly mean (all series) —
+    beta > 1 amplifies fleet-wide load swings, beta ≈ 0 is
+    idiosyncratic, and r² says how much of the series the fleet
+    factor explains. The "market model" of observability: the first
+    cut at separating systemic from service-local behavior
+    (complements ``fleet_outliers``' cross-sectional envelope and
+    ``xcorr_1d``'s pairwise correlations with a single fleet
+    factor).
+
+    Output: (event_type, n_buckets, beta, alpha, r2) — floats
+    rounded to 4; a series with < 2 buckets or a zero-variance side
+    yields NULL model columns on both engines.
+
+    Scale shape: the corpus collapses to the hourly tier (ONE
+    map-side-combined groupBy); the fleet factor is a second tiny
+    aggregate of THAT tier joined back on the bucket (tier-sized
+    hash join); the regression is one more map-side-combined moment
+    aggregate per series. Raw rows shuffle once.
+    """
+    v = F.col(value_col).cast("double")
+    hourly = (events.groupBy(
+        F.col(key), F.date_trunc("hour", F.col(ts_col)).alias("b"))
+        .agg(F.avg(v).alias("y")))
+    fleet = hourly.groupBy("b").agg(F.avg("y").alias("x"))
+    j = hourly.join(fleet, "b")
+    mom = j.groupBy(key).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    ok = (n >= 2) & (varx > 0)
+    beta = F.when(ok, cov / varx)
+    alpha = F.when(ok, (F.col("sy") - beta * F.col("sx")) / n)
+    r2 = F.when(ok & (vary > 0), cov * cov / (varx * vary))
+    return mom.select(
+        key, n.cast("long").alias("n_buckets"),
+        portable_round(beta, _R).alias("beta"),
+        portable_round(alpha, _R).alias("alpha"),
+        portable_round(r2, _R).alias("r2"),
+    )
+
+
+_FLEET_BETA_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS b,
+           avg(CAST(value AS DOUBLE)) AS y
+    FROM events GROUP BY 1, 2
+),
+fleet AS (SELECT b, avg(y) AS x FROM hourly GROUP BY 1),
+m AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM hourly JOIN fleet USING (b)
+    GROUP BY 1
+),
+d AS (
+    SELECT *,
+           n * sxx - sx * sx AS varx,
+           n * syy - sy * sy AS vary,
+           n * sxy - sx * sy AS cov
+    FROM m
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_buckets,
+       CASE WHEN n >= 2 AND varx > 0
+            THEN round(cov / varx, 4) END AS beta,
+       CASE WHEN n >= 2 AND varx > 0
+            THEN round((sy - (cov / varx) * sx) / n, 4) END AS alpha,
+       CASE WHEN n >= 2 AND varx > 0 AND vary > 0
+            THEN round(cov * cov / (varx * vary), 4) END AS r2
+FROM d
+"""
+
+
+ORACLE_SQL["fleet_beta"] = _FLEET_BETA_SQL
