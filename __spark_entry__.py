@@ -1433,6 +1433,13 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_normality_check(spark, sf_dir):
+    # Jarque-Bera detector-assumption QC from explicit raw moments
+    # (built-in skewness/kurtosis differ sample-vs-population across
+    # engines); ONE map-side-combined aggregate
+    return tsanalytics.normality_check(_events_raw(spark, sf_dir))
+
+
 def q_fleet_beta(spark, sf_dir):
     # per-series "market model" vs the fleet hourly mean: corpus ->
     # hourly tier once, tier-sized factor join, ONE moment aggregate
@@ -2100,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "ri_audit": q_ri_audit,
         "fleet_beta": q_fleet_beta,
+        "normality_check": q_normality_check,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

@@ -182,6 +182,7 @@ HEADLINE = [
     "pii_scan",
     "ri_audit",
     "fleet_beta",
+    "normality_check",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

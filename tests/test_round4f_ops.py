@@ -704,3 +704,40 @@ def test_fleet_beta_recovers_planted_betas(spark):
     assert out["flat"].beta == pytest.approx(0.0, abs=1e-6)
     assert out["flat"].r2 is None  # zero y-variance
     assert out["amp"].n_buckets == 100
+
+
+# ------------------------------------------------- normality_check
+def test_normality_check_matches_scipy_formulas(spark):
+    """Skew/kurtosis/JB vs numpy population-moment replica; a clean
+    normal sample passes, an exponential sample fails."""
+    rng = np.random.default_rng(5)
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    normal = rng.normal(10, 2, 2000)
+    expo = rng.exponential(5, 2000)
+    for typ, vals in [("gauss", normal), ("expo", expo)]:
+        for v in vals:
+            rows.append((eid, t0 + dt.timedelta(seconds=eid), 7, typ,
+                         float(v)))
+            eid += 1
+    rows.append((eid, t0, 7, "const", 1.0))
+    out = {r.event_type: r for r in
+           tsanalytics.normality_check(_ev(spark, rows)).collect()}
+
+    def replica(vals):
+        v = np.asarray(vals)
+        m2, m3, m4 = (np.mean((v - v.mean()) ** p) for p in (2, 3, 4))
+        s = m3 / m2 ** 1.5
+        k = m4 / m2 ** 2 - 3
+        return s, k, len(v) / 6 * (s * s + k * k / 4)
+
+    for typ, vals in [("gauss", normal), ("expo", expo)]:
+        s, k, jb = replica(vals)
+        r = out[typ]
+        assert r.skew == pytest.approx(s, abs=2e-4)
+        assert r.kurt_excess == pytest.approx(k, abs=2e-4)
+        assert r.jb == pytest.approx(jb, rel=1e-3)
+    assert out["gauss"].normal_ok == 1
+    assert out["expo"].normal_ok == 0
+    assert out["const"].jb is None and out["const"].normal_ok is None

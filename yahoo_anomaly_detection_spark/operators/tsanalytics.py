@@ -4936,3 +4936,95 @@ FROM d
 
 
 ORACLE_SQL["fleet_beta"] = _FLEET_BETA_SQL
+
+
+def normality_check(events: DataFrame, key: str = "event_type",
+                    value_col: str = "value",
+                    jb_crit: float = 5.991) -> DataFrame:
+    """Detector-assumption QC per series: skewness, excess kurtosis,
+    and the Jarque–Bera statistic ``JB = n/6·(S² + K²/4)`` — the
+    pre-check that says whether a mean/σ envelope (the reference's
+    detector family, ``zscore_flags``) is even valid for this series
+    or whether the robust/quantile detectors (``mad_flags``,
+    ``pot_tail``) should run instead. ``normal_ok`` compares JB to
+    the χ²(2) critical value (default 5.991 ≈ p=0.05).
+
+    Moments are computed EXPLICITLY from Σv, Σv², Σv³, Σv⁴ rather
+    than the built-in ``skewness``/``kurtosis`` — engines disagree on
+    sample-vs-population bias correction (Spark population, DuckDB
+    sample), and the raw-moment formula is the same everywhere.
+    Zero-variance series yield NULLs on both engines.
+
+    Output: (event_type, n, skew, kurt_excess, jb, normal_ok) —
+    floats rounded to 4. Scale shape: ONE map-side-combined moment
+    aggregate; nothing else touches the corpus.
+    """
+    v = F.col(value_col).cast("double")
+    mom = events.groupBy(key).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).alias("s1"), F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n = F.col("n")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - 3 * m * F.col("s2") / n + 2 * m * m * m
+    m4 = (F.col("s4") / n - 4 * m * F.col("s3") / n
+          + 6 * m * m * F.col("s2") / n - 3 * m * m * m * m)
+    ok = (n >= 4) & (m2 > 0)
+    skew = F.when(ok, m3 / F.pow(m2, 1.5))
+    kurt = F.when(ok, m4 / (m2 * m2) - F.lit(3.0))
+    jb = F.when(ok, n / 6 * (skew * skew + kurt * kurt / 4))
+    return mom.select(
+        key, n.cast("long").alias("n"),
+        portable_round(skew, _R).alias("skew"),
+        portable_round(kurt, _R).alias("kurt_excess"),
+        portable_round(jb, _R).alias("jb"),
+        F.when(ok, (portable_round(jb, _R) <= F.lit(jb_crit))
+               .cast("int")).alias("normal_ok"),
+    )
+
+
+def _normality_sql(jb_crit: float = 5.991) -> str:
+    return f"""
+WITH m AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           sum(CAST(value AS DOUBLE)) AS s1,
+           sum(CAST(value AS DOUBLE) * value) AS s2,
+           sum(CAST(value AS DOUBLE) * value * value) AS s3,
+           sum(CAST(value AS DOUBLE) * value * value * value) AS s4
+    FROM events GROUP BY 1
+),
+c AS (
+    SELECT event_type, n,
+           s1 / n AS mu,
+           s2 / n - (s1 / n) * (s1 / n) AS m2,
+           s3 / n - 3 * (s1 / n) * s2 / n
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+           s4 / n - 4 * (s1 / n) * s3 / n
+               + 6 * (s1 / n) * (s1 / n) * s2 / n
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+    FROM m
+),
+j AS (
+    SELECT event_type, n,
+           CASE WHEN n >= 4 AND m2 > 0
+                THEN m3 / power(m2, 1.5) END AS skew,
+           CASE WHEN n >= 4 AND m2 > 0
+                THEN m4 / (m2 * m2) - 3.0 END AS kurt
+    FROM c
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(skew, 4) AS skew,
+       round(kurt, 4) AS kurt_excess,
+       round(n / 6 * (skew * skew + kurt * kurt / 4), 4) AS jb,
+       CASE WHEN skew IS NOT NULL THEN
+            CAST(round(n / 6 * (skew * skew + kurt * kurt / 4), 4)
+                 <= {jb_crit} AS INT) END AS normal_ok
+FROM j
+"""
+
+
+ORACLE_SQL["normality_check"] = _normality_sql()
