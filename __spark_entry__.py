@@ -1433,6 +1433,13 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_bitmap_rolling_7d(spark, sf_dir):
+    # EXACT trailing-7d distinct from the mergeable bitmap tier:
+    # chunk windows partitioned by (type, chunk), calendar RANGE
+    # frame, tier-sized work after one combined groupBy
+    return sketches.bitmap_rolling(_events_raw(spark, sf_dir))
+
+
 def q_normality_check(spark, sf_dir):
     # Jarque-Bera detector-assumption QC from explicit raw moments
     # (built-in skewness/kurtosis differ sample-vs-population across
@@ -2108,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_audit": q_ri_audit,
         "fleet_beta": q_fleet_beta,
         "normality_check": q_normality_check,
+        "bitmap_rolling_7d": q_bitmap_rolling_7d,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

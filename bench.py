@@ -183,6 +183,7 @@ HEADLINE = [
     "ri_audit",
     "fleet_beta",
     "normality_check",
+    "bitmap_rolling_7d",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

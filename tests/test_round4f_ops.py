@@ -741,3 +741,34 @@ def test_normality_check_matches_scipy_formulas(spark):
     assert out["gauss"].normal_ok == 1
     assert out["expo"].normal_ok == 0
     assert out["const"].jb is None and out["const"].normal_ok is None
+
+
+# ------------------------------------------------- bitmap_rolling
+def test_bitmap_rolling_equals_exact_windowed_distinct(spark):
+    """Rolling bitmap OR equals a brute-force trailing-window
+    COUNT(DISTINCT) — repeat visitors counted once, gap days handled
+    by the calendar RANGE frame."""
+    from yahoo_anomaly_detection_spark.operators import sketches
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    visits = {0: [1, 2, 3], 1: [2, 3, 4], 3: [1, 64], 9: [5]}
+    for day, uids in visits.items():
+        for u in uids:
+            rows.append((eid, t0 + dt.timedelta(days=day, seconds=eid),
+                         u, "k", 1.0))
+            eid += 1
+    got = {r.day.day: r.n_users for r in
+           sketches.bitmap_rolling(_ev(spark, rows),
+                                   window_days=3).collect()}
+    # brute force trailing 3 calendar days
+    def exact(day):
+        s = set()
+        for d, uids in visits.items():
+            if day - 2 <= d <= day:
+                s.update(uids)
+        return len(s)
+    assert got == {1 + d: exact(d) for d in visits}
+    assert got[2] == 4      # days 0+1: {1,2,3,4}
+    assert got[4] == 5      # days 1..3: {2,3,4} | {1,64}
+    assert got[10] == 1     # isolated day 9

@@ -599,3 +599,78 @@ JOIN pk pb ON pb.kk = agg.kb
 
 
 ORACLE_SQL["kmv_overlap"] = _kmv_sql()
+
+
+def bitmap_rolling(events: DataFrame, window_days: int = 7,
+                   key: str = "event_type", ts_col: str = "ts",
+                   id_col: str = "user_id") -> DataFrame:
+    """EXACT trailing-N-day distinct ids per (key, day) — the rolling
+    metric the :func:`bitmap_actives` chunk tier exists to power:
+    repeat visitors collapse (``sum`` of dailies over-counts them;
+    HLL approximates), and the packed-bitmap tier answers it exactly
+    by OR-ing each chunk's daily bitmaps across the trailing frame
+    and popcounting.
+
+    Output: (key, day, n_users) — one row per (key, day) with ≥1
+    event, counting distinct ids over [day − N + 1, day].
+
+    Scale shape: raw rows collapse to the (key, day, chunk) tier
+    first (ONE map-side-combined groupBy, ≤ |ids|/32 rows per
+    group-day); the rolling OR is a window over THAT tier partitioned
+    by (key, chunk) — per-task input is one chunk's daily history,
+    bounded — and the popcount rollup reuses tier-sized relations
+    throughout. A calendar-day RANGE frame (epoch-day ordering)
+    keeps the window honest across gap days: a chunk absent on a
+    day simply contributes nothing that day.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    uid = F.col(id_col).cast("long")
+    day = F.date_trunc("day", F.col(ts_col))
+    chunks = (
+        events.where(uid.isNotNull() & (uid >= 0))
+        .groupBy(F.col(key), day.alias("day"),
+                 F.expr(f"{id_col} div 32").alias("chunk"))
+        .agg(F.expr(f"bit_or(shiftleft(1L, "
+                    f"cast({id_col} % 32 as int)))").alias("bm"))
+    )
+    dnum = (F.unix_micros(F.col("day").cast("timestamp"))
+            / F.lit(86_400_000_000)).cast("long")
+    # SQL-form window: bit_or has no python Column.over() helper
+    rolled = chunks.withColumn("_d", dnum).withColumn(
+        "bm_roll",
+        F.expr(
+            f"bit_or(bm) OVER (PARTITION BY {key}, chunk ORDER BY _d "
+            f"RANGE BETWEEN {window_days - 1} PRECEDING AND CURRENT "
+            f"ROW)"))
+    return (rolled.groupBy(key, "day")
+            .agg(F.sum(F.bit_count("bm_roll")).alias("n_users")))
+
+
+def _bitmap_rolling_sql(window_days: int = 7) -> str:
+    return f"""
+WITH c AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           user_id // 32 AS chunk,
+           bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bm
+    FROM events
+    WHERE user_id IS NOT NULL AND user_id >= 0
+    GROUP BY 1, 2, 3
+),
+r AS (
+    SELECT event_type, day, chunk,
+           bit_or(bm) OVER (
+               PARTITION BY event_type, chunk
+               ORDER BY CAST(epoch(day) AS BIGINT) // 86400
+               RANGE BETWEEN {window_days - 1} PRECEDING
+                         AND CURRENT ROW
+           ) AS bm_roll
+    FROM c
+)
+SELECT event_type, day,
+       CAST(sum(bit_count(bm_roll)) AS BIGINT) AS n_users
+FROM r GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["bitmap_rolling_7d"] = _bitmap_rolling_sql()
