@@ -772,3 +772,60 @@ def test_bitmap_rolling_equals_exact_windowed_distinct(spark):
     assert got[2] == 4      # days 0+1: {1,2,3,4}
     assert got[4] == 5      # days 1..3: {2,3,4} | {1,64}
     assert got[10] == 1     # isolated day 9
+
+
+# ----------------------------------------- property tests (pure py)
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=300),
+       st.integers(2, 32))
+def test_kmv_union_truncate_is_distributive(ids, k):
+    """Pure-python mirror of the KMV invariant the distributed plan
+    relies on: k-min of a union == k-min of the union of per-part
+    k-mins, for ANY split of the input."""
+    import hashlib
+
+    def h(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    hs = sorted({h(u) for u in ids})
+    direct = hs[:k]
+    mid = len(ids) // 2
+    part1 = sorted({h(u) for u in ids[:mid]})[:k]
+    part2 = sorted({h(u) for u in ids[mid:]})[:k]
+    merged = sorted(set(part1) | set(part2))[:k]
+    assert merged == direct
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(1, 50), min_size=1, max_size=40),
+       st.integers(1, 60))
+def test_compaction_bins_invariants(sizes, target):
+    """Streaming bin-pack invariants for ANY file-size sequence:
+    bin ids nondecreasing in order, no file split, and bin b opens
+    only after b*target rows accumulated (so occupied bins AVERAGE
+    >= target fill; an individual middle bin may run small only when
+    an oversized neighbor overshot — found by this very test)."""
+    cum, bins, opens = 0, [], {}
+    for n in sizes:
+        b = cum // target
+        bins.append(b)
+        opens.setdefault(b, cum)
+        cum += n
+    assert bins == sorted(bins)  # nondecreasing in file order
+    for b, first_cum in opens.items():
+        assert first_cum >= b * target  # cumulative-fill guarantee
+    # per-bin minimum fill is NOT guaranteed (an overshooting
+    # neighbor absorbs it); the CUMULATIVE guarantee is: once any
+    # later bin opens, the files through bin b total >= (b+1)*target
+    last = max(bins)
+    totals = {}
+    for n, b in zip(sizes, bins):
+        totals[b] = totals.get(b, 0) + n
+    for b in totals:
+        if b != last:
+            upto = sum(t for bb, t in totals.items() if bb <= b)
+            assert upto >= (b + 1) * target

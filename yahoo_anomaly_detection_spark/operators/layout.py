@@ -163,8 +163,12 @@ def compaction_plan(events: DataFrame, target_rows: int = 10_000,
     files of a key in day order accumulating row counts, and open a
     new compaction bin whenever the running total crosses
     ``target_rows`` (``bin = floor(cumulative_rows_before / target)``
-    — the standard streaming bin-pack heuristic: every bin except
-    possibly the last reaches the target, no bin is split).
+    — the standard streaming bin-pack heuristic: no file is split,
+    bin ids are nondecreasing in day order, and bin ``b`` only opens
+    once at least ``b·target`` rows have accumulated, so occupied
+    bins AVERAGE ≥ target fill; an individual middle bin can run
+    small only when an oversized neighbor overshot by at least as
+    much — the overshoot-absorbing behavior real bin-packers share).
 
     Output: (key, day, n_rows, bin_id, bin_rows, bin_files) — each
     file's assignment plus its bin's totals, the exact work-list a
