@@ -1433,6 +1433,20 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_backfill_plan(spark, sf_dir):
+    # gaps-and-islands work-list of missing HOURS per series: tier
+    # -> spine anti-join -> run grouping, all tier-sized
+    return gapfill.backfill_plan(_events_raw(spark, sf_dir),
+                                 granularity="hour")
+
+
+def q_quota_violations(spark, sf_dir):
+    # sliding-60s rate-limit audit per user: trailing RANGE count +
+    # per-user rollup on ONE user-key exchange
+    return sessions.quota_violations(_events_raw(spark, sf_dir),
+                                     quota=1)
+
+
 def q_bitmap_rolling_7d(spark, sf_dir):
     # EXACT trailing-7d distinct from the mergeable bitmap tier:
     # chunk windows partitioned by (type, chunk), calendar RANGE
@@ -2116,6 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleet_beta": q_fleet_beta,
         "normality_check": q_normality_check,
         "bitmap_rolling_7d": q_bitmap_rolling_7d,
+        "backfill_plan": q_backfill_plan,
+        "quota_violations": q_quota_violations,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }
@@ -2699,6 +2715,7 @@ def oracle_sql() -> dict[str, str]:
     out["grouping_cube_1d"] = rollup.GROUPED_ROLLUP_SQL
     out.update(layout.ORACLE_SQL)
     out.update(enrich.ORACLE_SQL)
+    out.update(gapfill.ORACLE_SQL)
     # capstone composition: intersection of three independently-
     # oracled doc_id sets (quality gate, canonical dedup survivors,
     # stratified sample)

@@ -184,6 +184,8 @@ HEADLINE = [
     "fleet_beta",
     "normality_check",
     "bitmap_rolling_7d",
+    "backfill_plan",
+    "quota_violations",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

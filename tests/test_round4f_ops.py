@@ -829,3 +829,53 @@ def test_compaction_bins_invariants(sizes, target):
         if b != last:
             upto = sum(t for bb, t in totals.items() if bb <= b)
             assert upto >= (b + 1) * target
+
+
+# ------------------------------------------------- backfill_plan
+def test_backfill_plan_groups_contiguous_missing_days(spark):
+    """Planted holes collapse into contiguous runs with correct
+    bounds; a gapless series emits nothing."""
+    from yahoo_anomaly_detection_spark.operators import gapfill
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    # series "holey": days 0,1,2, [3,4 missing], 5, [6 missing], 7
+    for day in [0, 1, 2, 5, 7]:
+        rows.append((eid, t0 + dt.timedelta(days=day), 1, "holey",
+                     1.0))
+        eid += 1
+    for day in range(4):  # series "dense": no gaps
+        rows.append((eid, t0 + dt.timedelta(days=day), 1, "dense",
+                     1.0))
+        eid += 1
+    out = sorted(
+        ((r.event_type, r.backfill_start.day, r.backfill_end.day,
+          r.n_days)
+         for r in gapfill.backfill_plan(_ev(spark, rows),
+                                        granularity="day").collect()))
+    assert out == [("holey", 4, 5, 2), ("holey", 7, 7, 1)]
+
+
+# ------------------------------------------------- quota_violations
+def test_quota_violations_sliding_window_semantics(spark):
+    """Trailing 60s RANGE frame: three events in 50s at quota=2 give
+    one violation (the third); a fourth event 61s after the first
+    drops the first out of the frame."""
+    from yahoo_anomaly_detection_spark.operators import sessions
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (0, t0, 1, "t", 1.0),
+        (1, t0 + dt.timedelta(seconds=30), 1, "t", 1.0),
+        (2, t0 + dt.timedelta(seconds=50), 1, "t", 1.0),  # rpm 3 > 2
+        (3, t0 + dt.timedelta(seconds=61), 1, "t", 1.0),  # rpm 3 > 2
+        # user 2 spaced out: never violates
+        (4, t0, 2, "t", 1.0),
+        (5, t0 + dt.timedelta(seconds=120), 2, "t", 1.0),
+    ]
+    out = {r.user_id: r for r in
+           sessions.quota_violations(_ev(spark, rows),
+                                     quota=2).collect()}
+    # event 3's frame = (1s, 61s] -> events 1, 2, 3 -> rpm 3
+    assert out[1].n_violations == 2
+    assert out[1].max_rpm == 3
+    assert out[2].n_violations == 0 and out[2].max_rpm == 1

@@ -853,3 +853,62 @@ FROM conv GROUP BY 1
 
 
 ORACLE_SQL["funnel_latency"] = _funnel_latency_sql()
+
+
+def quota_violations(events: DataFrame, quota: int = 1,
+                     window_seconds: int = 60,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     id_col: str = "event_id") -> DataFrame:
+    """Sliding-window rate-limit audit per user: at every event,
+    count the user's events in the trailing ``window_seconds``
+    (inclusive RANGE frame — the standard fixed-window-free rate
+    limiter); an event whose trailing count exceeds ``quota`` is a
+    violation. Output per user: (user_id, n_events, n_violations,
+    max_rpm) — ``max_rpm`` the largest trailing-window count
+    observed. The abuse/quota-enforcement audit an API gateway runs
+    offline to calibrate its online limiter.
+
+    Scale shape: ONE user-key exchange — the RANGE window partitions
+    on the user and the per-user rollup reuses the same hash
+    partitioning (sessionize idiom); per-task input is one user's
+    stream, the frame is time-bounded so state is bounded by
+    in-window events.
+    """
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    counted = events.select(
+        F.col(user_col), F.col(id_col),
+        F.count(F.lit(1)).over(
+            W.partitionBy(user_col).orderBy(us)
+            .rangeBetween(-(window_seconds * 1_000_000 - 1), 0)
+        ).alias("_rpm"))
+    return counted.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("_rpm") > quota).cast("long"))
+        .alias("n_violations"),
+        F.max("_rpm").alias("max_rpm"),
+    )
+
+
+def _quota_sql(quota: int = 1, window_seconds: int = 60) -> str:
+    return f"""
+WITH c AS (
+    SELECT user_id,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {window_seconds * 1_000_000 - 1}
+                     PRECEDING AND CURRENT ROW
+           ) AS rpm
+    FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN rpm > {quota} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+       CAST(max(rpm) AS BIGINT) AS max_rpm
+FROM c GROUP BY 1
+"""
+
+
+ORACLE_SQL["quota_violations"] = _quota_sql()
