@@ -1433,6 +1433,13 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_lateness_audit(spark, sf_dir):
+    # watermark sizing from data: p99 positive lateness vs the
+    # arrival-order running max; two-phase (key, id-bucket) prefix
+    # max + broadcast carry-in -- no per-key single-task funnel
+    return tsanalytics.lateness_audit(_events_raw(spark, sf_dir))
+
+
 def q_backfill_plan(spark, sf_dir):
     # gaps-and-islands work-list of missing HOURS per series: tier
     # -> spine anti-join -> run grouping, all tier-sized
@@ -2132,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_rolling_7d": q_bitmap_rolling_7d,
         "backfill_plan": q_backfill_plan,
         "quota_violations": q_quota_violations,
+        "lateness_audit": q_lateness_audit,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

@@ -186,6 +186,7 @@ HEADLINE = [
     "bitmap_rolling_7d",
     "backfill_plan",
     "quota_violations",
+    "lateness_audit",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -879,3 +879,38 @@ def test_quota_violations_sliding_window_semantics(spark):
     assert out[1].n_violations == 2
     assert out[1].max_rpm == 3
     assert out[2].n_violations == 0 and out[2].max_rpm == 1
+
+
+# ------------------------------------------------- lateness_audit
+def test_lateness_audit_two_phase_equals_global_prefix_max(spark):
+    """With a tiny bucket size (forcing many carry-ins) the result
+    must equal a python global-prefix-max replica; ordered streams
+    yield NULL quantiles."""
+    rng = np.random.default_rng(9)
+    t0 = dt.datetime(2024, 6, 1)
+    rows, lates = [], []
+    runmax = None
+    for i in range(500):
+        # mostly forward, occasional 0-120s backwards jitter
+        ts = t0 + dt.timedelta(seconds=i * 10
+                               - int(rng.integers(0, 120)))
+        us = ts.timestamp()
+        runmax = us if runmax is None else max(runmax, us)
+        lates.append(runmax - us)
+        rows.append((i, ts, 7, "jittery", 1.0))
+    for i in range(100):  # perfectly ordered stream
+        rows.append((1000 + i, t0 + dt.timedelta(seconds=i), 7,
+                     "ordered", 1.0))
+    out = {r.event_type: r for r in
+           tsanalytics.lateness_audit(_ev(spark, rows),
+                                      bucket_rows=32).collect()}
+    pos = [x for x in lates if x > 0]
+    r = out["jittery"]
+    assert r.n == 500
+    assert r.late_share == pytest.approx(len(pos) / 500, abs=1e-4)
+    assert r.max_late_s == pytest.approx(max(pos), abs=1e-3)
+    assert r.p99_late_s == pytest.approx(
+        float(np.quantile(pos, 0.99, method="linear")), abs=1e-2)
+    o = out["ordered"]
+    assert o.late_share == 0.0
+    assert o.p50_late_s is None and o.max_late_s is None

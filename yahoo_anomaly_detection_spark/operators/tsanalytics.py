@@ -5028,3 +5028,94 @@ FROM j
 
 
 ORACLE_SQL["normality_check"] = _normality_sql()
+
+
+def lateness_audit(events: DataFrame, key: str = "event_type",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   bucket_rows: int = 10_000) -> DataFrame:
+    """Empirical out-of-orderness audit per stream — the data-driven
+    answer to "how big should the watermark be": treating ``id_col``
+    as arrival order, an event's LATENESS is how far its event time
+    sits behind the running maximum event time already seen on the
+    stream. The p99 of positive lateness IS the watermark delay that
+    would admit 99% of late data (Spark's watermark semantics
+    exactly); ``max_late_s`` is the loss-free bound.
+
+    Output per key: (key, n, late_share, p50_late_s, p99_late_s,
+    max_late_s) — share/quantiles over late (lateness > 0) events;
+    all-ordered streams emit NULL quantiles.
+
+    Scale shape: the running max is the LOW-CARDINALITY-KEY pattern
+    done right (same two-phase formulation as ``sessions.asof_join``):
+    phase 1 runs the prefix-max within (key, ``id_col div
+    bucket_rows``) partitions — bounded per task — and phase 2
+    broadcasts each bucket's carry-in (the cumulative max of all
+    PRIOR buckets, a window over the tiny bucket-max relation) back;
+    ``greatest(in-bucket running max, carry_in)`` equals the global
+    prefix max. No key ever funnels its full history through one
+    window task. Final rollup is one map-side-combined aggregate
+    (quantiles exact — the usual ``approx_percentile`` swap at
+    100 TB).
+    """
+    if bucket_rows < 1:
+        raise ValueError(f"bucket_rows must be >= 1, got {bucket_rows}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = (F.col(id_col) / F.lit(bucket_rows)).cast("long")
+    tagged = events.select(
+        F.col(key), F.col(id_col), us.alias("_us"), b.alias("_b"))
+    w_in = (W.partitionBy(key, "_b").orderBy(id_col)
+            .rowsBetween(W.unboundedPreceding, 0))
+    ph1 = tagged.withColumn("_runmax", F.max("_us").over(w_in))
+    bmax = (tagged.groupBy(key, "_b")
+            .agg(F.max("_us").alias("_bm")))
+    w_carry = (W.partitionBy(key).orderBy("_b")
+               .rowsBetween(W.unboundedPreceding, -1))
+    carry = bmax.select(
+        key, "_b", F.max("_bm").over(w_carry).alias("_carry"))
+    joined = ph1.join(F.broadcast(carry), [key, "_b"])
+    late = (F.greatest(F.col("_runmax"),
+                       F.coalesce(F.col("_carry"), F.lit(0)))
+            - F.col("_us")) / F.lit(1e6)
+    scored = joined.select(F.col(key), late.alias("_late"))
+    pos = F.when(F.col("_late") > 0, F.col("_late"))
+    return scored.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        portable_round(
+            F.avg((F.col("_late") > 0).cast("double")), _R)
+        .alias("late_share"),
+        portable_round(F.expr("percentile(" + (
+            "CASE WHEN _late > 0 THEN _late END") + ", 0.5)"), _R)
+        .alias("p50_late_s"),
+        portable_round(F.expr("percentile(" + (
+            "CASE WHEN _late > 0 THEN _late END") + ", 0.99)"), _R)
+        .alias("p99_late_s"),
+        portable_round(F.max(pos), _R).alias("max_late_s"),
+    )
+
+
+_LATENESS_SQL = """
+WITH t AS (
+    SELECT event_type, event_id, epoch_us(ts) AS us,
+           max(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS runmax
+    FROM events
+),
+s AS (
+    SELECT event_type, (runmax - us) / 1e6 AS late
+    FROM t
+)
+SELECT event_type, count(*) AS n,
+       round(avg(CASE WHEN late > 0 THEN 1.0 ELSE 0.0 END), 4)
+           AS late_share,
+       round(quantile_cont(CASE WHEN late > 0 THEN late END, 0.5), 4)
+           AS p50_late_s,
+       round(quantile_cont(CASE WHEN late > 0 THEN late END, 0.99), 4)
+           AS p99_late_s,
+       round(max(CASE WHEN late > 0 THEN late END), 4) AS max_late_s
+FROM s GROUP BY 1
+"""
+
+
+ORACLE_SQL["lateness_audit"] = _LATENESS_SQL
