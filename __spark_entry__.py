@@ -1433,6 +1433,13 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_session_lift(spark, sf_dir):
+    # market-basket lift with sessions as baskets: distinct
+    # (user, session, type) relation rides the sessionize exchange;
+    # pair self-join fan-out bounded by |types|^2 per session
+    return sessions.session_lift(_events_raw(spark, sf_dir))
+
+
 def q_lateness_audit(spark, sf_dir):
     # watermark sizing from data: p99 positive lateness vs the
     # arrival-order running max; two-phase (key, id-bucket) prefix
@@ -2140,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_plan": q_backfill_plan,
         "quota_violations": q_quota_violations,
         "lateness_audit": q_lateness_audit,
+        "session_lift": q_session_lift,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

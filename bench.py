@@ -187,6 +187,7 @@ HEADLINE = [
     "backfill_plan",
     "quota_violations",
     "lateness_audit",
+    "session_lift",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

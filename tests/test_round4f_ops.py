@@ -914,3 +914,48 @@ def test_lateness_audit_two_phase_equals_global_prefix_max(spark):
     o = out["ordered"]
     assert o.late_share == 0.0
     assert o.p50_late_s is None and o.max_late_s is None
+
+
+# ------------------------------------------------- session_lift
+def test_session_lift_hand_case(spark):
+    """Types always together lift > 1; types never together lift
+    = 0-support (dropped); independent types lift ~ 1."""
+    from yahoo_anomaly_detection_spark.operators import sessions
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    # 4 users x 2 sessions each (gap > 8h splits). In every session:
+    # "x" and "y" co-occur; "z" appears in exactly half the sessions
+    # (first session of each user), alone with x/y.
+    for uid in range(4):
+        for s in range(2):
+            base = t0 + dt.timedelta(days=s, hours=uid)
+            for j, typ in enumerate(["x", "y"] + (["z"] if s == 0
+                                                  else [])):
+                rows.append((eid, base + dt.timedelta(seconds=j), uid,
+                             typ, 1.0))
+                eid += 1
+    got = {(r.type_a, r.type_b): r for r in
+           sessions.session_lift(_ev(spark, rows),
+                                 min_sessions=1).collect()}
+    # 8 sessions; x,y in all 8; z in 4
+    r = got[("x", "y")]
+    assert (r.n_a, r.n_b, r.n_both) == (8, 8, 8)
+    assert r.lift == pytest.approx(8 * 8 / (8 * 8), abs=1e-4)  # 1.0
+    rz = got[("x", "z")]
+    assert (rz.n_a, rz.n_b, rz.n_both) == (8, 4, 4)
+    # lift = 4*8/(8*4) = 1.0 (z always with x when present)
+    assert rz.lift == pytest.approx(1.0, abs=1e-4)
+    # now make "w" repel "z": w only in second sessions
+    rows2 = list(rows)
+    for uid in range(4):
+        base = t0 + dt.timedelta(days=1, hours=uid)
+        rows2.append((eid, base + dt.timedelta(seconds=9), uid, "w",
+                      1.0))
+        eid += 1
+    got2 = {(r.type_a, r.type_b): r for r in
+            sessions.session_lift(_ev(spark, rows2),
+                                  min_sessions=1).collect()}
+    assert ("w", "z") not in got2          # never co-occur
+    rw = got2[("w", "x")]
+    assert rw.lift == pytest.approx(8 / (8 * 4) * 4, abs=1e-4)  # 1.0

@@ -912,3 +912,92 @@ FROM c GROUP BY 1
 
 
 ORACLE_SQL["quota_violations"] = _quota_sql()
+
+
+def session_lift(events: DataFrame, gap_seconds: int = 28800,
+                 min_sessions: int = 2) -> DataFrame:
+    """Market-basket lift of event-type co-occurrence, with sessions
+    as baskets: for each unordered type pair,
+    ``lift = P(a ∧ b in session) / (P(a)·P(b))`` — lift > 1 means
+    the types travel together (a flow), < 1 means they repel
+    (alternative paths). The association-rule view of journeys that
+    the ORDERED operators (`event_transitions`, `trigram_flows`)
+    cannot give: co-presence regardless of order or distance within
+    the session.
+
+    Output: (type_a, type_b, n_a, n_b, n_both, lift) with
+    type_a < type_b, lift rounded to 4; pairs seen in fewer than
+    ``min_sessions`` baskets are dropped (support floor).
+
+    Scale shape: the corpus collapses to the DISTINCT
+    (user, session, type) relation (rides the sessionize exchange —
+    map-side combinable); the pair join is a self-join on the
+    session key with per-session fan-out ≤ |types|² (types are
+    low-cardinality by construction); per-type and total counts are
+    tiny relations broadcast/windowed back. Raw rows shuffle once.
+    """
+    tagged = _tagged(events, gap_seconds)
+    baskets = (tagged
+               .join(events.select("event_id", "event_type"),
+                     "event_id")
+               .select("user_id", "session_id", "event_type")
+               .distinct())
+    # one-row total as a broadcast relation, not a driver .count():
+    # the operator stays lazy and composable (the shared baskets
+    # subtree is served by AQE's ReusedExchange)
+    ns = (baskets.select("user_id", "session_id").distinct()
+          .agg(F.count(F.lit(1)).cast("double").alias("_ns")))
+    per_type = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"))
+    a = baskets.select(F.col("user_id"), F.col("session_id"),
+                       F.col("event_type").alias("type_a"))
+    b = baskets.select(F.col("user_id"), F.col("session_id"),
+                       F.col("event_type").alias("type_b"))
+    pairs = (a.join(b, ["user_id", "session_id"])
+             .where(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).alias("n_both"))
+             .where(F.col("n_both") >= min_sessions))
+    pa = per_type.select(F.col("event_type").alias("type_a"),
+                         F.col("n_t").alias("n_a"))
+    pb = per_type.select(F.col("event_type").alias("type_b"),
+                         F.col("n_t").alias("n_b"))
+    out = (pairs.join(F.broadcast(pa), "type_a")
+           .join(F.broadcast(pb), "type_b")
+           .crossJoin(F.broadcast(ns)))
+    lift = (F.col("n_both").cast("double") * F.col("_ns")
+            / (F.col("n_a").cast("double") * F.col("n_b")))
+    return out.select("type_a", "type_b", "n_a", "n_b", "n_both",
+                      portable_round(lift, _R).alias("lift"))
+
+
+def _session_lift_sql(gap_seconds: int = 28800,
+                      min_sessions: int = 2) -> str:
+    return ("WITH " + _session_sql_body(gap_seconds) + f""",
+bk AS (
+    SELECT DISTINCT s.user_id, s.session_id, e.event_type
+    FROM s JOIN events e USING (event_id)
+),
+ns AS (SELECT count(*) AS n FROM
+       (SELECT DISTINCT user_id, session_id FROM bk)),
+pt AS (SELECT event_type, count(*) AS n_t FROM bk GROUP BY 1),
+pr AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_both
+    FROM bk a JOIN bk b
+      ON a.user_id = b.user_id AND a.session_id = b.session_id
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_sessions}
+)
+SELECT pr.type_a, pr.type_b,
+       pa.n_t AS n_a, pb.n_t AS n_b, pr.n_both,
+       round(CAST(pr.n_both AS DOUBLE) * (SELECT n FROM ns)
+             / (CAST(pa.n_t AS DOUBLE) * pb.n_t), 4) AS lift
+FROM pr
+JOIN pt pa ON pa.event_type = pr.type_a
+JOIN pt pb ON pb.event_type = pr.type_b
+""")
+
+
+ORACLE_SQL["session_lift"] = _session_lift_sql()
