@@ -1433,6 +1433,12 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_time_folds(spark, sf_dir):
+    # walk-forward CV folds: ntile over the DISTINCT-day relation
+    # (metadata-sized global sort), broadcast join back, one rollup
+    return curation.time_folds(_events_raw(spark, sf_dir))
+
+
 def q_session_lift(spark, sf_dir):
     # market-basket lift with sessions as baskets: distinct
     # (user, session, type) relation rides the sessionize exchange;
@@ -2148,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_violations": q_quota_violations,
         "lateness_audit": q_lateness_audit,
         "session_lift": q_session_lift,
+        "time_folds": q_time_folds,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

@@ -188,6 +188,7 @@ HEADLINE = [
     "quota_violations",
     "lateness_audit",
     "session_lift",
+    "time_folds",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

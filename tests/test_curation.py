@@ -248,3 +248,27 @@ def test_pii_scan_counts_planted_patterns_exactly(spark):
     assert books.n_docs == 1
     assert books.docs_long_id == 1 and books.hits_long_id == 1
     assert books.docs_email == 0 and books.hits_email == 0
+
+
+# ------------------------------------------------- time_folds
+def test_time_folds_contiguous_and_leak_free(spark):
+    """Folds are contiguous day ranges in time order (fold i ends
+    before fold i+1 starts — no future leakage), cover every day
+    once, and distribute the remainder to the leading folds."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from yahoo_anomaly_detection_spark.operators import curation
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [(i, t0 + dt.timedelta(days=i % 13, hours=i % 5), 7, "t",
+             1.0) for i in range(200)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = sorted(curation.time_folds(ev, k=5).collect(),
+                 key=lambda r: r.fold)
+    assert [r.fold for r in out] == [1, 2, 3, 4, 5]
+    # 13 days into 5 folds: 3,3,3,2,2 (remainder to leading folds)
+    assert [r.n_days for r in out] == [3, 3, 3, 2, 2]
+    for a, b in zip(out, out[1:]):
+        assert a.fold_end < b.fold_start  # walk-forward, no overlap
+    assert sum(r.n_events for r in out) == 200

@@ -912,3 +912,59 @@ FROM documents GROUP BY 1
 
 
 ORACLE_SQL["pii_scan"] = _pii_sql()
+
+
+def time_folds(events: DataFrame, k: int = 5,
+               ts_col: str = "ts") -> DataFrame:
+    """Walk-forward (time-ordered) cross-validation folds — the
+    eval-splitter for temporal data where the random/hashed splits
+    (``cluster_split``, ``ingest``'s train/val/test) would LEAK the
+    future into training: distinct days are ordered and dealt into
+    ``k`` contiguous folds with ``ntile`` (SQL-standard even split,
+    remainder to the leading folds — deterministic on every engine);
+    fold i is the eval window when training on folds < i.
+
+    Output: (fold, fold_start, fold_end, n_days, n_events).
+
+    Scale shape: the fold assignment runs entirely on the DISTINCT
+    day relation (≤ span-days rows — metadata-sized; the only global
+    window in the operator sorts THAT, never events); events take
+    one broadcast join onto their day and one map-side-combined
+    rollup.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.window import Window as _W
+
+    day = F.date_trunc("day", F.col(ts_col))
+    days = events.select(day.alias("day")).distinct()
+    folds = days.withColumn(
+        "fold", F.ntile(k).over(_W.orderBy("day")))
+    tagged = events.select(day.alias("day")).join(
+        F.broadcast(folds), "day")
+    return (tagged.groupBy("fold")
+            .agg(F.min("day").alias("fold_start"),
+                 F.max("day").alias("fold_end"),
+                 F.countDistinct("day").alias("n_days"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def _time_folds_sql(k: int = 5) -> str:
+    return f"""
+WITH d AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+),
+f AS (
+    SELECT day, ntile({k}) OVER (ORDER BY day) AS fold FROM d
+),
+t AS (
+    SELECT f.fold, f.day
+    FROM events e JOIN f ON f.day = date_trunc('day', e.ts)
+)
+SELECT fold, min(day) AS fold_start, max(day) AS fold_end,
+       count(DISTINCT day) AS n_days, count(*) AS n_events
+FROM t GROUP BY 1
+"""
+
+
+ORACLE_SQL["time_folds"] = _time_folds_sql()
