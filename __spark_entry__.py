@@ -1433,6 +1433,13 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_touch_attribution(spark, sf_dir):
+    # linear vs last-touch conversion credit per touch type before
+    # each user's FIRST purchase; conditional-min window + user-sized
+    # rollups on ONE user-key exchange
+    return sessions.touch_attribution(_events_raw(spark, sf_dir))
+
+
 def q_time_folds(spark, sf_dir):
     # walk-forward CV folds: ntile over the DISTINCT-day relation
     # (metadata-sized global sort), broadcast join back, one rollup
@@ -2155,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateness_audit": q_lateness_audit,
         "session_lift": q_session_lift,
         "time_folds": q_time_folds,
+        "touch_attribution": q_touch_attribution,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

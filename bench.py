@@ -189,6 +189,7 @@ HEADLINE = [
     "lateness_audit",
     "session_lift",
     "time_folds",
+    "touch_attribution",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

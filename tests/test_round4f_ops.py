@@ -959,3 +959,42 @@ def test_session_lift_hand_case(spark):
     assert ("w", "z") not in got2          # never co-occur
     rw = got2[("w", "x")]
     assert rw.lift == pytest.approx(8 / (8 * 4) * 4, abs=1e-4)  # 1.0
+
+
+# ------------------------------------------------- touch_attribution
+def test_touch_attribution_linear_vs_last_touch(spark):
+    """Hand-built funnels: credits split linearly over distinct touch
+    types before the FIRST purchase; last-touch goes to the latest;
+    post-purchase touches and non-converters contribute nothing."""
+    from yahoo_anomaly_detection_spark.operators import sessions
+    t0 = dt.datetime(2024, 6, 1)
+    S = dt.timedelta
+    rows = [
+        # user 1: view@0, click@10, purchase@20, view@30 (ignored)
+        (0, t0, 1, "view", 1.0), (1, t0 + S(seconds=10), 1, "click",
+                                  1.0),
+        (2, t0 + S(seconds=20), 1, "purchase", 1.0),
+        (3, t0 + S(seconds=30), 1, "view", 1.0),
+        # user 2: click only, then purchase
+        (4, t0, 2, "click", 1.0),
+        (5, t0 + S(seconds=5), 2, "purchase", 1.0),
+        # user 3: views but never purchases
+        (6, t0, 3, "view", 1.0), (7, t0 + S(seconds=1), 3, "view",
+                                  1.0),
+        # user 4: purchase FIRST -> no prior touches, nothing credited
+        (8, t0, 4, "purchase", 1.0), (9, t0 + S(seconds=9), 4,
+                                      "view", 1.0),
+    ]
+    out = {r.event_type: r for r in
+           sessions.touch_attribution(_ev(spark, rows)).collect()}
+    # user 1: {view, click} -> 0.5 each, last = click
+    # user 2: {click} -> 1.0, last = click
+    assert out["view"].linear_credit == pytest.approx(0.5)
+    assert out["click"].linear_credit == pytest.approx(1.5)
+    assert out["view"].last_touch_credit == 0
+    assert out["click"].last_touch_credit == 2
+    assert out["view"].n_users == 1 and out["click"].n_users == 2
+    assert "purchase" not in out
+    # total linear credit == number of credited conversions
+    assert sum(r.linear_credit for r in out.values()) == \
+        pytest.approx(2.0)

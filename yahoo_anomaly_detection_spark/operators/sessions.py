@@ -1001,3 +1001,101 @@ JOIN pt pb ON pb.event_type = pr.type_b
 
 
 ORACLE_SQL["session_lift"] = _session_lift_sql()
+
+
+def touch_attribution(events: DataFrame, conv_type: str = "purchase",
+                      user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      ts_col: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """Multi-touch conversion attribution: for each user's FIRST
+    ``conv_type`` event, credit the distinct touch types that
+    occurred strictly before it — LINEAR credit (1/n_touch_types
+    each) and LAST-TOUCH credit (1 to the latest touch) side by
+    side, per touch type. The two models bracket the attribution
+    spectrum; a type whose linear ≫ last-touch credit is an
+    early-funnel assist the last-touch model systematically starves
+    (the classic marketing-mix blind spot).
+
+    Output: (event_type, n_users, linear_credit, last_touch_credit)
+    — linear rounded to 4, last-touch an integer user count.
+
+    Scale shape: the sessionize idiom again — first-conversion time
+    is a conditional min WINDOW over the user partition; the
+    distinct (user, touch-type, first-ts, last-ts) relation collapses
+    map-side on the same exchange; per-user touch counts and the
+    last-touch argmax run on that user-sized relation; the final
+    per-type rollup is map-side combined. Raw rows shuffle once.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = W.partitionBy(user_col)
+    conv_ts = F.min(
+        F.when(F.col(type_col) == conv_type, us)).over(w)
+    tagged = events.select(
+        F.col(user_col), F.col(type_col), us.alias("_us"),
+        conv_ts.alias("_conv"))
+    touches = (tagged
+               .where(F.col("_conv").isNotNull()
+                      & (F.col("_us") < F.col("_conv"))
+                      & (F.col(type_col) != conv_type))
+               .groupBy(user_col, type_col)
+               .agg(F.max("_us").alias("_last")))
+    per_user = touches.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("_nt"),
+        F.max_by(F.col(type_col), F.struct(F.col("_last"),
+                                           F.col(type_col)))
+        .alias("_last_type"))
+    credited = touches.join(F.broadcast(per_user), user_col)
+    return credited.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        portable_round(
+            F.sum(F.lit(1.0) / F.col("_nt")), _R)
+        .alias("linear_credit"),
+        F.sum((F.col(type_col) == F.col("_last_type")).cast("long"))
+        .alias("last_touch_credit"),
+    )
+
+
+def _touch_attribution_sql(conv_type: str = "purchase") -> str:
+    return f"""
+WITH t AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us,
+           min(CASE WHEN event_type = '{conv_type}'
+                    THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id) AS conv
+    FROM events
+),
+touches AS (
+    SELECT user_id, event_type, max(us) AS last_us
+    FROM t
+    WHERE conv IS NOT NULL AND us < conv
+      AND event_type <> '{conv_type}'
+    GROUP BY 1, 2
+),
+cnt AS (SELECT user_id, count(*) AS nt FROM touches GROUP BY 1),
+lt AS (
+    SELECT user_id, event_type AS last_type
+    FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY last_us DESC, event_type DESC) AS rn
+        FROM touches
+    ) WHERE rn = 1
+),
+pu AS (
+    SELECT cnt.user_id, cnt.nt, lt.last_type
+    FROM cnt JOIN lt USING (user_id)
+)
+SELECT touches.event_type,
+       count(*) AS n_users,
+       round(sum(1.0 / pu.nt), 4) AS linear_credit,
+       CAST(sum(CASE WHEN touches.event_type = pu.last_type
+                     THEN 1 ELSE 0 END) AS BIGINT)
+           AS last_touch_credit
+FROM touches JOIN pu USING (user_id)
+GROUP BY 1
+"""
+
+
+ORACLE_SQL["touch_attribution"] = _touch_attribution_sql()
