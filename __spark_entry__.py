@@ -1433,6 +1433,16 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_join_size_est(spark, sf_dir):
+    # optimizer statistic: lineitem x orders join cardinality from
+    # CMS inner products (d*w counters per side, never the join);
+    # exact branch = per-key count join, the audit path
+    return sketches.join_size_est(
+        ingest.load_table(spark, sf_dir, "lineitem"),
+        ingest.load_table(spark, sf_dir, "orders"),
+        "l_orderkey", "o_orderkey")
+
+
 def q_touch_attribution(spark, sf_dir):
     # linear vs last-touch conversion credit per touch type before
     # each user's FIRST purchase; conditional-min window + user-sized
@@ -2163,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_lift": q_session_lift,
         "time_folds": q_time_folds,
         "touch_attribution": q_touch_attribution,
+        "join_size_est": q_join_size_est,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

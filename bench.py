@@ -190,6 +190,7 @@ HEADLINE = [
     "session_lift",
     "time_folds",
     "touch_attribution",
+    "join_size_est",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -998,3 +998,28 @@ def test_touch_attribution_linear_vs_last_touch(spark):
     # total linear credit == number of credited conversions
     assert sum(r.linear_credit for r in out.values()) == \
         pytest.approx(2.0)
+
+
+# ------------------------------------------------- join_size_est
+def test_join_size_est_exact_and_bounded(spark):
+    """Exact side equals the true join cardinality; the CM estimate
+    upper-bounds it and is tight when keys << buckets."""
+    from yahoo_anomaly_detection_spark.operators import sketches
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 7]], "k long")
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 2, 4]], "k long")
+    [r] = sketches.join_size_est(left, right, "k", "k",
+                                 d=4, w=2048).collect()
+    # true join size: k=1 -> 3*1, k=2 -> 2*3 => 9
+    assert r.exact_size == 9
+    assert r.est_size >= r.exact_size       # CM never underestimates
+    assert r.est_size == 9                  # no collisions at w=2048
+    assert r.rel_err == 0.0
+    # disjoint keys -> exact 0; estimate stays tiny (collision noise)
+    [z] = sketches.join_size_est(
+        left, spark.createDataFrame([(100,), (200,)], "k long"),
+        "k", "k", d=4, w=2048).collect()
+    assert z.exact_size == 0
+    assert z.est_size <= 2  # at most stray collisions
+    assert z.rel_err is None  # 0-denominator -> NULL

@@ -674,3 +674,96 @@ FROM r GROUP BY 1, 2
 
 
 ORACLE_SQL["bitmap_rolling_7d"] = _bitmap_rolling_sql()
+
+
+def join_size_est(left: DataFrame, right: DataFrame,
+                  left_key: str, right_key: str,
+                  d: int = 4, w: int = 2048) -> DataFrame:
+    """Join-cardinality estimation from Count-Min inner products —
+    the optimizer statistic that decides join ORDER and strategy
+    before any join runs: ``|L ⋈ R|`` on an equi-key equals the
+    inner product of the two sides' key-frequency vectors, and the
+    AMS/CM estimate is ``min over hash rows of Σ_b cL[b]·cR[b]``
+    (Cormode & Muthukrishnan's classic join-size bound: always ≥ the
+    truth, within ε·N_L·N_R with the usual CMS guarantees).
+
+    Output: one row — (exact_size, est_size, rel_err). The exact
+    side is computed WITHOUT materializing the join: two per-key
+    count aggregates and a key-equality join of the (distinct-key)
+    count relations, Σ n_L(k)·n_R(k).
+
+    Scale shape: each sketch is one map-side-combined groupBy whose
+    output is d·w counter rows regardless of key cardinality; the
+    inner product joins two d·w-row relations. The exact branch
+    shuffles one row per distinct key per side (the audit path —
+    at 100 TB keep only the sketch branch; the exact branch exists
+    so the estimate is verifiable at test scale, same pattern as
+    ``hll_distinct``).
+    """
+    sl = cms_sketch(left, left_key, d, w).withColumnRenamed("cnt", "cl")
+    sr = cms_sketch(right, right_key, d, w) \
+        .withColumnRenamed("cnt", "cr")
+    per_row = (sl.join(sr, ["hrow", "bucket"])
+               .groupBy("hrow")
+               .agg(F.sum(F.col("cl") * F.col("cr")).alias("ip")))
+    # a hash row with ZERO overlapping buckets contributes ip = 0 but
+    # drops out of the inner join entirely — min over the survivors
+    # would overestimate; any absent row means the true min is 0
+    est = per_row.agg(
+        F.when(F.count(F.lit(1)) < d, F.lit(0))
+        .otherwise(F.min("ip")).alias("est_size"))
+    nl = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("na"))
+    nr = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("nb"))
+    exact = (nl.join(nr, "k")
+             .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")),
+                             F.lit(0)).alias("exact_size")))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_size", "est_size",
+        portable_round(
+            F.try_divide(
+                (F.col("est_size") - F.col("exact_size")).cast("double"),
+                F.col("exact_size")), _R).alias("rel_err"),
+    )
+
+
+def _join_size_sql(left: str, right: str, lk: str, rk: str,
+                   d: int = 4, w: int = 2048) -> str:
+    def sk(src, key):
+        parts = []
+        for i in range(d):
+            salted = "'cms%d|' || CAST(%s AS VARCHAR)" % (i, key)
+            lane = _lane_sql(salted, 1)
+            parts.append(
+                "SELECT %d AS hrow, (%s %% %d) AS bucket FROM %s "
+                "WHERE %s IS NOT NULL" % (i, lane, w, src, key))
+        rows = " UNION ALL ".join(parts)
+        return ("SELECT hrow, bucket, count(*) AS cnt FROM (%s) "
+                "GROUP BY 1, 2" % rows)
+    return f"""
+WITH sl AS ({sk(left, lk)}),
+sr AS ({sk(right, rk)}),
+ip AS (
+    SELECT sl.hrow, sum(sl.cnt * sr.cnt) AS ip
+    FROM sl JOIN sr USING (hrow, bucket)
+    GROUP BY 1
+),
+est AS (SELECT CAST(CASE WHEN count(*) < {d} THEN 0
+                         ELSE min(ip) END AS BIGINT) AS est_size
+        FROM ip),
+ex AS (
+    SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_size
+    FROM (SELECT {lk} AS k, count(*) AS na FROM {left} GROUP BY 1) a
+    JOIN (SELECT {rk} AS k, count(*) AS nb FROM {right} GROUP BY 1) b
+      USING (k)
+)
+SELECT ex.exact_size, est.est_size,
+       round(CAST(est.est_size - ex.exact_size AS DOUBLE)
+             / ex.exact_size, 4) AS rel_err
+FROM ex, est
+"""
+
+
+ORACLE_SQL["join_size_est"] = _join_size_sql(
+    "lineitem", "orders", "l_orderkey", "o_orderkey")
