@@ -1433,6 +1433,13 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_anomalous_days(spark, sf_dir):
+    # day-LEVEL anomaly: RMSD of each day's 24h profile vs the
+    # series' weekday template, robust-flagged; corpus -> hourly
+    # tier once, everything after is tier-sized
+    return tsanalytics.anomalous_days(_events_raw(spark, sf_dir))
+
+
 def q_join_size_est(spark, sf_dir):
     # optimizer statistic: lineitem x orders join cardinality from
     # CMS inner products (d*w counters per side, never the join);
@@ -2174,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_folds": q_time_folds,
         "touch_attribution": q_touch_attribution,
         "join_size_est": q_join_size_est,
+        "anomalous_days": q_anomalous_days,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

@@ -191,6 +191,7 @@ HEADLINE = [
     "time_folds",
     "touch_attribution",
     "join_size_est",
+    "anomalous_days",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -1023,3 +1023,38 @@ def test_join_size_est_exact_and_bounded(spark):
     assert z.exact_size == 0
     assert z.est_size <= 2  # at most stray collisions
     assert z.rel_err is None  # 0-denominator -> NULL
+
+
+# ------------------------------------------------- anomalous_days
+def test_anomalous_days_finds_broken_day_profile(spark):
+    """A day whose whole 24h profile departs from the weekday
+    template flags; same-mean days whose hourly errors cancel at the
+    daily grain still flag (the point the daily-mean detectors
+    miss); normal days don't."""
+    rng = np.random.default_rng(21)
+    t0 = dt.datetime(2024, 6, 3)  # Monday
+    rows = []
+    eid = 0
+    for day in range(28):
+        for hour in range(24):
+            v = 10.0 + (5.0 if hour == 12 else 0.0)
+            if day == 10:
+                # inverted profile, SAME daily mean: +5 moves to h0
+                v = 10.0 + (5.0 if hour == 0 else 0.0)
+            # mild noise so normal-day scores have nonzero MAD
+            v += float(rng.normal(0, 0.2))
+            rows.append((eid, t0 + dt.timedelta(days=day, hours=hour),
+                         1, "m", v))
+            eid += 1
+    out = {r.day.day: r for r in
+           tsanalytics.anomalous_days(_ev(spark, rows)).collect()}
+    flagged = {d for d, r in out.items() if r.flag == 1}
+    # day index 10 -> June 13 (a Thursday). The broken day must flag
+    # with the TOP score; its weekday SIBLINGS may co-flag (their
+    # 4-sample template is contaminated by the broken day — inherent
+    # to template scoring), but no other weekday does.
+    assert 13 in flagged
+    assert flagged <= {6, 13, 20, 27}
+    assert out[13].z == max(r.z for r in out.values() if r.z is not None)
+    assert out[13].rmsd > 2 * max(
+        r.rmsd for d, r in out.items() if d != 13)

@@ -5119,3 +5119,96 @@ FROM s GROUP BY 1
 
 
 ORACLE_SQL["lateness_audit"] = _LATENESS_SQL
+
+
+def anomalous_days(events: DataFrame, k: float = 3.0,
+                   key: str = "event_type", ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Day-LEVEL anomaly detection: score each (series, day) by how
+    far its 24-hour mean profile sits from the series' typical
+    profile for that WEEKDAY (root-mean-square deviation over the
+    hours both sides cover), then flag days beyond k robust sigmas
+    (median/MAD over the series' day scores). Finds the broken DAY —
+    deploy gone wrong, collector outage, DST bug — that point-level
+    detectors report as a blizzard of flags and daily means miss
+    when errors cancel.
+
+    Output: (event_type, day, rmsd, z, flag) — rmsd/z rounded to 4;
+    a series whose day scores have MAD 0 flags nothing.
+
+    Scale shape: raw rows collapse to the (series, day, hour) tier
+    (ONE map-side-combined groupBy); the weekday-hour template is a
+    second aggregate of THAT tier broadcast back; day scores are a
+    third tier-sized aggregate, and the median/MAD pass runs per
+    series over ≤ span-days rows. The corpus shuffles once.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    hourly = (events.groupBy(
+        F.col(key), day.alias("day"),
+        F.hour(ts_col).alias("hh"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("v")))
+    wd = F.weekday(F.col("day"))
+    tmpl = (hourly.groupBy(key, wd.alias("wd"), "hh")
+            .agg(F.avg("v").alias("m")))
+    joined = hourly.withColumn("wd", wd).join(
+        F.broadcast(tmpl), [key, "wd", "hh"])
+    scores = (joined.groupBy(key, "day")
+              .agg(F.sqrt(F.avg(F.pow(F.col("v") - F.col("m"), 2)))
+                   .alias("rmsd")))
+    win = W.partitionBy(key)
+    med = F.percentile("rmsd", F.lit(0.5)).over(win)
+    scored = scores.withColumn("_med", med)
+    mad = F.percentile(F.abs(F.col("rmsd") - F.col("_med")),
+                       F.lit(0.5)).over(win)
+    z = portable_round(
+        F.try_divide(F.abs(F.col("rmsd") - F.col("_med")),
+                     mad * F.lit(MAD_SIGMA)), _R)
+    return scored.select(
+        key, "day",
+        portable_round(F.col("rmsd"), _R).alias("rmsd"),
+        z.alias("z"),
+        F.coalesce((z > F.lit(k)).cast("int"), F.lit(0)).alias("flag"),
+    )
+
+
+def _anomalous_days_sql(k: float = 3.0) -> str:
+    return f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(hour(ts) AS INT) AS hh,
+           avg(CAST(value AS DOUBLE)) AS v
+    FROM events GROUP BY 1, 2, 3
+),
+tmpl AS (
+    SELECT event_type, isodow(day) AS wd, hh, avg(v) AS m
+    FROM hourly GROUP BY 1, 2, 3
+),
+sc AS (
+    SELECT h.event_type, h.day,
+           sqrt(avg((h.v - t.m) * (h.v - t.m))) AS rmsd
+    FROM hourly h
+    JOIN tmpl t ON t.event_type = h.event_type
+               AND t.wd = isodow(h.day) AND t.hh = h.hh
+    GROUP BY 1, 2
+),
+st AS (
+    SELECT *,
+           quantile_cont(rmsd, 0.5)
+               OVER (PARTITION BY event_type) AS med
+    FROM sc
+),
+zz AS (
+    SELECT *,
+           round(abs(rmsd - med)
+                 / (quantile_cont(abs(rmsd - med), 0.5)
+                        OVER (PARTITION BY event_type)
+                    * {MAD_SIGMA}), 4) AS z
+    FROM st
+)
+SELECT event_type, day, round(rmsd, 4) AS rmsd, z,
+       CAST(coalesce(z > {k}, false) AS INT) AS flag
+FROM zz
+"""
+
+
+ORACLE_SQL["anomalous_days"] = _anomalous_days_sql()
