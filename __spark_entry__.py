@@ -1433,6 +1433,12 @@ def q_bitmap_actives_1d(spark, sf_dir):
     return sketches.bitmap_actives(_events_raw(spark, sf_dir))
 
 
+def q_capacity_forecast(spark, sf_dir):
+    # days-until-threshold ETA from the fitted daily trend; corpus
+    # -> daily tier once, one moment aggregate per series
+    return tsanalytics.capacity_forecast(_events_raw(spark, sf_dir))
+
+
 def q_anomalous_days(spark, sf_dir):
     # day-LEVEL anomaly: RMSD of each day's 24h profile vs the
     # series' weekday template, robust-flagged; corpus -> hourly
@@ -2182,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "touch_attribution": q_touch_attribution,
         "join_size_est": q_join_size_est,
         "anomalous_days": q_anomalous_days,
+        "capacity_forecast": q_capacity_forecast,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
     }

@@ -192,6 +192,7 @@ HEADLINE = [
     "touch_attribution",
     "join_size_est",
     "anomalous_days",
+    "capacity_forecast",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

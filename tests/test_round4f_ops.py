@@ -1058,3 +1058,42 @@ def test_anomalous_days_finds_broken_day_profile(spark):
     assert out[13].z == max(r.z for r in out.values() if r.z is not None)
     assert out[13].rmsd > 2 * max(
         r.rmsd for d, r in out.items() if d != 13)
+
+
+# ------------------------------------------------- capacity_forecast
+def test_capacity_forecast_eta_math(spark):
+    """A clean +1/day trend from 50 crosses 100 in ~(100-level)/1
+    days; a flat series yields NULL ETA; a decreasing one too."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    for day in range(20):
+        for h in (0, 12):
+            rows.append((eid, t0 + dt.timedelta(days=day, hours=h), 1,
+                         "grow", 50.0 + day))
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(days=day, hours=h), 1,
+                         "flat", 10.0))
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(days=day, hours=h), 1,
+                         "drop", 200.0 - day))
+            eid += 1
+    out = {r.event_type: r for r in
+           tsanalytics.capacity_forecast(_ev(spark, rows),
+                                         threshold=100.0,
+                                         horizon_days=30.0).collect()}
+    g = out["grow"]
+    assert g.slope_per_day == pytest.approx(1.0, abs=1e-3)
+    assert g.level_now == pytest.approx(69.0, abs=0.1)  # day 19 fit
+    assert g.eta_days == pytest.approx(100.0 - g.level_now, abs=0.1)
+    assert g.urgent == 0  # ~31 days out at horizon 30
+    assert out["flat"].eta_days is None
+    assert out["flat"].urgent == 0
+    # decreasing AND already above threshold -> NULL eta, not urgent
+    assert out["drop"].eta_days is None and out["drop"].urgent == 0
+    # tighter horizon flips urgency
+    out2 = {r.event_type: r for r in
+            tsanalytics.capacity_forecast(_ev(spark, rows),
+                                          threshold=75.0,
+                                          horizon_days=30.0).collect()}
+    assert out2["grow"].urgent == 1  # ~6 days to 75

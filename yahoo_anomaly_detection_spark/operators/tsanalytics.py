@@ -5212,3 +5212,108 @@ FROM zz
 
 
 ORACLE_SQL["anomalous_days"] = _anomalous_days_sql()
+
+
+def capacity_forecast(events: DataFrame, threshold: float = 100.0,
+                      horizon_days: float = 30.0,
+                      key: str = "event_type", ts_col: str = "ts",
+                      value_col: str = "value") -> DataFrame:
+    """Capacity-planning ETA per series: fit the OLS trend of the
+    DAILY mean and report when the fitted level crosses
+    ``threshold`` — "days until this metric hits the limit", the
+    page a capacity planner wants weeks before the breach page
+    fires. ``eta_days`` counts from the last observed day; NULL when
+    the trend is flat/decreasing or already past threshold from
+    above; ``urgent`` flags ETAs inside ``horizon_days``.
+
+    Output: (event_type, n_days, slope_per_day, level_now, eta_days,
+    urgent) — floats rounded to 4.
+
+    Scale shape: corpus → daily tier (ONE map-side-combined
+    groupBy); the OLS fit is one moment aggregate per series over
+    ≤ span-days rows. Nothing else touches raw rows.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (events.groupBy(F.col(key), day.alias("day"))
+             .agg(F.avg(F.col(value_col).cast("double")).alias("y")))
+    x = (F.unix_micros(F.col("day").cast("timestamp"))
+         / F.lit(86_400_000_000.0))
+    mom = daily.select(key, x.alias("x"), "y").groupBy(key).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("x1"),
+    )
+    n = F.col("n")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when((n >= 2) & (varx > 0),
+                   (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                   / varx)
+    level = F.when(slope.isNotNull(),
+                   (F.col("sy") - slope * F.col("sx")) / n
+                   + slope * F.col("x1"))
+    eta = F.when(
+        slope.isNotNull() & (slope > 0) & (level < F.lit(threshold)),
+        (F.lit(threshold) - level) / slope)
+    return mom.select(
+        key, n.cast("long").alias("n_days"),
+        portable_round(slope, _R).alias("slope_per_day"),
+        portable_round(level, _R).alias("level_now"),
+        portable_round(eta, _R).alias("eta_days"),
+        F.when(slope.isNotNull(),
+               (F.coalesce(eta, F.lit(float("inf")))
+                <= F.lit(horizon_days)).cast("int")).alias("urgent"),
+    )
+
+
+def _capacity_sql(threshold: float = 100.0,
+                  horizon_days: float = 30.0) -> str:
+    return f"""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           avg(CAST(value AS DOUBLE)) AS y
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sxx, max(x) AS x1
+    FROM (SELECT event_type, y,
+                 epoch_us(day) / 86400000000.0 AS x
+          FROM daily)
+    GROUP BY 1
+),
+f AS (
+    SELECT event_type, n, x1,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+           END AS slope,
+           sx, sy
+    FROM m
+),
+l AS (
+    SELECT *,
+           CASE WHEN slope IS NOT NULL
+                THEN (sy - slope * sx) / n + slope * x1 END AS level
+    FROM f
+),
+e AS (
+    SELECT *,
+           CASE WHEN slope > 0 AND level < {threshold}
+                THEN ({threshold} - level) / slope END AS eta
+    FROM l
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       round(slope, 4) AS slope_per_day,
+       round(level, 4) AS level_now,
+       round(eta, 4) AS eta_days,
+       CASE WHEN slope IS NOT NULL THEN
+            CAST(coalesce(eta, 1e308) <= {horizon_days} AS INT) END
+           AS urgent
+FROM e
+"""
+
+
+ORACLE_SQL["capacity_forecast"] = _capacity_sql()
