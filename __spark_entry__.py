@@ -33,6 +33,7 @@ from yahoo_anomaly_detection_spark.operators import sketches
 from yahoo_anomaly_detection_spark.operators import curation, enrich, journeys
 from yahoo_anomaly_detection_spark.operators import refresh as refresh_op
 from yahoo_anomaly_detection_spark.operators import layout
+from yahoo_anomaly_detection_spark.operators import statstests
 from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
 TRAIN_END = "2024-01-15 00:00:00"
@@ -1659,6 +1660,66 @@ def q_pot_tail(spark, sf_dir):
     return tsanalytics.pot_tail(_events_raw(spark, sf_dir))
 
 
+def q_mann_kendall(spark, sf_dir):
+    # nonparametric trend test: corpus -> daily tier once; the pair
+    # join is a tier self-join bounded by span-days^2 per series
+    return statstests.mann_kendall(_events_raw(spark, sf_dir))
+
+
+def q_spearman_corr(spark, sf_dir):
+    # rank correlation between series pairs: tier rank window +
+    # day-keyed tier self-join; one corpus scan
+    return statstests.spearman_corr(_events_raw(spark, sf_dir))
+
+
+def q_bh_fdr(spark, sf_dir):
+    # fleet-wide FDR control: tier z-scores -> A&S erf p-values ->
+    # BH step-up on a tier-sized (never corpus) global sort
+    return statstests.bh_fdr(_events_raw(spark, sf_dir))
+
+
+def q_wasserstein_drift(spark, sf_dir):
+    # binned W1 earth-mover day-over-day drift: one corpus scan to
+    # (series, day, bin) counts, everything after is tier-sized
+    return statstests.wasserstein_drift(_events_raw(spark, sf_dir))
+
+
+def q_ou_halflife(spark, sf_dir):
+    # AR(1)/OU mean-reversion half-life: hourly tier lag pairs +
+    # one moment aggregate per series
+    return statstests.ou_halflife(_events_raw(spark, sf_dir))
+
+
+def q_hurst_exponent(spark, sf_dir):
+    # aggregated-variance Hurst: tier x |scales| literal explode,
+    # block-mean + variance aggregates, per-series log-log fit
+    return statstests.hurst_exponent(_events_raw(spark, sf_dir))
+
+
+def q_perm_entropy(spark, sf_dir):
+    # Bandt-Pompe order-3 permutation entropy, branch-free 3-bit
+    # ordinal coding; exchange after the tier carries 6 rows/series
+    return statstests.perm_entropy(_events_raw(spark, sf_dir))
+
+
+def q_max_drawdown(spark, sf_dir):
+    # running-peak drawdown profile per series; argmax on ROUNDED
+    # drawdown so cross-engine float noise can't flip the trough day
+    return statstests.max_drawdown(_events_raw(spark, sf_dir))
+
+
+def q_winsor_rollup(spark, sf_dir):
+    # winsorized + trimmed hourly means; quantile window and final
+    # aggregate share one (series, bucket) exchange
+    return statstests.winsor_rollup(_events_raw(spark, sf_dir))
+
+
+def q_gini_concentration(spark, sf_dir):
+    # daily load-concentration Gini over per-user counts: corpus ->
+    # (day, user) tier once, day-partitioned rank, exact int sums
+    return statstests.gini_concentration(_events_raw(spark, sf_dir))
+
+
 def q_markov_entropy(spark, sf_dir):
     # journey-predictability profile: conditional next-state entropy
     # per from-state + its pi-weighted share of the chain entropy
@@ -2191,6 +2252,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capacity_forecast": q_capacity_forecast,
         "pot_tail": q_pot_tail,
         "markov_entropy": q_markov_entropy,
+        "mann_kendall": q_mann_kendall,
+        "spearman_corr": q_spearman_corr,
+        "bh_fdr": q_bh_fdr,
+        "wasserstein_drift": q_wasserstein_drift,
+        "ou_halflife": q_ou_halflife,
+        "hurst_exponent": q_hurst_exponent,
+        "perm_entropy": q_perm_entropy,
+        "max_drawdown": q_max_drawdown,
+        "winsor_rollup": q_winsor_rollup,
+        "gini_concentration": q_gini_concentration,
     }
 
 
@@ -2773,6 +2844,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(layout.ORACLE_SQL)
     out.update(enrich.ORACLE_SQL)
     out.update(gapfill.ORACLE_SQL)
+    out.update(statstests.ORACLE_SQL)
     # capstone composition: intersection of three independently-
     # oracled doc_id sets (quality gate, canonical dedup survivors,
     # stratified sample)

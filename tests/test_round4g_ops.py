@@ -1,0 +1,404 @@
+"""Round-4g operators: statistical-testing & robust-QC layer
+(Mann-Kendall, Spearman, BH-FDR, W1 drift, OU half-life, Hurst,
+permutation entropy, max drawdown, winsorized rollup, Gini)."""
+
+import datetime as dt
+import math
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import count_exchanges as _exchanges, plan_str as _plan
+from yahoo_anomaly_detection_spark.operators import statstests
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+
+
+def _daily_rows(series):
+    """{type: [v_day0, v_day1, ...]} -> one event per (type, day)."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows, eid = [], 0
+    for typ, vals in series.items():
+        for d, v in enumerate(vals):
+            rows.append((eid, t0 + dt.timedelta(days=d), 1, typ,
+                         float(v)))
+            eid += 1
+    return rows
+
+
+def _hourly_rows(series):
+    """{type: [v_h0, v_h1, ...]} -> one event per (type, hour)."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows, eid = [], 0
+    for typ, vals in series.items():
+        for h, v in enumerate(vals):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, typ,
+                         float(v)))
+            eid += 1
+    return rows
+
+
+# ------------------------------------------------------ mann_kendall
+def _mk_replica(vals, z_crit=1.96):
+    n = len(vals)
+    s = sum(np.sign(vals[j] - vals[i])
+            for i in range(n) for j in range(i + 1, n))
+    _, counts = np.unique(vals, return_counts=True)
+    tt = sum(t * (t - 1) * (2 * t + 5) for t in counts)
+    var_s = (n * (n - 1) * (2 * n + 5) - tt) / 18.0
+    if var_s <= 0:
+        z = 0.0
+    elif s > 0:
+        z = (s - 1) / math.sqrt(var_s)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    trend = 1 if z > z_crit else (-1 if z < -z_crit else 0)
+    return int(s), var_s, z, trend
+
+
+def test_mann_kendall_matches_bruteforce_with_ties(spark):
+    series = {
+        "up": [1, 2, 2, 3, 5, 8, 9, 10, 12, 15],      # strong trend
+        "flat": [4, 4, 4, 4, 4, 4, 4, 4, 4, 4],        # all tied
+        "noisy": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3],       # no trend
+        "down": [9, 8, 8, 7, 5, 4, 4, 3, 2, 1],
+    }
+    got = {r.event_type: r for r in statstests.mann_kendall(
+        _ev(spark, _daily_rows(series))).collect()}
+    for typ, vals in series.items():
+        s, var_s, z, trend = _mk_replica([float(v) for v in vals])
+        r = got[typ]
+        assert r.n_days == len(vals)
+        assert r.s == s, typ
+        assert r.var_s == pytest.approx(var_s, abs=1e-4)
+        assert r.z == pytest.approx(z, abs=1e-4)
+        assert r.trend == trend, typ
+    assert got["up"].trend == 1 and got["down"].trend == -1
+    assert got["flat"].trend == 0 and got["noisy"].trend == 0
+
+
+# ----------------------------------------------------- spearman_corr
+def _avg_ranks(vals):
+    vals = np.asarray(vals, dtype=float)
+    order = np.argsort(vals, kind="stable")
+    ranks = np.empty(len(vals))
+    i = 0
+    sorted_v = vals[order]
+    while i < len(vals):
+        j = i
+        while j < len(vals) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # avg of 1-based ranks
+        i = j
+    return ranks
+
+
+def test_spearman_matches_numpy_rank_pearson(spark):
+    rng = np.random.RandomState(7)
+    a = rng.rand(20) * 100
+    series = {
+        "a": a,
+        "b": a * 3 + rng.rand(20),        # monotone-ish of a
+        "c": rng.permutation(a),          # shuffled
+    }
+    got = {(r.type_a, r.type_b): r for r in statstests.spearman_corr(
+        _ev(spark, _daily_rows(series))).collect()}
+    for (ta, tb), r in got.items():
+        ra, rb = _avg_ranks(series[ta]), _avg_ranks(series[tb])
+        rho = np.corrcoef(ra, rb)[0, 1]
+        assert r.n_days == 20
+        assert r.rho == pytest.approx(rho, abs=1e-4), (ta, tb)
+    assert got[("a", "b")].rho > 0.99
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_spearman_constant_series_is_null(spark):
+    series = {"a": [1, 2, 3, 4, 5], "k": [7, 7, 7, 7, 7]}
+    [r] = statstests.spearman_corr(
+        _ev(spark, _daily_rows(series))).collect()
+    assert (r.type_a, r.type_b) == ("a", "k")
+    assert r.rho is None
+
+
+# ----------------------------------------------------------- bh_fdr
+def test_bh_fdr_rejects_planted_outlier_only(spark):
+    rng = np.random.RandomState(3)
+    base = 50 + rng.rand(30)              # tight band
+    spiked = base.copy()
+    spiked[17] = 500.0                    # one broken day
+    series = {"calm": 50 + rng.rand(30), "spiky": spiked}
+    out = statstests.bh_fdr(_ev(spark, _daily_rows(series))).collect()
+    rejected = [(r.event_type, r.day.day) for r in out if r.reject]
+    assert rejected == [("spiky", 18)]    # day index 17 -> June 18
+    # step-up property: the reject set is exactly ranks 1..k
+    ranks = sorted(r.rnk for r in out if r.reject)
+    assert ranks == list(range(1, len(ranks) + 1))
+    # m tests = 60 (two series x 30 days, none degenerate)
+    assert len(out) == 60
+
+
+def test_bh_fdr_degenerate_series_contribute_no_tests(spark):
+    series = {"const": [5.0] * 10, "live": list(range(10))}
+    out = statstests.bh_fdr(_ev(spark, _daily_rows(series))).collect()
+    assert {r.event_type for r in out} == {"live"}
+    assert len(out) == 10
+
+
+def test_bh_fdr_p_from_rounded_z_matches_erf_poly(spark):
+    """p must equal the A&S 7.1.26 polynomial applied to the
+    ROUNDED z (the cross-engine determinism contract)."""
+    series = {"a": [1.0, 2.0, 3.0, 4.0, 100.0]}
+    out = statstests.bh_fdr(_ev(spark, _daily_rows(series))).collect()
+    A = (0.254829592, -0.284496736, 1.421413741,
+         -1.453152027, 1.061405429)
+    for r in out:
+        x = abs(r.z) / math.sqrt(2.0)
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = 0.0
+        for a in reversed(A):
+            poly = (poly + a) * t
+        p = poly * math.exp(-x * x)
+        assert r.p == pytest.approx(round(p + 1e-9, 4), abs=5e-5)
+
+
+# ------------------------------------------------- wasserstein_drift
+def test_wasserstein_hand_case_two_bins(spark):
+    """Day 1: all mass in (5,10] (bin 2). Day 2: all mass in
+    (25,50] (bin 4). CDF gap is 1 at boundaries 10 and 25, 0
+    elsewhere -> W1 = (25-10) + (50-25)... no: gap is |cdf| at
+    b_2=10 (1 vs 0 -> 1) and b_3=25 (1 vs 0 -> 1), weighting
+    (25-10)+(50-25) = 40."""
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    for i in range(4):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, "m", 7.0))
+    for i in range(4):
+        rows.append((10 + i, t0 + dt.timedelta(days=1, minutes=i),
+                     1, "m", 30.0))
+    out = {r.day.day: r for r in statstests.wasserstein_drift(
+        _ev(spark, rows)).collect()}
+    assert out[1].w1 is None and out[1].prev_day is None
+    assert out[2].prev_day.day == 1
+    # CDF(day1) = 1 from bin 2 upward; CDF(day2) = 1 from bin 4;
+    # |diff|=1 at boundaries b_2=10, b_3=25 -> w1 = 15 + 25 = 40
+    assert out[2].w1 == pytest.approx(40.0, abs=1e-6)
+
+
+def test_wasserstein_identical_days_zero(spark):
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    for d in range(3):
+        for v in (3.0, 30.0, 300.0):
+            rows.append((eid, t0 + dt.timedelta(days=d, hours=1),
+                         1, "m", v))
+            eid += 1
+    out = {r.day.day: r.w1 for r in statstests.wasserstein_drift(
+        _ev(spark, rows)).collect()}
+    assert out[2] == 0.0 and out[3] == 0.0
+
+
+# ---------------------------------------------------------- ou_halflife
+def test_ou_halflife_recovers_planted_phi(spark):
+    rng = np.random.RandomState(11)
+    phi_true = 0.8
+    y = [10.0]
+    for _ in range(500):
+        y.append(2.0 + phi_true * y[-1] + rng.randn() * 0.1)
+    out = {r.event_type: r for r in statstests.ou_halflife(
+        _ev(spark, _hourly_rows({"ou": y}))).collect()}
+    r = out["ou"]
+    assert r.n_pairs == 500
+    assert r.phi == pytest.approx(phi_true, abs=0.05)
+    assert r.mu == pytest.approx(10.0, abs=1.0)
+    assert r.half_life_hours == pytest.approx(
+        -math.log(2) / math.log(r.phi), abs=1e-3)
+
+
+def test_ou_halflife_gap_pairs_excluded_and_trend_null(spark):
+    t0 = dt.datetime(2024, 6, 1)
+    # strictly increasing series -> phi fit > 1 -> half-life NULL;
+    # hour 3 missing -> pair (2,4) must not count
+    rows = [(i, t0 + dt.timedelta(hours=h), 1, "m", float(2 ** h))
+            for i, h in enumerate([0, 1, 2, 4, 5])]
+    [r] = statstests.ou_halflife(_ev(spark, rows)).collect()
+    assert r.n_pairs == 3  # (0,1) (1,2) (4,5)
+    assert r.half_life_hours is None
+
+
+# -------------------------------------------------------- hurst_exponent
+def test_hurst_separates_noise_from_random_walk(spark):
+    rng = np.random.RandomState(5)
+    noise = rng.randn(2048)
+    walk = np.cumsum(rng.randn(2048))
+    out = {r.event_type: r for r in statstests.hurst_exponent(
+        _ev(spark, _hourly_rows({"noise": noise, "walk": walk})))
+        .collect()}
+    assert out["noise"].h == pytest.approx(0.5, abs=0.1)
+    assert out["walk"].h == pytest.approx(1.0, abs=0.15)
+    assert out["noise"].n_scales == 5
+
+
+def test_hurst_matches_numpy_replica(spark):
+    rng = np.random.RandomState(9)
+    y = rng.rand(200) * 10
+    [r] = statstests.hurst_exponent(
+        _ev(spark, _hourly_rows({"m": y}))).collect()
+    # blocks align to ABSOLUTE epoch-hours (block = h // m), not to
+    # the series start — mirror that alignment here
+    h0 = int(dt.datetime(2024, 6, 1,
+                         tzinfo=dt.timezone.utc).timestamp()) // 3600
+    pts = []
+    for m in (1, 2, 4, 8, 16):
+        blocks = {}
+        for i, v in enumerate(y):
+            blocks.setdefault((h0 + i) // m, []).append(v)
+        means = [np.mean(vs) for vs in blocks.values()]
+        v = np.var(means)
+        if v > 0 and len(means) >= 2:
+            pts.append((math.log(m), math.log(v)))
+    xs, ys = zip(*pts)
+    slope = np.polyfit(xs, ys, 1)[0]
+    assert r.h == pytest.approx(1 + slope / 2, abs=1e-4)
+
+
+# -------------------------------------------------------- perm_entropy
+def test_perm_entropy_ramp_zero_sawtooth_partial(spark):
+    ramp = list(range(100))
+    saw = [i % 2 for i in range(100)]          # up-down-up-down
+    out = {r.event_type: r for r in statstests.perm_entropy(
+        _ev(spark, _hourly_rows({"ramp": ramp, "saw": saw})))
+        .collect()}
+    assert out["ramp"].pe == 0.0
+    # sawtooth alternates between exactly 2 ordinal patterns with
+    # near-equal counts -> pe = ln2/ln6
+    assert out["saw"].pe == pytest.approx(
+        math.log(2) / math.log(6), abs=0.01)
+    assert out["ramp"].n_windows == 98
+
+
+def test_perm_entropy_random_near_one(spark):
+    rng = np.random.RandomState(13)
+    [r] = statstests.perm_entropy(
+        _ev(spark, _hourly_rows({"r": rng.rand(2000)}))).collect()
+    assert r.pe > 0.97
+
+
+# -------------------------------------------------------- max_drawdown
+def test_max_drawdown_hand_case(spark):
+    vals = [10, 12, 9, 6, 11, 15, 15, 3, 8, 20]
+    # peak runs 10,12,12,12,12,15,15,15,15,20; dd max = (15-3)/15=0.8
+    # underwater days: 9<12, 6<12, 11<12, 3<15, 8<15 -> 5
+    [r] = statstests.max_drawdown(
+        _ev(spark, _daily_rows({"m": vals}))).collect()
+    assert r.mdd == pytest.approx(0.8)
+    assert r.trough_day == dt.datetime(2024, 6, 8)
+    assert r.underwater_days == 5
+
+
+def test_max_drawdown_monotone_series_zero(spark):
+    [r] = statstests.max_drawdown(
+        _ev(spark, _daily_rows({"m": [1, 2, 3, 4, 5]}))).collect()
+    assert r.mdd == 0.0 and r.underwater_days == 0
+    assert r.trough_day == dt.datetime(2024, 6, 1)
+
+
+# -------------------------------------------------------- winsor_rollup
+def test_winsor_rollup_matches_numpy(spark):
+    rng = np.random.RandomState(17)
+    vals = np.concatenate([rng.rand(50) * 10, [1000.0]])  # one spike
+    t0 = dt.datetime(2024, 6, 1, 14)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, "m", float(v))
+            for i, v in enumerate(vals)]
+    [r] = statstests.winsor_rollup(_ev(spark, rows)).collect()
+    lo, hi = np.percentile(vals, [5, 95])  # linear interp = Spark
+    assert r.n == 51
+    assert r.mean == pytest.approx(vals.mean(), abs=1e-4)
+    assert r.wmean == pytest.approx(
+        np.clip(vals, lo, hi).mean(), abs=1e-4)
+    inb = vals[(vals >= lo) & (vals <= hi)]
+    assert r.tmean == pytest.approx(inb.mean(), abs=1e-4)
+    # robustness: the spike drags mean, not the robust pair
+    assert r.mean > 20 and r.wmean < 12 and r.tmean < 12
+
+
+def test_winsor_rollup_single_exchange(spark):
+    rows = [(i, dt.datetime(2024, 6, 1, 2, i), 1, "m", float(i))
+            for i in range(30)]
+    df = statstests.winsor_rollup(_ev(spark, rows))
+    # quantile window + groupBy share the (key, bucket) exchange;
+    # +1 range exchange for the presentation orderBy
+    plan = _plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, \
+        plan
+
+
+# --------------------------------------------------- gini_concentration
+def test_gini_equal_and_concentrated(spark):
+    t0 = dt.datetime(2024, 6, 1)
+    rows, eid = [], 0
+    for u in range(4):                       # day 1: 4 users x 5
+        for i in range(5):
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), u,
+                         "m", 1.0))
+            eid += 1
+    for u, n in [(0, 1), (1, 1), (2, 1), (3, 97)]:   # day 2: skew
+        for i in range(n):
+            rows.append((eid, t0 + dt.timedelta(days=1,
+                                                seconds=eid), u,
+                         "m", 1.0))
+            eid += 1
+    out = {r.day.day: r for r in statstests.gini_concentration(
+        _ev(spark, rows)).collect()}
+    assert out[1].gini == 0.0 and out[1].n_users == 4
+    # replica: G = 2*sum(r*x)/(N*sum x) - (N+1)/N
+    xs = sorted([1, 1, 1, 97])
+    srx = sum((i + 1) * x for i, x in enumerate(xs))
+    g = 2 * srx / (4 * 100) - 5 / 4
+    assert out[2].gini == pytest.approx(g, abs=1e-4)
+    assert out[2].gini > 0.7
+
+
+# ------------------------------------------------------- plan audits
+def test_tier_first_operators_shuffle_corpus_once(spark):
+    """Every daily/hourly-tier operator's ONLY corpus-wide exchange
+    is the tier groupBy: feed 10k raw rows and count exchanges
+    whose input is the raw relation (proxy: total hash exchanges
+    stays small and fixed)."""
+    rng = np.random.RandomState(1)
+    rows = _hourly_rows({"a": rng.rand(300), "b": rng.rand(300)})
+    ev = _ev(spark, rows)
+    for fn, max_ex in [
+        (statstests.ou_halflife, 2),
+        (statstests.perm_entropy, 2),
+        # tier -> (key,m,blk) -> (key,m) -> (key): 4 exchanges, all
+        # tier-sized (corpus shuffles exactly once, into the tier)
+        (statstests.hurst_exponent, 4),
+        (statstests.max_drawdown, 2),
+        (statstests.gini_concentration, 2),
+    ]:
+        df = fn(ev)
+        assert _exchanges(df) <= max_ex, (fn.__name__, _plan(df))
+
+
+def test_mann_kendall_pair_join_is_tier_level(spark):
+    """The O(n^2) self-join must join the AGGREGATED daily tier,
+    never the raw corpus: the plan contains exactly one scan
+    feeding each join side through an aggregate."""
+    rows = _daily_rows({"a": range(10), "b": range(10)})
+    df = statstests.mann_kendall(_ev(spark, rows))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the pair join's both sides are HashAggregates (the tier),
+    # so every SortMergeJoin/ShuffledHashJoin key is event_type
+    assert "Join" in plan

@@ -1,0 +1,1312 @@
+"""Statistical-testing & robust-QC layer: nonparametric trend
+(Mann-Kendall), rank correlation (Spearman), multiple-testing
+control (Benjamini-Hochberg FDR), distribution drift
+(1-Wasserstein over fixed bins), mean-reversion characterization
+(AR(1)/OU half-life), long-range dependence (Hurst, aggregated
+variance), complexity (permutation entropy), drawdown profiling,
+winsorized/trimmed robust rollups, and load-concentration (Gini).
+
+Extends the reference's parametric detector family
+(/root/reference/StatsTesting/arma_anm_detc.py fits mean/std
+envelopes; /root/reference/StatsTesting/isofor_anm_detc.py sweeps a
+threshold grid) with the NONPARAMETRIC and robust counterparts a
+fleet-monitoring engine runs beside them: Mann-Kendall answers "is
+this metric trending?" without normality assumptions, BH-FDR keeps
+the fleet-wide false-alarm budget honest when thousands of
+(series, day) tests fire at once, W1 drift complements the
+sup-norm KS test and bin-ratio PSI already shipped, and the Hurst /
+permutation-entropy pair characterizes series MEMORY — which
+rolling-window sigma detectors silently assume away.
+
+Scale shapes (plan-audited in tests/test_round4g_ops.py): every
+operator collapses the raw corpus to a (series, bucket) tier with
+ONE map-side-combined groupBy as its first move; all pair joins,
+windows, and regressions run on tier-sized relations (≤ series ×
+span-days rows). The only O(tier²) construct is Mann-Kendall's
+within-series day-pair join, bounded by span-days² per series and
+independent of corpus row count.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from yahoo_anomaly_detection_spark.functions.portable import portable_round
+
+_R = 4
+
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _daily(events: DataFrame, key: str, ts_col: str,
+           value_col: str) -> DataFrame:
+    """(key, day, y) daily-mean tier — one map-side-combined
+    aggregate; every operator in this module starts here or at the
+    hourly analog, so the corpus is touched exactly once."""
+    return (events.groupBy(
+        F.col(key), F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("y")))
+
+
+_DAILY_SQL = """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           avg(CAST(value AS DOUBLE)) AS y
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _hourly(events: DataFrame, key: str, ts_col: str,
+            value_col: str) -> DataFrame:
+    """(key, h, y) hourly-mean tier with h = integer hours since
+    epoch (portable across engines, no timezone arithmetic)."""
+    return (events.groupBy(
+        F.col(key),
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(3600))
+        .alias("h"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("y")))
+
+
+_HOURLY_SQL = """
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+           avg(CAST(value AS DOUBLE)) AS y
+    FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------ mann_kendall
+def mann_kendall(events: DataFrame, z_crit: float = 1.96,
+                 key: str = "event_type", ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """Mann-Kendall monotonic-trend test per series on the daily
+    tier: S = Σ_{i<j} sign(y_j − y_i) over day pairs, tie-corrected
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18, and the
+    continuity-corrected Z = (S∓1)/√Var(S). ``trend`` is +1/−1 when
+    |Z| exceeds ``z_crit`` (default 1.96 ≈ two-sided 5%), else 0 —
+    the nonparametric answer to "is this metric drifting?" that
+    needs no normality or linearity assumption, unlike the OLS
+    ``trend_1d`` / ``capacity_forecast`` slope fits it complements.
+
+    Output: (event_type, n_days, s, var_s, z, trend); var_s/z
+    rounded to 4; a series with Var(S)=0 (all days tied) reports
+    z=0, trend=0.
+
+    Scale shape: corpus → daily tier (ONE map-side-combined
+    groupBy). The pair join is a hash self-join of the TIER on the
+    series key with an a.day < b.day filter — per-series cost is
+    span-days² (≈ 10⁴ pairs for a month), independent of corpus row
+    count; the tie and count aggregates are tier-sized, and the
+    three per-series result relations join as single-row-per-key
+    broadcasts.
+    """
+    daily = _daily(events, key, ts_col, value_col)
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a.day") < F.col("b.day")))
+         .groupBy(F.col(f"a.{key}").alias(key))
+         .agg(F.sum(F.signum(F.col("b.y") - F.col("a.y")))
+              .cast("long").alias("s")))
+    n = daily.groupBy(key).agg(F.count(F.lit(1)).alias("n_days"))
+    t = F.col("t").cast("double")
+    ties = (daily.groupBy(key, "y").agg(F.count(F.lit(1)).alias("t"))
+            .groupBy(key)
+            .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("tt")))
+    nd = F.col("n_days").cast("double")
+    var_s = (nd * (nd - 1) * (2 * nd + 5) - F.col("tt")) / F.lit(18.0)
+    sd = F.col("s").cast("double")
+    z = (F.when(var_s <= 0, F.lit(0.0))
+         .when(sd > 0, (sd - 1) / F.sqrt(var_s))
+         .when(sd < 0, (sd + 1) / F.sqrt(var_s))
+         .otherwise(F.lit(0.0)))
+    out = (n.join(s, key).join(ties, key)
+           .withColumn("var_s", var_s).withColumn("_z", z))
+    zr = portable_round(F.col("_z"), _R)
+    return out.select(
+        key, "n_days", "s",
+        portable_round(F.col("var_s"), _R).alias("var_s"),
+        zr.alias("z"),
+        (F.when(zr > F.lit(z_crit), F.lit(1))
+         .when(zr < F.lit(-z_crit), F.lit(-1))
+         .otherwise(F.lit(0))).alias("trend"),
+    )
+
+
+def _mann_kendall_sql(z_crit: float = 1.96) -> str:
+    return f"""
+WITH daily AS ({_DAILY_SQL}),
+s AS (
+    SELECT a.event_type, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day < b.day
+    GROUP BY 1
+),
+n AS (
+    SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1
+),
+ties AS (
+    SELECT event_type,
+           sum(CAST(t AS DOUBLE) * (t - 1) * (2 * t + 5)) AS tt
+    FROM (SELECT event_type, y, count(*) AS t
+          FROM daily GROUP BY 1, 2)
+    GROUP BY 1
+),
+j AS (
+    SELECT n.event_type, n.n_days, s.s,
+           (CAST(n.n_days AS DOUBLE) * (n.n_days - 1)
+            * (2 * n.n_days + 5) - ties.tt) / 18.0 AS var_s
+    FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+),
+zz AS (
+    SELECT *,
+           round(CASE
+                 WHEN var_s <= 0 THEN 0.0
+                 WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                 WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                 ELSE 0.0 END, 4) AS z
+    FROM j
+)
+SELECT event_type, n_days, s, round(var_s, 4) AS var_s, z,
+       CASE WHEN z > {z_crit} THEN 1
+            WHEN z < -{z_crit} THEN -1 ELSE 0 END AS trend
+FROM zz
+"""
+
+
+ORACLE_SQL["mann_kendall"] = _mann_kendall_sql()
+
+
+# ------------------------------------------------------ spearman_corr
+def spearman_corr(events: DataFrame, key: str = "event_type",
+                  ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """Spearman rank correlation between every pair of series on
+    the daily-mean tier — the robust, outlier-proof sibling of the
+    Pearson ``xcorr_1d`` / ``metric_corr`` family: one broken day of
+    one metric can swing a Pearson ρ arbitrarily but moves each
+    rank by at most one step.
+
+    Ranks use the standard average-tie convention, computed
+    portably as min-rank + (tie_count − 1)/2; ρ is then the moment
+    Pearson of the two rank columns over the days BOTH series
+    observed (inner join on day). Pairs with zero rank variance on
+    the common days (a constant series) report NULL.
+
+    Output: (type_a, type_b, n_days, rho) for type_a < type_b,
+    rho rounded to 4.
+
+    Scale shape: corpus → daily tier once; the rank window
+    partitions on the series key over ≤ span-days rows; the pair
+    join is a day-keyed hash join of the tier with itself
+    (|types|² × days rows — types is small by construction); the
+    final moment aggregate is one row per pair.
+    """
+    daily = _daily(events, key, ts_col, value_col)
+    kwin = W.partitionBy(key)
+    r = (F.rank().over(kwin.orderBy("y"))
+         + (F.count(F.lit(1)).over(W.partitionBy(key, "y")) - 1)
+         / F.lit(2.0))
+    ranked = daily.select(key, "day", r.alias("r"))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = a.join(b, (F.col("a.day") == F.col("b.day"))
+                   & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+    g = (pairs.groupBy(F.col(f"a.{key}").alias("type_a"),
+                       F.col(f"b.{key}").alias("type_b"))
+         .agg(F.count(F.lit(1)).cast("double").alias("n"),
+              F.sum("a.r").alias("sa"), F.sum("b.r").alias("sb"),
+              F.sum(F.col("a.r") * F.col("b.r")).alias("sab"),
+              F.sum(F.col("a.r") * F.col("a.r")).alias("saa"),
+              F.sum(F.col("b.r") * F.col("b.r")).alias("sbb")))
+    n = F.col("n")
+    cov = n * F.col("sab") - F.col("sa") * F.col("sb")
+    va = n * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = n * F.col("sbb") - F.col("sb") * F.col("sb")
+    rho = F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+    return g.select(
+        "type_a", "type_b", n.cast("long").alias("n_days"),
+        portable_round(rho, _R).alias("rho"))
+
+
+_SPEARMAN_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+ranked AS (
+    SELECT event_type, day,
+           rank() OVER (PARTITION BY event_type ORDER BY y)
+           + (count(*) OVER (PARTITION BY event_type, y) - 1) / 2.0
+               AS r
+    FROM daily
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.r AS ra, b.r AS rb
+    FROM ranked a JOIN ranked b
+      ON a.day = b.day AND a.event_type < b.event_type
+),
+m AS (
+    SELECT type_a, type_b, CAST(count(*) AS DOUBLE) AS n,
+           sum(ra) AS sa, sum(rb) AS sb, sum(ra * rb) AS sab,
+           sum(ra * ra) AS saa, sum(rb * rb) AS sbb
+    FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+       round(CASE WHEN n * saa - sa * sa > 0
+                   AND n * sbb - sb * sb > 0
+             THEN (n * sab - sa * sb)
+                  / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+             END, 4) AS rho
+FROM m
+"""
+
+ORACLE_SQL["spearman_corr"] = _SPEARMAN_SQL
+
+
+# ----------------------------------------------------------- bh_fdr
+# Abramowitz & Stegun 7.1.26 erf polynomial (max abs error 1.5e-7):
+# identical closed-form arithmetic on both engines, so the oracle
+# reproduces p-values bit-comparably after rounding — neither Spark
+# SQL nor DuckDB exposes erf/erfc as a builtin.
+_ERF_A = (0.254829592, -0.284496736, 1.421413741,
+          -1.453152027, 1.061405429)
+_ERF_P = 0.3275911
+
+
+def _p_two_sided(z_abs: Column) -> Column:
+    """two-sided normal p-value 1 − erf(|z|/√2) via A&S 7.1.26."""
+    x = z_abs / F.lit(math.sqrt(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERF_P) * x)
+    poly = F.lit(0.0)
+    for a in reversed(_ERF_A):
+        poly = (poly + F.lit(a)) * t
+    return poly * F.exp(-x * x)
+
+
+def _p_two_sided_sql(z_abs: str) -> str:
+    x = f"({z_abs} / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + {_ERF_P} * {x}))"
+    poly = "0.0"
+    for a in reversed(_ERF_A):
+        poly = f"(({poly} + {a}) * {t})"
+    return f"({poly} * exp(-{x} * {x}))"
+
+
+def bh_fdr(events: DataFrame, q: float = 0.05,
+           key: str = "event_type", ts_col: str = "ts",
+           value_col: str = "value") -> DataFrame:
+    """Benjamini-Hochberg FDR control over the fleet's per-day
+    anomaly tests: each (series, day) daily mean is z-scored
+    against its own series (population σ), converted to a two-sided
+    normal p-value, and the BH step-up rule rejects the largest
+    prefix of p-ascending tests with p_(i) ≤ i·q/m. This is the
+    multiple-testing discipline a fleet dashboard needs: at 10⁴
+    series × 365 days, a naive per-test 5% threshold fires ~10⁵
+    false alarms; BH caps the EXPECTED FALSE-DISCOVERY FRACTION at
+    q regardless of m.
+
+    p-values use the A&S 7.1.26 erf polynomial (documented 1.5e-7
+    max error) on the ROUNDED z — identical arithmetic on both
+    engines, which makes the p-sorted rank deterministic
+    cross-engine (ties broken by (p, series, day)). Degenerate
+    series (σ=0) contribute no tests.
+
+    Output: (event_type, day, z, p, rnk, crit, reject), z/p/crit
+    rounded to 4.
+
+    Scale shape: corpus → daily tier once; per-series mean/σ are
+    tier windows; the p-sort ranks the TIER (series × days rows —
+    a global sort, but of the tier, never the corpus) and the
+    step-up cutoff is one unbounded-window max, evaluated in the
+    same sort.
+    """
+    daily = _daily(events, key, ts_col, value_col)
+    kwin = W.partitionBy(key)
+    mu = F.avg("y").over(kwin)
+    sd = F.stddev_pop("y").over(kwin)
+    zed = daily.select(
+        key, "day",
+        F.try_divide(F.col("y") - mu, sd).alias("_z"),
+    ).where(F.col("_z").isNotNull())
+    zr = portable_round(F.col("_z"), _R)
+    p = _p_two_sided(F.abs(zr))
+    scored = zed.select(key, "day", zr.alias("z"), p.alias("_p"))
+    owin = W.orderBy("_p", key, "day")
+    allw = (W.orderBy(F.lit(1))
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    ranked = (scored
+              .withColumn("rnk", F.row_number().over(owin))
+              .withColumn("_m", F.count(F.lit(1)).over(allw)))
+    crit = F.col("rnk") * F.lit(q) / F.col("_m")
+    hit = F.when(F.col("_p") <= crit, F.col("rnk")).otherwise(F.lit(0))
+    kmax = F.max(hit).over(allw)
+    return (ranked
+            .withColumn("_crit", crit)
+            .withColumn("_kmax", kmax)
+            .select(
+                key, "day", "z",
+                portable_round(F.col("_p"), _R).alias("p"),
+                "rnk",
+                portable_round(F.col("_crit"), _R).alias("crit"),
+                (F.col("rnk") <= F.col("_kmax")).cast("int")
+                .alias("reject")))
+
+
+def _bh_fdr_sql(q: float = 0.05) -> str:
+    p_expr = _p_two_sided_sql("abs(z)")
+    return f"""
+WITH daily AS ({_DAILY_SQL}),
+zed AS (
+    SELECT event_type, day,
+           round((y - avg(y) OVER w)
+                 / nullif(stddev_pop(y) OVER w, 0), 4) AS z
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type)
+),
+scored AS (
+    SELECT event_type, day, z, {p_expr} AS p
+    FROM zed WHERE z IS NOT NULL
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY p, event_type, day) AS rnk,
+           count(*) OVER () AS m
+    FROM scored
+),
+cut AS (
+    SELECT *, rnk * {q} / m AS crit,
+           max(CASE WHEN p <= rnk * {q} / m THEN rnk ELSE 0 END)
+               OVER () AS kmax
+    FROM ranked
+)
+SELECT event_type, day, z, round(p, 4) AS p, rnk,
+       round(crit, 4) AS crit,
+       CAST(rnk <= kmax AS INT) AS reject
+FROM cut
+"""
+
+
+ORACLE_SQL["bh_fdr"] = _bh_fdr_sql()
+
+
+# ------------------------------------------------ wasserstein_drift
+# fixed histogram boundaries shared with hist_quantile / psi_drift
+# (tsanalytics.HIST_BOUNDARIES) — re-declared here so the module's
+# oracles stay self-contained and literal-identical on both engines
+W1_BOUNDARIES = (1.0, 5.0, 10.0, 25.0, 50.0, 100.0, 200.0, 400.0)
+
+
+def _bin_expr(value: Column, bs: tuple[float, ...]) -> Column:
+    """bin index = #{boundaries < value} as a chained sum of
+    comparisons — the same branch-free JVM-side binning idiom as
+    ``hist_quantile`` (no UDF, codegen-friendly)."""
+    e = F.lit(0)
+    for b in bs:
+        e = e + (value > F.lit(b)).cast("int")
+    return e
+
+
+def _bin_sql(value: str, bs: tuple[float, ...]) -> str:
+    return "(" + " + ".join(
+        f"CAST({value} > {b} AS INT)" for b in bs) + ")"
+
+
+def wasserstein_drift(events: DataFrame,
+                      boundaries: tuple[float, ...] = W1_BOUNDARIES,
+                      key: str = "event_type", ts_col: str = "ts",
+                      value_col: str = "value") -> DataFrame:
+    """Day-over-day distribution drift per series as the binned
+    1-Wasserstein (earth-mover) distance: with the day's value
+    histogram over the fixed ``boundaries`` grid, W1 = Σ_j
+    |CDF_today(b_j) − CDF_prev(b_j)| · (b_{j+1} − b_j) over interior
+    boundaries — the integral-of-CDF-gap form of W1 restricted to
+    the bin grid. Complements the sup-norm ``ks_drift_1d`` (max CDF
+    gap: sensitive to one sharp shift) and the likelihood-ratio
+    ``psi_drift_1d`` (unstable on near-empty bins): W1 measures HOW
+    FAR mass moved in value units, so a 10ms→12ms latency creep and
+    a 10ms→400ms collapse score proportionally, not identically.
+
+    "prev" is the series' previous OBSERVED day (lag over the dense
+    (series, day) skeleton); the first observed day reports NULL.
+    Output: (event_type, day, prev_day, w1), w1 rounded to 4 (value
+    units).
+
+    Scale shape: corpus → (series, day, bin) counts in ONE
+    map-side-combined groupBy (≤ series × days × B rows); the dense
+    skeleton is distinct (series, day) × B literal boundary rows;
+    CDFs are a bin-ordered running sum per (series, day); the
+    prev-day CDF is a lag over (series, bin) ordered by day — all
+    tier-sized, one corpus scan.
+    """
+    bs = [float(b) for b in boundaries]
+    nb = len(bs) - 1  # interior boundaries b_0 .. b_{B-2}
+    gaps = [bs[j + 1] - bs[j] for j in range(nb)]
+    cnts = (events.groupBy(
+        F.col(key), F.date_trunc("day", F.col(ts_col)).alias("day"),
+        _bin_expr(F.col(value_col).cast("double"), tuple(bs))
+        .alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c")))
+    skel = (cnts.select(key, "day").distinct()
+            .select(key, "day",
+                    F.explode(F.array(*[F.lit(j) for j in range(nb)]))
+                    .alias("j")))
+    gap_col = F.element_at(
+        F.array(*[F.lit(g) for g in gaps]), F.col("j") + 1)
+    binw = W.partitionBy(key, "day").orderBy("bin") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = F.sum("c").over(W.partitionBy(key, "day"))
+    # CDF at boundary b_j = P(bin <= j); reuse the counts relation
+    # via a <= join expressed as cum-sum lookup on the skeleton
+    cum = (cnts
+           .withColumn("cum", F.sum("c").over(binw))
+           .withColumn("tot", tot)
+           .select(key, "day", F.col("bin").alias("j"),
+                   (F.col("cum") / F.col("tot")).alias("cdf_at")))
+    # carry each (key, day)'s step CDF onto the dense grid: last
+    # observed bin <= j, via a forward-fill over the skeleton
+    grid = (skel.join(cum, [key, "day", "j"], "left")
+            .withColumn(
+                "cdf",
+                F.coalesce(
+                    F.last("cdf_at", ignorenulls=True).over(
+                        W.partitionBy(key, "day").orderBy("j")
+                        .rowsBetween(W.unboundedPreceding,
+                                     W.currentRow)),
+                    F.lit(0.0))))
+    lagw = W.partitionBy(key, "j").orderBy("day")
+    diffed = (grid
+              .withColumn("prev_cdf", F.lag("cdf").over(lagw))
+              .withColumn("prev_day", F.lag("day").over(lagw)))
+    return (diffed.groupBy(key, "day")
+            .agg(F.max("prev_day").alias("prev_day"),
+                 portable_round(
+                     F.sum(F.when(
+                         F.col("prev_cdf").isNotNull(),
+                         F.abs(F.col("cdf") - F.col("prev_cdf"))
+                         * gap_col)), _R).alias("w1")))
+
+
+def _wasserstein_sql(bs: tuple[float, ...] = W1_BOUNDARIES) -> str:
+    bl = [float(b) for b in bs]
+    nb = len(bl) - 1
+    gaps = ", ".join(str(bl[j + 1] - bl[j]) for j in range(nb))
+    js = ", ".join(str(j) for j in range(nb))
+    return f"""
+WITH cnts AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           {_bin_sql('CAST(value AS DOUBLE)', tuple(bl))} AS bin,
+           count(*) AS c
+    FROM events GROUP BY 1, 2, 3
+),
+skel AS (
+    SELECT event_type, day, j
+    FROM (SELECT DISTINCT event_type, day FROM cnts)
+    CROSS JOIN unnest([{js}]) AS t(j)
+),
+cum AS (
+    SELECT event_type, day, bin AS j,
+           sum(c) OVER (PARTITION BY event_type, day ORDER BY bin)
+           / CAST(sum(c) OVER (PARTITION BY event_type, day)
+                  AS DOUBLE) AS cdf_at
+    FROM cnts
+),
+grid AS (
+    SELECT s.event_type, s.day, s.j,
+           coalesce(
+               last_value(c.cdf_at IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type, s.day ORDER BY s.j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0.0) AS cdf
+    FROM skel s
+    LEFT JOIN cum c ON c.event_type = s.event_type
+                   AND c.day = s.day AND c.j = s.j
+),
+diffed AS (
+    SELECT *,
+           lag(cdf) OVER w AS prev_cdf,
+           lag(day) OVER w AS prev_day
+    FROM grid
+    WINDOW w AS (PARTITION BY event_type, j ORDER BY day)
+)
+SELECT event_type, day, max(prev_day) AS prev_day,
+       round(sum(CASE WHEN prev_cdf IS NOT NULL
+                 THEN abs(cdf - prev_cdf) * ([{gaps}])[j + 1]
+                 END), 4) AS w1
+FROM diffed GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["wasserstein_drift"] = _wasserstein_sql()
+
+
+# -------------------------------------------------------- ou_halflife
+def ou_halflife(events: DataFrame, key: str = "event_type",
+                ts_col: str = "ts",
+                value_col: str = "value") -> DataFrame:
+    """Mean-reversion characterization per series: fit the AR(1)
+    map y_t = c + φ·y_{t−1} + ε by OLS over CONSECUTIVE-hour pairs
+    of the hourly tier (pairs separated by gaps are excluded, so
+    sparse stretches don't fake dynamics), and report the OU
+    half-life −ln2/lnφ — "after a shock, how many hours until the
+    metric has covered half the distance back to baseline?". This
+    is the quantity an alert-cooldown or capacity planner actually
+    wants from the reference's AR residual detectors
+    (/root/reference/StatsTesting/arma_anm_detc.py models the
+    residual; this models the RECOVERY RATE). half_life_hours is
+    NULL when φ ∉ (0,1) (no mean reversion: random-walk or
+    oscillating) or the fit is degenerate; mu is the implied
+    equilibrium c/(1−φ).
+
+    Output: (event_type, n_pairs, phi, mu, half_life_hours),
+    floats rounded to 4.
+
+    Scale shape: corpus → hourly tier (ONE map-side-combined
+    groupBy); the lag pairs come from a series-keyed window over
+    the tier; the OLS fit is one moment aggregate per series.
+    """
+    hourly = _hourly(events, key, ts_col, value_col)
+    lw = W.partitionBy(key).orderBy("h")
+    pairs = (hourly
+             .withColumn("ylag", F.lag("y").over(lw))
+             .withColumn("hlag", F.lag("h").over(lw))
+             .where(F.col("hlag") == F.col("h") - 1))
+    m = pairs.groupBy(key).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("ylag").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("ylag") * F.col("y")).alias("sxy"),
+        F.sum(F.col("ylag") * F.col("ylag")).alias("sxx"))
+    n = F.col("n")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    phi = F.when((n >= 2) & (varx > 0),
+                 (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                 / varx)
+    c = (F.col("sy") - phi * F.col("sx")) / n
+    mu = F.when(phi.isNotNull() & (phi != 1.0),
+                c / (F.lit(1.0) - phi))
+    hl = F.when(phi.isNotNull() & (phi > 0) & (phi < 1),
+                F.lit(-math.log(2.0)) / F.log(phi))
+    return m.select(
+        key, n.cast("long").alias("n_pairs"),
+        portable_round(phi, _R).alias("phi"),
+        portable_round(mu, _R).alias("mu"),
+        portable_round(hl, _R).alias("half_life_hours"))
+
+
+_OU_SQL = f"""
+WITH hourly AS ({_HOURLY_SQL}),
+pairs AS (
+    SELECT * FROM (
+        SELECT event_type, y,
+               lag(y) OVER w AS ylag, lag(h) OVER w AS hlag, h
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h))
+    WHERE hlag = h - 1
+),
+m AS (
+    SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+           sum(ylag) AS sx, sum(y) AS sy,
+           sum(ylag * y) AS sxy, sum(ylag * ylag) AS sxx
+    FROM pairs GROUP BY 1
+),
+f AS (
+    SELECT event_type, n,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+           END AS phi,
+           sx, sy
+    FROM m
+),
+g AS (
+    SELECT *,
+           CASE WHEN phi IS NOT NULL AND phi <> 1.0
+                THEN ((sy - phi * sx) / n) / (1.0 - phi) END AS mu,
+           CASE WHEN phi > 0 AND phi < 1
+                THEN -ln(2.0) / ln(phi) END AS hl
+    FROM f
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       round(phi, 4) AS phi, round(mu, 4) AS mu,
+       round(hl, 4) AS half_life_hours
+FROM g
+"""
+
+ORACLE_SQL["ou_halflife"] = _OU_SQL
+
+
+# ----------------------------------------------------- hurst_exponent
+HURST_SCALES = (1, 2, 4, 8, 16)
+
+
+def hurst_exponent(events: DataFrame,
+                   scales: tuple[int, ...] = HURST_SCALES,
+                   key: str = "event_type", ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Hurst exponent per series by the aggregated-variance method
+    on the hourly tier: for each block size m ∈ ``scales``, average
+    the series over consecutive m-hour blocks and take the
+    population variance of the block means; for a self-similar
+    process Var(m) ∝ m^(2H−2), so H = 1 + slope/2 where slope is
+    the OLS fit of ln Var(m) on ln m. H ≈ 0.5 is memoryless noise
+    (rolling-sigma detectors are calibrated), H → 1 means
+    long-range dependence (z-score envelopes will both under- and
+    over-alarm because "n independent samples" is a fiction), H <
+    0.5 is anti-persistent mean-reversion. Scales with zero
+    variance or fewer than 2 blocks are dropped; series with < 2
+    usable scales report NULL.
+
+    Output: (event_type, n_scales, h), h rounded to 4.
+
+    Scale shape: corpus → hourly tier once; the tier is replicated
+    |scales|× by a literal explode (still tier-sized), block means
+    and per-scale variances are two more map-side-combined
+    aggregates, and the log-log fit is one moment aggregate per
+    series. No windows, no corpus re-scan.
+    """
+    hourly = _hourly(events, key, ts_col, value_col)
+    m_col = F.explode(F.array(*[F.lit(int(m)) for m in scales]))
+    rep = hourly.select(key, "h", "y", m_col.alias("m"))
+    blocks = (rep.groupBy(key, "m",
+                          F.floor(F.col("h") / F.col("m"))
+                          .alias("blk"))
+              .agg(F.avg("y").alias("by")))
+    per_scale = (blocks.groupBy(key, "m")
+                 .agg(F.var_pop("by").alias("v"),
+                      F.count(F.lit(1)).alias("nb"))
+                 .where((F.col("v") > 0) & (F.col("nb") >= 2)))
+    lm = F.log(F.col("m").cast("double"))
+    lv = F.log("v")
+    fit = (per_scale.select(key, lm.alias("x"), lv.alias("y"))
+           .groupBy(key)
+           .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    n = F.col("n")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when((n >= 2) & (varx > 0),
+                   (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                   / varx)
+    return fit.select(
+        key, n.cast("long").alias("n_scales"),
+        portable_round(F.lit(1.0) + slope / 2, _R).alias("h"))
+
+
+def _hurst_sql(scales: tuple[int, ...] = HURST_SCALES) -> str:
+    ms = ", ".join(str(int(m)) for m in scales)
+    return f"""
+WITH hourly AS ({_HOURLY_SQL}),
+rep AS (
+    SELECT event_type, h, y, m
+    FROM hourly CROSS JOIN unnest([{ms}]) AS t(m)
+),
+blocks AS (
+    SELECT event_type, m, h // m AS blk, avg(y) AS by
+    FROM rep GROUP BY 1, 2, 3
+),
+per_scale AS (
+    SELECT event_type, m, var_pop(by) AS v, count(*) AS nb
+    FROM blocks GROUP BY 1, 2
+    HAVING var_pop(by) > 0 AND count(*) >= 2
+),
+fit AS (
+    SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM (SELECT event_type, ln(CAST(m AS DOUBLE)) AS x,
+                 ln(v) AS y
+          FROM per_scale)
+    GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_scales,
+       round(1.0 + (CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                    END) / 2, 4) AS h
+FROM fit
+"""
+
+
+ORACLE_SQL["hurst_exponent"] = _hurst_sql()
+
+
+# ------------------------------------------------------ perm_entropy
+def perm_entropy(events: DataFrame, key: str = "event_type",
+                 ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """Order-3 permutation entropy per series on the hourly tier:
+    slide over consecutive tier POSITIONS (gaps close up — ordinal
+    patterns care about order, not spacing), classify each triple
+    (y0,y1,y2) into one of 6 ordinal patterns, and report the
+    Shannon entropy of the pattern distribution normalized by ln 6.
+    pe ≈ 1 → the series' local ups-and-downs are
+    indistinguishable from noise; pe → 0 → strongly patterned
+    (monotone ramps, clean sawtooth), where envelope detectors
+    should switch to residual-based scoring. The standard
+    complexity measure of Bandt & Pompe (2002), computed here
+    without a UDF.
+
+    Ties break toward the EARLIER index (a later equal value counts
+    as "not smaller"), encoded branch-free as the 3-bit code
+    4·[y1<y0] + 2·[y2<y0] + 1·[y2<y1] — the two codes 2 (y2<y0≤y1)
+    and 5 (y1<y0, y2≥y0, y2<y1) are geometrically impossible, so ≤
+    6 codes occur, one per permutation.
+
+    Output: (event_type, n_windows, pe), pe rounded to 4; series
+    with fewer than 3 tier points emit no row.
+
+    Scale shape: corpus → hourly tier once; two leads over the
+    series-keyed tier window; ONE (series, code) count aggregate
+    (≤ 6 rows per series) and a per-series fold. The entropy is
+    computed from counts, so the exchange after the tier carries 6
+    rows per series.
+    """
+    hourly = _hourly(events, key, ts_col, value_col)
+    lw = W.partitionBy(key).orderBy("h")
+    tri = (hourly
+           .withColumn("y1", F.lead("y", 1).over(lw))
+           .withColumn("y2", F.lead("y", 2).over(lw))
+           .where(F.col("y2").isNotNull()))
+    code = ((F.col("y1") < F.col("y")).cast("int") * 4
+            + (F.col("y2") < F.col("y")).cast("int") * 2
+            + (F.col("y2") < F.col("y1")).cast("int"))
+    cnts = (tri.select(key, code.alias("code"))
+            .groupBy(key, "code").agg(F.count(F.lit(1)).alias("c")))
+    tot = F.sum("c")
+    # -sum(c*ln c)/n + ln n  ==  -sum(p ln p), with exact integer
+    # counts so both engines fold identically
+    ent = (-F.sum(F.col("c").cast("double")
+                  * F.log(F.col("c").cast("double"))) / tot
+           + F.log(tot.cast("double")))
+    return (cnts.groupBy(key)
+            .agg(tot.cast("long").alias("n_windows"),
+                 portable_round(ent / F.lit(math.log(6.0)), _R)
+                 .alias("pe")))
+
+
+_PERM_SQL = f"""
+WITH hourly AS ({_HOURLY_SQL}),
+tri AS (
+    SELECT * FROM (
+        SELECT event_type, y,
+               lead(y, 1) OVER w AS y1, lead(y, 2) OVER w AS y2
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h))
+    WHERE y2 IS NOT NULL
+),
+cnts AS (
+    SELECT event_type,
+           CAST(y1 < y AS INT) * 4 + CAST(y2 < y AS INT) * 2
+           + CAST(y2 < y1 AS INT) AS code,
+           count(*) AS c
+    FROM tri GROUP BY 1, 2
+)
+SELECT event_type, CAST(sum(c) AS BIGINT) AS n_windows,
+       round((-sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+              / sum(c) + ln(CAST(sum(c) AS DOUBLE)))
+             / ln(6.0), 4) AS pe
+FROM cnts GROUP BY 1
+"""
+
+ORACLE_SQL["perm_entropy"] = _PERM_SQL
+
+
+# ------------------------------------------------------ max_drawdown
+def max_drawdown(events: DataFrame, key: str = "event_type",
+                 ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """Maximum drawdown per series on the daily tier: with the
+    running peak P_d = max_{d'≤d} y_d', the drawdown is
+    (P_d − y_d)/P_d and the report is its maximum, the day it
+    bottomed, and how many days the series spent "underwater"
+    (strictly below a prior peak) — the canonical worst-case-drop /
+    recovery profile, applied to capacity headroom or success-rate
+    series rather than portfolios. Days whose running peak is ≤ 0
+    are skipped (relative drawdown undefined).
+
+    The trough day is selected on the ROUNDED drawdown (earliest
+    day attaining the rounded max), so cross-engine float noise
+    cannot flip the argmax.
+
+    Output: (event_type, mdd, trough_day, underwater_days), mdd
+    rounded to 4 (fraction of peak).
+
+    Scale shape: corpus → daily tier once; running peak and the
+    max/argmax are two passes of series-keyed tier windows plus one
+    final per-series aggregate — all on ≤ span-days rows per
+    series, one corpus scan.
+    """
+    daily = _daily(events, key, ts_col, value_col)
+    peakw = (W.partitionBy(key).orderBy("day")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    dd = F.when(F.col("peak") > 0,
+                (F.col("peak") - F.col("y")) / F.col("peak"))
+    base = (daily
+            .withColumn("peak", F.max("y").over(peakw))
+            .withColumn("ddr", portable_round(dd, _R)))
+    mddw = W.partitionBy(key)
+    flagged = base.withColumn("mdd", F.max("ddr").over(mddw))
+    return (flagged.groupBy(key)
+            .agg(F.max("mdd").alias("mdd"),
+                 F.min(F.when(F.col("ddr") == F.col("mdd"),
+                              F.col("day"))).alias("trough_day"),
+                 F.sum((F.col("ddr") > 0).cast("int"))
+                 .alias("underwater_days")))
+
+
+_MDD_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+base AS (
+    SELECT event_type, day, y,
+           max(y) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS peak
+    FROM daily
+),
+ddx AS (
+    SELECT event_type, day,
+           round(CASE WHEN peak > 0 THEN (peak - y) / peak END, 4)
+               AS ddr
+    FROM base
+),
+fl AS (
+    SELECT *, max(ddr) OVER (PARTITION BY event_type) AS mdd
+    FROM ddx
+)
+SELECT event_type, max(mdd) AS mdd,
+       min(CASE WHEN ddr = mdd THEN day END) AS trough_day,
+       CAST(sum(CAST(ddr > 0 AS INT)) AS BIGINT) AS underwater_days
+FROM fl GROUP BY 1
+"""
+
+ORACLE_SQL["max_drawdown"] = _MDD_SQL
+
+
+# ------------------------------------------------------ winsor_rollup
+def winsor_rollup(events: DataFrame, p: float = 0.05,
+                  granularity: str = "hour",
+                  key: str = "event_type", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """Robust hourly rollup: per (series, bucket), the plain mean
+    next to the WINSORIZED mean (values clamped to the bucket's
+    [p, 1−p] quantiles) and the TRIMMED mean (values outside
+    dropped) — the robust location estimates a latency tier should
+    publish beside avg, which one stuck 60-second retry can drag
+    arbitrarily. Quantiles are exact linear-interpolation
+    percentiles (matching ``quantile_cont``), evaluated as windows
+    over the SAME (series, bucket) partition the final aggregate
+    groups on, so the corpus shuffles once and AQE reuses the
+    exchange.
+
+    Output: (event_type, bucket, n, mean, wmean, tmean), floats
+    rounded to 4.
+
+    Scale shape: one (series, bucket) exchange serves both the
+    quantile window and the aggregate; the per-task working set is
+    one bucket of one series — bounded by per-bucket volume, not by
+    series length. The exact per-bucket percentile sort is the same
+    group-sized-reducer caveat as ``sessions.value_percentiles``
+    (its documented ``rel_error`` sketch escape applies if buckets
+    outgrow a task at extreme fan-in).
+    """
+    if not 0.0 < p < 0.5:
+        raise ValueError(f"p must be in (0, 0.5), got {p}")
+    bucket = F.date_trunc(granularity, F.col(ts_col))
+    v = F.col(value_col).cast("double")
+    base = events.select(F.col(key), bucket.alias("bucket"),
+                         v.alias("v"))
+    gw = W.partitionBy(key, "bucket")
+    lo = F.percentile("v", F.lit(float(p))).over(gw)
+    hi = F.percentile("v", F.lit(float(1.0 - p))).over(gw)
+    clipped = base.withColumn("lo", lo).withColumn("hi", hi)
+    wv = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    inb = (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    return (clipped.groupBy(key, "bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 portable_round(F.avg("v"), _R).alias("mean"),
+                 portable_round(F.avg(wv), _R).alias("wmean"),
+                 portable_round(F.avg(F.when(inb, F.col("v"))), _R)
+                 .alias("tmean"))
+            .orderBy(key, "bucket"))
+
+
+def _winsor_sql(p: float = 0.05, granularity: str = "hour") -> str:
+    return f"""
+WITH base AS (
+    SELECT event_type,
+           date_trunc('{granularity}', ts) AS bucket,
+           CAST(value AS DOUBLE) AS v
+    FROM events
+),
+q AS (
+    SELECT *,
+           quantile_cont(v, {float(p)}) OVER w AS lo,
+           quantile_cont(v, {float(1.0 - p)}) OVER w AS hi
+    FROM base
+    WINDOW w AS (PARTITION BY event_type, bucket)
+)
+SELECT event_type, bucket, count(*) AS n,
+       round(avg(v), 4) AS mean,
+       round(avg(least(greatest(v, lo), hi)), 4) AS wmean,
+       round(avg(CASE WHEN v >= lo AND v <= hi THEN v END), 4)
+           AS tmean
+FROM q GROUP BY 1, 2
+"""
+
+
+ORACLE_SQL["winsor_rollup"] = _winsor_sql()
+
+
+# ------------------------------------------------- gini_concentration
+def gini_concentration(events: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts") -> DataFrame:
+    """Daily load-concentration Gini over per-user event counts:
+    G = 2·Σ r·x_(r) / (N·Σx) − (N+1)/N with x_(r) the r-th smallest
+    user's count — 0 when every user contributes equally, → 1 when
+    one conversation IS the traffic. This is the single-number
+    skew monitor that tells the partitioning layer when the salting
+    path (``conv_stats_salted``) stops being optional; it
+    complements ``key_skew`` (top-k shares and entropy) with the
+    scale-free inequality index capacity dashboards plot.
+
+    Ranks tie-break by user id, which leaves G unchanged (equal
+    counts contribute the same regardless of order within the tie
+    run — Σ r over the run is fixed) but makes the plan
+    deterministic. Integer rank/count sums keep both engines exact
+    until the single final division.
+
+    Output: (day, n_users, gini), gini rounded to 4; a day with
+    zero total events cannot occur (a user row exists only if it
+    has events), so the denominator is always positive.
+
+    Scale shape: corpus → (day, user) count tier (ONE map-side-
+    combined groupBy); the rank window partitions by day over
+    users-per-day rows; the final aggregate is day-sized. One
+    corpus scan, two tier-sized exchanges.
+    """
+    daily = (events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.col(user_col).alias("u"))
+        .agg(F.count(F.lit(1)).alias("x")))
+    rw = W.partitionBy("day").orderBy("x", "u")
+    ranked = daily.withColumn("r", F.row_number().over(rw))
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("x").cast("double")
+    srx = F.sum(F.col("r").cast("long") * F.col("x")).cast("double")
+    gini = (F.lit(2.0) * srx / (n * sx) - (n + 1) / n)
+    return (ranked.groupBy("day")
+            .agg(n.cast("long").alias("n_users"),
+                 portable_round(gini, _R).alias("gini")))
+
+
+_GINI_SQL = """
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day, user_id AS u,
+           count(*) AS x
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY day ORDER BY x, u)
+              AS r
+    FROM daily
+)
+SELECT day, count(*) AS n_users,
+       round(2.0 * CAST(sum(CAST(r AS BIGINT) * x) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+             - (count(*) + 1.0) / count(*), 4) AS gini
+FROM ranked GROUP BY 1
+"""
+
+ORACLE_SQL["gini_concentration"] = _GINI_SQL
+
+
+# --------------------------------------------------------- ljung_box
+LB_CHI2_CRIT_DF5 = 11.0705  # chi-square 0.95 quantile, df = 5
+
+
+def ljung_box(events: DataFrame, max_lag: int = 5,
+              crit: float = LB_CHI2_CRIT_DF5,
+              key: str = "event_type", ts_col: str = "ts",
+              value_col: str = "value") -> DataFrame:
+    """Ljung-Box portmanteau whiteness test per series on the
+    hourly tier: Q = n(n+2) Σ_{k=1..max_lag} ρ̂_k²/(n−k) with ρ̂_k
+    the lag-k sample autocorrelation (positional lags over the tier
+    order; the full-series mean in both numerator and denominator,
+    textbook form). ``nonwhite=1`` when Q exceeds ``crit`` (default:
+    χ²₀.₉₅ at df=5) — the go/no-go gate BEFORE trusting an
+    i.i.d.-assuming detector threshold: a series that fails is
+    autocorrelated, and its z-score envelope's false-alarm rate is
+    not what the σ-multiplier promises. Complements ``acf_1d``
+    (which reports the individual ρ_k) with the aggregate test
+    statistic and decision.
+
+    Output: (event_type, n, q, nonwhite); q rounded to 4; series
+    with n ≤ max_lag or zero variance report NULL q and NULL flag.
+
+    Scale shape: corpus → hourly tier once; ONE series-keyed sort
+    serves all ``max_lag`` lag windows (pipelined, no extra
+    exchange — plan-audited); the Q fold is one aggregate per
+    series.
+    """
+    hourly = _hourly(events, key, ts_col, value_col)
+    kwin = W.partitionBy(key)
+    lw = kwin.orderBy("h")
+    d = F.col("y") - F.avg("y").over(kwin)
+    base = hourly.withColumn("d", d)
+    for k in range(1, max_lag + 1):
+        base = base.withColumn(f"d{k}", F.lag("d", k).over(lw))
+    aggs = [F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("d") * F.col("d")).alias("den")]
+    for k in range(1, max_lag + 1):
+        aggs.append(F.sum(F.col("d") * F.col(f"d{k}"))
+                    .alias(f"num{k}"))
+    m = base.groupBy(key).agg(*aggs)
+    n = F.col("n")
+    q = F.lit(0.0)
+    for k in range(1, max_lag + 1):
+        rho = F.col(f"num{k}") / F.col("den")
+        q = q + rho * rho / (n - k)
+    q = F.when((n > max_lag) & (F.col("den") > 0),
+               n * (n + 2) * q)
+    qr = portable_round(q, _R)
+    return m.select(
+        key, n.cast("long").alias("n"), qr.alias("q"),
+        (qr > F.lit(crit)).cast("int").alias("nonwhite"))
+
+
+def _ljung_box_sql(max_lag: int = 5,
+                   crit: float = LB_CHI2_CRIT_DF5) -> str:
+    lag_cols = ",\n           ".join(
+        f"lag(d, {k}) OVER lw AS d{k}" for k in range(1, max_lag + 1))
+    num_aggs = ",\n           ".join(
+        f"sum(d * d{k}) AS num{k}" for k in range(1, max_lag + 1))
+    q_terms = " + ".join(
+        f"(num{k} / den) * (num{k} / den) / (n - {k})"
+        for k in range(1, max_lag + 1))
+    return f"""
+WITH hourly AS ({_HOURLY_SQL}),
+dev AS (
+    SELECT event_type, h,
+           y - avg(y) OVER (PARTITION BY event_type) AS d
+    FROM hourly
+),
+lagged AS (
+    SELECT event_type, d,
+           {lag_cols}
+    FROM dev
+    WINDOW lw AS (PARTITION BY event_type ORDER BY h)
+),
+m AS (
+    SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+           sum(d * d) AS den,
+           {num_aggs}
+    FROM lagged GROUP BY 1
+),
+qq AS (
+    SELECT event_type, n,
+           round(CASE WHEN n > {max_lag} AND den > 0
+                 THEN n * (n + 2) * ({q_terms}) END, 4) AS q
+    FROM m
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, q,
+       CAST(q > {crit} AS INT) AS nonwhite
+FROM qq
+"""
+
+
+ORACLE_SQL["ljung_box"] = _ljung_box_sql()
+
+
+# ------------------------------------------------------------ croston
+def croston(events: DataFrame, alpha: float = 0.3,
+            key: str = "event_type", ts_col: str = "ts") -> DataFrame:
+    """Croston intermittent-demand forecast per series over DAILY
+    ARRIVAL COUNTS: simple exponential smoothing of the demand
+    sizes on active days (z_hat), SES of the inter-demand intervals
+    in days (p_hat), forecast = z_hat / p_hat events/day — the
+    standard forecasting method for sparse, bursty series (error
+    spikes, tool invocations, rare-event types) where per-day
+    models see mostly zeros and Holt/Holt-Winters damp to nothing.
+    Complements ``absent_1m`` (detects the silence) with the
+    expected-rate figure (plans for it).
+
+    SES is evaluated in closed form — ŷ = (1−α)^(n−1)·x₁ +
+    Σ_{i≥2} α(1−α)^(n−i)·x_i — so no recursion or UDF: a
+    row_number + per-series count over the active-day tier window
+    and one weighted aggregate. The (1−α) base is the PYTHON float
+    ``1.0 - alpha`` formatted exactly into the oracle, so both
+    engines exponentiate the same double. Series with a single
+    active day report p_hat/forecast NULL.
+
+    Output: (event_type, n_demand_days, z_hat, p_hat, forecast),
+    floats rounded to 4.
+
+    Scale shape: corpus → (series, day, count) tier once; position
+    index, series length and day-gap from ONE series-keyed tier
+    window; two weighted folds per series. All post-tier relations
+    are span-days-sized.
+    """
+    a = float(alpha)
+    b = 1.0 - a
+    daily = (events.groupBy(
+        F.col(key), F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    lw = W.partitionBy(key).orderBy("day")
+    seq = (daily
+           .withColumn("i", F.row_number().over(lw))
+           .withColumn("n", F.count(F.lit(1))
+                       .over(W.partitionBy(key)).cast("double"))
+           .withColumn(
+               "gap",
+               F.datediff(F.col("day"), F.lag("day").over(lw))
+               .cast("double")))
+    i, n = F.col("i"), F.col("n")
+    zw = (F.when(i == 1, F.pow(F.lit(b), n - 1))
+          .otherwise(F.lit(a) * F.pow(F.lit(b), n - i)))
+    pw = (F.when(i == 2, F.col("gap") * F.pow(F.lit(b), n - 2))
+          .when(i > 2, F.col("gap") * F.lit(a) * F.pow(F.lit(b), n - i)))
+    m = seq.groupBy(key).agg(
+        F.max("n").cast("long").alias("n_demand_days"),
+        F.sum(F.col("x") * zw).alias("_z"),
+        F.sum(pw).alias("_p"))
+    p = F.when(F.col("n_demand_days") >= 2, F.col("_p"))
+    return m.select(
+        key, "n_demand_days",
+        portable_round(F.col("_z"), _R).alias("z_hat"),
+        portable_round(p, _R).alias("p_hat"),
+        portable_round(F.try_divide(F.col("_z"), p), _R)
+        .alias("forecast"))
+
+
+def _croston_sql(alpha: float = 0.3) -> str:
+    a, b = float(alpha), repr(1.0 - float(alpha))
+    return f"""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(count(*) AS DOUBLE) AS x
+    FROM events GROUP BY 1, 2
+),
+seq AS (
+    SELECT event_type, x,
+           row_number() OVER w AS i,
+           CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE)
+               AS n,
+           CAST(date_diff('day', lag(day) OVER w, day) AS DOUBLE)
+               AS gap
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+m AS (
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_demand_days,
+           sum(x * CASE WHEN i = 1 THEN pow({b}, n - 1)
+                   ELSE {a} * pow({b}, n - i) END) AS z,
+           sum(CASE WHEN i = 2 THEN gap * pow({b}, n - 2)
+                    WHEN i > 2 THEN gap * {a} * pow({b}, n - i)
+               END) AS p
+    FROM seq GROUP BY 1
+)
+SELECT event_type, n_demand_days,
+       round(z, 4) AS z_hat,
+       round(CASE WHEN n_demand_days >= 2 THEN p END, 4) AS p_hat,
+       round(CASE WHEN n_demand_days >= 2 AND p <> 0
+             THEN z / p END, 4) AS forecast
+FROM m
+"""
+
+
+ORACLE_SQL["croston"] = _croston_sql()
+
+
+# -------------------------------------------------------- corr_clusters
+def corr_clusters(events: DataFrame, threshold: float = 0.6,
+                  key: str = "event_type", ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """Correlation clustering of series: connected components of
+    the graph whose edges are series pairs with |Spearman ρ| ≥
+    ``threshold`` — the "these metrics move together" grouping a
+    dashboard uses to collapse a 40-series incident into 3 metric
+    FAMILIES, and an alert-dedup layer uses to suppress co-firing
+    siblings. Composes :func:`spearman_corr` (edge weights) with
+    ``dedup.connected_components`` (min-label propagation), the
+    same CC engine the near-dup clustering uses; the threshold is
+    applied to the ROUNDED ρ so cross-engine float noise cannot
+    add/drop an edge. Every series appears: self-loop edges are
+    planted for all series, so singletons emerge as their own
+    cluster without a separate left join.
+
+    Output: (event_type, cluster) with cluster = lexicographically
+    smallest series name in the component.
+
+    Scale shape: the Spearman stage is tier-sized (see
+    :func:`spearman_corr`); the CC loop runs on the |series|-node
+    edge graph — trivially small, converging in ≤ diameter rounds;
+    the corpus is scanned twice (once for ranks, once for the node
+    list), both map-side-combined aggregates.
+    """
+    from yahoo_anomaly_detection_spark.operators import dedup
+
+    corr = spearman_corr(events, key=key, ts_col=ts_col,
+                         value_col=value_col)
+    edges = (corr.where(F.abs(F.col("rho")) >= F.lit(float(threshold)))
+             .select(F.col("type_a").alias("doc_a"),
+                     F.col("type_b").alias("doc_b")))
+    loops = (_daily(events, key, ts_col, value_col)
+             .select(key).distinct()
+             .select(F.col(key).alias("doc_a"),
+                     F.col(key).alias("doc_b")))
+    cc = dedup.connected_components(edges.unionByName(loops),
+                                    max_iter=10)
+    return (cc.select(F.col("doc_id").alias(key), "cluster")
+            .orderBy(key))
+
+
+def _corr_clusters_sql(threshold: float = 0.6) -> str:
+    return f"""
+WITH RECURSIVE daily AS ({_DAILY_SQL}),
+ranked AS (
+    SELECT event_type, day,
+           rank() OVER (PARTITION BY event_type ORDER BY y)
+           + (count(*) OVER (PARTITION BY event_type, y) - 1) / 2.0
+               AS r
+    FROM daily
+),
+rpairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.r AS ra, b.r AS rb
+    FROM ranked a JOIN ranked b
+      ON a.day = b.day AND a.event_type < b.event_type
+),
+mm AS (
+    SELECT type_a, type_b, CAST(count(*) AS DOUBLE) AS n,
+           sum(ra) AS sa, sum(rb) AS sb, sum(ra * rb) AS sab,
+           sum(ra * ra) AS saa, sum(rb * rb) AS sbb
+    FROM rpairs GROUP BY 1, 2
+),
+corr AS (
+    SELECT type_a, type_b,
+           round(CASE WHEN n * saa - sa * sa > 0
+                       AND n * sbb - sb * sb > 0
+                 THEN (n * sab - sa * sb)
+                      / sqrt((n * saa - sa * sa)
+                             * (n * sbb - sb * sb))
+                 END, 4) AS rho
+    FROM mm
+),
+edges AS (
+    SELECT type_a AS src, type_b AS dst FROM corr
+    WHERE abs(rho) >= {float(threshold)}
+    UNION ALL
+    SELECT type_b, type_a FROM corr WHERE abs(rho) >= {float(threshold)}
+    UNION ALL
+    SELECT event_type, event_type
+    FROM (SELECT DISTINCT event_type FROM daily)
+),
+reach(node, lab) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS event_type, min(lab) AS cluster
+FROM reach GROUP BY node
+"""
+
+
+ORACLE_SQL["corr_clusters"] = _corr_clusters_sql()
