@@ -1720,6 +1720,33 @@ def q_gini_concentration(spark, sf_dir):
     return statstests.gini_concentration(_events_raw(spark, sf_dir))
 
 
+def q_ljung_box(spark, sf_dir):
+    # portmanteau whiteness test: one tier sort serves all 5 lag
+    # windows; Q fold is one aggregate per series
+    return statstests.ljung_box(_events_raw(spark, sf_dir))
+
+
+def q_croston(spark, sf_dir):
+    # intermittent-demand forecast via closed-form SES (no UDF, no
+    # recursion): one tier window + two weighted folds per series
+    return statstests.croston(_events_raw(spark, sf_dir))
+
+
+def q_corr_clusters(spark, sf_dir):
+    # metric-family grouping: |Spearman| >= 0.6 edges + the dedup
+    # layer's min-label CC on the |series|-node graph
+    return statstests.corr_clusters(_events_raw(spark, sf_dir))
+
+
+def q_bloom_join(spark, sf_dir):
+    # explicit Bloom runtime filter: filtered orders' key BITS
+    # broadcast to prune lineitem map-side before the join exchange;
+    # oracle is the plain join (bloom is invisible in the result)
+    return enrich.urgent_order_items(
+        ingest.load_table(spark, sf_dir, "lineitem"),
+        ingest.load_table(spark, sf_dir, "orders"))
+
+
 def q_markov_entropy(spark, sf_dir):
     # journey-predictability profile: conditional next-state entropy
     # per from-state + its pi-weighted share of the chain entropy
@@ -2262,6 +2289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": q_max_drawdown,
         "winsor_rollup": q_winsor_rollup,
         "gini_concentration": q_gini_concentration,
+        "ljung_box": q_ljung_box,
+        "croston": q_croston,
+        "corr_clusters": q_corr_clusters,
+        "bloom_join": q_bloom_join,
     }
 
 

@@ -402,3 +402,172 @@ def test_mann_kendall_pair_join_is_tier_level(spark):
     # the pair join's both sides are HashAggregates (the tier),
     # so every SortMergeJoin/ShuffledHashJoin key is event_type
     assert "Join" in plan
+
+
+# ------------------------------------------------------------ ljung_box
+def _lb_replica(y, max_lag=5):
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    d = y - y.mean()
+    den = (d * d).sum()
+    q = 0.0
+    for k in range(1, max_lag + 1):
+        rho = (d[k:] * d[:-k]).sum() / den
+        q += rho * rho / (n - k)
+    return n * (n + 2) * q
+
+
+def test_ljung_box_matches_replica_and_separates(spark):
+    rng = np.random.RandomState(23)
+    white = rng.randn(400)
+    ar = [0.0]
+    for _ in range(399):
+        ar.append(0.9 * ar[-1] + rng.randn() * 0.1)
+    out = {r.event_type: r for r in statstests.ljung_box(
+        _ev(spark, _hourly_rows({"white": white, "ar": ar})))
+        .collect()}
+    assert out["white"].q == pytest.approx(
+        _lb_replica(white), abs=1e-3)
+    assert out["ar"].q == pytest.approx(_lb_replica(ar), rel=1e-6)
+    assert out["white"].nonwhite == 0
+    assert out["ar"].nonwhite == 1
+
+
+def test_ljung_box_short_or_constant_null(spark):
+    out = {r.event_type: r for r in statstests.ljung_box(
+        _ev(spark, _hourly_rows({"short": [1, 2, 3],
+                                 "const": [5.0] * 50}))).collect()}
+    assert out["short"].q is None and out["short"].nonwhite is None
+    assert out["const"].q is None
+
+
+def test_ljung_box_single_tier_sort(spark):
+    """All 5 lag windows must ride ONE series-keyed exchange."""
+    df = statstests.ljung_box(
+        _ev(spark, _hourly_rows({"a": range(50)})))
+    assert _exchanges(df) <= 2, _plan(df)
+
+
+# -------------------------------------------------------------- croston
+def _ses(xs, alpha):
+    s = xs[0]
+    for x in xs[1:]:
+        s = alpha * x + (1 - alpha) * s
+    return s
+
+
+def test_croston_matches_recursive_ses(spark):
+    t0 = dt.datetime(2024, 6, 1)
+    # demand on days 0, 3, 4, 9, 11 with sizes 2, 1, 3, 2, 4
+    active = [(0, 2), (3, 1), (4, 3), (9, 2), (11, 4)]
+    rows, eid = [], 0
+    for d, c in active:
+        for i in range(c):
+            rows.append((eid, t0 + dt.timedelta(days=d, hours=i),
+                         1, "m", 1.0))
+            eid += 1
+    [r] = statstests.croston(_ev(spark, rows)).collect()
+    sizes = [c for _, c in active]
+    gaps = [active[i][0] - active[i - 1][0]
+            for i in range(1, len(active))]
+    assert r.n_demand_days == 5
+    assert r.z_hat == pytest.approx(_ses(sizes, 0.3), abs=1e-4)
+    assert r.p_hat == pytest.approx(_ses(gaps, 0.3), abs=1e-4)
+    assert r.forecast == pytest.approx(
+        _ses(sizes, 0.3) / _ses(gaps, 0.3), abs=1e-4)
+
+
+def test_croston_single_demand_day_null_interval(spark):
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [(i, t0 + dt.timedelta(hours=i), 1, "m", 1.0)
+            for i in range(3)]
+    [r] = statstests.croston(_ev(spark, rows)).collect()
+    assert r.n_demand_days == 1 and r.z_hat == 3.0
+    assert r.p_hat is None and r.forecast is None
+
+
+# --------------------------------------------------------- corr_clusters
+def test_corr_clusters_groups_comoving_series(spark):
+    rng = np.random.RandomState(31)
+    base1 = rng.rand(25) * 100
+    base2 = rng.rand(25) * 100
+    series = {
+        "cpu": base1,
+        "load": base1 * 2 + 1,            # monotone of cpu
+        "mem": base2,
+        "swap": 1000 - base2 * 3,          # anti-monotone of mem
+        "iso": rng.permutation(base1),     # uncorrelated singleton
+    }
+    out = {r.event_type: r.cluster for r in statstests.corr_clusters(
+        _ev(spark, _daily_rows(series))).collect()}
+    assert out["cpu"] == out["load"] == "cpu"
+    assert out["mem"] == out["swap"] == "mem"
+    assert out["iso"] == "iso"
+    assert len(out) == 5
+
+
+# ------------------------------------------------------------ bloom join
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from yahoo_anomaly_detection_spark.operators import enrich
+
+    keys = spark.range(0, 1000).select(
+        (F.col("id") * 7).alias("k"))          # members: multiples of 7
+    bloom = enrich.bloom_runtime_filter(keys, "k", 1 << 16, 5)
+    probe = spark.range(0, 20000).select(F.col("id").alias("k"))
+    kept = enrich.bloom_semi_join(probe, "k", bloom, 1 << 16, 5) \
+        .collect()
+    kept_ids = {r.k for r in kept}
+    members = {i * 7 for i in range(1000) if i * 7 < 20000}
+    assert members <= kept_ids                 # no false negatives
+    fp = len(kept_ids - members) / (20000 - len(members))
+    assert fp < 0.01                            # sized for ~1e-3
+    assert len(kept_ids) < 5000                 # pruning is real
+
+
+def test_bloom_join_equals_plain_join(spark):
+    t0 = dt.datetime(2024, 3, 1)
+    orders = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(days=i % 90),
+          "1-URGENT" if i % 5 == 0 else "5-LOW")
+         for i in range(500)],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string")
+    lineitem = spark.createDataFrame(
+        [(i % 500, float(1 + i % 7)) for i in range(3000)],
+        "l_orderkey long, l_quantity double")
+    from yahoo_anomaly_detection_spark.operators import enrich
+
+    got = {(str(r.month), r.n_items, r.sum_qty, r.n_orders)
+           for r in enrich.urgent_order_items(lineitem, orders)
+           .collect()}
+    plain = (lineitem.join(
+        orders.where(F.col("o_orderpriority") == "1-URGENT"),
+        lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum("l_quantity").cast("long").alias("sum_qty"),
+             F.countDistinct("o_orderkey").alias("n_orders")))
+    exp = {(str(r.month), r.n_items, r.sum_qty, r.n_orders)
+           for r in plain.collect()}
+    assert got == exp and len(got) == 3
+
+
+def test_bloom_prune_runs_before_fact_exchange(spark):
+    """The bloom filter must apply map-side: the plan shows the
+    single-row bloom arriving via a broadcast nested-loop join with
+    the bit-test filter ABOVE it, and only the survivors reach the
+    equi-join exchange."""
+    from yahoo_anomaly_detection_spark.operators import enrich
+
+    orders = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string")
+    lineitem = spark.createDataFrame(
+        [(1, 2.0)], "l_orderkey long, l_quantity double")
+    plan = _plan(enrich.urgent_order_items(lineitem, orders))
+    # the bit test is the BNLJ condition itself
+    bnlj = plan.index("BroadcastNestedLoopJoin")
+    assert "element_at(bloom" in plan[bnlj:], plan
+    # plan prints parents first: the fact-side equi-join exchange
+    # must be ABOVE (execute after) the bloom BNLJ prune
+    ex = re.search(r"Exchange hashpartitioning\(l_orderkey", plan)
+    assert ex is not None and ex.start() < bnlj, plan
