@@ -193,6 +193,20 @@ HEADLINE = [
     "join_size_est",
     "anomalous_days",
     "capacity_forecast",
+    "mann_kendall",
+    "spearman_corr",
+    "bh_fdr",
+    "wasserstein_drift",
+    "ou_halflife",
+    "hurst_exponent",
+    "perm_entropy",
+    "max_drawdown",
+    "winsor_rollup",
+    "gini_concentration",
+    "ljung_box",
+    "croston",
+    "corr_clusters",
+    "bloom_join",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

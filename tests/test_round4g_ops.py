@@ -385,7 +385,12 @@ def test_tier_first_operators_shuffle_corpus_once(spark):
         # tier-sized (corpus shuffles exactly once, into the tier)
         (statstests.hurst_exponent, 4),
         (statstests.max_drawdown, 2),
-        (statstests.gini_concentration, 2),
+        # tier + range-repartition + (_pid, day) window clustering +
+        # sizes/offsets/final aggs; the static plan also prints the
+        # offsets branch's copy of the rank subtree, which AQE
+        # collapses to ReusedExchange at runtime. All tier-sized;
+        # the corpus still shuffles exactly once (into the tier).
+        (statstests.gini_concentration, 8),
     ]:
         df = fn(ev)
         assert _exchanges(df) <= max_ex, (fn.__name__, _plan(df))
@@ -571,3 +576,27 @@ def test_bloom_prune_runs_before_fact_exchange(spark):
     # must be ABOVE (execute after) the bloom BNLJ prune
     ex = re.search(r"Exchange hashpartitioning\(l_orderkey", plan)
     assert ex is not None and ex.start() < bnlj, plan
+
+
+def test_bh_fdr_rank_is_distributed(spark):
+    """The global p-rank must be the two-level range-partitioned
+    form: every row_number window is partitioned by _pid — no
+    unpartitioned window ever sees the tier."""
+    rng = np.random.RandomState(2)
+    df = statstests.bh_fdr(_ev(spark, _daily_rows(
+        {"a": rng.rand(30), "b": rng.rand(30)})))
+    plan = _plan(df)
+    for mt in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
+                          plan):
+        assert "_pid" in mt.group(1), plan
+    assert "rangepartitioning" in plan
+
+
+def test_gini_rank_is_distributed(spark):
+    df = statstests.gini_concentration(
+        _ev(spark, _daily_rows({"a": range(40)})))
+    plan = _plan(df)
+    for mt in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
+                          plan):
+        assert "_pid" in mt.group(1), plan
+    assert "rangepartitioning" in plan

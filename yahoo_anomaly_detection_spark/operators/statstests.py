@@ -315,10 +315,13 @@ def bh_fdr(events: DataFrame, q: float = 0.05,
     rounded to 4.
 
     Scale shape: corpus → daily tier once; per-series mean/σ are
-    tier windows; the p-sort ranks the TIER (series × days rows —
-    a global sort, but of the tier, never the corpus) and the
-    step-up cutoff is one unbounded-window max, evaluated in the
-    same sort.
+    tier windows. The p-ascending rank is DISTRIBUTED (the
+    ``roc_auc`` idiom): range-repartition on (p, series, day),
+    row_number within each range partition, plus an offset from a
+    prefix sum over the ONE-ROW-PER-PARTITION counts — no
+    single-task window ever sees the tier. m and the step-up
+    cutoff k* are plain global aggregates broadcast back as one
+    row.
     """
     daily = _daily(events, key, ts_col, value_col)
     kwin = W.partitionBy(key)
@@ -331,18 +334,33 @@ def bh_fdr(events: DataFrame, q: float = 0.05,
     zr = portable_round(F.col("_z"), _R)
     p = _p_two_sided(F.abs(zr))
     scored = zed.select(key, "day", zr.alias("z"), p.alias("_p"))
-    owin = W.orderBy("_p", key, "day")
-    allw = (W.orderBy(F.lit(1))
-            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-    ranked = (scored
-              .withColumn("rnk", F.row_number().over(owin))
-              .withColumn("_m", F.count(F.lit(1)).over(allw)))
+    # distributed global rank: range partitions carry the total
+    # order; within-partition row_number + per-partition offsets
+    P = max(events.sparkSession.sparkContext.defaultParallelism, 2)
+    part = (scored.repartitionByRange(P, "_p", key, "day")
+            .withColumn("_pid", F.spark_partition_id()))
+    inwin = W.partitionBy("_pid").orderBy("_p", key, "day")
+    part = part.withColumn("_r_in", F.row_number().over(inwin))
+    sizes = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offw = (W.orderBy("_pid")
+            .rowsBetween(W.unboundedPreceding, -1))
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(offw), F.lit(0)).alias("_off"))
+    ranked = (part.join(F.broadcast(offsets), "_pid")
+              .withColumn("rnk", F.col("_r_in") + F.col("_off")))
+    m_row = ranked.agg(
+        F.count(F.lit(1)).alias("_m")).withColumn("_j", F.lit(1))
+    ranked = (ranked.withColumn("_j", F.lit(1))
+              .join(F.broadcast(m_row), "_j"))
     crit = F.col("rnk") * F.lit(q) / F.col("_m")
-    hit = F.when(F.col("_p") <= crit, F.col("rnk")).otherwise(F.lit(0))
-    kmax = F.max(hit).over(allw)
-    return (ranked
-            .withColumn("_crit", crit)
-            .withColumn("_kmax", kmax)
+    ranked = ranked.withColumn("_crit", crit)
+    k_row = (ranked
+             .agg(F.max(F.when(F.col("_p") <= F.col("_crit"),
+                               F.col("rnk")).otherwise(F.lit(0)))
+                  .alias("_kmax"))
+             .withColumn("_j", F.lit(1)))
+    return (ranked.join(F.broadcast(k_row), "_j")
             .select(
                 key, "day", "z",
                 portable_round(F.col("_p"), _R).alias("p"),
@@ -978,16 +996,36 @@ def gini_concentration(events: DataFrame, user_col: str = "user_id",
     has events), so the denominator is always positive.
 
     Scale shape: corpus → (day, user) count tier (ONE map-side-
-    combined groupBy); the rank window partitions by day over
-    users-per-day rows; the final aggregate is day-sized. One
-    corpus scan, two tier-sized exchanges.
+    combined groupBy); the within-day rank is DISTRIBUTED (the
+    ``roc_auc`` two-level idiom) — range partitions split a hot
+    day's users across tasks, row_number runs within (partition,
+    day), and per-day offsets come from the partition×day count
+    relation (≤ P rows per day) — so no single task ever holds a
+    whole day's user list. One corpus scan; every later exchange
+    is tier-sized or smaller.
     """
     daily = (events.groupBy(
         F.date_trunc("day", F.col(ts_col)).alias("day"),
         F.col(user_col).alias("u"))
         .agg(F.count(F.lit(1)).alias("x")))
-    rw = W.partitionBy("day").orderBy("x", "u")
-    ranked = daily.withColumn("r", F.row_number().over(rw))
+    # distributed within-day rank (the roc_auc idiom): a day's users
+    # split across range partitions; row_number within (partition,
+    # day) + per-(day) offsets from the partition×day count relation
+    # — no single task ever holds a whole day's users
+    P = max(events.sparkSession.sparkContext.defaultParallelism, 2)
+    part = (daily.repartitionByRange(P, "day", "x", "u")
+            .withColumn("_pid", F.spark_partition_id()))
+    inwin = W.partitionBy("_pid", "day").orderBy("x", "u")
+    part = part.withColumn("_r_in", F.row_number().over(inwin))
+    sizes = part.groupBy("_pid", "day").agg(
+        F.count(F.lit(1)).alias("_n"))
+    offw = (W.partitionBy("day").orderBy("_pid")
+            .rowsBetween(W.unboundedPreceding, -1))
+    offsets = sizes.select(
+        "_pid", "day",
+        F.coalesce(F.sum("_n").over(offw), F.lit(0)).alias("_off"))
+    ranked = (part.join(F.broadcast(offsets), ["_pid", "day"])
+              .withColumn("r", F.col("_r_in") + F.col("_off")))
     n = F.count(F.lit(1)).cast("double")
     sx = F.sum("x").cast("double")
     srx = F.sum(F.col("r").cast("long") * F.col("x")).cast("double")
