@@ -1747,6 +1747,13 @@ def q_bloom_join(spark, sf_dir):
         ingest.load_table(spark, sf_dir, "orders"))
 
 
+def q_series_profile(spark, sf_dir):
+    # capstone: one health row per series composing seven
+    # individually-oracled diagnostics; final join is |series|
+    # single-row relations on the key
+    return statstests.series_profile(_events_raw(spark, sf_dir))
+
+
 def q_markov_entropy(spark, sf_dir):
     # journey-predictability profile: conditional next-state entropy
     # per from-state + its pi-weighted share of the chain entropy
@@ -2293,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "croston": q_croston,
         "corr_clusters": q_corr_clusters,
         "bloom_join": q_bloom_join,
+        "series_profile": q_series_profile,
     }
 
 

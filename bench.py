@@ -207,6 +207,7 @@ HEADLINE = [
     "croston",
     "corr_clusters",
     "bloom_join",
+    "series_profile",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

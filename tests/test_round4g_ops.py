@@ -600,3 +600,26 @@ def test_gini_rank_is_distributed(spark):
                           plan):
         assert "_pid" in mt.group(1), plan
     assert "rangepartitioning" in plan
+
+
+# ------------------------------------------------------ series_profile
+def test_series_profile_composes_branch_outputs(spark):
+    rng = np.random.RandomState(41)
+    ev = _ev(spark, _hourly_rows({
+        "walk": 100 + np.cumsum(rng.randn(300)),
+        "noise": 100 + rng.randn(300),
+    }))
+    prof = {r.event_type: r for r in
+            statstests.series_profile(ev).collect()}
+    assert set(prof) == {"walk", "noise"}
+    mk = {r.event_type: r for r in
+          statstests.mann_kendall(ev).collect()}
+    hu = {r.event_type: r for r in
+          statstests.hurst_exponent(ev).collect()}
+    for t in ("walk", "noise"):
+        assert prof[t].mk_z == mk[t].z and prof[t].trend == mk[t].trend
+        assert prof[t].h == hu[t].h
+        assert prof[t].pe is not None and prof[t].mdd is not None
+    # the walk is long-memory and non-white; the noise is neither
+    assert prof["walk"].h > prof["noise"].h
+    assert prof["walk"].nonwhite == 1 and prof["noise"].nonwhite == 0

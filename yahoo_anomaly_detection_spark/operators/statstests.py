@@ -1348,3 +1348,78 @@ FROM reach GROUP BY node
 
 
 ORACLE_SQL["corr_clusters"] = _corr_clusters_sql()
+
+
+# ------------------------------------------------------ series_profile
+def series_profile(events: DataFrame, key: str = "event_type",
+                   ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """CAPSTONE: the one-row-per-series health profile a fleet
+    dashboard's series detail page renders — trend (Mann-Kendall z
+    + direction), memory (Hurst H), regularity (permutation
+    entropy), whiteness (Ljung-Box flag), mean-reversion speed (OU
+    half-life), worst historical drop (max drawdown) and the
+    intermittency forecast (Croston) — composed from the layer's
+    individually-oracled operators by equi-joining their outputs on
+    the series key. The point of the composition: a z-score
+    envelope alert on a series with H≈0.9, pe≈0.3 and a failing
+    whiteness test is statistically meaningless, and this row says
+    so BEFORE the detector fires.
+
+    Output: (event_type, n_days, mk_z, trend, h, pe, nonwhite,
+    half_life_hours, mdd, forecast).
+
+    Scale shape: each branch is the underlying operator's
+    (tier-first, documented there); the final join is |series|
+    single-row relations equi-joined on the key — broadcast-sized
+    by construction. The corpus is scanned once per branch (7
+    scans); at 100 TB you'd materialize the shared daily/hourly
+    tiers first (the catalog's tier tables) and feed all branches
+    from them — the operators accept any pre-aggregated frame with
+    the same columns.
+    """
+    mk = mann_kendall(events, key=key, ts_col=ts_col,
+                      value_col=value_col) \
+        .select(key, "n_days", F.col("z").alias("mk_z"), "trend")
+    hu = hurst_exponent(events, key=key, ts_col=ts_col,
+                        value_col=value_col).select(key, "h")
+    pe = perm_entropy(events, key=key, ts_col=ts_col,
+                      value_col=value_col).select(key, "pe")
+    lb = ljung_box(events, key=key, ts_col=ts_col,
+                   value_col=value_col).select(key, "nonwhite")
+    ou = ou_halflife(events, key=key, ts_col=ts_col,
+                     value_col=value_col) \
+        .select(key, "half_life_hours")
+    dd = max_drawdown(events, key=key, ts_col=ts_col,
+                      value_col=value_col).select(key, "mdd")
+    cr = croston(events, key=key, ts_col=ts_col) \
+        .select(key, "forecast")
+    out = mk
+    for piece in (hu, pe, lb, ou, dd, cr):
+        out = out.join(piece, key, "left")
+    return out
+
+
+def _series_profile_sql() -> str:
+    mk = ORACLE_SQL["mann_kendall"]
+    hu = ORACLE_SQL["hurst_exponent"]
+    pe = ORACLE_SQL["perm_entropy"]
+    lb = ORACLE_SQL["ljung_box"]
+    ou = ORACLE_SQL["ou_halflife"]
+    dd = ORACLE_SQL["max_drawdown"]
+    cr = ORACLE_SQL["croston"]
+    return f"""
+SELECT mk.event_type, mk.n_days, mk.z AS mk_z, mk.trend,
+       hu.h, pe.pe, lb.nonwhite, ou.half_life_hours, dd.mdd,
+       cr.forecast
+FROM ({mk}) mk
+LEFT JOIN ({hu}) hu USING (event_type)
+LEFT JOIN ({pe}) pe USING (event_type)
+LEFT JOIN ({lb}) lb USING (event_type)
+LEFT JOIN ({ou}) ou USING (event_type)
+LEFT JOIN ({dd}) dd USING (event_type)
+LEFT JOIN ({cr}) cr USING (event_type)
+"""
+
+
+ORACLE_SQL["series_profile"] = _series_profile_sql()
