@@ -623,3 +623,141 @@ def test_series_profile_composes_branch_outputs(spark):
     # the walk is long-memory and non-white; the noise is neither
     assert prof["walk"].h > prof["noise"].h
     assert prof["walk"].nonwhite == 1 and prof["noise"].nonwhite == 0
+
+
+# ----------------------------------------- property tests (pure py)
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(0, 1, allow_nan=False), min_size=1,
+                max_size=200),
+       st.integers(1, 8))
+def test_two_level_rank_equals_global_rank(ps, nparts):
+    """Pure-python mirror of the distributed-rank idiom bh_fdr and
+    gini_concentration rely on: range-split the sorted keys into
+    ANY number of chunks, rank within each chunk, add the prefix
+    offsets — the result must equal the global 1-based rank."""
+    keyed = sorted((p, i) for i, p in enumerate(ps))  # unique tiebreak
+    chunks = np.array_split(np.arange(len(keyed)), nparts)
+    got = {}
+    off = 0
+    for c in chunks:
+        for j, idx in enumerate(c, start=1):
+            got[keyed[idx][1]] = off + j
+        off += len(c)
+    expect = {orig: r + 1 for r, (_, orig) in enumerate(keyed)}
+    assert got == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(0, 1, allow_nan=False), min_size=1,
+                max_size=100),
+       st.floats(0.01, 0.2))
+def test_bh_stepup_definition_and_monotone_in_q(ps, q):
+    """The max-hit-rank formulation (what the operator computes as
+    a plain aggregate) must equal the textbook step-up scan; and
+    loosening q never sheds rejections."""
+    def bh(ps, q):
+        m = len(ps)
+        s = sorted(ps)
+        kmax = 0
+        for i, p in enumerate(s, start=1):
+            if p <= i * q / m:
+                kmax = i
+        return kmax
+
+    m = len(ps)
+    s = sorted(ps)
+    # textbook: largest k with p_(k) <= k q/m, scanning from the top
+    k_ref = 0
+    for i in range(m, 0, -1):
+        if s[i - 1] <= i * q / m:
+            k_ref = i
+            break
+    assert bh(ps, q) == k_ref
+    assert bh(ps, q) <= bh(ps, min(q * 2, 1.0))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(1, 1000), min_size=1, max_size=100))
+def test_gini_bounds_and_tie_invariance(xs):
+    def gini(xs):
+        s = sorted(xs)
+        n = len(s)
+        srx = sum((i + 1) * x for i, x in enumerate(s))
+        return 2 * srx / (n * sum(s)) - (n + 1) / n
+
+    g = gini(xs)
+    assert -1e-12 <= g < 1
+    if len(set(xs)) == 1:
+        assert abs(g) < 1e-12
+    # permuting input leaves G unchanged (rank ties resolved by
+    # sort order contribute a fixed rank-sum per tie run)
+    rng = np.random.RandomState(0)
+    assert abs(gini(list(rng.permutation(xs))) - g) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=2,
+                max_size=60))
+def test_mann_kendall_s_antisymmetry_and_bounds(ys):
+    def mk_s(ys):
+        return sum(np.sign(ys[j] - ys[i])
+                   for i in range(len(ys))
+                   for j in range(i + 1, len(ys)))
+
+    n = len(ys)
+    s = mk_s(ys)
+    assert abs(s) <= n * (n - 1) / 2
+    assert mk_s([-y for y in ys]) == -s
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(0.1, 100, allow_nan=False), min_size=1,
+                max_size=30),
+       st.floats(0.05, 0.95))
+def test_croston_closed_form_equals_recursive_ses(xs, alpha):
+    """The operator's closed-form weights must reproduce the SES
+    recursion exactly for any sequence and smoothing constant."""
+    s = xs[0]
+    for x in xs[1:]:
+        s = alpha * x + (1 - alpha) * s
+    n = len(xs)
+    closed = xs[0] * (1 - alpha) ** (n - 1) + sum(
+        alpha * (1 - alpha) ** (n - i) * xs[i - 1]
+        for i in range(2, n + 1))
+    assert closed == pytest.approx(s, rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(-10, 10), st.floats(-10, 10), st.floats(-10, 10))
+def test_perm_entropy_codes_2_and_5_impossible(y0, y1, y2):
+    """The docstring claim: the 3-bit ordinal code can never take
+    values 2 (y2<y0 but y0<=y1<=y2) or 5 — so at most 6 patterns
+    occur, one per permutation."""
+    code = 4 * (y1 < y0) + 2 * (y2 < y0) + (y2 < y1)
+    assert code != 2 and code != 5
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 8), min_size=1, max_size=50),
+       st.lists(st.integers(0, 8), min_size=1, max_size=50))
+def test_binned_w1_metric_properties(a, b):
+    """Binned W1 on a shared grid: zero iff identical CDFs,
+    symmetric, and scaled by real boundary gaps."""
+    bounds = [1.0, 5.0, 10.0, 25.0, 50.0, 100.0, 200.0, 400.0]
+    gaps = [bounds[j + 1] - bounds[j] for j in range(len(bounds) - 1)]
+
+    def cdf(xs):
+        n = len(xs)
+        cnt = np.bincount(xs, minlength=9)
+        return np.cumsum(cnt)[: len(bounds) - 1] / n
+
+    def w1(x, y):
+        return float(np.sum(np.abs(cdf(x) - cdf(y)) * gaps))
+
+    assert w1(a, a) == 0.0
+    assert w1(a, b) == pytest.approx(w1(b, a))
+    assert w1(a, b) >= 0
