@@ -106,3 +106,69 @@ def test_zvalue_timestamp_column(spark):
            layout.zvalue(df, ["ts", "v"], bits=8).collect()}
     assert out[1.0] == 0
     assert out[2.0] == _interleave_py([255, 255], 8)
+
+
+# ------------------------------------------------------ bucketed joins
+def _bt_df(spark, n, seed):
+    import pyspark.sql.functions as F
+    return (spark.range(n)
+            .select((F.col("id") % 97).alias("conv_id"),
+                    (F.col("id") * seed % 1001).alias("v")))
+
+
+def test_bucketed_join_zero_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must plan a
+    SortMergeJoin with NO exchange on either side — the write-time
+    shuffle amortizes over every later join."""
+    import re
+
+    from conftest import plan_str
+    from yahoo_anomaly_detection_spark.operators import layout
+
+    layout.write_bucketed(_bt_df(spark, 5000, 3), "bt_a",
+                          ["conv_id"], 8, ["conv_id"],
+                          str(tmp_path / "bt_a"))
+    layout.write_bucketed(_bt_df(spark, 4000, 7), "bt_b",
+                          ["conv_id"], 8, ["conv_id"],
+                          str(tmp_path / "bt_b"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (spark.table("bt_a").join(spark.table("bt_b"), "conv_id")
+             .groupBy("conv_id")
+             .agg(F.count(F.lit(1)).alias("n")))
+        plan = plan_str(j)
+        assert "SortMergeJoin" in plan, plan
+        assert not re.search(
+            r"Exchange hashpartitioning\(conv_id", plan), plan
+        # row parity vs the shuffled plan on plain frames
+        exp = (_bt_df(spark, 5000, 3)
+               .join(_bt_df(spark, 4000, 7), "conv_id")
+               .groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")))
+        assert sorted((r.conv_id, r.n) for r in j.collect()) == \
+            sorted((r.conv_id, r.n) for r in exp.collect())
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_one_sided_bucketed_join_shuffles_probe_only(spark, tmp_path):
+    """Joining a bucketed table to a plain relation shuffles ONLY
+    the plain side into the bucketed distribution."""
+    import re
+
+    from conftest import plan_str
+    from yahoo_anomaly_detection_spark.operators import layout
+
+    layout.write_bucketed(_bt_df(spark, 5000, 3), "bt_c",
+                          ["conv_id"], 8, ["conv_id"],
+                          str(tmp_path / "bt_c"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = _bt_df(spark, 4000, 7)
+        plan = plan_str(spark.table("bt_c").join(probe, "conv_id"))
+        assert len(re.findall(
+            r"Exchange hashpartitioning\(conv_id", plan)) == 1, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_c")
