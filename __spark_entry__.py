@@ -1754,6 +1754,12 @@ def q_series_profile(spark, sf_dir):
     return statstests.series_profile(_events_raw(spark, sf_dir))
 
 
+def q_variance_decomp(spark, sf_dir):
+    # calendar eta^2 attribution (hour-of-day / day-of-week): three
+    # map-side tier aggregates, 24- and 7-row relations broadcast
+    return statstests.variance_decomp(_events_raw(spark, sf_dir))
+
+
 def q_markov_entropy(spark, sf_dir):
     # journey-predictability profile: conditional next-state entropy
     # per from-state + its pi-weighted share of the chain entropy
@@ -2301,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_clusters": q_corr_clusters,
         "bloom_join": q_bloom_join,
         "series_profile": q_series_profile,
+        "variance_decomp": q_variance_decomp,
     }
 
 

@@ -208,6 +208,7 @@ HEADLINE = [
     "corr_clusters",
     "bloom_join",
     "series_profile",
+    "variance_decomp",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

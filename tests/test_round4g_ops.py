@@ -761,3 +761,60 @@ def test_binned_w1_metric_properties(a, b):
     assert w1(a, a) == 0.0
     assert w1(a, b) == pytest.approx(w1(b, a))
     assert w1(a, b) >= 0
+
+
+# ------------------------------------------------------ variance_decomp
+def test_variance_decomp_attributes_planted_cycles(spark):
+    rng = np.random.RandomState(51)
+    n = 24 * 28  # four weeks of hours
+    hod_effect = np.tile(10 * np.sin(2 * np.pi * np.arange(24) / 24),
+                         28)
+    # weekday effect must be built on the ABSOLUTE epoch-day parity
+    # used by the operator; any fixed 7-period works for attribution
+    wd_effect = np.repeat(
+        [0, 0, 0, 0, 0, 30, 30][:7] * 4, 24)[:n]
+    series = {
+        "hourly_cycle": 100 + hod_effect + rng.randn(n) * 0.1,
+        "weekly_cycle": 100 + wd_effect + rng.randn(n) * 0.1,
+        "noise": 100 + rng.randn(n),
+    }
+    out = {r.event_type: r for r in statstests.variance_decomp(
+        _ev(spark, _hourly_rows(series))).collect()}
+    assert out["hourly_cycle"].eta2_hour > 0.95
+    assert out["hourly_cycle"].eta2_weekday < 0.05
+    assert out["weekly_cycle"].eta2_weekday > 0.9
+    assert out["weekly_cycle"].eta2_hour < 0.1
+    assert out["noise"].eta2_hour < 0.1
+    assert out["noise"].eta2_weekday < 0.1
+    r = out["hourly_cycle"]
+    assert r.resid_frac == pytest.approx(
+        1 - r.eta2_hour - r.eta2_weekday, abs=2e-4)
+
+
+def test_variance_decomp_constant_series_null(spark):
+    [r] = statstests.variance_decomp(
+        _ev(spark, _hourly_rows({"c": [5.0] * 48}))).collect()
+    assert r.eta2_hour is None and r.resid_frac is None
+
+
+def test_variance_decomp_matches_numpy_eta2(spark):
+    rng = np.random.RandomState(57)
+    y = rng.rand(24 * 10) * 40
+    [r] = statstests.variance_decomp(
+        _ev(spark, _hourly_rows({"m": y}))).collect()
+    h0 = int(dt.datetime(2024, 6, 1,
+                         tzinfo=dt.timezone.utc).timestamp()) // 3600
+    hs = (h0 + np.arange(len(y)))
+    ss_tot = np.var(y) * len(y)
+
+    def eta2(groups):
+        gm = y.mean()
+        ss = 0.0
+        for g in np.unique(groups):
+            sel = y[groups == g]
+            ss += len(sel) * (sel.mean() - gm) ** 2
+        return ss / ss_tot
+
+    assert r.eta2_hour == pytest.approx(eta2(hs % 24), abs=1e-4)
+    assert r.eta2_weekday == pytest.approx(eta2(hs // 24 % 7),
+                                           abs=1e-4)

@@ -1423,3 +1423,109 @@ LEFT JOIN ({cr}) cr USING (event_type)
 
 
 ORACLE_SQL["series_profile"] = _series_profile_sql()
+
+
+# ------------------------------------------------------ variance_decomp
+def variance_decomp(events: DataFrame, key: str = "event_type",
+                    ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """Calendar variance decomposition per series: the fraction of
+    hourly-tier variance explained by the HOUR-OF-DAY profile and
+    by the DAY-OF-WEEK profile (one-way eta² for each factor:
+    SS_factor / SS_total with SS_factor = Σ_g n_g·(ȳ_g − ȳ)²) —
+    the "how seasonal is this metric, and on which clock?"
+    diagnostic that decides between ``seasonal_zscore`` (hour
+    template), ``weekend_effect`` (weekday split) and a plain
+    envelope. Complements ``dominant_period`` (finds the cycle
+    length) by QUANTIFYING how much each known calendar cycle
+    actually explains; eta² near 0 on both says the calendar
+    template buys nothing.
+
+    Output: (event_type, n, eta2_hour, eta2_weekday, resid_frac);
+    a constant series (SS_total = 0) reports NULLs. resid_frac =
+    1 − eta2_hour − eta2_weekday can go negative when the factors
+    overlap (confounded design) — reported as-is, the standard
+    one-way-at-a-time caveat.
+
+    Scale shape: corpus → hourly tier once; grand/hour/weekday
+    stats are three map-side-combined aggregates of the tier (24-
+    and 7-row group relations broadcast back); no windows, no
+    sorts.
+    """
+    hourly = _hourly(events, key, ts_col, value_col)
+    # derive hour-of-day / weekday from the integer epoch-hour
+    # (portable: no timezone arithmetic; epoch day 0 = Thursday = 3)
+    hod = (F.col("h") % 24).alias("hod")
+    wd = (F.floor(F.col("h") / 24) % 7).alias("wd")
+    base = hourly.select(key, "y", hod, wd)
+    grand = base.groupBy(key).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("y").alias("gm"),
+        (F.var_pop("y") * F.count(F.lit(1))).alias("ss_tot"))
+    def _factor(col: str, out: str) -> DataFrame:
+        g = base.groupBy(key, col).agg(
+            F.count(F.lit(1)).cast("double").alias("ng"),
+            F.avg("y").alias("mg"))
+        return (g.join(F.broadcast(grand.select(key, "gm")), key)
+                .groupBy(key)
+                .agg(F.sum(F.col("ng")
+                           * F.pow(F.col("mg") - F.col("gm"), 2))
+                     .alias(out)))
+    out = (grand
+           .join(_factor("hod", "ss_hour"), key)
+           .join(_factor("wd", "ss_wd"), key))
+    tot = F.col("ss_tot")
+    e_h = F.when(tot > 0, F.col("ss_hour") / tot)
+    e_w = F.when(tot > 0, F.col("ss_wd") / tot)
+    return out.select(
+        key, F.col("n").cast("long").alias("n"),
+        portable_round(e_h, _R).alias("eta2_hour"),
+        portable_round(e_w, _R).alias("eta2_weekday"),
+        portable_round(F.when(tot > 0,
+                              F.lit(1.0) - F.col("ss_hour") / tot
+                              - F.col("ss_wd") / tot), _R)
+        .alias("resid_frac"))
+
+
+_VARDECOMP_SQL = f"""
+WITH hourly AS ({_HOURLY_SQL}),
+base AS (
+    SELECT event_type, y,
+           h % 24 AS hod, (h // 24) % 7 AS wd
+    FROM hourly
+),
+grand AS (
+    SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+           avg(y) AS gm, var_pop(y) * count(*) AS ss_tot
+    FROM base GROUP BY 1
+),
+fh AS (
+    SELECT g.event_type,
+           sum(g.ng * (g.mg - gr.gm) * (g.mg - gr.gm)) AS ss_hour
+    FROM (SELECT event_type, hod, CAST(count(*) AS DOUBLE) AS ng,
+                 avg(y) AS mg
+          FROM base GROUP BY 1, 2) g
+    JOIN grand gr USING (event_type)
+    GROUP BY 1
+),
+fw AS (
+    SELECT g.event_type,
+           sum(g.ng * (g.mg - gr.gm) * (g.mg - gr.gm)) AS ss_wd
+    FROM (SELECT event_type, wd, CAST(count(*) AS DOUBLE) AS ng,
+                 avg(y) AS mg
+          FROM base GROUP BY 1, 2) g
+    JOIN grand gr USING (event_type)
+    GROUP BY 1
+)
+SELECT gr.event_type, CAST(gr.n AS BIGINT) AS n,
+       round(CASE WHEN gr.ss_tot > 0
+             THEN fh.ss_hour / gr.ss_tot END, 4) AS eta2_hour,
+       round(CASE WHEN gr.ss_tot > 0
+             THEN fw.ss_wd / gr.ss_tot END, 4) AS eta2_weekday,
+       round(CASE WHEN gr.ss_tot > 0
+             THEN 1.0 - fh.ss_hour / gr.ss_tot
+                  - fw.ss_wd / gr.ss_tot END, 4) AS resid_frac
+FROM grand gr JOIN fh USING (event_type) JOIN fw USING (event_type)
+"""
+
+ORACLE_SQL["variance_decomp"] = _VARDECOMP_SQL
