@@ -44,12 +44,16 @@ ORACLE_SQL: dict[str, str] = {}
 
 def _daily(events: DataFrame, key: str, ts_col: str,
            value_col: str) -> DataFrame:
-    """(key, day, y) daily-mean tier — one map-side-combined
-    aggregate; every operator in this module starts here or at the
-    hourly analog, so the corpus is touched exactly once."""
+    """(key, day, y, x) daily tier (mean + row count) — one
+    map-side-combined aggregate; every operator in this module
+    starts here or at the hourly analog, so the corpus is touched
+    exactly once. The count column rides along so one shared tier
+    feeds both the mean-based diagnostics and Croston's
+    arrival-count demand series (see :func:`series_profile`)."""
     return (events.groupBy(
         F.col(key), F.date_trunc("day", F.col(ts_col)).alias("day"))
-        .agg(F.avg(F.col(value_col).cast("double")).alias("y")))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("y"),
+             F.count(F.lit(1)).cast("double").alias("x")))
 
 
 _DAILY_SQL = """
@@ -81,7 +85,8 @@ _HOURLY_SQL = """
 # ------------------------------------------------------ mann_kendall
 def mann_kendall(events: DataFrame, z_crit: float = 1.96,
                  key: str = "event_type", ts_col: str = "ts",
-                 value_col: str = "value") -> DataFrame:
+                 value_col: str = "value",
+                 daily: DataFrame | None = None) -> DataFrame:
     """Mann-Kendall monotonic-trend test per series on the daily
     tier: S = Σ_{i<j} sign(y_j − y_i) over day pairs, tie-corrected
     Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18, and the
@@ -103,7 +108,8 @@ def mann_kendall(events: DataFrame, z_crit: float = 1.96,
     three per-series result relations join as single-row-per-key
     broadcasts.
     """
-    daily = _daily(events, key, ts_col, value_col)
+    if daily is None:
+        daily = _daily(events, key, ts_col, value_col)
     a, b = daily.alias("a"), daily.alias("b")
     s = (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
                 & (F.col("a.day") < F.col("b.day")))
@@ -560,7 +566,8 @@ ORACLE_SQL["wasserstein_drift"] = _wasserstein_sql()
 # -------------------------------------------------------- ou_halflife
 def ou_halflife(events: DataFrame, key: str = "event_type",
                 ts_col: str = "ts",
-                value_col: str = "value") -> DataFrame:
+                value_col: str = "value",
+                hourly: DataFrame | None = None) -> DataFrame:
     """Mean-reversion characterization per series: fit the AR(1)
     map y_t = c + φ·y_{t−1} + ε by OLS over CONSECUTIVE-hour pairs
     of the hourly tier (pairs separated by gaps are excluded, so
@@ -582,7 +589,8 @@ def ou_halflife(events: DataFrame, key: str = "event_type",
     groupBy); the lag pairs come from a series-keyed window over
     the tier; the OLS fit is one moment aggregate per series.
     """
-    hourly = _hourly(events, key, ts_col, value_col)
+    if hourly is None:
+        hourly = _hourly(events, key, ts_col, value_col)
     lw = W.partitionBy(key).orderBy("h")
     pairs = (hourly
              .withColumn("ylag", F.lag("y").over(lw))
@@ -658,7 +666,8 @@ HURST_SCALES = (1, 2, 4, 8, 16)
 def hurst_exponent(events: DataFrame,
                    scales: tuple[int, ...] = HURST_SCALES,
                    key: str = "event_type", ts_col: str = "ts",
-                   value_col: str = "value") -> DataFrame:
+                   value_col: str = "value",
+                   hourly: DataFrame | None = None) -> DataFrame:
     """Hurst exponent per series by the aggregated-variance method
     on the hourly tier: for each block size m ∈ ``scales``, average
     the series over consecutive m-hour blocks and take the
@@ -680,7 +689,8 @@ def hurst_exponent(events: DataFrame,
     aggregates, and the log-log fit is one moment aggregate per
     series. No windows, no corpus re-scan.
     """
-    hourly = _hourly(events, key, ts_col, value_col)
+    if hourly is None:
+        hourly = _hourly(events, key, ts_col, value_col)
     m_col = F.explode(F.array(*[F.lit(int(m)) for m in scales]))
     rep = hourly.select(key, "h", "y", m_col.alias("m"))
     blocks = (rep.groupBy(key, "m",
@@ -749,7 +759,8 @@ ORACLE_SQL["hurst_exponent"] = _hurst_sql()
 # ------------------------------------------------------ perm_entropy
 def perm_entropy(events: DataFrame, key: str = "event_type",
                  ts_col: str = "ts",
-                 value_col: str = "value") -> DataFrame:
+                 value_col: str = "value",
+                 hourly: DataFrame | None = None) -> DataFrame:
     """Order-3 permutation entropy per series on the hourly tier:
     slide over consecutive tier POSITIONS (gaps close up — ordinal
     patterns care about order, not spacing), classify each triple
@@ -777,7 +788,8 @@ def perm_entropy(events: DataFrame, key: str = "event_type",
     computed from counts, so the exchange after the tier carries 6
     rows per series.
     """
-    hourly = _hourly(events, key, ts_col, value_col)
+    if hourly is None:
+        hourly = _hourly(events, key, ts_col, value_col)
     lw = W.partitionBy(key).orderBy("h")
     tri = (hourly
            .withColumn("y1", F.lead("y", 1).over(lw))
@@ -830,7 +842,8 @@ ORACLE_SQL["perm_entropy"] = _PERM_SQL
 # ------------------------------------------------------ max_drawdown
 def max_drawdown(events: DataFrame, key: str = "event_type",
                  ts_col: str = "ts",
-                 value_col: str = "value") -> DataFrame:
+                 value_col: str = "value",
+                 daily: DataFrame | None = None) -> DataFrame:
     """Maximum drawdown per series on the daily tier: with the
     running peak P_d = max_{d'≤d} y_d', the drawdown is
     (P_d − y_d)/P_d and the report is its maximum, the day it
@@ -852,7 +865,8 @@ def max_drawdown(events: DataFrame, key: str = "event_type",
     final per-series aggregate — all on ≤ span-days rows per
     series, one corpus scan.
     """
-    daily = _daily(events, key, ts_col, value_col)
+    if daily is None:
+        daily = _daily(events, key, ts_col, value_col)
     peakw = (W.partitionBy(key).orderBy("day")
              .rowsBetween(W.unboundedPreceding, W.currentRow))
     dd = F.when(F.col("peak") > 0,
@@ -1063,7 +1077,8 @@ LB_CHI2_CRIT_DF5 = 11.0705  # chi-square 0.95 quantile, df = 5
 def ljung_box(events: DataFrame, max_lag: int = 5,
               crit: float = LB_CHI2_CRIT_DF5,
               key: str = "event_type", ts_col: str = "ts",
-              value_col: str = "value") -> DataFrame:
+              value_col: str = "value",
+              hourly: DataFrame | None = None) -> DataFrame:
     """Ljung-Box portmanteau whiteness test per series on the
     hourly tier: Q = n(n+2) Σ_{k=1..max_lag} ρ̂_k²/(n−k) with ρ̂_k
     the lag-k sample autocorrelation (positional lags over the tier
@@ -1084,7 +1099,8 @@ def ljung_box(events: DataFrame, max_lag: int = 5,
     exchange — plan-audited); the Q fold is one aggregate per
     series.
     """
-    hourly = _hourly(events, key, ts_col, value_col)
+    if hourly is None:
+        hourly = _hourly(events, key, ts_col, value_col)
     kwin = W.partitionBy(key)
     lw = kwin.orderBy("h")
     d = F.col("y") - F.avg("y").over(kwin)
@@ -1155,7 +1171,8 @@ ORACLE_SQL["ljung_box"] = _ljung_box_sql()
 
 # ------------------------------------------------------------ croston
 def croston(events: DataFrame, alpha: float = 0.3,
-            key: str = "event_type", ts_col: str = "ts") -> DataFrame:
+            key: str = "event_type", ts_col: str = "ts",
+            daily: DataFrame | None = None) -> DataFrame:
     """Croston intermittent-demand forecast per series over DAILY
     ARRIVAL COUNTS: simple exponential smoothing of the demand
     sizes on active days (z_hat), SES of the inter-demand intervals
@@ -1184,9 +1201,11 @@ def croston(events: DataFrame, alpha: float = 0.3,
     """
     a = float(alpha)
     b = 1.0 - a
-    daily = (events.groupBy(
-        F.col(key), F.date_trunc("day", F.col(ts_col)).alias("day"))
-        .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    if daily is None:
+        daily = (events.groupBy(
+            F.col(key),
+            F.date_trunc("day", F.col(ts_col)).alias("day"))
+            .agg(F.count(F.lit(1)).cast("double").alias("x")))
     lw = W.partitionBy(key).orderBy("day")
     seq = (daily
            .withColumn("i", F.row_number().over(lw))
@@ -1369,30 +1388,42 @@ def series_profile(events: DataFrame, key: str = "event_type",
     Output: (event_type, n_days, mk_z, trend, h, pe, nonwhite,
     half_life_hours, mdd, forecast).
 
-    Scale shape: each branch is the underlying operator's
-    (tier-first, documented there); the final join is |series|
+    Scale shape: the corpus is scanned exactly TWICE — once into
+    the shared daily tier (mean + count columns) and once into the
+    shared hourly tier — each materialized through the caching
+    registry (the ``ensemble_flags`` fan-out idiom; the CALLER
+    releases via ``caching.scope()``/``release_all()``) and fanned
+    out to all seven branches; the final join is |series|
     single-row relations equi-joined on the key — broadcast-sized
-    by construction. The corpus is scanned once per branch (7
-    scans); at 100 TB you'd materialize the shared daily/hourly
-    tiers first (the catalog's tier tables) and feed all branches
-    from them — the operators accept any pre-aggregated frame with
-    the same columns.
+    by construction. On a deployment with materialized tier tables
+    you'd pass those via the operators' ``daily=``/``hourly=``
+    parameters and scan the corpus zero times.
     """
+    from yahoo_anomaly_detection_spark import caching
+
+    daily = caching.materialize(
+        _daily(events, key, ts_col, value_col))
+    hourly = caching.materialize(
+        _hourly(events, key, ts_col, value_col))
     mk = mann_kendall(events, key=key, ts_col=ts_col,
-                      value_col=value_col) \
+                      value_col=value_col, daily=daily) \
         .select(key, "n_days", F.col("z").alias("mk_z"), "trend")
     hu = hurst_exponent(events, key=key, ts_col=ts_col,
-                        value_col=value_col).select(key, "h")
+                        value_col=value_col, hourly=hourly) \
+        .select(key, "h")
     pe = perm_entropy(events, key=key, ts_col=ts_col,
-                      value_col=value_col).select(key, "pe")
+                      value_col=value_col, hourly=hourly) \
+        .select(key, "pe")
     lb = ljung_box(events, key=key, ts_col=ts_col,
-                   value_col=value_col).select(key, "nonwhite")
+                   value_col=value_col, hourly=hourly) \
+        .select(key, "nonwhite")
     ou = ou_halflife(events, key=key, ts_col=ts_col,
-                     value_col=value_col) \
+                     value_col=value_col, hourly=hourly) \
         .select(key, "half_life_hours")
     dd = max_drawdown(events, key=key, ts_col=ts_col,
-                      value_col=value_col).select(key, "mdd")
-    cr = croston(events, key=key, ts_col=ts_col) \
+                      value_col=value_col, daily=daily) \
+        .select(key, "mdd")
+    cr = croston(events, key=key, ts_col=ts_col, daily=daily) \
         .select(key, "forecast")
     out = mk
     for piece in (hu, pe, lb, ou, dd, cr):
