@@ -170,6 +170,30 @@ def main() -> None:
         assert mm["stages"]["mon_flags_rows"] > 0, mm
         assert mm["skipped_units"] == 0, mm
 
+        # diagnostics job through the identical packaging path
+        pjob = os.path.join(jobdir, "profile_job.py")
+        shutil.copy(os.path.join(REPO, "jobs", "profile_job.py"), pjob)
+        pcmd = [
+            find_spark_submit(),
+            "--master", f"local[{args.cores}]",
+            "--py-files", zpath,
+            pjob,
+            "--input", inp,
+            "--catalog-root", os.path.join(tmp, "warehouse_profile"),
+            "--shuffle-partitions", "8",
+        ]
+        print("running:", " ".join(pcmd), flush=True)
+        po = subprocess.run(pcmd, capture_output=True, text=True,
+                            timeout=600, cwd=jobdir, env=env)
+        if po.returncode != 0:
+            sys.stderr.write(po.stdout[-4000:] + "\n" + po.stderr[-4000:])
+            raise SystemExit(
+                f"profile spark-submit failed rc={po.returncode}")
+        pm = json.loads([l for l in po.stdout.splitlines()
+                         if l.startswith("{")][-1])
+        assert pm["stages"]["prof_series_rows"] > 0, pm
+        assert pm["skipped_units"] == 0, pm
+
         print(json.dumps({"submit_smoke": "ok",
                           "n_turns": m["n_turns"],
                           "tiers": {t: m["stages"][f"tier_{t}_rows"]
@@ -177,6 +201,7 @@ def main() -> None:
                           "refresh_modes": [m1["mode"], m2["mode"]],
                           "refresh_affected_days": m2["affected_days"],
                           "monitor_flags": mm["stages"]["mon_flags_rows"],
+                          "profile_series": pm["stages"]["prof_series_rows"],
                           "wall_sec": m["wall_sec"]}))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -818,3 +818,79 @@ def test_variance_decomp_matches_numpy_eta2(spark):
     assert r.eta2_hour == pytest.approx(eta2(hs % 24), abs=1e-4)
     assert r.eta2_weekday == pytest.approx(eta2(hs // 24 % 7),
                                            abs=1e-4)
+
+
+# ------------------------------------------------------- profile_job
+def test_profile_job_end_to_end_and_resume(spark, tmp_path):
+    """jobs/profile_job.py: latency series → per-conversation health
+    profile + FDR day anomalies + W1 drift + role families, through
+    the catalog; profile must equal the direct operator composition
+    and a re-run with the same run-id skips every stage."""
+    from jobs import profile_job
+    from yahoo_anomaly_detection_spark import caching
+    from yahoo_anomaly_detection_spark.operators.rollup import (
+        transcripts_latency,
+    )
+    from yahoo_anomaly_detection_spark.sources.catalog import (
+        ParquetCatalog,
+    )
+    from yahoo_anomaly_detection_spark.sources.ingest import (
+        bronze_transcripts,
+    )
+
+    base = 1699999200
+    rows = []
+    # two conversations, 5 days of hourly turns; conv "a" gets a
+    # broken day (day 3: 100x latencies)
+    for conv, step in (("a", 3600), ("b", 3600)):
+        idx = 0
+        t = base
+        for d in range(5):
+            for h in range(24):
+                jitter = (37 * (idx + (conv == "b") * 11)) % 60
+                t = base + d * 86400 + h * 3600 + jitter
+                if conv == "a" and d == 3:
+                    t += 1800  # day-3 latency regime shift
+                rows.append((conv, idx, "user" if idx % 2 else
+                             "assistant", "t", "none", t))
+                idx += 1
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, "
+              "text string, tool string, epoch long",
+    ).select("conv_id", "turn_idx", "role", "text", "tool",
+             F.timestamp_seconds(F.col("epoch")).alias("ts"))
+    src = str(tmp_path / "prof_transcripts")
+    df.write.mode("overwrite").parquet(src)
+
+    wh = str(tmp_path / "prof_wh")
+    argv = ["--input", src, "--catalog-root", wh, "--run-id", "p1"]
+    m1 = profile_job.main(argv)
+    assert m1["skipped_units"] == 0
+    assert set(m1["stages"]) >= {
+        "prof_series_rows", "prof_fdr_rows", "prof_drift_rows",
+        "prof_families_rows"}
+    cat = ParquetCatalog(wh)
+    prof = {r.conv_id: r for r in
+            cat.read(spark, "prof_series").collect()}
+    assert set(prof) == {"a", "b"}
+    # direct composition parity on the profile stage
+    lat = transcripts_latency(
+        bronze_transcripts(spark.read.parquet(src))) \
+        .where(F.col("value").isNotNull())
+    direct = {r.conv_id: r for r in statstests.series_profile(
+        lat, key="conv_id", ts_col="ts",
+        value_col="value").collect()}
+    caching.release_all()
+    for c in ("a", "b"):
+        assert prof[c].mk_z == direct[c].mk_z
+        assert prof[c].h == direct[c].h
+        assert prof[c].mdd == direct[c].mdd
+    # drift stage sees the day-3 regime shift on conv a
+    drift = cat.read(spark, "prof_drift")
+    assert drift.where(F.col("conv_id") == "a").count() >= 4
+    # role families cover the roles present
+    fam = cat.read(spark, "prof_families").collect()
+    assert {r.role for r in fam} == {"user", "assistant"}
+    # resume: same run-id skips all four stages
+    m2 = profile_job.main(argv)
+    assert m2["skipped_units"] == 4
