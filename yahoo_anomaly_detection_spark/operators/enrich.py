@@ -226,7 +226,7 @@ def bloom_runtime_filter(keys: DataFrame, key_col: str,
                          m_bits: int = 1 << 20,
                          k: int = 5) -> DataFrame:
     """Build a Bloom filter over a key relation as ONE single-row
-    DataFrame holding a map<chunk → 64-bit word> — the engine's own
+    DataFrame holding a dense array<long> of bit words — the engine's own
     runtime row-filter for joins whose build side is too big to
     broadcast as ROWS but whose KEY SET fits a few hundred KB of
     bits. Spark's optimizer grows this ability natively
@@ -246,15 +246,30 @@ def bloom_runtime_filter(keys: DataFrame, key_col: str,
     results are EXACT regardless of sizing; false negatives are
     impossible by construction.
     """
+    nchunks = (int(m_bits) + 63) // 64
     pos = [F.expr(_bloom_pos_sql(key_col, i, m_bits)) for i in range(k)]
-    return (keys
-            .select(F.explode(F.array(*pos)).alias("pos"))
-            .groupBy(F.expr("pos div 64").cast("int").alias("chunk"))
-            .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))")
-                 .alias("mask"))
-            .agg(F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("chunk", "mask"))))
-                .alias("bloom")))
+    chunks = (keys
+              .select(F.explode(F.array(*pos)).alias("pos"))
+              .groupBy(F.expr("pos div 64").cast("int").alias("chunk"))
+              .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))")
+                   .alias("mask")))
+    # dense array build: left-join the occupied chunks onto the full
+    # chunk skeleton, zero-fill, then fold the sorted (chunk, mask)
+    # structs into ONE array<long> positioned by chunk — probes then
+    # use element_at(array, chunk+1), an O(1) positional access.
+    # (A map<chunk, mask> would be 10x+ smaller to ship but Spark's
+    # MapType element_at is a LINEAR scan — O(|chunks|) per probe
+    # per hash, catastrophic on a fact-table filter.)
+    spark = keys.sparkSession
+    skel = spark.range(nchunks).select(F.col("id").cast("int")
+                                       .alias("chunk"))
+    dense = (skel.join(chunks, "chunk", "left")
+             .select("chunk",
+                     F.coalesce("mask", F.lit(0).cast("long"))
+                     .alias("mask")))
+    return (dense.agg(F.expr(
+        "transform(sort_array(collect_list(struct(chunk, mask))),"
+        " s -> s.mask)").alias("bloom")))
 
 
 def bloom_semi_join(facts: DataFrame, key_col: str,
@@ -268,8 +283,8 @@ def bloom_semi_join(facts: DataFrame, key_col: str,
     carries only candidate rows. m_bits/k MUST match the build
     call."""
     tests = " AND ".join(
-        f"((coalesce(element_at(bloom, "
-        f"cast({_bloom_pos_sql(key_col, i, m_bits)} div 64 as int)), 0L)"
+        f"((element_at(bloom, "
+        f"cast({_bloom_pos_sql(key_col, i, m_bits)} div 64 as int) + 1)"
         f" & shiftleft(1L, cast({_bloom_pos_sql(key_col, i, m_bits)}"
         f" % 64 as int))) != 0L)"
         for i in range(k))

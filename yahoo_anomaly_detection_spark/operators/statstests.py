@@ -109,7 +109,14 @@ def mann_kendall(events: DataFrame, z_crit: float = 1.96,
     broadcasts.
     """
     if daily is None:
-        daily = _daily(events, key, ts_col, value_col)
+        from yahoo_anomaly_detection_spark import caching
+
+        # the tier feeds the pair join (twice), the count and the
+        # tie aggregate — materialize once so the corpus is scanned
+        # once, not four times (caller releases via caching.scope()
+        # / release_all(), the ensemble_flags contract)
+        daily = caching.materialize(
+            _daily(events, key, ts_col, value_col))
     a, b = daily.alias("a"), daily.alias("b")
     s = (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
                 & (F.col("a.day") < F.col("b.day")))
@@ -215,7 +222,12 @@ def spearman_corr(events: DataFrame, key: str = "event_type",
     r = (F.rank().over(kwin.orderBy("y"))
          + (F.count(F.lit(1)).over(W.partitionBy(key, "y")) - 1)
          / F.lit(2.0))
-    ranked = daily.select(key, "day", r.alias("r"))
+    from yahoo_anomaly_detection_spark import caching
+
+    # the ranked tier self-joins on day — materialize it so the
+    # corpus scan + rank window run once, not twice
+    ranked = caching.materialize(
+        daily.select(key, "day", r.alias("r")))
     a, b = ranked.alias("a"), ranked.alias("b")
     pairs = a.join(b, (F.col("a.day") == F.col("b.day"))
                    & (F.col(f"a.{key}") < F.col(f"b.{key}")))
@@ -342,11 +354,16 @@ def bh_fdr(events: DataFrame, q: float = 0.05,
     scored = zed.select(key, "day", zr.alias("z"), p.alias("_p"))
     # distributed global rank: range partitions carry the total
     # order; within-partition row_number + per-partition offsets
+    from yahoo_anomaly_detection_spark import caching
+
     P = max(events.sparkSession.sparkContext.defaultParallelism, 2)
     part = (scored.repartitionByRange(P, "_p", key, "day")
             .withColumn("_pid", F.spark_partition_id()))
     inwin = W.partitionBy("_pid").orderBy("_p", key, "day")
-    part = part.withColumn("_r_in", F.row_number().over(inwin))
+    # consumed by the size counts, the offset join, m and the
+    # step-up cutoff — materialize so the corpus scans once
+    part = caching.materialize(
+        part.withColumn("_r_in", F.row_number().over(inwin)))
     sizes = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     offw = (W.orderBy("_pid")
             .rowsBetween(W.unboundedPreceding, -1))
