@@ -385,12 +385,9 @@ def test_tier_first_operators_shuffle_corpus_once(spark):
         # tier-sized (corpus shuffles exactly once, into the tier)
         (statstests.hurst_exponent, 4),
         (statstests.max_drawdown, 2),
-        # tier + range-repartition + (_pid, day) window clustering +
-        # sizes/offsets/final aggs; the static plan also prints the
-        # offsets branch's copy of the rank subtree, which AQE
-        # collapses to ReusedExchange at runtime. All tier-sized;
-        # the corpus still shuffles exactly once (into the tier).
-        (statstests.gini_concentration, 8),
+        # gini is audited separately: its ranked tier materializes
+        # through the caching registry, and cached subtrees print
+        # repeatedly in the static plan (execution reads the cache)
     ]:
         df = fn(ev)
         assert _exchanges(df) <= max_ex, (fn.__name__, _plan(df))
@@ -593,13 +590,19 @@ def test_bh_fdr_rank_is_distributed(spark):
 
 
 def test_gini_rank_is_distributed(spark):
+    from yahoo_anomaly_detection_spark import caching
+
     df = statstests.gini_concentration(
         _ev(spark, _daily_rows({"a": range(40)})))
     plan = _plan(df)
+    caching.release_all()
     for mt in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
                           plan):
         assert "_pid" in mt.group(1), plan
     assert "rangepartitioning" in plan
+    # the ranked tier is served from ONE materialized cache, so the
+    # size-count branch and the offset join don't rescan the corpus
+    assert "InMemoryTableScan" in plan
 
 
 # ------------------------------------------------------ series_profile
@@ -894,3 +897,14 @@ def test_profile_job_end_to_end_and_resume(spark, tmp_path):
     # resume: same run-id skips all four stages
     m2 = profile_job.main(argv)
     assert m2["skipped_units"] == 4
+
+
+@pytest.fixture(autouse=True)
+def _release_registry_caches():
+    """Operators in this layer materialize shared tiers through the
+    caching registry; the contract is caller-releases — do it per
+    test so the shared session doesn't accumulate tier caches."""
+    yield
+    from yahoo_anomaly_detection_spark import caching
+
+    caching.release_all()

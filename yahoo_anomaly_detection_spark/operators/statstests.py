@@ -195,7 +195,8 @@ ORACLE_SQL["mann_kendall"] = _mann_kendall_sql()
 # ------------------------------------------------------ spearman_corr
 def spearman_corr(events: DataFrame, key: str = "event_type",
                   ts_col: str = "ts",
-                  value_col: str = "value") -> DataFrame:
+                  value_col: str = "value",
+                  daily: DataFrame | None = None) -> DataFrame:
     """Spearman rank correlation between every pair of series on
     the daily-mean tier — the robust, outlier-proof sibling of the
     Pearson ``xcorr_1d`` / ``metric_corr`` family: one broken day of
@@ -217,7 +218,8 @@ def spearman_corr(events: DataFrame, key: str = "event_type",
     (|types|² × days rows — types is small by construction); the
     final moment aggregate is one row per pair.
     """
-    daily = _daily(events, key, ts_col, value_col)
+    if daily is None:
+        daily = _daily(events, key, ts_col, value_col)
     kwin = W.partitionBy(key)
     r = (F.rank().over(kwin.orderBy("y"))
          + (F.count(F.lit(1)).over(W.partitionBy(key, "y")) - 1)
@@ -482,7 +484,11 @@ def wasserstein_drift(events: DataFrame,
     bs = [float(b) for b in boundaries]
     nb = len(bs) - 1  # interior boundaries b_0 .. b_{B-2}
     gaps = [bs[j + 1] - bs[j] for j in range(nb)]
-    cnts = (events.groupBy(
+    from yahoo_anomaly_detection_spark import caching
+
+    # the bin-count tier feeds both the dense skeleton and the CDF
+    # pass — materialize so the corpus scans once
+    cnts = caching.materialize(events.groupBy(
         F.col(key), F.date_trunc("day", F.col(ts_col)).alias("day"),
         _bin_expr(F.col(value_col).cast("double"), tuple(bs))
         .alias("bin"))
@@ -1044,10 +1050,15 @@ def gini_concentration(events: DataFrame, user_col: str = "user_id",
     # day) + per-(day) offsets from the partition×day count relation
     # — no single task ever holds a whole day's users
     P = max(events.sparkSession.sparkContext.defaultParallelism, 2)
+    from yahoo_anomaly_detection_spark import caching
+
     part = (daily.repartitionByRange(P, "day", "x", "u")
             .withColumn("_pid", F.spark_partition_id()))
     inwin = W.partitionBy("_pid", "day").orderBy("x", "u")
-    part = part.withColumn("_r_in", F.row_number().over(inwin))
+    # consumed by the size counts and the offset join — materialize
+    # so the corpus scans once
+    part = caching.materialize(
+        part.withColumn("_r_in", F.row_number().over(inwin)))
     sizes = part.groupBy("_pid", "day").agg(
         F.count(F.lit(1)).alias("_n"))
     offw = (W.partitionBy("day").orderBy("_pid")
@@ -1315,15 +1326,19 @@ def corr_clusters(events: DataFrame, threshold: float = 0.6,
     the corpus is scanned twice (once for ranks, once for the node
     list), both map-side-combined aggregates.
     """
+    from yahoo_anomaly_detection_spark import caching
     from yahoo_anomaly_detection_spark.operators import dedup
 
+    # one materialized daily tier serves the Spearman edge weights
+    # AND the node list — single corpus scan
+    daily = caching.materialize(
+        _daily(events, key, ts_col, value_col))
     corr = spearman_corr(events, key=key, ts_col=ts_col,
-                         value_col=value_col)
+                         value_col=value_col, daily=daily)
     edges = (corr.where(F.abs(F.col("rho")) >= F.lit(float(threshold)))
              .select(F.col("type_a").alias("doc_a"),
                      F.col("type_b").alias("doc_b")))
-    loops = (_daily(events, key, ts_col, value_col)
-             .select(key).distinct()
+    loops = (daily.select(key).distinct()
              .select(F.col(key).alias("doc_a"),
                      F.col(key).alias("doc_b")))
     cc = dedup.connected_components(edges.unionByName(loops),
@@ -1500,12 +1515,16 @@ def variance_decomp(events: DataFrame, key: str = "event_type",
     and 7-row group relations broadcast back); no windows, no
     sorts.
     """
+    from yahoo_anomaly_detection_spark import caching
+
     hourly = _hourly(events, key, ts_col, value_col)
     # derive hour-of-day / weekday from the integer epoch-hour
     # (portable: no timezone arithmetic; epoch day 0 = Thursday = 3)
     hod = (F.col("h") % 24).alias("hod")
     wd = (F.floor(F.col("h") / 24) % 7).alias("wd")
-    base = hourly.select(key, "y", hod, wd)
+    # grand + two factor aggregates consume the tier — materialize
+    # so the corpus scans once
+    base = caching.materialize(hourly.select(key, "y", hod, wd))
     grand = base.groupBy(key).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("y").alias("gm"),
