@@ -1412,3 +1412,94 @@ def test_stream_sessions_match_batch_sessionize(spark, tmp_path):
     assert got.items() >= want.items(), (got, want)
     # u2's cross-batch session is ONE row with both events
     assert got[(2, "2024-01-01 00:04:50")][0] == 2
+
+
+# ---------------------------------------------------- drift (hop 9)
+def _mk_tier_rows(spark, rows):
+    """rows: (conv_id, day, minute, mean_v) -> finalized-tier frame."""
+    base = 1717200000  # 2024-06-01 00:00 UTC, day-aligned
+    return spark.createDataFrame(
+        [(c, base + d * 86400 + m * 60, v) for c, d, m, v in rows],
+        "conv_id string, epoch long, mean_v double",
+    ).select(
+        "conv_id",
+        F.timestamp_seconds(F.col("epoch")).alias("bucket_start"),
+        "mean_v",
+    )
+
+
+def test_stream_drift_matches_batch_on_closed_days(spark, tmp_path):
+    """Hop 9 parity: per-conversation daily W1 drift emitted by the
+    stream must equal operators.statstests.wasserstein_drift on the
+    same rows, restricted to CLOSED days; and a restart from the
+    checkpoint continues the day/prev-day chain, never re-emitting."""
+    from yahoo_anomaly_detection_spark.operators import statstests
+    from yahoo_anomaly_detection_spark.streaming.drift_stream import (
+        start_drift_to_parquet,
+        stream_drift_1d,
+    )
+
+    src = str(tmp_path / "tier_src")
+    out = str(tmp_path / "drift_out")
+    ckpt = str(tmp_path / "drift_ckpt")
+    os.makedirs(src)
+
+    # conv a: day0 low values, day1 high, day2 mixed, day3 low
+    # conv b: identical day0/day1 (zero drift), day2 shifted
+    batch1 = [
+        ("a", 0, 0, 7.0), ("a", 0, 1, 8.0), ("a", 0, 2, 7.5),
+        ("b", 0, 0, 30.0), ("b", 0, 5, 30.0),
+        ("a", 1, 0, 300.0), ("a", 1, 3, 450.0),
+        ("b", 1, 0, 30.0), ("b", 1, 9, 30.0),
+        ("a", 2, 0, 7.0), ("a", 2, 1, 120.0),
+    ]
+    batch2 = [
+        ("b", 2, 0, 90.0), ("b", 2, 2, 2.0),
+        ("a", 3, 0, 6.0), ("a", 3, 5, 3.0),
+        # day-4 sentinels close day 3 (a) and day 2 (b)
+        ("a", 4, 0, 1.0), ("b", 4, 0, 1.0),
+    ]
+
+    schema = "conv_id string, bucket_start timestamp, mean_v double"
+    _mk_tier_rows(spark, batch1).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = stream_drift_1d(
+        spark.readStream.schema(schema).parquet(src))
+    q = start_drift_to_parquet(stream, out, ckpt, trigger_secs=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # restart from the same checkpoint with more data
+    _mk_tier_rows(spark, batch2).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream2 = stream_drift_1d(
+        spark.readStream.schema(schema).parquet(src))
+    q2 = start_drift_to_parquet(stream2, out, ckpt, trigger_secs=1)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {(r.conv_id, str(r.day)):
+           (str(r.prev_day) if r.prev_day else None, r.w1)
+           for r in spark.read.parquet(out).collect()}
+    # batch reference over ALL rows, restricted to closed days
+    all_rows = _mk_tier_rows(spark, batch1 + batch2)
+    ref = statstests.wasserstein_drift(
+        all_rows, key="conv_id", ts_col="bucket_start",
+        value_col="mean_v")
+    want = {(r.conv_id, str(r.day)):
+            (str(r.prev_day) if r.prev_day else None, r.w1)
+            for r in ref.collect()
+            if str(r.day) < "2024-06-05"}    # day 4 is still live
+    from yahoo_anomaly_detection_spark import caching
+
+    caching.release_all()
+    assert got == want
+    # each conversation's first closed day carries NULLs
+    assert got[("a", "2024-06-01 00:00:00")] == (None, None)
+    # identical day0/day1 distributions for b -> zero drift
+    assert got[("b", "2024-06-02 00:00:00")][1] == 0.0
+    # no duplicates across the restart
+    assert len(got) == spark.read.parquet(out).count()
