@@ -1415,7 +1415,7 @@ def test_stream_sessions_match_batch_sessionize(spark, tmp_path):
 
 
 # ---------------------------------------------------- drift (hop 9)
-def _mk_tier_rows(spark, rows):
+def _mk_drift_tier_rows(spark, rows):
     """rows: (conv_id, day, minute, mean_v) -> finalized-tier frame."""
     base = 1717200000  # 2024-06-01 00:00 UTC, day-aligned
     return spark.createDataFrame(
@@ -1461,7 +1461,7 @@ def test_stream_drift_matches_batch_on_closed_days(spark, tmp_path):
     ]
 
     schema = "conv_id string, bucket_start timestamp, mean_v double"
-    _mk_tier_rows(spark, batch1).coalesce(1) \
+    _mk_drift_tier_rows(spark, batch1).coalesce(1) \
         .write.mode("append").parquet(src)
     stream = stream_drift_1d(
         spark.readStream.schema(schema).parquet(src))
@@ -1471,7 +1471,7 @@ def test_stream_drift_matches_batch_on_closed_days(spark, tmp_path):
     finally:
         q.stop()
     # restart from the same checkpoint with more data
-    _mk_tier_rows(spark, batch2).coalesce(1) \
+    _mk_drift_tier_rows(spark, batch2).coalesce(1) \
         .write.mode("append").parquet(src)
     stream2 = stream_drift_1d(
         spark.readStream.schema(schema).parquet(src))
@@ -1485,7 +1485,7 @@ def test_stream_drift_matches_batch_on_closed_days(spark, tmp_path):
            (str(r.prev_day) if r.prev_day else None, r.w1)
            for r in spark.read.parquet(out).collect()}
     # batch reference over ALL rows, restricted to closed days
-    all_rows = _mk_tier_rows(spark, batch1 + batch2)
+    all_rows = _mk_drift_tier_rows(spark, batch1 + batch2)
     ref = statstests.wasserstein_drift(
         all_rows, key="conv_id", ts_col="bucket_start",
         value_col="mean_v")
