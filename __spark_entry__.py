@@ -1760,6 +1760,14 @@ def q_variance_decomp(spark, sf_dir):
     return statstests.variance_decomp(_events_raw(spark, sf_dir))
 
 
+def q_matrix_profile(spark, sf_dir):
+    # exact z-normalized matrix profile (motif pair + top discord
+    # per series): hourly-tier self-join bounded by span-hours^2,
+    # deterministic integer-encoded argmin/argmax; SAX candidates
+    # are the documented scale path this exact op verifies
+    return statstests.matrix_profile(_events_raw(spark, sf_dir))
+
+
 def q_markov_entropy(spark, sf_dir):
     # journey-predictability profile: conditional next-state entropy
     # per from-state + its pi-weighted share of the chain entropy
@@ -2308,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "series_profile": q_series_profile,
         "variance_decomp": q_variance_decomp,
+        "matrix_profile": q_matrix_profile,
     }
 
 

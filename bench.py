@@ -209,6 +209,7 @@ HEADLINE = [
     "bloom_join",
     "series_profile",
     "variance_decomp",
+    "matrix_profile",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -908,3 +908,86 @@ def _release_registry_caches():
     from yahoo_anomaly_detection_spark import caching
 
     caching.release_all()
+
+
+# ------------------------------------------------------ matrix_profile
+def _mp_replica(y, m=4):
+    """Exact numpy matrix profile on consecutive windows (same
+    rounding/tie rules as the operator)."""
+    y = np.asarray(y, float)
+    n = len(y) - m + 1
+    Z, idx = [], []
+    for i in range(n):
+        w = y[i:i + m]
+        sd = w.std()
+        if sd > 0:
+            Z.append((w - w.mean()) / sd)
+            idx.append(i)
+    Z = np.asarray(Z)
+    d4 = {}
+    best_m = None
+    for a in range(len(Z)):
+        for b in range(a + 1, len(Z)):
+            if idx[b] < idx[a] + m:
+                continue
+            d = math.floor((np.sqrt(((Z[a] - Z[b]) ** 2).sum())
+                            + 1e-9) * 1e4 + 0.5)
+            for w_, o in ((idx[a], idx[b]), (idx[b], idx[a])):
+                d4[w_] = min(d4.get(w_, 10**9), d)
+            cand = (d, idx[a], idx[b])
+            if best_m is None or cand < best_m:
+                best_m = cand
+    best_d = max(((v, -k) for k, v in d4.items()))
+    return best_m, (best_d[0], -best_d[1]), len(d4)
+
+
+def test_matrix_profile_finds_planted_motif(spark):
+    rng = np.random.RandomState(71)
+    y = rng.rand(120) * 2 + 10
+    shape = np.array([0.0, 5.0, 9.0, 3.0])
+    y[20:24] = 50 + shape          # motif copy 1 (offset differs,
+    y[80:84] = 120 + shape         # z-norm makes them identical)
+    [r] = statstests.matrix_profile(
+        _ev(spark, _hourly_rows({"m": y}))).collect()
+    (md4, mi, mj), (dd4, di), nw = _mp_replica(y)
+    h0 = int(dt.datetime(2024, 6, 1,
+                         tzinfo=dt.timezone.utc).timestamp()) // 3600
+    assert r.n_windows == nw
+    epoch_a = int(r.motif_a.replace(
+        tzinfo=dt.timezone.utc).timestamp()) // 3600 - h0
+    epoch_b = int(r.motif_b.replace(
+        tzinfo=dt.timezone.utc).timestamp()) // 3600 - h0
+    assert (epoch_a, epoch_b) == (mi, mj) == (20, 80)
+    assert r.motif_dist == pytest.approx(md4 / 1e4)
+    assert r.motif_dist < 1e-6
+    assert r.discord_dist == pytest.approx(dd4 / 1e4)
+
+
+def test_matrix_profile_finds_planted_discord(spark):
+    """z-normalization erases amplitude, so a discord must be a
+    unique SHAPE: a zigzag amid a smooth diurnal sine (whose
+    windows are all ramps/turns that resemble each other)."""
+    t = np.arange(48)
+    y = 10 + np.sin(2 * np.pi * t / 24) * 5
+    y[20:24] += np.array([4.0, -4.0, 4.0, -4.0])
+    [r] = statstests.matrix_profile(
+        _ev(spark, _hourly_rows({"m": y}))).collect()
+    (md4, mi, mj), (dd4, di), nw = _mp_replica(y)
+    h0 = int(dt.datetime(2024, 6, 1,
+                         tzinfo=dt.timezone.utc).timestamp()) // 3600
+    epoch_d = int(r.discord_at.replace(
+        tzinfo=dt.timezone.utc).timestamp()) // 3600 - h0
+    assert epoch_d == di == 20
+    assert r.discord_dist == pytest.approx(dd4 / 1e4)
+    assert r.discord_dist > 2.0
+
+
+def test_matrix_profile_replica_on_random_series(spark):
+    rng = np.random.RandomState(73)
+    y = rng.rand(60) * 100
+    [r] = statstests.matrix_profile(
+        _ev(spark, _hourly_rows({"m": y}))).collect()
+    (md4, mi, mj), (dd4, di), nw = _mp_replica(y)
+    assert r.n_windows == nw
+    assert r.motif_dist == pytest.approx(md4 / 1e4)
+    assert r.discord_dist == pytest.approx(dd4 / 1e4)

@@ -1596,3 +1596,206 @@ FROM grand gr JOIN fh USING (event_type) JOIN fw USING (event_type)
 """
 
 ORACLE_SQL["variance_decomp"] = _VARDECOMP_SQL
+
+
+# ------------------------------------------------------ matrix_profile
+def matrix_profile(events: DataFrame, m: int = 4,
+                   key: str = "event_type", ts_col: str = "ts",
+                   value_col: str = "value",
+                   hourly: DataFrame | None = None) -> DataFrame:
+    """EXACT matrix profile over the hourly tier (Yeh et al.
+    ICDM'16, the UCR matrix-profile definition): for every length-m
+    window of consecutive hours, the z-normalized Euclidean
+    distance to its nearest non-overlapping neighbor; the global
+    minimum is the series' top MOTIF pair (its most-repeated
+    shape), the maximum of the per-window minima is its top
+    DISCORD (the subsequence least like anything else — the
+    "primitive" anomaly definition that needs no threshold, model
+    or distribution assumption). This is the exact baseline that
+    VERIFIES the approximate ``sax_motifs``/``sax_discords``
+    family, the same exact↔scale pairing as
+    ``dedup_ngram_jaccard`` ↔ ``minhash_lsh_pairs``.
+
+    Windows with zero variance (flat) are excluded (z-norm
+    undefined); windows must cover m CONSECUTIVE hours (gaps break
+    a window). The exclusion zone is |i−j| ≥ m (non-overlapping),
+    the standard trivial-match guard.
+
+    Argmin/argmax are made deterministic AND engine-portable by
+    integer-encoding (rounded-distance, window-hour) into one
+    BIGINT — min/max of that encoding ties-break on the earliest
+    window, with exact integer arithmetic on both engines (no
+    struct-ordering or arg_min tie semantics in play).
+
+    Output: one row per series — (event_type, n_windows, motif_a,
+    motif_b, motif_dist, discord_at, discord_dist), distances
+    rounded to 4.
+
+    Scale shape: corpus → hourly tier once; windows come from m−1
+    leads on the series-keyed tier sort; the pair relation is the
+    tier self-join with the |Δh| ≥ m filter — O(windows²) per
+    series, bounded by span-hours², independent of corpus rows
+    (exactly :func:`mann_kendall`'s boundedness argument). For
+    spans where windows² is too big, the documented scale path is
+    SAX-first candidate generation (``sax_discords``) with this
+    operator verifying candidates only.
+    """
+    from yahoo_anomaly_detection_spark import caching
+
+    if m < 2:
+        raise ValueError(f"m must be >= 2, got {m}")
+    if hourly is None:
+        hourly = _hourly(events, key, ts_col, value_col)
+    lw = W.partitionBy(key).orderBy("h")
+    win = hourly
+    for i in range(1, m):
+        win = win.withColumn(f"y{i}", F.lead("y", i).over(lw))
+        win = win.withColumn(f"h{i}", F.lead("h", i).over(lw))
+    cols = [F.col("y")] + [F.col(f"y{i}") for i in range(1, m)]
+    mu = sum(cols[1:], cols[0]) / F.lit(float(m))
+    sq = [c * c for c in cols]
+    var = sum(sq[1:], sq[0]) / F.lit(float(m)) - mu * mu
+    consec = F.col(f"h{m-1}") == F.col("h") + (m - 1)
+    base = (win.where(consec & (var > 0))
+            .select(key, F.col("h"), mu.alias("mu"),
+                    F.sqrt(var).alias("sd"),
+                    *[c.alias(f"v{i}") for i, c in enumerate(cols)]))
+    # window-relative hour index (keeps the integer encodings small
+    # and identical across engines)
+    h0w = W.partitionBy(key)
+    base = base.withColumn("i", F.col("h") - F.min("h").over(h0w))
+    znorm = [((F.col(f"v{i}") - F.col("mu")) / F.col("sd"))
+             .alias(f"z{i}") for i in range(m)]
+    zed = caching.materialize(
+        base.select(key, "i", *znorm))
+
+    a, b = zed.alias("a"), zed.alias("b")
+    d2 = None
+    for i in range(m):
+        t = (F.col(f"a.z{i}") - F.col(f"b.z{i}"))
+        d2 = t * t if d2 is None else d2 + t * t
+    pairs = (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                    & (F.col("b.i") >= F.col("a.i") + m))
+             .select(F.col(f"a.{key}").alias(key),
+                     F.col("a.i").alias("ia"),
+                     F.col("b.i").alias("ib"),
+                     F.sqrt(d2).alias("d")))
+    d4 = F.round((F.col("d") + F.lit(1e-9)) * F.lit(1e4)).cast("long")
+    pairs = caching.materialize(pairs.withColumn("d4", d4))
+
+    # motif: min over pairs of d4*1e12 + ia*1e6 + ib (ia, ib < 1e6)
+    enc_m = (F.col("d4") * F.lit(1_000_000_000_000)
+             + F.col("ia").cast("long") * F.lit(1_000_000)
+             + F.col("ib").cast("long"))
+    motif = pairs.groupBy(key).agg(F.min(enc_m).alias("em"))
+    # per-window profile: min d4 over both roles, then discord =
+    # max (d4, tie -> earliest window) via d4*1e6 + (999999 - i)
+    prof = (pairs.select(key, F.col("ia").alias("i"), "d4")
+            .unionByName(pairs.select(key, F.col("ib").alias("i"),
+                                      "d4"))
+            .groupBy(key, "i").agg(F.min("d4").alias("mp")))
+    enc_d = (F.col("mp") * F.lit(1_000_000)
+             + (F.lit(999_999) - F.col("i").cast("long")))
+    discord = prof.groupBy(key).agg(
+        F.max(enc_d).alias("ed"),
+        F.count(F.lit(1)).alias("n_windows"))
+    h_min = base.groupBy(key).agg(F.min("h").alias("h0"))
+
+    out = motif.join(discord, key).join(h_min, key)
+    def _ts(hour_expr):
+        return F.timestamp_seconds(hour_expr * F.lit(3600))
+    # exact BIGINT decode (div/% — Spark's / on longs is double
+    # division, whose rounding could off-by-one extreme encodings)
+    mot_d4 = F.expr("em div 1000000000000")
+    mot_ia = F.expr("(em % 1000000000000) div 1000000")
+    mot_ib = F.expr("em % 1000000")
+    dis_d4 = F.expr("ed div 1000000")
+    dis_i = F.expr("999999 - ed % 1000000")
+    return out.select(
+        key, "n_windows",
+        _ts(F.col("h0") + mot_ia).alias("motif_a"),
+        _ts(F.col("h0") + mot_ib).alias("motif_b"),
+        (mot_d4.cast("double") / F.lit(1e4)).alias("motif_dist"),
+        _ts(F.col("h0") + dis_i).alias("discord_at"),
+        (dis_d4.cast("double") / F.lit(1e4)).alias("discord_dist"),
+    )
+
+
+def _matrix_profile_sql(m: int = 4) -> str:
+    leads_y = ",\n           ".join(
+        f"lead(y, {i}) OVER w AS y{i}" for i in range(1, m))
+    leads_h = ",\n           ".join(
+        f"lead(h, {i}) OVER w AS h{i}" for i in range(1, m))
+    allv = " + ".join(["y"] + [f"y{i}" for i in range(1, m)])
+    allsq = " + ".join(["y*y"] + [f"y{i}*y{i}" for i in range(1, m)])
+    zdiff = " + ".join(
+        f"((a.v{i} - a.mu)/a.sd - (b.v{i} - b.mu)/b.sd)"
+        f" * ((a.v{i} - a.mu)/a.sd - (b.v{i} - b.mu)/b.sd)"
+        for i in range(m))
+    vcols = ", ".join(["y AS v0"]
+                      + [f"y{i} AS v{i}" for i in range(1, m)])
+    return f"""
+WITH hourly AS ({_HOURLY_SQL}),
+led AS (
+    SELECT event_type, h, y,
+           {leads_y},
+           {leads_h}
+    FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+),
+stats AS (
+    SELECT event_type, h,
+           ({allv}) / {float(m)} AS mu,
+           ({allsq}) / {float(m)}
+           - (({allv}) / {float(m)}) * (({allv}) / {float(m)}) AS var,
+           {vcols}
+    FROM led
+    WHERE h{m-1} = h + {m-1}
+),
+base AS (
+    SELECT *, sqrt(var) AS sd,
+           h - min(h) OVER (PARTITION BY event_type) AS i
+    FROM stats WHERE var > 0
+),
+pairs AS (
+    SELECT a.event_type, a.i AS ia, b.i AS ib,
+           CAST(round((sqrt({zdiff}) + 1e-9) * 1e4) AS BIGINT) AS d4
+    FROM base a JOIN base b
+      ON a.event_type = b.event_type AND b.i >= a.i + {m}
+),
+motif AS (
+    SELECT event_type,
+           min(d4 * 1000000000000 + CAST(ia AS BIGINT) * 1000000
+               + CAST(ib AS BIGINT)) AS em
+    FROM pairs GROUP BY 1
+),
+prof AS (
+    SELECT event_type, i, min(d4) AS mp
+    FROM (SELECT event_type, ia AS i, d4 FROM pairs
+          UNION ALL SELECT event_type, ib, d4 FROM pairs)
+    GROUP BY 1, 2
+),
+discord AS (
+    SELECT event_type,
+           max(mp * 1000000 + (999999 - CAST(i AS BIGINT))) AS ed,
+           count(*) AS n_windows
+    FROM prof GROUP BY 1
+),
+h0 AS (
+    SELECT event_type, min(h) AS h0 FROM (
+        SELECT event_type, h FROM stats WHERE var > 0) GROUP BY 1
+)
+SELECT m.event_type, d.n_windows,
+       to_timestamp((h0.h0 + (m.em % 1000000000000) // 1000000)
+                    * 3600)::TIMESTAMP AS motif_a,
+       to_timestamp((h0.h0 + m.em % 1000000) * 3600)::TIMESTAMP
+           AS motif_b,
+       CAST(m.em // 1000000000000 AS DOUBLE) / 1e4 AS motif_dist,
+       to_timestamp((h0.h0 + (999999 - d.ed % 1000000)) * 3600)
+           ::TIMESTAMP AS discord_at,
+       CAST(d.ed // 1000000 AS DOUBLE) / 1e4 AS discord_dist
+FROM motif m JOIN discord d USING (event_type)
+JOIN h0 USING (event_type)
+"""
+
+
+ORACLE_SQL["matrix_profile"] = _matrix_profile_sql()
