@@ -1768,6 +1768,12 @@ def q_matrix_profile(spark, sf_dir):
     return statstests.matrix_profile(_events_raw(spark, sf_dir))
 
 
+def q_spread_monitor(spark, sf_dir):
+    # Engle-Granger-style pair spread: OLS hedge per pair + AR(1)
+    # half-life of the residual spread; tier-sized pair relation
+    return statstests.spread_monitor(_events_raw(spark, sf_dir))
+
+
 def q_markov_entropy(spark, sf_dir):
     # journey-predictability profile: conditional next-state entropy
     # per from-state + its pi-weighted share of the chain entropy
@@ -2317,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_profile": q_series_profile,
         "variance_decomp": q_variance_decomp,
         "matrix_profile": q_matrix_profile,
+        "spread_monitor": q_spread_monitor,
     }
 
 

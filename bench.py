@@ -210,6 +210,7 @@ HEADLINE = [
     "series_profile",
     "variance_decomp",
     "matrix_profile",
+    "spread_monitor",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -991,3 +991,34 @@ def test_matrix_profile_replica_on_random_series(spark):
     assert r.n_windows == nw
     assert r.motif_dist == pytest.approx(md4 / 1e4)
     assert r.discord_dist == pytest.approx(dd4 / 1e4)
+
+
+# ------------------------------------------------------ spread_monitor
+def test_spread_monitor_recovers_planted_hedge(spark):
+    rng = np.random.RandomState(83)
+    x = 100 + rng.rand(120) * 50
+    # y = 3x + 20 + mean-reverting AR(0.5) spread
+    sp = [0.0]
+    for _ in range(119):
+        sp.append(0.5 * sp[-1] + rng.randn() * 0.5)
+    y = 3.0 * x + 20.0 + np.array(sp)
+    # z drifts away from x: a RANDOM-WALK spread (not mean-reverting)
+    z = 2.0 * x + np.cumsum(rng.randn(120) * 5)
+    out = {(r.type_a, r.type_b): r for r in statstests.spread_monitor(
+        _ev(spark, _daily_rows({"x": x, "y": y, "z": z}))).collect()}
+    good = out[("x", "y")]
+    assert good.beta == pytest.approx(3.0, abs=0.05)
+    assert good.alpha == pytest.approx(20.0, abs=5.0)
+    assert good.phi == pytest.approx(0.5, abs=0.15)
+    assert good.stable == 1 and good.half_life_days < 3
+    walk = out[("x", "z")]
+    assert walk.stable == 0
+    assert len(out) == 3
+
+
+def test_spread_monitor_degenerate_pairs_null(spark):
+    out = {(r.type_a, r.type_b): r for r in statstests.spread_monitor(
+        _ev(spark, _daily_rows({"const": [5.0] * 10,
+                                "live": list(range(10))}))).collect()}
+    r = out[("const", "live")]
+    assert r.beta is None and r.stable == 0

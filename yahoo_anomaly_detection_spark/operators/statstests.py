@@ -1799,3 +1799,170 @@ JOIN h0 USING (event_type)
 
 
 ORACLE_SQL["matrix_profile"] = _matrix_profile_sql()
+
+
+# ------------------------------------------------------ spread_monitor
+def spread_monitor(events: DataFrame, max_halflife_days: float = 7.0,
+                   key: str = "event_type", ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Engle-Granger-style pair-spread monitor on the daily tier:
+    for every series pair, fit the OLS hedge y = α + β·x on common
+    days, then fit AR(1) on the residual SPREAD over consecutive
+    days and report its mean-reversion half-life. A pair whose
+    spread reverts fast (``stable=1`` when φ ∈ (0,1) and half-life
+    ≤ ``max_halflife_days``) is a RELIABLE RATIO — alert on the
+    spread, not the raw series, and the alert survives traffic
+    growth that would whipsaw any fixed threshold on either leg
+    (the error-rate-vs-traffic idiom). Correlation (``spearman_corr``)
+    says the legs MOVE together; this says their GAP comes back —
+    the property a derived-metric alert actually needs.
+
+    Output: (type_a, type_b, n_days, beta, alpha, phi,
+    half_life_days, stable), floats rounded to 4; pairs with
+    degenerate fits (constant leg, < 3 common days, no consecutive
+    days) report NULLs and stable=0.
+
+    Scale shape: corpus → daily tier once (materialized, the
+    fan-out contract); the pair relation is the day-keyed tier
+    self-join (|types|²·days rows — types is small by
+    construction); OLS coefficients are one aggregate per pair,
+    broadcast back onto the pair rows for the spread; the AR pass
+    is one window + one aggregate over the same relation.
+    """
+    from yahoo_anomaly_detection_spark import caching
+
+    daily = caching.materialize(
+        _daily(events, key, ts_col, value_col))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = caching.materialize(
+        a.join(b, (F.col("a.day") == F.col("b.day"))
+               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .select(F.col(f"a.{key}").alias("type_a"),
+                F.col(f"b.{key}").alias("type_b"),
+                F.col("a.day").alias("day"),
+                F.col("a.y").alias("x"), F.col("b.y").alias("y")))
+    g = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    n = F.col("n")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.when((n >= 3) & (varx > 0),
+                  (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                  / varx)
+    coef = g.select(
+        "type_a", "type_b", n.cast("long").alias("n_days"),
+        beta.alias("beta"),
+        ((F.col("sy") - beta * F.col("sx")) / n).alias("alpha"))
+    sp = (pairs.join(F.broadcast(coef), ["type_a", "type_b"])
+          .where(F.col("beta").isNotNull())
+          .select("type_a", "type_b", "day", "n_days", "beta",
+                  "alpha",
+                  (F.col("y") - F.col("alpha")
+                   - F.col("beta") * F.col("x")).alias("s")))
+    lw = W.partitionBy("type_a", "type_b").orderBy("day")
+    lagged = (sp
+              .withColumn("slag", F.lag("s").over(lw))
+              .withColumn("dlag", F.lag("day").over(lw))
+              .where(F.datediff(F.col("day"), F.col("dlag")) == 1))
+    m = lagged.groupBy("type_a", "type_b", "n_days", "beta",
+                       "alpha").agg(
+        F.count(F.lit(1)).cast("double").alias("np"),
+        F.sum("slag").alias("px"), F.sum("s").alias("py"),
+        F.sum(F.col("slag") * F.col("s")).alias("pxy"),
+        F.sum(F.col("slag") * F.col("slag")).alias("pxx"))
+    npc = F.col("np")
+    pvarx = npc * F.col("pxx") - F.col("px") * F.col("px")
+    phi = F.when((npc >= 2) & (pvarx > 0),
+                 (npc * F.col("pxy") - F.col("px") * F.col("py"))
+                 / pvarx)
+    hl = F.when(phi.isNotNull() & (phi > 0) & (phi < 1),
+                F.lit(-math.log(2.0)) / F.log(phi))
+    hlr = portable_round(hl, _R)
+    out = (coef.join(
+        m.select("type_a", "type_b",
+                 portable_round(phi, _R).alias("phi"),
+                 hlr.alias("half_life_days")),
+        ["type_a", "type_b"], "left"))
+    return out.select(
+        "type_a", "type_b", "n_days",
+        portable_round(F.col("beta"), _R).alias("beta"),
+        portable_round(F.col("alpha"), _R).alias("alpha"),
+        "phi", "half_life_days",
+        F.coalesce(
+            (F.col("half_life_days") <= F.lit(max_halflife_days))
+            .cast("int"), F.lit(0)).alias("stable"))
+
+
+def _spread_monitor_sql(max_halflife_days: float = 7.0) -> str:
+    return f"""
+WITH daily AS ({_DAILY_SQL}),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.day, a.y AS x, b.y AS y
+    FROM daily a JOIN daily b
+      ON a.day = b.day AND a.event_type < b.event_type
+),
+g AS (
+    SELECT type_a, type_b, CAST(count(*) AS DOUBLE) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sxx
+    FROM pairs GROUP BY 1, 2
+),
+coef AS (
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+           END AS beta,
+           sx, sy, n
+    FROM g
+),
+coef2 AS (
+    SELECT type_a, type_b, n_days, beta,
+           (sy - beta * sx) / n AS alpha
+    FROM coef
+),
+sp AS (
+    SELECT p.type_a, p.type_b, p.day,
+           p.y - c.alpha - c.beta * p.x AS s
+    FROM pairs p JOIN coef2 c USING (type_a, type_b)
+    WHERE c.beta IS NOT NULL
+),
+lagged AS (
+    SELECT * FROM (
+        SELECT type_a, type_b, s,
+               lag(s) OVER w AS slag, day, lag(day) OVER w AS dlag
+        FROM sp
+        WINDOW w AS (PARTITION BY type_a, type_b ORDER BY day))
+    WHERE date_diff('day', dlag, day) = 1
+),
+m AS (
+    SELECT type_a, type_b, CAST(count(*) AS DOUBLE) AS np,
+           sum(slag) AS px, sum(s) AS py, sum(slag * s) AS pxy,
+           sum(slag * slag) AS pxx
+    FROM lagged GROUP BY 1, 2
+),
+f AS (
+    SELECT type_a, type_b,
+           CASE WHEN np >= 2 AND np * pxx - px * px > 0
+                THEN (np * pxy - px * py) / (np * pxx - px * px)
+           END AS phi
+    FROM m
+),
+h AS (
+    SELECT type_a, type_b, round(phi, 4) AS phi,
+           round(CASE WHEN phi > 0 AND phi < 1
+                 THEN -ln(2.0) / ln(phi) END, 4) AS half_life_days
+    FROM f
+)
+SELECT c.type_a, c.type_b, c.n_days,
+       round(c.beta, 4) AS beta, round(c.alpha, 4) AS alpha,
+       h.phi, h.half_life_days,
+       CAST(coalesce(h.half_life_days <= {max_halflife_days}, false)
+            AS INT) AS stable
+FROM coef2 c LEFT JOIN h USING (type_a, type_b)
+"""
+
+
+ORACLE_SQL["spread_monitor"] = _spread_monitor_sql()
