@@ -1768,6 +1768,13 @@ def q_matrix_profile(spark, sf_dir):
     return statstests.matrix_profile(_events_raw(spark, sf_dir))
 
 
+def q_coreset_kcenter(spark, sf_dir):
+    # greedy k-center diversity coreset over embeddings: one corpus
+    # materialization, one map-side aggregate per round, argmax via
+    # a single BIGINT encoding mirrored as k chained oracle CTEs
+    return similarity.coreset_kcenter(_embs(spark, sf_dir))
+
+
 def q_spread_monitor(spark, sf_dir):
     # Engle-Granger-style pair spread: OLS hedge per pair + AR(1)
     # half-life of the residual spread; tier-sized pair relation
@@ -2324,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variance_decomp": q_variance_decomp,
         "matrix_profile": q_matrix_profile,
         "spread_monitor": q_spread_monitor,
+        "coreset_kcenter": q_coreset_kcenter,
     }
 
 

@@ -211,6 +211,7 @@ HEADLINE = [
     "variance_decomp",
     "matrix_profile",
     "spread_monitor",
+    "coreset_kcenter",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -1022,3 +1022,75 @@ def test_spread_monitor_degenerate_pairs_null(spark):
                                 "live": list(range(10))}))).collect()}
     r = out[("const", "live")]
     assert r.beta is None and r.stable == 0
+
+
+# ------------------------------------------------------ coreset_kcenter
+def _kcenter_replica(vecs, k):
+    import numpy as _np
+
+    ids = sorted(vecs)
+    sel = [min(ids)]
+    radii = [None]
+    unit = {i: _np.asarray(v) / _np.linalg.norm(v)
+            for i, v in vecs.items()}
+    nrm = {i: float(_np.linalg.norm(v)) for i, v in vecs.items()}
+    raw = {i: _np.asarray(v, float) for i, v in vecs.items()}
+    while len(sel) < k and len(sel) < len(ids):
+        best = None
+        for i in ids:
+            if i in sel:
+                continue
+            dm = min(1 - float(raw[i] @ raw[c]) / (nrm[i] * nrm[c])
+                     for c in sel)
+            d4 = math.floor((dm + 1e-9) * 1e4 + 0.5)
+            cand = (d4, -i)
+            if best is None or cand > best:
+                best = cand
+        sel.append(-best[1])
+        radii.append(best[0] / 1e4)
+    return sel, radii
+
+
+def test_coreset_kcenter_matches_greedy_replica(spark):
+    rng = np.random.RandomState(91)
+    # three tight clusters + outliers: k=4 must cover all clusters
+    # before refining any of them (the k-center property)
+    centers = [rng.randn(8) * 0.1 + off
+               for off in ([5, 0, 0, 0, 0, 0, 0, 0],
+                           [0, 5, 0, 0, 0, 0, 0, 0],
+                           [0, 0, 5, 0, 0, 0, 0, 0])]
+    vecs = {}
+    vid = 0
+    for c in centers:
+        for _ in range(6):
+            vecs[vid] = (c + rng.randn(8) * 0.05).tolist()
+            vid += 1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int")
+    from yahoo_anomaly_detection_spark.operators import similarity
+
+    got = {r.sel_rank: (r.vec_id, r.radius)
+           for r in similarity.coreset_kcenter(df, k=4).collect()}
+    # float32 storage: replica must quantize identically
+    f32 = {i: np.asarray(v, np.float32).astype(float).tolist()
+           for i, v in vecs.items()}
+    sel, radii = _kcenter_replica(f32, 4)
+    assert [got[r][0] for r in range(4)] == sel
+    for r in range(1, 4):
+        assert got[r][1] == pytest.approx(radii[r], abs=2e-4)
+    # coverage: the first three picks hit three DIFFERENT clusters
+    first3_clusters = {got[r][0] // 6 for r in range(3)}
+    assert len(first3_clusters) == 3
+    # radius sequence is non-increasing (greedy max-min property)
+    assert got[1][1] >= got[2][1] >= got[3][1]
+
+
+def test_coreset_kcenter_k_exceeds_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int")
+    from yahoo_anomaly_detection_spark.operators import similarity
+
+    rows = similarity.coreset_kcenter(df, k=5).collect()
+    assert len(rows) == 2

@@ -1072,3 +1072,131 @@ FROM per_vec GROUP BY 1
 
 
 ORACLE_SQL["label_centroid_qc"] = _label_centroid_sql()
+
+
+# ------------------------------------------------------ coreset_kcenter
+def coreset_kcenter(embs: DataFrame, k: int = 8,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985) over cosine
+    distance: start from the smallest id, then repeatedly add the
+    vector FARTHEST from the selected set (max of min-distance,
+    ties → smallest id) — the classic 2-approximation to the
+    k-center cover, used as DIVERSITY SAMPLING in training-data
+    curation: where ``stratified_sample`` balances labels and
+    ``weighted_sample`` follows quality weights, the k-center picks
+    maximize COVERAGE of embedding space, and the selection radius
+    sequence reports how well k points cover the corpus (the r-th
+    radius bounds every remaining vector's distance to the set).
+
+    Deterministic on both engines: each round's argmax is the max
+    of ONE BIGINT encoding round(dist·10⁴)·10¹² + (10¹²−1−vec_id),
+    mirrored in the oracle as k chained CTEs (the greedy loop
+    UNROLLED into SQL — each round a singleton CTE selected by the
+    same integer argmax over the same rounded distance).
+
+    Output: (sel_rank, vec_id, radius) — k rows; radius is the
+    selected vector's min-distance at selection time (NULL for
+    rank 0), rounded to 4.
+
+    Scale shape: one corpus materialization (unit norms attached);
+    each round is ONE map-side aggregate over it — the selected
+    centers travel as ≤ k·64 literals in the plan, and the only
+    driver-side values are each round's winner row (a scalar per
+    round, the connected-components-loop contract). Total work
+    k²·N dot products, embarrassingly parallel, zero shuffles
+    beyond the aggregates.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = caching.materialize(
+        embs.select(F.col(id_col).alias("vec_id"),
+                    _vecd(vec_col).alias("e"))
+        .withColumn("nrm", _norm("e")))
+    spark = embs.sparkSession
+    first = (base.orderBy("vec_id")
+             .select("vec_id", "e", "nrm").first())
+    sel = [(0, int(first[0]), list(first[1]), float(first[2]), None)]
+    for _ in range(1, int(k)):
+        dists = []
+        for _, cid, cvec, cnrm, _r in sel:
+            lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+            dot = F.expr(
+                "aggregate(zip_with(e, _cv, (x, y) -> x * y), "
+                "cast(0.0 as double), (acc, v) -> acc + v)")
+            d = (F.lit(1.0)
+                 - dot / (F.col("nrm") * F.lit(cnrm)))
+            dists.append((lit_vec, d))
+        picked = base
+        mind = None
+        for i, (lv, d) in enumerate(dists):
+            picked = picked.withColumn(f"_cv", lv)
+            d_named = d
+            picked = picked.withColumn(f"_d{i}", d_named).drop("_cv")
+            mind = (F.col(f"_d{i}") if mind is None
+                    else F.least(mind, F.col(f"_d{i}")))
+        d4 = F.round((mind + F.lit(1e-9)) * F.lit(1e4)).cast("long")
+        enc = (d4 * F.lit(1_000_000_000_000)
+               + (F.lit(999_999_999_999)
+                  - F.col("vec_id").cast("long")))
+        sel_ids = [c[1] for c in sel]
+        cand = picked.where(~F.col("vec_id").isin(sel_ids))
+        [row] = (cand.select(enc.alias("enc"), "vec_id", "e", "nrm")
+                 .agg(F.max("enc").alias("enc"),
+                      F.max_by(F.struct("vec_id", "e", "nrm"), "enc")
+                      .alias("w"))
+                 .collect())
+        if row["enc"] is None:      # corpus exhausted before k
+            break
+        radius = float(int(row["enc"]) // 1_000_000_000_000) / 1e4
+        w = row["w"]
+        sel.append((len(sel), int(w["vec_id"]), list(w["e"]),
+                    float(w["nrm"]), radius))
+    return spark.createDataFrame(
+        [(r, i, rad) for r, i, _v, _n, rad in sel],
+        "sel_rank int, vec_id long, radius double")
+
+
+def _coreset_sql(k: int = 8) -> str:
+    def dot(a: str, b: str) -> str:
+        return _DOT_SQL.format(a=a, b=b, dim=DIM)
+
+    ctes = [
+        "base AS MATERIALIZED (SELECT vec_id, "
+        f"{_VECD_SQL.format(e='embedding')} AS e, "
+        f"{_NORM_SQL.format(a=_VECD_SQL.format(e='embedding'))} AS nrm "
+        "FROM embeddings)",
+        "s0 AS MATERIALIZED (SELECT vec_id, e, nrm FROM base "
+        "ORDER BY vec_id LIMIT 1)",
+    ]
+    for r in range(1, int(k)):
+        prev = ", ".join(f"s{j}" for j in range(r))
+        mins = ", ".join(
+            f"1.0 - ({dot('b.e', f's{j}.e')}) / (b.nrm * s{j}.nrm)"
+            for j in range(r))
+        least = f"least({mins})" if r > 1 else mins
+        not_in = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(r))
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT b.vec_id, b.e, b.nrm, "
+            f"CAST(round(({least} + 1e-9) * 1e4) AS BIGINT) AS d4 "
+            f"FROM base b, {prev} "
+            f"WHERE b.vec_id NOT IN ({not_in}))")
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT max(d4 * 1000000000000 "
+            f"+ (999999999999 - vec_id)) AS enc FROM d{r})")
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT d.vec_id, d.e, d.nrm, "
+            f"CAST(p.enc // 1000000000000 AS DOUBLE) / 1e4 AS radius "
+            f"FROM d{r} d, p{r} p "
+            f"WHERE d.vec_id = 999999999999 - p.enc % 1000000000000)")
+    selects = ["SELECT 0 AS sel_rank, vec_id, "
+               "CAST(NULL AS DOUBLE) AS radius FROM s0"]
+    for r in range(1, int(k)):
+        selects.append(
+            f"SELECT {r} AS sel_rank, vec_id, radius FROM s{r}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL ".join(selects))
+
+
+ORACLE_SQL["coreset_kcenter"] = _coreset_sql()
