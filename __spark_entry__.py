@@ -1775,6 +1775,12 @@ def q_coreset_kcenter(spark, sf_dir):
     return similarity.coreset_kcenter(_embs(spark, sf_dir))
 
 
+def q_mmr_rerank(spark, sf_dir):
+    # maximal-marginal-relevance reranking: relevance-vs-redundancy
+    # greedy with the same unrolled-argmax determinism as coreset
+    return similarity.mmr_rerank(_embs(spark, sf_dir))
+
+
 def q_spread_monitor(spark, sf_dir):
     # Engle-Granger-style pair spread: OLS hedge per pair + AR(1)
     # half-life of the residual spread; tier-sized pair relation
@@ -2332,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile": q_matrix_profile,
         "spread_monitor": q_spread_monitor,
         "coreset_kcenter": q_coreset_kcenter,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 

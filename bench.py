@@ -212,6 +212,7 @@ HEADLINE = [
     "matrix_profile",
     "spread_monitor",
     "coreset_kcenter",
+    "mmr_rerank",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

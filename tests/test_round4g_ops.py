@@ -1094,3 +1094,58 @@ def test_coreset_kcenter_k_exceeds_corpus(spark):
 
     rows = similarity.coreset_kcenter(df, k=5).collect()
     assert len(rows) == 2
+
+
+# --------------------------------------------------------- mmr_rerank
+def test_mmr_rerank_balances_relevance_and_diversity(spark):
+    rng = np.random.RandomState(97)
+    # query q; near-duplicate pair very relevant; one relevant-but-
+    # distinct doc; several irrelevant docs
+    q = np.array([1.0, 0, 0, 0])
+    rows = {
+        0: q,                                   # the query itself
+        1: np.array([0.99, 0.1, 0, 0]),         # top relevant
+        2: np.array([0.99, 0.1, 0, 0]),         # its EXACT duplicate
+        3: np.array([0.6, 0, 0.8, 0]),          # relevant + distinct
+        4: np.array([0, 1.0, 0, 0]),            # irrelevant
+        5: np.array([0, 0, 0, 1.0]),            # irrelevant
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows.items()],
+        "vec_id long, embedding array<float>, label int")
+    from yahoo_anomaly_detection_spark.operators import similarity
+
+    # lam=0.5: the duplicate's redundancy term (sim=1) sinks it
+    # below the distinct doc despite near-max relevance
+    picks = [r.vec_id for r in sorted(
+        similarity.mmr_rerank(df, query_id=0, k=3, lam=0.5)
+        .collect(), key=lambda r: r.sel_rank)]
+    # rank 0 = most relevant (1); rank 1 must SKIP the duplicate
+    # (2) in favor of the distinct doc (3); rank 2 shows the full
+    # pecking order: even an irrelevant-but-novel doc (5: rel 0,
+    # redundancy 0, score 0) outranks the duplicate (score < 0)
+    assert picks == [1, 3, 5]
+
+
+def test_mmr_rerank_lambda_one_is_pure_relevance(spark):
+    rng = np.random.RandomState(101)
+    vecs = {i: rng.randn(8) for i in range(12)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int")
+    from yahoo_anomaly_detection_spark.operators import similarity
+
+    got = [r.vec_id for r in sorted(
+        similarity.mmr_rerank(df, query_id=0, k=4, lam=1.0)
+        .collect(), key=lambda r: r.sel_rank)]
+    # replica: cosine to query desc, rounded, ties by id (float32!)
+    q = np.asarray(vecs[0], np.float32).astype(float)
+    scored = []
+    for i, v in vecs.items():
+        if i == 0:
+            continue
+        v = np.asarray(v, np.float32).astype(float)
+        c = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        scored.append((-math.floor((c + 2 + 1e-9) * 1e4 + 0.5), i))
+    want = [i for _, i in sorted(scored)[:4]]
+    assert got == want

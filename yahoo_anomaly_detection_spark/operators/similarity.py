@@ -1200,3 +1200,144 @@ def _coreset_sql(k: int = 8) -> str:
 
 
 ORACLE_SQL["coreset_kcenter"] = _coreset_sql()
+
+
+# ------------------------------------------------------ mmr_rerank
+def mmr_rerank(embs: DataFrame, query_id: int = 0, k: int = 5,
+               lam: float = 0.7, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick the candidate maximizing
+    λ·cos(query, v) − (1−λ)·max_{s∈selected} cos(s, v) — the
+    relevance-vs-redundancy tradeoff every retrieval stage wants
+    between the ANN top-k (pure relevance: near-duplicates crowd
+    the list) and :func:`coreset_kcenter` (pure diversity, no
+    query). The query is the ``query_id`` row's own embedding;
+    candidates are all other rows.
+
+    Deterministic on both engines: each round's winner is the max
+    of ONE BIGINT encoding round((score+2)·10⁴)·10¹² +
+    (10¹²−1−vec_id) — the +2 shift keeps the MMR score (∈ [−1, 1])
+    positive so the integer encoding orders correctly; the oracle
+    unrolls the loop into k chained MATERIALIZED CTEs with the same
+    argmax.
+
+    Output: (sel_rank, vec_id, score) — k rows, score rounded to 4
+    (rank 0 = pure relevance, no redundancy term yet).
+
+    Scale shape: one corpus materialization with unit norms and the
+    broadcast query vector; one map-side aggregate per round with
+    the ≤ k selected vectors as plan literals — the
+    :func:`coreset_kcenter` loop contract (per-round winner rows
+    are the only driver values).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    lam = float(lam)
+    base = caching.materialize(
+        embs.select(F.col(id_col).alias("vec_id"),
+                    _vecd(vec_col).alias("e"))
+        .withColumn("nrm", _norm("e")))
+    spark = embs.sparkSession
+    [q] = base.where(F.col("vec_id") == query_id) \
+        .select("e", "nrm").collect()
+    qvec, qnrm = list(q[0]), float(q[1])
+
+    def _cos_to(vec: list, nrm: float) -> Column:
+        lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+        dot = F.expr(
+            "aggregate(zip_with(e, _cv, (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, v) -> acc + v)")
+        return dot / (F.col("nrm") * F.lit(nrm)), lit_vec
+
+    sel: list = []
+    for _ in range(int(k)):
+        rel_expr, q_lit = _cos_to(qvec, qnrm)
+        cand = base.withColumn("_cv", q_lit) \
+            .withColumn("_rel", rel_expr).drop("_cv")
+        red = None
+        for i, (_rk, _id, svec, snrm, _sc) in enumerate(sel):
+            sim, s_lit = _cos_to(svec, snrm)
+            cand = (cand.withColumn("_cv", s_lit)
+                    .withColumn(f"_s{i}", sim).drop("_cv"))
+            red = (F.col(f"_s{i}") if red is None
+                   else F.greatest(red, F.col(f"_s{i}")))
+        score = (F.lit(lam) * F.col("_rel")
+                 - (F.lit(1.0 - lam) * red if red is not None
+                    else F.lit(0.0)))
+        s4 = F.round((score + F.lit(2.0) + F.lit(1e-9))
+                     * F.lit(1e4)).cast("long")
+        enc = (s4 * F.lit(1_000_000_000_000)
+               + (F.lit(999_999_999_999)
+                  - F.col("vec_id").cast("long")))
+        sel_ids = [c[1] for c in sel] + [int(query_id)]
+        [row] = (cand.where(~F.col("vec_id").isin(sel_ids))
+                 .select(enc.alias("enc"), "vec_id", "e", "nrm")
+                 .agg(F.max("enc").alias("enc"),
+                      F.max_by(F.struct("vec_id", "e", "nrm"), "enc")
+                      .alias("w"))
+                 .collect())
+        if row["enc"] is None:
+            break
+        s4v = int(row["enc"]) // 1_000_000_000_000
+        w = row["w"]
+        sel.append((len(sel), int(w["vec_id"]), list(w["e"]),
+                    float(w["nrm"]), s4v / 1e4 - 2.0))
+    return spark.createDataFrame(
+        [(r, i, round(sc + 1e-9, 4))
+         for r, i, _v, _n, sc in sel],
+        "sel_rank int, vec_id long, score double")
+
+
+def _mmr_sql(query_id: int = 0, k: int = 5, lam: float = 0.7) -> str:
+    lam = float(lam)
+
+    def dot(a: str, b: str) -> str:
+        return _DOT_SQL.format(a=a, b=b, dim=DIM)
+
+    def cos(tbl: str) -> str:
+        return (f"({dot('b.e', f'{tbl}.e')})"
+                f" / (b.nrm * {tbl}.nrm)")
+
+    ctes = [
+        "base AS MATERIALIZED (SELECT vec_id, "
+        f"{_VECD_SQL.format(e='embedding')} AS e, "
+        f"{_NORM_SQL.format(a=_VECD_SQL.format(e='embedding'))} AS nrm "
+        "FROM embeddings)",
+        f"qv AS MATERIALIZED (SELECT e, nrm FROM base "
+        f"WHERE vec_id = {int(query_id)})",
+    ]
+    for r in range(int(k)):
+        prev = "".join(f", m{j}" for j in range(r))
+        if r == 0:
+            score = f"{lam} * (({dot('b.e', 'qv.e')}) / (b.nrm * qv.nrm))"
+        else:
+            sims = ", ".join(cos(f"m{j}") for j in range(r))
+            red = f"greatest({sims})" if r > 1 else sims
+            score = (f"{lam} * (({dot('b.e', 'qv.e')})"
+                     f" / (b.nrm * qv.nrm)) - {1.0 - lam} * ({red})")
+        not_in = " UNION ALL ".join(
+            [f"SELECT {int(query_id)} AS vec_id"]
+            + [f"SELECT vec_id FROM m{j}" for j in range(r)])
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT b.vec_id, b.e, b.nrm, "
+            f"CAST(round((({score}) + 2.0 + 1e-9) * 1e4) AS BIGINT)"
+            f" AS s4 "
+            f"FROM base b, qv{prev} "
+            f"WHERE b.vec_id NOT IN ({not_in}))")
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT max(s4 * 1000000000000 "
+            f"+ (999999999999 - vec_id)) AS enc FROM c{r})")
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT c.vec_id, c.e, c.nrm, "
+            f"CAST(p.enc // 1000000000000 AS DOUBLE) / 1e4 - 2.0 "
+            f"AS score FROM c{r} c, p{r} p "
+            f"WHERE c.vec_id = 999999999999 - p.enc % 1000000000000)")
+    selects = [
+        f"SELECT {r} AS sel_rank, vec_id, round(score + 1e-9, 4) "
+        f"AS score FROM m{r}" for r in range(int(k))]
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL ".join(selects))
+
+
+ORACLE_SQL["mmr_rerank"] = _mmr_sql()
