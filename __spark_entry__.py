@@ -1781,6 +1781,18 @@ def q_mmr_rerank(spark, sf_dir):
     return similarity.mmr_rerank(_embs(spark, sf_dir))
 
 
+def q_granger_1d(spark, sf_dir):
+    # directional lagged-predictor F-test per ordered pair: does
+    # x's yesterday improve y's AR(1) forecast; one moment agg/pair
+    return statstests.granger_1d(_events_raw(spark, sf_dir))
+
+
+def q_seasonal_mk(spark, sf_dir):
+    # Hirsch-Slack seasonal Mann-Kendall (weekday seasons): trend
+    # test a weekly cycle can't fool; same-weekday pair join
+    return statstests.seasonal_mk(_events_raw(spark, sf_dir))
+
+
 def q_spread_monitor(spark, sf_dir):
     # Engle-Granger-style pair spread: OLS hedge per pair + AR(1)
     # half-life of the residual spread; tier-sized pair relation
@@ -2339,6 +2351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spread_monitor": q_spread_monitor,
         "coreset_kcenter": q_coreset_kcenter,
         "mmr_rerank": q_mmr_rerank,
+        "granger_1d": q_granger_1d,
+        "seasonal_mk": q_seasonal_mk,
     }
 
 

@@ -213,6 +213,8 @@ HEADLINE = [
     "spread_monitor",
     "coreset_kcenter",
     "mmr_rerank",
+    "granger_1d",
+    "seasonal_mk",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -1149,3 +1149,70 @@ def test_mmr_rerank_lambda_one_is_pure_relevance(spark):
         scored.append((-math.floor((c + 2 + 1e-9) * 1e4 + 0.5), i))
     want = [i for _, i in sorted(scored)[:4]]
     assert got == want
+
+
+# ----------------------------------------------------------- granger_1d
+def test_granger_detects_planted_direction(spark):
+    rng = np.random.RandomState(103)
+    x = rng.randn(200) * 3 + 50
+    y = np.empty(200)
+    y[0] = 10
+    for t in range(1, 200):        # y depends on x's yesterday
+        y[t] = 0.3 * y[t - 1] + 0.9 * x[t - 1] + rng.randn() * 0.2
+    z = rng.randn(200) + 20        # unrelated
+    out = {(r.x_type, r.y_type): r for r in statstests.granger_1d(
+        _ev(spark, _daily_rows({"x": x, "y": y, "z": z}))).collect()}
+    assert out[("x", "y")].leads == 1        # x -> y strongly
+    assert out[("z", "y")].leads == 0        # z does not lead y
+    assert out[("x", "y")].f_stat > 100
+    # directionality: y's yesterday should NOT beat x's own AR
+    # (x is exogenous noise), so y -> x is weak
+    assert out[("y", "x")].f_stat is None or \
+        out[("y", "x")].f_stat < out[("x", "y")].f_stat
+    assert len(out) == 6
+
+
+def test_granger_matches_numpy_ols(spark):
+    rng = np.random.RandomState(107)
+    x = rng.rand(60) * 10
+    y = rng.rand(60) * 10
+    out = {(r.x_type, r.y_type): r for r in statstests.granger_1d(
+        _ev(spark, _daily_rows({"x": x, "y": y}))).collect()}
+    yv, yl, xl = y[1:], y[:-1], x[:-1]
+    X_r = np.column_stack([np.ones(59), yl])
+    X_f = np.column_stack([np.ones(59), yl, xl])
+    rss = lambda X: float(
+        ((yv - X @ np.linalg.lstsq(X, yv, rcond=None)[0]) ** 2)
+        .sum())
+    f = ((rss(X_r) - rss(X_f)) / 1) / (rss(X_f) / (59 - 3))
+    assert out[("x", "y")].f_stat == pytest.approx(f, rel=1e-3)
+
+
+# ----------------------------------------------------------- seasonal_mk
+def test_seasonal_mk_ignores_weekly_cycle_catches_trend(spark):
+    n = 63   # 9 full weeks
+    wk = np.tile([0, 0, 0, 0, 0, 40, 40], 9)     # strong weekend lift
+    rng = np.random.RandomState(109)
+    noise = rng.rand(n)
+    series = {
+        "cyc": 50 + wk + noise,                   # cycle, no trend
+        "cyc_trend": 50 + wk + np.arange(n) * 0.5 + noise,
+    }
+    got = {r.event_type: r for r in statstests.seasonal_mk(
+        _ev(spark, _daily_rows(series))).collect()}
+    assert got["cyc"].trend == 0
+    assert got["cyc_trend"].trend == 1
+    # replica: per-weekday S and var summed
+    def smk(vals):
+        s = 0
+        var = 0.0
+        for w in range(7):
+            sub = [v for i, v in enumerate(vals) if i % 7 == w]
+            m = len(sub)
+            s += sum(np.sign(sub[j] - sub[i])
+                     for i in range(m) for j in range(i + 1, m))
+            var += m * (m - 1) * (2 * m + 5) / 18.0  # no ties here
+        return s, var
+    s, var = smk(series["cyc_trend"])
+    assert got["cyc_trend"].s == s
+    assert got["cyc_trend"].var_s == pytest.approx(var, abs=1e-4)

@@ -1966,3 +1966,267 @@ FROM coef2 c LEFT JOIN h USING (type_a, type_b)
 
 
 ORACLE_SQL["spread_monitor"] = _spread_monitor_sql()
+
+
+# --------------------------------------------------------- granger_1d
+def granger_1d(events: DataFrame, f_crit: float = 4.0,
+               key: str = "event_type", ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Granger-style lagged-predictor test per ORDERED series pair
+    on the daily tier: does adding x's yesterday to y's own
+    yesterday improve the one-step forecast of y? Restricted model
+    y_t ~ y_{t−1}; full model y_t ~ y_{t−1} + x_{t−1}; report the
+    F-statistic ((RSS_r − RSS_f)/1) / (RSS_f/(n−3)) and
+    ``leads=1`` when F > ``f_crit`` (≈ the 5% critical value for
+    (1, n−3) dof at moderate n). The DIRECTIONAL complement of
+    ``leadlag_1h``/``spearman_corr``: correlation is symmetric,
+    Granger asks which one helps PREDICT the other — x→y and y→x
+    are separate rows and often disagree (traffic leads errors;
+    errors don't lead traffic).
+
+    Both fits are closed-form from one pass of moment sums
+    (2-predictor OLS via the normal equations / Cramer's rule), so
+    the whole test is: tier → day-join pairs → lag window → ONE
+    moment aggregate per ordered pair. Degenerate fits (collinear
+    or constant predictors, n < 4) report NULL F and leads=0.
+
+    Output: (x_type, y_type, n, f_stat, leads), f rounded to 4.
+
+    Scale shape: corpus → daily tier once (materialized); ordered
+    pairs from the day-keyed tier self-join (|types|²·days rows);
+    consecutive-day lags from one pair-keyed window; ten moment
+    sums in ONE map-side-combined aggregate per pair.
+    """
+    from yahoo_anomaly_detection_spark import caching
+
+    daily = caching.materialize(
+        _daily(events, key, ts_col, value_col))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (a.join(b, (F.col("a.day") == F.col("b.day"))
+                    & (F.col(f"a.{key}") != F.col(f"b.{key}")))
+             .select(F.col(f"a.{key}").alias("x_type"),
+                     F.col(f"b.{key}").alias("y_type"),
+                     F.col("a.day").alias("day"),
+                     F.col("a.y").alias("x"),
+                     F.col("b.y").alias("y")))
+    lw = W.partitionBy("x_type", "y_type").orderBy("day")
+    lagged = (pairs
+              .withColumn("yl", F.lag("y").over(lw))
+              .withColumn("xl", F.lag("x").over(lw))
+              .withColumn("dl", F.lag("day").over(lw))
+              .where(F.datediff(F.col("day"), F.col("dl")) == 1))
+    mom = lagged.groupBy("x_type", "y_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").alias("sy"), F.sum("yl").alias("s1"),
+        F.sum("xl").alias("s2"),
+        F.sum(F.col("y") * F.col("yl")).alias("sy1"),
+        F.sum(F.col("y") * F.col("xl")).alias("sy2"),
+        F.sum(F.col("yl") * F.col("yl")).alias("s11"),
+        F.sum(F.col("xl") * F.col("xl")).alias("s22"),
+        F.sum(F.col("yl") * F.col("xl")).alias("s12"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n = F.col("n")
+    # centered moments
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    cy1 = F.col("sy1") - F.col("sy") * F.col("s1") / n
+    cy2 = F.col("sy2") - F.col("sy") * F.col("s2") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    # restricted: y ~ yl -> RSS_r = cyy - cy1^2/c11
+    rss_r = cyy - cy1 * cy1 / c11
+    # full: y ~ yl + xl (Cramer) -> RSS_f = cyy - b1*cy1 - b2*cy2
+    det = c11 * c22 - c12 * c12
+    b1 = (cy1 * c22 - cy2 * c12) / det
+    b2 = (cy2 * c11 - cy1 * c12) / det
+    rss_f = cyy - b1 * cy1 - b2 * cy2
+    f_ok = (n >= 4) & (c11 > 0) & (det > 0) & (rss_f > 0)
+    f_stat = F.when(f_ok, (rss_r - rss_f) / (rss_f / (n - 3)))
+    fr = portable_round(f_stat, _R)
+    return mom.select(
+        "x_type", "y_type", n.cast("long").alias("n"),
+        fr.alias("f_stat"),
+        F.coalesce((fr > F.lit(float(f_crit))).cast("int"),
+                   F.lit(0)).alias("leads"))
+
+
+def _granger_sql(f_crit: float = 4.0) -> str:
+    return f"""
+WITH daily AS ({_DAILY_SQL}),
+pairs AS (
+    SELECT a.event_type AS x_type, b.event_type AS y_type,
+           a.day, a.y AS x, b.y AS y
+    FROM daily a JOIN daily b
+      ON a.day = b.day AND a.event_type <> b.event_type
+),
+lagged AS (
+    SELECT * FROM (
+        SELECT x_type, y_type, day, y,
+               lag(y) OVER w AS yl, lag(x) OVER w AS xl,
+               lag(day) OVER w AS dl
+        FROM pairs
+        WINDOW w AS (PARTITION BY x_type, y_type ORDER BY day))
+    WHERE date_diff('day', dl, day) = 1
+),
+mom AS (
+    SELECT x_type, y_type, CAST(count(*) AS DOUBLE) AS n,
+           sum(y) AS sy, sum(yl) AS s1, sum(xl) AS s2,
+           sum(y * yl) AS sy1, sum(y * xl) AS sy2,
+           sum(yl * yl) AS s11, sum(xl * xl) AS s22,
+           sum(yl * xl) AS s12, sum(y * y) AS syy
+    FROM lagged GROUP BY 1, 2
+),
+c AS (
+    SELECT *,
+           s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+           s12 - s1 * s2 / n AS c12, sy1 - sy * s1 / n AS cy1,
+           sy2 - sy * s2 / n AS cy2, syy - sy * sy / n AS cyy
+    FROM mom
+),
+f AS (
+    SELECT x_type, y_type, n,
+           CASE WHEN n >= 4 AND c11 > 0
+                 AND c11 * c22 - c12 * c12 > 0
+                 AND cyy - ((cy1 * c22 - cy2 * c12)
+                            / (c11 * c22 - c12 * c12)) * cy1
+                       - ((cy2 * c11 - cy1 * c12)
+                          / (c11 * c22 - c12 * c12)) * cy2 > 0
+           THEN ((cyy - cy1 * cy1 / c11)
+                 - (cyy - ((cy1 * c22 - cy2 * c12)
+                           / (c11 * c22 - c12 * c12)) * cy1
+                        - ((cy2 * c11 - cy1 * c12)
+                           / (c11 * c22 - c12 * c12)) * cy2))
+                / ((cyy - ((cy1 * c22 - cy2 * c12)
+                           / (c11 * c22 - c12 * c12)) * cy1
+                        - ((cy2 * c11 - cy1 * c12)
+                           / (c11 * c22 - c12 * c12)) * cy2)
+                   / (n - 3))
+           END AS f_stat
+    FROM c
+)
+SELECT x_type, y_type, CAST(n AS BIGINT) AS n,
+       round(f_stat, 4) AS f_stat,
+       CAST(coalesce(round(f_stat, 4) > {float(f_crit)}, false)
+            AS INT) AS leads
+FROM f
+"""
+
+
+ORACLE_SQL["granger_1d"] = _granger_sql()
+
+
+# --------------------------------------------------------- seasonal_mk
+def seasonal_mk(events: DataFrame, z_crit: float = 1.96,
+                key: str = "event_type", ts_col: str = "ts",
+                value_col: str = "value") -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch & Slack 1984) on the daily
+    tier with WEEKDAY seasons: compute S and tie-corrected Var(S)
+    within each weekday separately (Mondays compared only to other
+    Mondays), then sum across seasons — a trend test that a strong
+    weekly cycle cannot fool, where the plain :func:`mann_kendall`
+    inflates |S| by comparing weekend troughs to weekday peaks.
+    Weekday = epoch-day mod 7 (a pure grouping label — the test is
+    invariant to which day is "0").
+
+    Output: (event_type, n_days, s, var_s, z, trend), same
+    contract as :func:`mann_kendall`.
+
+    Scale shape: identical to :func:`mann_kendall` with the pair
+    join further restricted to same-weekday pairs (×7 fewer
+    pairs); one materialized tier, three tier-sized aggregates.
+    """
+    from yahoo_anomaly_detection_spark import caching
+
+    daily = caching.materialize(
+        _daily(events, key, ts_col, value_col)
+        .withColumn("wd", F.floor(
+            F.unix_timestamp("day") / F.lit(86400)) % 7))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a.wd") == F.col("b.wd"))
+                & (F.col("a.day") < F.col("b.day")))
+         .groupBy(F.col(f"a.{key}").alias(key))
+         .agg(F.sum(F.signum(F.col("b.y") - F.col("a.y")))
+              .cast("long").alias("s")))
+    n_tot = daily.groupBy(key).agg(F.count(F.lit(1)).alias("n_days"))
+    per_wd = daily.groupBy(key, "wd").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"))
+    t = F.col("t").cast("double")
+    ties = (daily.groupBy(key, "wd", "y")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .groupBy(key, "wd")
+            .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("ttg")))
+    var_g = (per_wd.join(ties, [key, "wd"])
+             .select(key,
+                     ((F.col("ng") * (F.col("ng") - 1)
+                       * (2 * F.col("ng") + 5) - F.col("ttg"))
+                      / F.lit(18.0)).alias("vg"))
+             .groupBy(key).agg(F.sum("vg").alias("var_s")))
+    sd = F.col("s").cast("double")
+    var_s = F.col("var_s")
+    z = (F.when(var_s <= 0, F.lit(0.0))
+         .when(sd > 0, (sd - 1) / F.sqrt(var_s))
+         .when(sd < 0, (sd + 1) / F.sqrt(var_s))
+         .otherwise(F.lit(0.0)))
+    out = n_tot.join(s, key).join(var_g, key).withColumn("_z", z)
+    zr = portable_round(F.col("_z"), _R)
+    return out.select(
+        key, "n_days", "s",
+        portable_round(var_s, _R).alias("var_s"),
+        zr.alias("z"),
+        (F.when(zr > F.lit(z_crit), F.lit(1))
+         .when(zr < F.lit(-z_crit), F.lit(-1))
+         .otherwise(F.lit(0))).alias("trend"))
+
+
+def _seasonal_mk_sql(z_crit: float = 1.96) -> str:
+    return f"""
+WITH daily AS (
+    SELECT *, CAST(epoch(day) // 86400 % 7 AS BIGINT) AS wd
+    FROM ({_DAILY_SQL})
+),
+s AS (
+    SELECT a.event_type, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.wd = b.wd
+     AND a.day < b.day
+    GROUP BY 1
+),
+n AS (
+    SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1
+),
+pw AS (
+    SELECT event_type, wd, CAST(count(*) AS DOUBLE) AS ng
+    FROM daily GROUP BY 1, 2
+),
+ties AS (
+    SELECT event_type, wd,
+           sum(CAST(t AS DOUBLE) * (t - 1) * (2 * t + 5)) AS ttg
+    FROM (SELECT event_type, wd, y, count(*) AS t
+          FROM daily GROUP BY 1, 2, 3)
+    GROUP BY 1, 2
+),
+v AS (
+    SELECT p.event_type,
+           sum((p.ng * (p.ng - 1) * (2 * p.ng + 5) - t.ttg)
+               / 18.0) AS var_s
+    FROM pw p JOIN ties t USING (event_type, wd)
+    GROUP BY 1
+),
+zz AS (
+    SELECT n.event_type, n.n_days, s.s, v.var_s,
+           round(CASE
+                 WHEN v.var_s <= 0 THEN 0.0
+                 WHEN s.s > 0 THEN (s.s - 1) / sqrt(v.var_s)
+                 WHEN s.s < 0 THEN (s.s + 1) / sqrt(v.var_s)
+                 ELSE 0.0 END, 4) AS z
+    FROM n JOIN s USING (event_type) JOIN v USING (event_type)
+)
+SELECT event_type, n_days, s, round(var_s, 4) AS var_s, z,
+       CASE WHEN z > {z_crit} THEN 1
+            WHEN z < -{z_crit} THEN -1 ELSE 0 END AS trend
+FROM zz
+"""
+
+
+ORACLE_SQL["seasonal_mk"] = _seasonal_mk_sql()
