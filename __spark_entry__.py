@@ -1793,6 +1793,13 @@ def q_seasonal_mk(spark, sf_dir):
     return statstests.seasonal_mk(_events_raw(spark, sf_dir))
 
 
+def q_corr_break(spark, sf_dir):
+    # decoupling alarm: Fisher-z test on before/after-midpoint
+    # Pearson r per pair; one conditional moment agg over the
+    # day-keyed tier self-join
+    return statstests.corr_break(_events_raw(spark, sf_dir))
+
+
 def q_spread_monitor(spark, sf_dir):
     # Engle-Granger-style pair spread: OLS hedge per pair + AR(1)
     # half-life of the residual spread; tier-sized pair relation
@@ -2353,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "granger_1d": q_granger_1d,
         "seasonal_mk": q_seasonal_mk,
+        "corr_break": q_corr_break,
     }
 
 

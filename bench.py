@@ -215,6 +215,7 @@ HEADLINE = [
     "mmr_rerank",
     "granger_1d",
     "seasonal_mk",
+    "corr_break",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

@@ -1216,3 +1216,40 @@ def test_seasonal_mk_ignores_weekly_cycle_catches_trend(spark):
     s, var = smk(series["cyc_trend"])
     assert got["cyc_trend"].s == s
     assert got["cyc_trend"].var_s == pytest.approx(var, abs=1e-4)
+
+
+# ----------------------------------------------------------- corr_break
+def test_corr_break_detects_decoupling(spark):
+    rng = np.random.RandomState(113)
+    n = 60
+    x = 50 + rng.rand(n) * 20
+    # y tracks x for the first half then decouples to noise
+    y = np.where(np.arange(n) < 30,
+                 2 * x + rng.rand(n),
+                 70 + rng.rand(n) * 20)
+    # w tracks x throughout (stable pair)
+    w = 3 * x + rng.rand(n)
+    out = {(r.type_a, r.type_b): r for r in statstests.corr_break(
+        _ev(spark, _daily_rows({"x": x, "y": y, "w": w}))).collect()}
+    dec = out[("x", "y")]
+    assert dec.broken == 1
+    assert dec.r_before > 0.99 and abs(dec.r_after) < 0.5
+    assert dec.n_before == 30 and dec.n_after == 30
+    stable = out[("w", "x")]
+    assert stable.broken == 0
+    assert stable.r_before > 0.99 and stable.r_after > 0.99
+
+
+def test_corr_break_matches_scipy_style_replica(spark):
+    rng = np.random.RandomState(127)
+    x = rng.rand(40) * 5
+    y = rng.rand(40) * 5
+    [r] = statstests.corr_break(
+        _ev(spark, _daily_rows({"x": x, "y": y}))).collect()
+    r1 = np.corrcoef(x[:20], y[:20])[0, 1]
+    r2 = np.corrcoef(x[20:], y[20:])[0, 1]
+    fz = lambda v: 0.5 * math.log((1 + v) / (1 - v))
+    z = abs(fz(r1) - fz(r2)) / math.sqrt(1 / 17 + 1 / 17)
+    assert r.r_before == pytest.approx(r1, abs=1e-4)
+    assert r.r_after == pytest.approx(r2, abs=1e-4)
+    assert r.z_diff == pytest.approx(z, abs=1e-3)

@@ -2230,3 +2230,156 @@ FROM zz
 
 
 ORACLE_SQL["seasonal_mk"] = _seasonal_mk_sql()
+
+
+# ---------------------------------------------------------- corr_break
+def corr_break(events: DataFrame, z_crit: float = 1.96,
+               key: str = "event_type", ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Correlation-regime break per series pair: Pearson r on the
+    daily tier BEFORE vs AFTER the corpus midpoint day, compared
+    with Fisher's z — flag when |z₁ − z₂| / √(1/(n₁−3) + 1/(n₂−3))
+    exceeds ``z_crit``. This is the DECOUPLING alarm: "errors used
+    to track traffic and stopped" fires here while each leg's own
+    envelope stays green and the full-window correlation still
+    looks healthy. Complements :func:`spread_monitor` (is the gap
+    mean-reverting?) and ``did_impact`` (level shift vs fleet) with
+    the RELATIONSHIP-shift test. atanh is spelled ½·ln((1+r)/(1−r))
+    so both engines evaluate the identical closed form; |r| is
+    clamped to 1−1e-12 against division blow-up on perfectly
+    correlated halves.
+
+    Output: (type_a, type_b, n_before, n_after, r_before, r_after,
+    z_diff, broken), floats rounded to 4; halves with < 4 common
+    days or zero variance report NULLs and broken=0.
+
+    Scale shape: corpus → daily tier once (materialized); the
+    midpoint day is one 2-value aggregate broadcast via cross
+    join; pair moments are ONE conditional map-side-combined
+    aggregate over the day-keyed tier self-join.
+    """
+    from yahoo_anomaly_detection_spark import caching
+
+    daily = caching.materialize(
+        _daily(events, key, ts_col, value_col))
+    bounds = daily.agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (a.join(b, (F.col("a.day") == F.col("b.day"))
+                    & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+             .select(F.col(f"a.{key}").alias("type_a"),
+                     F.col(f"b.{key}").alias("type_b"),
+                     F.col("a.day").alias("day"),
+                     F.col("a.y").alias("x"), F.col("b.y").alias("y"))
+             .crossJoin(F.broadcast(bounds)))
+    # midpoint by elapsed time — compared in integer epoch seconds
+    # on BOTH engines (no timestamp construction, no tz semantics)
+    mid = ((F.unix_timestamp("_d0") + F.unix_timestamp("_d1"))
+           .cast("long") / F.lit(2))
+    early = ((F.unix_timestamp("day") < mid)
+             .cast("int").cast("double"))
+    late = F.lit(1.0) - early
+
+    def _m(w: Column, suf: str):
+        return [
+            F.sum(w).alias(f"n{suf}"),
+            F.sum(w * F.col("x")).alias(f"sx{suf}"),
+            F.sum(w * F.col("y")).alias(f"sy{suf}"),
+            F.sum(w * F.col("x") * F.col("y")).alias(f"sxy{suf}"),
+            F.sum(w * F.col("x") * F.col("x")).alias(f"sxx{suf}"),
+            F.sum(w * F.col("y") * F.col("y")).alias(f"syy{suf}"),
+        ]
+
+    mom = pairs.groupBy("type_a", "type_b").agg(
+        *(_m(early, "1") + _m(late, "2")))
+
+    def _r(suf: str) -> Column:
+        n = F.col(f"n{suf}")
+        cxy = n * F.col(f"sxy{suf}") - F.col(f"sx{suf}") * F.col(f"sy{suf}")
+        cxx = n * F.col(f"sxx{suf}") - F.col(f"sx{suf}") * F.col(f"sx{suf}")
+        cyy = n * F.col(f"syy{suf}") - F.col(f"sy{suf}") * F.col(f"sy{suf}")
+        return F.when((n >= 4) & (cxx > 0) & (cyy > 0),
+                      cxy / F.sqrt(cxx * cyy))
+
+    def _fz(r: Column) -> Column:
+        rc = F.least(F.greatest(r, F.lit(-1.0 + 1e-12)),
+                     F.lit(1.0 - 1e-12))
+        return F.lit(0.5) * F.log((1 + rc) / (1 - rc))
+
+    r1, r2 = _r("1"), _r("2")
+    zd = F.when(
+        r1.isNotNull() & r2.isNotNull(),
+        F.abs(_fz(r1) - _fz(r2))
+        / F.sqrt(1 / (F.col("n1") - 3) + 1 / (F.col("n2") - 3)))
+    zr = portable_round(zd, _R)
+    return mom.select(
+        "type_a", "type_b",
+        F.col("n1").cast("long").alias("n_before"),
+        F.col("n2").cast("long").alias("n_after"),
+        portable_round(r1, _R).alias("r_before"),
+        portable_round(r2, _R).alias("r_after"),
+        zr.alias("z_diff"),
+        F.coalesce((zr > F.lit(float(z_crit))).cast("int"),
+                   F.lit(0)).alias("broken"))
+
+
+def _corr_break_sql(z_crit: float = 1.96) -> str:
+    def m(w: str, suf: str) -> str:
+        return (f"sum({w}) AS n{suf}, sum({w} * x) AS sx{suf}, "
+                f"sum({w} * y) AS sy{suf}, "
+                f"sum({w} * x * y) AS sxy{suf}, "
+                f"sum({w} * x * x) AS sxx{suf}, "
+                f"sum({w} * y * y) AS syy{suf}")
+
+    def r(suf: str) -> str:
+        return (
+            f"CASE WHEN n{suf} >= 4 "
+            f"AND n{suf} * sxx{suf} - sx{suf} * sx{suf} > 0 "
+            f"AND n{suf} * syy{suf} - sy{suf} * sy{suf} > 0 "
+            f"THEN (n{suf} * sxy{suf} - sx{suf} * sy{suf}) "
+            f"/ sqrt((n{suf} * sxx{suf} - sx{suf} * sx{suf}) "
+            f"* (n{suf} * syy{suf} - sy{suf} * sy{suf})) END")
+
+    fz = ("0.5 * ln((1 + least(greatest({r}, -1 + 1e-12), "
+          "1 - 1e-12)) / (1 - least(greatest({r}, -1 + 1e-12), "
+          "1 - 1e-12)))")
+    return f"""
+WITH daily AS ({_DAILY_SQL}),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.day, a.y AS x, b.y AS y,
+           CAST(CAST(epoch(a.day) < (epoch(bo.d0)
+                + epoch(bo.d1)) / 2.0 AS INT)
+                AS DOUBLE) AS e
+    FROM daily a
+    JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+    CROSS JOIN bounds bo
+),
+mom AS (
+    SELECT type_a, type_b,
+           {m('e', '1')},
+           {m('(1.0 - e)', '2')}
+    FROM pairs GROUP BY 1, 2
+),
+rr AS (
+    SELECT *, {r('1')} AS r1, {r('2')} AS r2 FROM mom
+),
+zz AS (
+    SELECT *,
+           round(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+                 THEN abs({fz.format(r='r1')} - {fz.format(r='r2')})
+                      / sqrt(1.0 / (n1 - 3) + 1.0 / (n2 - 3))
+                 END, 4) AS z_diff
+    FROM rr
+)
+SELECT type_a, type_b,
+       CAST(n1 AS BIGINT) AS n_before, CAST(n2 AS BIGINT) AS n_after,
+       round(r1, 4) AS r_before, round(r2, 4) AS r_after, z_diff,
+       CAST(coalesce(z_diff > {float(z_crit)}, false) AS INT)
+           AS broken
+FROM zz
+"""
+
+
+ORACLE_SQL["corr_break"] = _corr_break_sql()
