@@ -1793,6 +1793,12 @@ def q_seasonal_mk(spark, sf_dir):
     return statstests.seasonal_mk(_events_raw(spark, sf_dir))
 
 
+def q_coflag_lift(spark, sf_dir):
+    # empirical alert grouping: co-firing lift of robust day flags
+    # per pair — anomalies co-occurring, not values co-moving
+    return statstests.coflag_lift(_events_raw(spark, sf_dir))
+
+
 def q_corr_break(spark, sf_dir):
     # decoupling alarm: Fisher-z test on before/after-midpoint
     # Pearson r per pair; one conditional moment agg over the
@@ -2361,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "granger_1d": q_granger_1d,
         "seasonal_mk": q_seasonal_mk,
         "corr_break": q_corr_break,
+        "coflag_lift": q_coflag_lift,
     }
 
 

@@ -216,6 +216,7 @@ HEADLINE = [
     "granger_1d",
     "seasonal_mk",
     "corr_break",
+    "coflag_lift",
 ]
 
 # stages timed inside the transcripts pipeline (input generated once,

