@@ -526,6 +526,42 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     assert len(kept_ids) < 5000                 # pruning is real
 
 
+def test_bloom_mixed_int_width_keys_no_false_negatives(spark):
+    """xxhash64 is type-sensitive: an INT build key probed with a
+    BIGINT fact key hashes to different positions unless both sides
+    canonicalize to BIGINT — matching rows would silently vanish.
+    Build from INT keys, probe with BIGINT keys; every member must
+    survive."""
+    from yahoo_anomaly_detection_spark.operators import enrich
+
+    keys = spark.range(0, 500).select(
+        (F.col("id") * 3).cast("int").alias("k"))
+    bloom = enrich.bloom_runtime_filter(keys, "k", 1 << 16, 5)
+    probe = spark.range(0, 3000).select(F.col("id").alias("k"))  # bigint
+    kept_ids = {r.k for r in
+                enrich.bloom_semi_join(probe, "k", bloom, 1 << 16, 5)
+                .collect()}
+    members = {i * 3 for i in range(500) if i * 3 < 3000}
+    assert members <= kept_ids
+
+
+def test_bloom_semi_join_rejects_reserved_column(spark):
+    from yahoo_anomaly_detection_spark.operators import enrich
+    import pytest
+
+    keys = spark.range(0, 10).select(F.col("id").alias("k"))
+    bloom = enrich.bloom_runtime_filter(keys, "k", 1 << 10, 3)
+    bad = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(1).alias("__bloom_bits"))
+    with pytest.raises(ValueError, match="__bloom_bits"):
+        enrich.bloom_semi_join(bad, "k", bloom, 1 << 10, 3)
+    # a fact column literally named "bloom" is fine now
+    ok = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(1).alias("bloom"))
+    got = enrich.bloom_semi_join(ok, "k", bloom, 1 << 10, 3)
+    assert got.count() == 10 and "bloom" in got.columns
+
+
 def test_bloom_join_equals_plain_join(spark):
     t0 = dt.datetime(2024, 3, 1)
     orders = spark.createDataFrame(
@@ -568,7 +604,7 @@ def test_bloom_prune_runs_before_fact_exchange(spark):
     plan = _plan(enrich.urgent_order_items(lineitem, orders))
     # the bit test is the BNLJ condition itself
     bnlj = plan.index("BroadcastNestedLoopJoin")
-    assert "element_at(bloom" in plan[bnlj:], plan
+    assert "element_at(__bloom_bits" in plan[bnlj:], plan
     # plan prints parents first: the fact-side equi-join exchange
     # must be ABOVE (execute after) the bloom BNLJ prune
     ex = re.search(r"Exchange hashpartitioning\(l_orderkey", plan)
@@ -1125,6 +1161,19 @@ def test_mmr_rerank_balances_relevance_and_diversity(spark):
     # pecking order: even an irrelevant-but-novel doc (5: rel 0,
     # redundancy 0, score 0) outranks the duplicate (score < 0)
     assert picks == [1, 3, 5]
+
+
+def test_mmr_rerank_missing_query_id_raises(spark):
+    """A query_id with no row must raise a clear ValueError instead
+    of an unpacking error (the SQL oracle degrades to empty — the
+    Spark API should fail loudly, not cryptically)."""
+    from yahoo_anomaly_detection_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="query_id"):
+        similarity.mmr_rerank(df, query_id=99, k=2)
 
 
 def test_mmr_rerank_lambda_one_is_pure_relevance(spark):

@@ -1503,3 +1503,84 @@ def test_stream_drift_matches_batch_on_closed_days(spark, tmp_path):
     assert got[("b", "2024-06-02 00:00:00")][1] == 0.0
     # no duplicates across the restart
     assert len(got) == spark.read.parquet(out).count()
+
+
+def test_stream_drift_requires_utc_session(spark):
+    """stream_drift_1d's day keys are epoch-day arithmetic on
+    session-zone pandas timestamps; the batch oracle buckets with
+    session-tz date_trunc — non-UTC sessions must fail loudly (the
+    rollup_stream guard), not silently diverge."""
+    from yahoo_anomaly_detection_spark.streaming.drift_stream import (
+        stream_drift_1d,
+    )
+
+    tiers = _mk_drift_tier_rows(spark, [("a", 0, 0, 1.0)])
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone"):
+            stream_drift_1d(tiers)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_stream_drift_drops_backwards_days(spark, tmp_path):
+    """A micro-batch that violates the in-order contract by
+    delivering a day EARLIER than the live day must be DROPPED, not
+    merged into the older day's histogram — the closed-day chain
+    must equal the batch walk over the in-order rows only."""
+    from yahoo_anomaly_detection_spark.operators import statstests
+    from yahoo_anomaly_detection_spark.streaming.drift_stream import (
+        start_drift_to_parquet,
+        stream_drift_1d,
+    )
+
+    src = str(tmp_path / "tier_src")
+    out = str(tmp_path / "drift_out")
+    ckpt = str(tmp_path / "drift_ckpt")
+    os.makedirs(src)
+    schema = "conv_id string, bucket_start timestamp, mean_v double"
+
+    batch1 = [
+        ("a", 0, 0, 7.0), ("a", 0, 1, 8.0),
+        ("a", 1, 0, 300.0), ("a", 1, 3, 450.0),
+        ("a", 2, 0, 1.0),                      # live day 2
+    ]
+    late = [("a", 0, 7, 999.0)]                # contract violation
+    batch2 = late + [("a", 3, 0, 2.0)]         # day-3 sentinel closes day 2
+
+    _mk_drift_tier_rows(spark, batch1).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = start_drift_to_parquet(
+        stream_drift_1d(spark.readStream.schema(schema).parquet(src)),
+        out, ckpt, trigger_secs=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _mk_drift_tier_rows(spark, batch2).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = start_drift_to_parquet(
+        stream_drift_1d(spark.readStream.schema(schema).parquet(src)),
+        out, ckpt, trigger_secs=1)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {(r.conv_id, str(r.day)):
+           (str(r.prev_day) if r.prev_day else None, r.w1)
+           for r in spark.read.parquet(out).collect()}
+    # reference: the batch walk over the IN-ORDER rows only — the
+    # late day-0 row contributes nothing anywhere
+    ref_rows = _mk_drift_tier_rows(spark, batch1 + batch2[1:])
+    want = {(r.conv_id, str(r.day)):
+            (str(r.prev_day) if r.prev_day else None, r.w1)
+            for r in statstests.wasserstein_drift(
+                ref_rows, key="conv_id", ts_col="bucket_start",
+                value_col="mean_v").collect()
+            if str(r.day) < "2024-06-04"}      # day 3 still live
+    from yahoo_anomaly_detection_spark import caching
+
+    caching.release_all()
+    assert got == want

@@ -215,11 +215,33 @@ ORACLE_SQL["ri_audit"] = STAR_EDGES_SQL
 
 
 # ------------------------------------------------- bloom runtime filter
-def _bloom_pos_sql(key_col: str, seed: int, m_bits: int) -> str:
+def _bloom_pos_sql(key_expr: str, seed: int, m_bits: int) -> str:
     """SQL text for probe position i — ONE source of truth shared by
     build and probe, so both sides hash identically (xxhash64 of
-    (key, int seed), pmod to the bit space)."""
-    return f"pmod(xxhash64({key_col}, {int(seed)}), {int(m_bits)}L)"
+    (key, int seed), pmod to the bit space). ``key_expr`` must be the
+    CANONICALIZED key (see :func:`_canon_key_sql`)."""
+    return f"pmod(xxhash64({key_expr}, {int(seed)}), {int(m_bits)}L)"
+
+
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _canon_key_sql(df: DataFrame, key_col: str) -> str:
+    """Canonical hash-input expression for a Bloom key: xxhash64 is
+    TYPE-sensitive in Spark (hash(INT 7) != hash(BIGINT 7)), so an
+    INT build key probed with a BIGINT fact key would silently drop
+    matching rows — violating the 'false negatives impossible'
+    contract. Widening every integral key to BIGINT on BOTH sides
+    makes build/probe positions agree regardless of the declared
+    width; other types pass through unchanged (string/binary hash by
+    bytes, which don't depend on a declared width)."""
+    dt = dict(df.dtypes).get(key_col)
+    if dt is None:
+        raise ValueError(
+            f"bloom key column {key_col!r} not in {df.columns}")
+    if dt in _INTEGRAL_TYPES:
+        return f"cast({key_col} as bigint)"
+    return key_col
 
 
 def bloom_runtime_filter(keys: DataFrame, key_col: str,
@@ -247,7 +269,8 @@ def bloom_runtime_filter(keys: DataFrame, key_col: str,
     impossible by construction.
     """
     nchunks = (int(m_bits) + 63) // 64
-    pos = [F.expr(_bloom_pos_sql(key_col, i, m_bits)) for i in range(k)]
+    key_expr = _canon_key_sql(keys, key_col)
+    pos = [F.expr(_bloom_pos_sql(key_expr, i, m_bits)) for i in range(k)]
     chunks = (keys
               .select(F.explode(F.array(*pos)).alias("pos"))
               .groupBy(F.expr("pos div 64").cast("int").alias("chunk"))
@@ -281,15 +304,22 @@ def bloom_semi_join(facts: DataFrame, key_col: str,
     cost per task), so the fact relation is filtered BEFORE it ever
     reaches a shuffle: the exchange feeding the real join then
     carries only candidate rows. m_bits/k MUST match the build
-    call."""
+    call. The broadcast bit column rides under the reserved name
+    ``__bloom_bits`` so a fact column named ``bloom`` can't collide;
+    ``__bloom_bits`` itself is rejected as a fact column name."""
+    if "__bloom_bits" in facts.columns:
+        raise ValueError(
+            "facts must not contain the reserved column '__bloom_bits'")
+    key_expr = _canon_key_sql(facts, key_col)
     tests = " AND ".join(
-        f"((element_at(bloom, "
-        f"cast({_bloom_pos_sql(key_col, i, m_bits)} div 64 as int) + 1)"
-        f" & shiftleft(1L, cast({_bloom_pos_sql(key_col, i, m_bits)}"
+        f"((element_at(__bloom_bits, "
+        f"cast({_bloom_pos_sql(key_expr, i, m_bits)} div 64 as int) + 1)"
+        f" & shiftleft(1L, cast({_bloom_pos_sql(key_expr, i, m_bits)}"
         f" % 64 as int))) != 0L)"
         for i in range(k))
-    return (facts.crossJoin(F.broadcast(bloom))
-            .where(F.expr(tests)).drop("bloom"))
+    bits = bloom.select(F.col("bloom").alias("__bloom_bits"))
+    return (facts.crossJoin(F.broadcast(bits))
+            .where(F.expr(tests)).drop("__bloom_bits"))
 
 
 def urgent_order_items(lineitem: DataFrame, orders: DataFrame,

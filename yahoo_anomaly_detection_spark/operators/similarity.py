@@ -1239,8 +1239,13 @@ def mmr_rerank(embs: DataFrame, query_id: int = 0, k: int = 5,
                     _vecd(vec_col).alias("e"))
         .withColumn("nrm", _norm("e")))
     spark = embs.sparkSession
-    [q] = base.where(F.col("vec_id") == query_id) \
+    qrows = base.where(F.col("vec_id") == query_id) \
         .select("e", "nrm").collect()
+    if not qrows:
+        raise ValueError(
+            f"mmr_rerank: query_id={query_id!r} has no row in "
+            f"{id_col!r} — cannot derive the query vector")
+    [q] = qrows
     qvec, qnrm = list(q[0]), float(q[1])
 
     def _cos_to(vec: list, nrm: float) -> Column:

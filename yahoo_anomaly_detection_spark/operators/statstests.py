@@ -623,17 +623,25 @@ def ou_halflife(events: DataFrame, key: str = "event_type",
              .withColumn("ylag", F.lag("y").over(lw))
              .withColumn("hlag", F.lag("h").over(lw))
              .where(F.col("hlag") == F.col("h") - 1))
-    m = pairs.groupBy(key).agg(
+    # centered OLS (the metric_corr idiom): subtract per-series
+    # window means before the product sums — the hourly means are
+    # float-summation-order-dependent, and the uncentered
+    # n·Σxy − ΣxΣy form would amplify cross-engine ulp noise via
+    # catastrophic cancellation. The unbounded window rides the lag
+    # window's (key) clustering; the groupBy reuses it too.
+    cw = W.partitionBy(key)
+    cen = (pairs
+           .withColumn("cx", F.col("ylag") - F.avg("ylag").over(cw))
+           .withColumn("cyv", F.col("y") - F.avg("y").over(cw)))
+    m = cen.groupBy(key).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("ylag").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("ylag") * F.col("y")).alias("sxy"),
-        F.sum(F.col("ylag") * F.col("ylag")).alias("sxx"))
+        F.avg("ylag").alias("mx"), F.avg("y").alias("my"),
+        F.sum(F.col("cx") * F.col("cyv")).alias("sxy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"))
     n = F.col("n")
-    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    phi = F.when((n >= 2) & (varx > 0),
-                 (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-                 / varx)
-    c = (F.col("sy") - phi * F.col("sx")) / n
+    phi = F.when((n >= 2) & (F.col("sxx") > 0),
+                 F.col("sxy") / F.col("sxx"))
+    c = F.col("my") - phi * F.col("mx")
     mu = F.when(phi.isNotNull() & (phi != 1.0),
                 c / (F.lit(1.0) - phi))
     hl = F.when(phi.isNotNull() & (phi > 0) & (phi < 1),
@@ -655,24 +663,31 @@ pairs AS (
         WINDOW w AS (PARTITION BY event_type ORDER BY h))
     WHERE hlag = h - 1
 ),
+cen AS (
+    SELECT event_type, y, ylag,
+           ylag - avg(ylag) OVER w AS cx,
+           y - avg(y) OVER w AS cyv
+    FROM pairs
+    WINDOW w AS (PARTITION BY event_type)
+),
 m AS (
     SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-           sum(ylag) AS sx, sum(y) AS sy,
-           sum(ylag * y) AS sxy, sum(ylag * ylag) AS sxx
-    FROM pairs GROUP BY 1
+           avg(ylag) AS mx, avg(y) AS my,
+           sum(cx * cyv) AS sxy, sum(cx * cx) AS sxx
+    FROM cen GROUP BY 1
 ),
 f AS (
     SELECT event_type, n,
-           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
-                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+           CASE WHEN n >= 2 AND sxx > 0
+                THEN sxy / sxx
            END AS phi,
-           sx, sy
+           mx, my
     FROM m
 ),
 g AS (
     SELECT *,
            CASE WHEN phi IS NOT NULL AND phi <> 1.0
-                THEN ((sy - phi * sx) / n) / (1.0 - phi) END AS mu,
+                THEN (my - phi * mx) / (1.0 - phi) END AS mu,
            CASE WHEN phi > 0 AND phi < 1
                 THEN -ln(2.0) / ln(phi) END AS hl
     FROM f
@@ -1845,20 +1860,26 @@ def spread_monitor(events: DataFrame, max_halflife_days: float = 7.0,
                 F.col(f"b.{key}").alias("type_b"),
                 F.col("a.day").alias("day"),
                 F.col("a.y").alias("x"), F.col("b.y").alias("y")))
-    g = pairs.groupBy("type_a", "type_b").agg(
+    # centered OLS via window-mean subtraction (the metric_corr
+    # idiom, see granger_1d) — daily means are summation-order-
+    # dependent, so the uncentered normal-equation form would
+    # amplify cross-engine ulp noise via catastrophic cancellation
+    pw = W.partitionBy("type_a", "type_b")
+    cen = (pairs
+           .withColumn("cx", F.col("x") - F.avg("x").over(pw))
+           .withColumn("cyv", F.col("y") - F.avg("y").over(pw)))
+    g = cen.groupBy("type_a", "type_b").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.sum(F.col("cx") * F.col("cyv")).alias("sxy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"))
     n = F.col("n")
-    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    beta = F.when((n >= 3) & (varx > 0),
-                  (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-                  / varx)
+    beta = F.when((n >= 3) & (F.col("sxx") > 0),
+                  F.col("sxy") / F.col("sxx"))
     coef = g.select(
         "type_a", "type_b", n.cast("long").alias("n_days"),
         beta.alias("beta"),
-        ((F.col("sy") - beta * F.col("sx")) / n).alias("alpha"))
+        (F.col("my") - beta * F.col("mx")).alias("alpha"))
     sp = (pairs.join(F.broadcast(coef), ["type_a", "type_b"])
           .where(F.col("beta").isNotNull())
           .select("type_a", "type_b", "day", "n_days", "beta",
@@ -1870,17 +1891,17 @@ def spread_monitor(events: DataFrame, max_halflife_days: float = 7.0,
               .withColumn("slag", F.lag("s").over(lw))
               .withColumn("dlag", F.lag("day").over(lw))
               .where(F.datediff(F.col("day"), F.col("dlag")) == 1))
-    m = lagged.groupBy("type_a", "type_b", "n_days", "beta",
-                       "alpha").agg(
+    lcen = (lagged
+            .withColumn("cl", F.col("slag") - F.avg("slag").over(pw))
+            .withColumn("cs", F.col("s") - F.avg("s").over(pw)))
+    m = lcen.groupBy("type_a", "type_b", "n_days", "beta",
+                     "alpha").agg(
         F.count(F.lit(1)).cast("double").alias("np"),
-        F.sum("slag").alias("px"), F.sum("s").alias("py"),
-        F.sum(F.col("slag") * F.col("s")).alias("pxy"),
-        F.sum(F.col("slag") * F.col("slag")).alias("pxx"))
+        F.sum(F.col("cl") * F.col("cs")).alias("pxy"),
+        F.sum(F.col("cl") * F.col("cl")).alias("pxx"))
     npc = F.col("np")
-    pvarx = npc * F.col("pxx") - F.col("px") * F.col("px")
-    phi = F.when((npc >= 2) & (pvarx > 0),
-                 (npc * F.col("pxy") - F.col("px") * F.col("py"))
-                 / pvarx)
+    phi = F.when((npc >= 2) & (F.col("pxx") > 0),
+                 F.col("pxy") / F.col("pxx"))
     hl = F.when(phi.isNotNull() & (phi > 0) & (phi < 1),
                 F.lit(-math.log(2.0)) / F.log(phi))
     hlr = portable_round(hl, _R)
@@ -1908,23 +1929,30 @@ pairs AS (
     FROM daily a JOIN daily b
       ON a.day = b.day AND a.event_type < b.event_type
 ),
+cen AS (
+    SELECT type_a, type_b, day, x, y,
+           x - avg(x) OVER w AS cx,
+           y - avg(y) OVER w AS cyv
+    FROM pairs
+    WINDOW w AS (PARTITION BY type_a, type_b)
+),
 g AS (
     SELECT type_a, type_b, CAST(count(*) AS DOUBLE) AS n,
-           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-           sum(x * x) AS sxx
-    FROM pairs GROUP BY 1, 2
+           avg(x) AS mx, avg(y) AS my,
+           sum(cx * cyv) AS sxy, sum(cx * cx) AS sxx
+    FROM cen GROUP BY 1, 2
 ),
 coef AS (
     SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
-           CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
-                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+           CASE WHEN n >= 3 AND sxx > 0
+                THEN sxy / sxx
            END AS beta,
-           sx, sy, n
+           mx, my
     FROM g
 ),
 coef2 AS (
     SELECT type_a, type_b, n_days, beta,
-           (sy - beta * sx) / n AS alpha
+           my - beta * mx AS alpha
     FROM coef
 ),
 sp AS (
@@ -1941,16 +1969,22 @@ lagged AS (
         WINDOW w AS (PARTITION BY type_a, type_b ORDER BY day))
     WHERE date_diff('day', dlag, day) = 1
 ),
+lcen AS (
+    SELECT type_a, type_b,
+           slag - avg(slag) OVER w AS cl,
+           s - avg(s) OVER w AS cs
+    FROM lagged
+    WINDOW w AS (PARTITION BY type_a, type_b)
+),
 m AS (
     SELECT type_a, type_b, CAST(count(*) AS DOUBLE) AS np,
-           sum(slag) AS px, sum(s) AS py, sum(slag * s) AS pxy,
-           sum(slag * slag) AS pxx
-    FROM lagged GROUP BY 1, 2
+           sum(cl * cs) AS pxy, sum(cl * cl) AS pxx
+    FROM lcen GROUP BY 1, 2
 ),
 f AS (
     SELECT type_a, type_b,
-           CASE WHEN np >= 2 AND np * pxx - px * px > 0
-                THEN (np * pxy - px * py) / (np * pxx - px * px)
+           CASE WHEN np >= 2 AND pxx > 0
+                THEN pxy / pxx
            END AS phi
     FROM m
 ),
@@ -2019,24 +2053,30 @@ def granger_1d(events: DataFrame, f_crit: float = 4.0,
               .withColumn("xl", F.lag("x").over(lw))
               .withColumn("dl", F.lag("day").over(lw))
               .where(F.datediff(F.col("day"), F.col("dl")) == 1))
-    mom = lagged.groupBy("x_type", "y_type").agg(
+    # centered moments from WINDOW-MEAN-subtracted values (the
+    # metric_corr idiom): the daily means feeding this test are
+    # float-summation-order-dependent, so the sufficient-statistic
+    # form Σab − ΣaΣb/n would amplify cross-engine ulp noise via
+    # catastrophic cancellation; subtracting the per-pair means
+    # first keeps both engines at ulp agreement. The unbounded
+    # window rides the SAME (x_type, y_type) clustering the lag
+    # window and the groupBy already use — no extra exchange.
+    gw = W.partitionBy("x_type", "y_type")
+    cen = (lagged
+           .withColumn("cy", F.col("y") - F.avg("y").over(gw))
+           .withColumn("c1", F.col("yl") - F.avg("yl").over(gw))
+           .withColumn("c2", F.col("xl") - F.avg("xl").over(gw)))
+    mom = cen.groupBy("x_type", "y_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("y").alias("sy"), F.sum("yl").alias("s1"),
-        F.sum("xl").alias("s2"),
-        F.sum(F.col("y") * F.col("yl")).alias("sy1"),
-        F.sum(F.col("y") * F.col("xl")).alias("sy2"),
-        F.sum(F.col("yl") * F.col("yl")).alias("s11"),
-        F.sum(F.col("xl") * F.col("xl")).alias("s22"),
-        F.sum(F.col("yl") * F.col("xl")).alias("s12"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"))
+        F.sum(F.col("cy") * F.col("c1")).alias("_cy1"),
+        F.sum(F.col("cy") * F.col("c2")).alias("_cy2"),
+        F.sum(F.col("c1") * F.col("c1")).alias("_c11"),
+        F.sum(F.col("c2") * F.col("c2")).alias("_c22"),
+        F.sum(F.col("c1") * F.col("c2")).alias("_c12"),
+        F.sum(F.col("cy") * F.col("cy")).alias("_cyy"))
     n = F.col("n")
-    # centered moments
-    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
-    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
-    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
-    cy1 = F.col("sy1") - F.col("sy") * F.col("s1") / n
-    cy2 = F.col("sy2") - F.col("sy") * F.col("s2") / n
-    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    c11, c22, c12 = F.col("_c11"), F.col("_c22"), F.col("_c12")
+    cy1, cy2, cyy = F.col("_cy1"), F.col("_cy2"), F.col("_cyy")
     # restricted: y ~ yl -> RSS_r = cyy - cy1^2/c11
     rss_r = cyy - cy1 * cy1 / c11
     # full: y ~ yl + xl (Cramer) -> RSS_f = cyy - b1*cy1 - b2*cy2
@@ -2072,20 +2112,20 @@ lagged AS (
         WINDOW w AS (PARTITION BY x_type, y_type ORDER BY day))
     WHERE date_diff('day', dl, day) = 1
 ),
-mom AS (
-    SELECT x_type, y_type, CAST(count(*) AS DOUBLE) AS n,
-           sum(y) AS sy, sum(yl) AS s1, sum(xl) AS s2,
-           sum(y * yl) AS sy1, sum(y * xl) AS sy2,
-           sum(yl * yl) AS s11, sum(xl * xl) AS s22,
-           sum(yl * xl) AS s12, sum(y * y) AS syy
-    FROM lagged GROUP BY 1, 2
+cen AS (
+    SELECT x_type, y_type,
+           y - avg(y) OVER w AS cy,
+           yl - avg(yl) OVER w AS c1,
+           xl - avg(xl) OVER w AS c2
+    FROM lagged
+    WINDOW w AS (PARTITION BY x_type, y_type)
 ),
 c AS (
-    SELECT *,
-           s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
-           s12 - s1 * s2 / n AS c12, sy1 - sy * s1 / n AS cy1,
-           sy2 - sy * s2 / n AS cy2, syy - sy * sy / n AS cyy
-    FROM mom
+    SELECT x_type, y_type, CAST(count(*) AS DOUBLE) AS n,
+           sum(c1 * c1) AS c11, sum(c2 * c2) AS c22,
+           sum(c1 * c2) AS c12, sum(cy * c1) AS cy1,
+           sum(cy * c2) AS cy2, sum(cy * cy) AS cyy
+    FROM cen GROUP BY 1, 2
 ),
 f AS (
     SELECT x_type, y_type, n,
@@ -2284,26 +2324,47 @@ def corr_break(events: DataFrame, z_crit: float = 1.96,
              .cast("int").cast("double"))
     late = F.lit(1.0) - early
 
-    def _m(w: Column, suf: str):
+    # centered per-half sums (the metric_corr idiom): window means of
+    # each half within the pair partition are subtracted BEFORE the
+    # product sums, so the cancellation-prone n·Σxy − ΣxΣy form never
+    # appears — the pair relation is tiny (|types|²·days rows) and
+    # the window shares the groupBy's clustering
+    wp = W.partitionBy("type_a", "type_b")
+
+    def _c(w: Column, suf: str) -> list[Column]:
+        mx = F.try_divide(F.sum(w * F.col("x")).over(wp),
+                          F.sum(w).over(wp))
+        my = F.try_divide(F.sum(w * F.col("y")).over(wp),
+                          F.sum(w).over(wp))
         return [
-            F.sum(w).alias(f"n{suf}"),
-            F.sum(w * F.col("x")).alias(f"sx{suf}"),
-            F.sum(w * F.col("y")).alias(f"sy{suf}"),
-            F.sum(w * F.col("x") * F.col("y")).alias(f"sxy{suf}"),
-            F.sum(w * F.col("x") * F.col("x")).alias(f"sxx{suf}"),
-            F.sum(w * F.col("y") * F.col("y")).alias(f"syy{suf}"),
+            w.alias(f"w{suf}"),
+            (w * (F.col("x") - mx)).alias(f"cx{suf}"),
+            (w * (F.col("y") - my)).alias(f"cy{suf}"),
         ]
 
-    mom = pairs.groupBy("type_a", "type_b").agg(
-        *(_m(early, "1") + _m(late, "2")))
+    proj = pairs.select(
+        "type_a", "type_b", *(_c(early, "1") + _c(late, "2")))
+
+    def _m(suf: str):
+        return [
+            F.sum(F.col(f"w{suf}")).alias(f"n{suf}"),
+            F.sum(F.col(f"cx{suf}") * F.col(f"cy{suf}"))
+            .alias(f"sxy{suf}"),
+            F.sum(F.col(f"cx{suf}") * F.col(f"cx{suf}"))
+            .alias(f"sxx{suf}"),
+            F.sum(F.col(f"cy{suf}") * F.col(f"cy{suf}"))
+            .alias(f"syy{suf}"),
+        ]
+
+    mom = proj.groupBy("type_a", "type_b").agg(*(_m("1") + _m("2")))
 
     def _r(suf: str) -> Column:
         n = F.col(f"n{suf}")
-        cxy = n * F.col(f"sxy{suf}") - F.col(f"sx{suf}") * F.col(f"sy{suf}")
-        cxx = n * F.col(f"sxx{suf}") - F.col(f"sx{suf}") * F.col(f"sx{suf}")
-        cyy = n * F.col(f"syy{suf}") - F.col(f"sy{suf}") * F.col(f"sy{suf}")
-        return F.when((n >= 4) & (cxx > 0) & (cyy > 0),
-                      cxy / F.sqrt(cxx * cyy))
+        return F.when(
+            (n >= 4) & (F.col(f"sxx{suf}") > 0)
+            & (F.col(f"syy{suf}") > 0),
+            F.col(f"sxy{suf}")
+            / F.sqrt(F.col(f"sxx{suf}") * F.col(f"syy{suf}")))
 
     def _fz(r: Column) -> Column:
         rc = F.least(F.greatest(r, F.lit(-1.0 + 1e-12)),
@@ -2328,21 +2389,27 @@ def corr_break(events: DataFrame, z_crit: float = 1.96,
 
 
 def _corr_break_sql(z_crit: float = 1.96) -> str:
-    def m(w: str, suf: str) -> str:
-        return (f"sum({w}) AS n{suf}, sum({w} * x) AS sx{suf}, "
-                f"sum({w} * y) AS sy{suf}, "
-                f"sum({w} * x * y) AS sxy{suf}, "
-                f"sum({w} * x * x) AS sxx{suf}, "
-                f"sum({w} * y * y) AS syy{suf}")
+    def c(w: str, suf: str) -> str:
+        wp = "PARTITION BY type_a, type_b"
+        mx = (f"sum({w} * x) OVER ({wp}) "
+              f"/ nullif(sum({w}) OVER ({wp}), 0)")
+        my = (f"sum({w} * y) OVER ({wp}) "
+              f"/ nullif(sum({w}) OVER ({wp}), 0)")
+        return (f"{w} AS w{suf}, "
+                f"{w} * (x - ({mx})) AS cx{suf}, "
+                f"{w} * (y - ({my})) AS cy{suf}")
+
+    def m(suf: str) -> str:
+        return (f"sum(w{suf}) AS n{suf}, "
+                f"sum(cx{suf} * cy{suf}) AS sxy{suf}, "
+                f"sum(cx{suf} * cx{suf}) AS sxx{suf}, "
+                f"sum(cy{suf} * cy{suf}) AS syy{suf}")
 
     def r(suf: str) -> str:
         return (
             f"CASE WHEN n{suf} >= 4 "
-            f"AND n{suf} * sxx{suf} - sx{suf} * sx{suf} > 0 "
-            f"AND n{suf} * syy{suf} - sy{suf} * sy{suf} > 0 "
-            f"THEN (n{suf} * sxy{suf} - sx{suf} * sy{suf}) "
-            f"/ sqrt((n{suf} * sxx{suf} - sx{suf} * sx{suf}) "
-            f"* (n{suf} * syy{suf} - sy{suf} * sy{suf})) END")
+            f"AND sxx{suf} > 0 AND syy{suf} > 0 "
+            f"THEN sxy{suf} / sqrt(sxx{suf} * syy{suf}) END")
 
     fz = ("0.5 * ln((1 + least(greatest({r}, -1 + 1e-12), "
           "1 - 1e-12)) / (1 - least(greatest({r}, -1 + 1e-12), "
@@ -2360,11 +2427,17 @@ pairs AS (
     JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
     CROSS JOIN bounds bo
 ),
+c AS (
+    SELECT type_a, type_b,
+           {c('e', '1')},
+           {c('(1.0 - e)', '2')}
+    FROM pairs
+),
 mom AS (
     SELECT type_a, type_b,
-           {m('e', '1')},
-           {m('(1.0 - e)', '2')}
-    FROM pairs GROUP BY 1, 2
+           {m('1')},
+           {m('2')}
+    FROM c GROUP BY 1, 2
 ),
 rr AS (
     SELECT *, {r('1')} AS r1, {r('2')} AS r2 FROM mom

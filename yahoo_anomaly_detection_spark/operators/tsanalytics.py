@@ -1728,12 +1728,20 @@ def metric_corr(events: DataFrame, metrics: tuple[str, ...],
     move together" panel of an observability dashboard, and the
     correlation-matrix primitive of feature-drift monitors.
 
-    r is computed from the six decomposable sums (n, Σx, Σy, Σxy,
-    Σx², Σy²), masked to both-present grid points, so the whole job
-    is TWO map-side-combined groupBys: raw events → #grid-buckets
-    wide rows (the heavy exchange carries |metrics| doubles per live
-    bucket), wide rows → #coarse-buckets rows of pair sums (a
-    negligible second exchange over the already-tiny grid relation).
+    r is computed from CENTERED sums: a window pass over the grid
+    relation subtracts the per-(coarse-bucket, pair) means first,
+    then one groupBy accumulates Σ(x−x̄)(y−ȳ), Σ(x−x̄)², Σ(y−ȳ)².
+    The textbook uncentered form n·Σxy − ΣxΣy is catastrophically
+    cancellation-prone here because the grid means are themselves
+    float-summation-order-dependent aggregates — at 32-way partial
+    aggregation the uncentered r can drift past a 4-decimal rounding
+    boundary vs a single-threaded oracle (the round-4 ``xcorr_1d``
+    hash flake); centered sums keep the cross-engine difference at
+    ulp level, far inside ``portable_round``'s 1e-9 boundary epsilon.
+    Cost: the corpus still crosses exactly ONE heavy map-side-combined
+    exchange (raw events → #grid-buckets wide rows); the extra window
+    runs on the already-tiny grid relation and shares its hash
+    clustering with the final coarse-bucket groupBy.
     Degenerate pairs (fewer than two shared points, or zero variance
     on either side) yield r = NULL. Output: one row per
     (bucket_start, metric_a, metric_b) with ``n_pts`` and ``r``.
@@ -1753,34 +1761,38 @@ def metric_corr(events: DataFrame, metrics: tuple[str, ...],
     pairs = [
         (i, j) for i in range(len(ms)) for j in range(len(ms)) if i < j
     ]
-    aggs = []
+    wd = W.partitionBy("_day")
+    proj_cols = []
     for i, j in pairs:
         x, y = F.col(f"_m{i}"), F.col(f"_m{j}")
         both = x.isNotNull() & y.isNotNull()
         xm, ym = F.when(both, x), F.when(both, y)
         p = f"_{i}_{j}"
-        aggs += [
-            F.count(xm).alias(f"n{p}"),
-            F.sum(xm).alias(f"sx{p}"),
-            F.sum(ym).alias(f"sy{p}"),
-            F.sum(xm * ym).alias(f"sxy{p}"),
-            F.sum(xm * xm).alias(f"sxx{p}"),
-            F.sum(ym * ym).alias(f"syy{p}"),
+        proj_cols += [
+            xm.alias(f"x{p}"),
+            (xm - F.avg(xm).over(wd)).alias(f"cx{p}"),
+            (ym - F.avg(ym).over(wd)).alias(f"cy{p}"),
         ]
-    agg = grid.groupBy(
-        _bucket_expr("_grid", int(corr_seconds)).alias("bucket_start")
-    ).agg(*aggs)
+    proj = grid.withColumn(
+        "_day", _bucket_expr("_grid", int(corr_seconds))
+    ).select("_day", *proj_cols)
+    aggs = []
+    for i, j in pairs:
+        p = f"_{i}_{j}"
+        aggs += [
+            F.count(F.col(f"x{p}")).alias(f"n{p}"),
+            F.sum(F.col(f"cx{p}") * F.col(f"cy{p}")).alias(f"sxy{p}"),
+            F.sum(F.col(f"cx{p}") * F.col(f"cx{p}")).alias(f"sxx{p}"),
+            F.sum(F.col(f"cy{p}") * F.col(f"cy{p}")).alias(f"syy{p}"),
+        ]
+    agg = proj.groupBy(F.col("_day").alias("bucket_start")).agg(*aggs)
     rows = []
     for i, j in pairs:
         p = f"_{i}_{j}"
-        n = F.col(f"n{p}").cast("double")
-        sx, sy = F.col(f"sx{p}"), F.col(f"sy{p}")
         sxy, sxx, syy = F.col(f"sxy{p}"), F.col(f"sxx{p}"), F.col(f"syy{p}")
-        varx = n * sxx - sx * sx
-        vary = n * syy - sy * sy
         r = F.when(
-            (varx > 0) & (vary > 0),
-            (n * sxy - sx * sy) / F.sqrt(varx * vary),
+            (sxx > 0) & (syy > 0),
+            sxy / F.sqrt(sxx * syy),
         )
         rows.append(F.struct(
             F.lit(ms[i]).alias("metric_a"),
@@ -1853,33 +1865,42 @@ def leadlag_corr(events: DataFrame, metrics: tuple[str, ...],
 
     pairs = [(i, j) for i in range(len(ms)) for j in range(len(ms))
              if i < j]
-    aggs = []
+    # centered pair sums (the metric_corr idiom): subtract the
+    # per-(lag, pair) window mean before accumulating products, so
+    # the cancellation-prone n·Σxy − ΣxΣy form never appears — the
+    # lag relation is tiny and the window shares the groupBy's
+    # clustering on "lag"
+    wl = W.partitionBy("lag")
+    proj_cols = []
     for i, j in pairs:
         x, y = F.col(f"_x{i}"), F.col(f"_y{j}")
         both = x.isNotNull() & y.isNotNull()
         xm, ym = F.when(both, x), F.when(both, y)
         p = f"_{i}_{j}"
-        aggs += [
-            F.count(xm).alias(f"n{p}"),
-            F.sum(xm).alias(f"sx{p}"),
-            F.sum(ym).alias(f"sy{p}"),
-            F.sum(xm * ym).alias(f"sxy{p}"),
-            F.sum(xm * xm).alias(f"sxx{p}"),
-            F.sum(ym * ym).alias(f"syy{p}"),
+        proj_cols += [
+            xm.alias(f"x{p}"),
+            (xm - F.avg(xm).over(wl)).alias(f"cx{p}"),
+            (ym - F.avg(ym).over(wl)).alias(f"cy{p}"),
         ]
-    agg = joined.groupBy("lag").agg(*aggs)
+    proj = joined.select("lag", *proj_cols)
+    aggs = []
+    for i, j in pairs:
+        p = f"_{i}_{j}"
+        aggs += [
+            F.count(F.col(f"x{p}")).alias(f"n{p}"),
+            F.sum(F.col(f"cx{p}") * F.col(f"cy{p}")).alias(f"sxy{p}"),
+            F.sum(F.col(f"cx{p}") * F.col(f"cx{p}")).alias(f"sxx{p}"),
+            F.sum(F.col(f"cy{p}") * F.col(f"cy{p}")).alias(f"syy{p}"),
+        ]
+    agg = proj.groupBy("lag").agg(*aggs)
     rows = []
     for i, j in pairs:
         p = f"_{i}_{j}"
-        n = F.col(f"n{p}").cast("double")
-        sx, sy = F.col(f"sx{p}"), F.col(f"sy{p}")
         sxy, sxx, syy = (F.col(f"sxy{p}"), F.col(f"sxx{p}"),
                          F.col(f"syy{p}"))
-        varx = n * sxx - sx * sx
-        vary = n * syy - sy * sy
         r = F.when(
-            (varx > 0) & (vary > 0),
-            (n * sxy - sx * sy) / F.sqrt(varx * vary),
+            (sxx > 0) & (syy > 0),
+            sxy / F.sqrt(sxx * syy),
         )
         rows.append(F.struct(
             F.lit(ms[i]).alias("metric_a"),
@@ -3485,39 +3506,42 @@ FROM rp
 
 def _metric_corr_sql(metrics: tuple[str, ...]) -> str:
     """Oracle mirror of :func:`metric_corr` at the driver defaults
-    (hour grid, day correlation buckets) — the pair sums and the r
-    formula are generated from the SAME metric list with the same
-    float association as the Spark expressions."""
+    (hour grid, day correlation buckets) — CENTERED pair sums
+    (window-avg subtraction before the day aggregate) generated from
+    the SAME metric list as the Spark expressions, so both engines
+    evaluate the identical cancellation-free closed form."""
     mcols = ",\n           ".join(
         f"avg(CASE WHEN event_type = '{m}' THEN v END) AS m{i}"
         for i, m in enumerate(metrics))
     in_list = ", ".join(f"'{m}'" for m in metrics)
-    sums, selects = [], []
+    proj, sums, selects = [], [], []
     for i in range(len(metrics)):
         for j in range(i + 1, len(metrics)):
             p = f"_{i}_{j}"
             both = f"m{i} IS NOT NULL AND m{j} IS NOT NULL"
-            sums += [
-                f"count(CASE WHEN {both} THEN m{i} END) AS n{p}",
-                f"sum(CASE WHEN {both} THEN m{i} END) AS sx{p}",
-                f"sum(CASE WHEN {both} THEN m{j} END) AS sy{p}",
-                f"sum(CASE WHEN {both} THEN m{i} * m{j} END) AS sxy{p}",
-                f"sum(CASE WHEN {both} THEN m{i} * m{i} END) AS sxx{p}",
-                f"sum(CASE WHEN {both} THEN m{j} * m{j} END) AS syy{p}",
+            xm = f"CASE WHEN {both} THEN m{i} END"
+            ym = f"CASE WHEN {both} THEN m{j} END"
+            proj += [
+                f"{xm} AS x{p}",
+                f"{xm} - avg({xm}) OVER (PARTITION BY _day) AS cx{p}",
+                f"{ym} - avg({ym}) OVER (PARTITION BY _day) AS cy{p}",
             ]
-            nd = f"CAST(n{p} AS DOUBLE)"
-            varx = f"{nd} * sxx{p} - sx{p} * sx{p}"
-            vary = f"{nd} * syy{p} - sy{p} * sy{p}"
+            sums += [
+                f"count(x{p}) AS n{p}",
+                f"sum(cx{p} * cy{p}) AS sxy{p}",
+                f"sum(cx{p} * cx{p}) AS sxx{p}",
+                f"sum(cy{p} * cy{p}) AS syy{p}",
+            ]
             selects.append(f"""
 SELECT bucket_start, '{metrics[i]}' AS metric_a,
        '{metrics[j]}' AS metric_b,
        CAST(n{p} AS BIGINT) AS n_pts,
-       round(CASE WHEN ({varx}) > 0 AND ({vary}) > 0
-                  THEN ({nd} * sxy{p} - sx{p} * sy{p})
-                       / sqrt(({varx}) * ({vary}))
+       round(CASE WHEN sxx{p} > 0 AND syy{p} > 0
+                  THEN sxy{p} / sqrt(sxx{p} * syy{p})
              END, 4) AS r
 FROM agg""")
     body = "\nUNION ALL".join(selects)
+    proj_sql = ",\n           ".join(proj)
     sums_sql = ",\n           ".join(sums)
     return f"""
 WITH grid AS (
@@ -3528,10 +3552,15 @@ WITH grid AS (
           WHERE value IS NOT NULL AND event_type IN ({in_list}))
     GROUP BY 1
 ),
+c AS (
+    SELECT _day,
+           {proj_sql}
+    FROM (SELECT date_trunc('day', g) AS _day, * FROM grid)
+),
 agg AS (
-    SELECT date_trunc('day', g) AS bucket_start,
+    SELECT _day AS bucket_start,
            {sums_sql}
-    FROM grid GROUP BY 1
+    FROM c GROUP BY 1
 )
 {body}
 """
@@ -3548,33 +3577,35 @@ def _leadlag_sql(metrics: tuple[str, ...], max_lag: int,
     xy = ", ".join(
         [f"a.m{i} AS x{i}" for i in range(len(ms))]
         + [f"b.m{i} AS y{i}" for i in range(len(ms))])
-    sums, selects = [], []
+    proj, sums, selects = [], [], []
     for i in range(len(ms)):
         for j in range(len(ms)):
             if i >= j:
                 continue
             p = f"_{i}_{j}"
             both = f"x{i} IS NOT NULL AND y{j} IS NOT NULL"
-            sums += [
-                f"count(CASE WHEN {both} THEN x{i} END) AS n{p}",
-                f"sum(CASE WHEN {both} THEN x{i} END) AS sx{p}",
-                f"sum(CASE WHEN {both} THEN y{j} END) AS sy{p}",
-                f"sum(CASE WHEN {both} THEN x{i} * y{j} END) AS sxy{p}",
-                f"sum(CASE WHEN {both} THEN x{i} * x{i} END) AS sxx{p}",
-                f"sum(CASE WHEN {both} THEN y{j} * y{j} END) AS syy{p}",
+            xm = f"CASE WHEN {both} THEN x{i} END"
+            ym = f"CASE WHEN {both} THEN y{j} END"
+            proj += [
+                f"{xm} AS xp{p}",
+                f"{xm} - avg({xm}) OVER (PARTITION BY lag) AS cx{p}",
+                f"{ym} - avg({ym}) OVER (PARTITION BY lag) AS cy{p}",
             ]
-            nd = f"CAST(n{p} AS DOUBLE)"
-            varx = f"{nd} * sxx{p} - sx{p} * sx{p}"
-            vary = f"{nd} * syy{p} - sy{p} * sy{p}"
+            sums += [
+                f"count(xp{p}) AS n{p}",
+                f"sum(cx{p} * cy{p}) AS sxy{p}",
+                f"sum(cx{p} * cx{p}) AS sxx{p}",
+                f"sum(cy{p} * cy{p}) AS syy{p}",
+            ]
             selects.append(f"""
 SELECT '{ms[i]}' AS metric_a, '{ms[j]}' AS metric_b, lag,
        CAST(n{p} AS BIGINT) AS n_pts,
-       round(CASE WHEN ({varx}) > 0 AND ({vary}) > 0
-                  THEN ({nd} * sxy{p} - sx{p} * sy{p})
-                       / sqrt(({varx}) * ({vary}))
+       round(CASE WHEN sxx{p} > 0 AND syy{p} > 0
+                  THEN sxy{p} / sqrt(sxx{p} * syy{p})
              END, 4) AS r
 FROM agg""")
     body = "\nUNION ALL".join(selects)
+    proj_sql = ",\n           ".join(proj)
     sums_sql = ",\n           ".join(sums)
     return f"""
 WITH grid AS (
@@ -3592,7 +3623,8 @@ j AS (
     JOIN grid b
       ON b.g = a.g + (l.lag * {grid_seconds}) * INTERVAL 1 SECOND
 ),
-agg AS (SELECT lag, {sums_sql} FROM j GROUP BY 1),
+c AS (SELECT lag, {proj_sql} FROM j),
+agg AS (SELECT lag, {sums_sql} FROM c GROUP BY 1),
 flat AS ({body})
 SELECT metric_a, metric_b, CAST(lag AS INT) AS lag, n_pts, r,
        CAST(row_number() OVER (

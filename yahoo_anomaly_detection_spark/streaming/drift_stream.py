@@ -86,7 +86,19 @@ def _close_day(out_rows: list, conv: str, day: int, counts: np.ndarray,
 def stream_drift_1d(tiers: DataFrame, value_col: str = "mean_v",
                     ts_col: str = "bucket_start",
                     state_ttl_ms: int | None = None) -> DataFrame:
-    """finalized tier rows → per-conversation daily W1 drift rows."""
+    """finalized tier rows → per-conversation daily W1 drift rows.
+
+    Requires a UTC session (same guard as ``rollup_stream``): the
+    day keys here are epoch-day arithmetic on pandas-converted
+    timestamps — which Spark renders in the SESSION zone — while the
+    batch ``wasserstein_drift`` buckets with session-tz
+    ``date_trunc('day')``; any non-UTC zone would silently shift the
+    streamed day keys off the batch ones."""
+    from yahoo_anomaly_detection_spark.streaming.rollup_stream import (
+        _require_utc,
+    )
+
+    _require_utc(tiers)
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if state_ttl_ms is not None
@@ -123,6 +135,13 @@ def stream_drift_1d(tiers: DataFrame, value_col: str = "mean_v",
 
         out: list = []
         for d in np.unique(days):           # ascending
+            if cur_day >= 0 and d < cur_day:
+                # in-order contract violation: a micro-batch delivered
+                # a day EARLIER than the live day. Adopting it would
+                # silently merge the live day's bin counts into the
+                # older day and corrupt the whole downstream W1 chain
+                # — degrade to dropped late rows instead.
+                continue
             if cur_day >= 0 and d > cur_day:
                 prev_cdf = _close_day(out, key[0], cur_day,
                                       cur_counts, prev_day, prev_cdf)
