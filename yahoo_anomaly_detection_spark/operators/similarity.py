@@ -1077,7 +1077,8 @@ ORACLE_SQL["label_centroid_qc"] = _label_centroid_sql()
 # ------------------------------------------------------ coreset_kcenter
 def coreset_kcenter(embs: DataFrame, k: int = 8,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    batch: int = 1) -> DataFrame:
     """Greedy k-center coreset (Gonzalez 1985) over cosine
     distance: start from the smallest id, then repeatedly add the
     vector FARTHEST from the selected set (max of min-distance,
@@ -1105,10 +1106,22 @@ def coreset_kcenter(embs: DataFrame, k: int = 8,
     driver-side values are each round's winner row (a scalar per
     round, the connected-components-loop contract). Total work
     k²·N dot products, embarrassingly parallel, zero shuffles
-    beyond the aggregates.
+    beyond the aggregates. THE COST TO KNOW: greedy Gonzalez is
+    inherently sequential, so ``batch=1`` performs k−1 FULL CORPUS
+    SCANS — at 100 TB that is k passes over the embedding table.
+    ``batch=b`` is the oversampled scale route (scalable
+    k-means‖-style): each round takes the TOP-b farthest candidates
+    by the same integer encoding, cutting the scan count to
+    ⌈(k−1)/b⌉ at the cost of a bounded approximation — picks 2..b
+    of a round are chosen without seeing their same-round
+    predecessors, and their recorded ``radius`` is the min-distance
+    to the PRE-round set (an upper bound on the true greedy
+    radius). ``batch=1`` is EXACTLY the classic greedy.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     base = caching.materialize(
         embs.select(F.col(id_col).alias("vec_id"),
                     _vecd(vec_col).alias("e"))
@@ -1141,17 +1154,20 @@ def coreset_kcenter(embs: DataFrame, k: int = 8,
                   - F.col("vec_id").cast("long")))
         sel_ids = [c[1] for c in sel]
         cand = picked.where(~F.col("vec_id").isin(sel_ids))
-        [row] = (cand.select(enc.alias("enc"), "vec_id", "e", "nrm")
-                 .agg(F.max("enc").alias("enc"),
-                      F.max_by(F.struct("vec_id", "e", "nrm"), "enc")
-                      .alias("w"))
-                 .collect())
-        if row["enc"] is None:      # corpus exhausted before k
+        take = min(int(batch), int(k) - len(sel))
+        rows = (cand.select(enc.alias("enc"), "vec_id", "e", "nrm")
+                .orderBy(F.desc("enc"))
+                .limit(take)
+                .collect())
+        if not rows:                # corpus exhausted before k
             break
-        radius = float(int(row["enc"]) // 1_000_000_000_000) / 1e4
-        w = row["w"]
-        sel.append((len(sel), int(w["vec_id"]), list(w["e"]),
-                    float(w["nrm"]), radius))
+        for row in rows:
+            radius = (float(int(row["enc"]) // 1_000_000_000_000)
+                      / 1e4)
+            sel.append((len(sel), int(row["vec_id"]),
+                        list(row["e"]), float(row["nrm"]), radius))
+        if len(sel) >= int(k):
+            break
     return spark.createDataFrame(
         [(r, i, rad) for r, i, _v, _n, rad in sel],
         "sel_rank int, vec_id long, radius double")
@@ -1229,7 +1245,12 @@ def mmr_rerank(embs: DataFrame, query_id: int = 0, k: int = 5,
     broadcast query vector; one map-side aggregate per round with
     the ≤ k selected vectors as plan literals — the
     :func:`coreset_kcenter` loop contract (per-round winner rows
-    are the only driver values).
+    are the only driver values). THE COST TO KNOW: like greedy
+    k-center, MMR is inherently sequential — k−1 full passes over
+    the CANDIDATE relation. At retrieval scale the candidate set
+    should be the ANN top-N (N ≈ 5-10·k) fed from
+    :func:`ann_lsh_topk`/:func:`ivf_topk`, never the raw corpus —
+    then the k scans touch N rows, not 100 TB.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

@@ -213,6 +213,15 @@ def spearman_corr(events: DataFrame, key: str = "event_type",
     observed (inner join on day). Pairs with zero rank variance on
     the common days (a constant series) report NULL.
 
+    Numeric-portability audit (why this keeps the UNcentered moment
+    form the Pearson family dropped): the inputs here are ranks —
+    exact multiples of ½, whose sums and sums-of-products stay
+    exactly representable far below 2^52 — so every partial sum is
+    exact and summation ORDER cannot move a bit on either engine;
+    the n·Σxy − ΣxΣy cancellation is computed over exact integers
+    and is itself exact. The centered-sums rewrite is only needed
+    where the inputs are float aggregates (hourly/daily means).
+
     Output: (type_a, type_b, n_days, rho) for type_a < type_b,
     rho rounded to 4.
 
@@ -1621,7 +1630,8 @@ ORACLE_SQL["variance_decomp"] = _VARDECOMP_SQL
 def matrix_profile(events: DataFrame, m: int = 4,
                    key: str = "event_type", ts_col: str = "ts",
                    value_col: str = "value",
-                   hourly: DataFrame | None = None) -> DataFrame:
+                   hourly: DataFrame | None = None,
+                   max_span_hours: int | None = None) -> DataFrame:
     """EXACT matrix profile over the hourly tier (Yeh et al.
     ICDM'16, the UCR matrix-profile definition): for every length-m
     window of consecutive hours, the z-normalized Euclidean
@@ -1654,10 +1664,22 @@ def matrix_profile(events: DataFrame, m: int = 4,
     leads on the series-keyed tier sort; the pair relation is the
     tier self-join with the |Δh| ≥ m filter — O(windows²) per
     series, bounded by span-hours², independent of corpus rows
-    (exactly :func:`mann_kendall`'s boundedness argument). For
-    spans where windows² is too big, the documented scale path is
-    SAX-first candidate generation (``sax_discords``) with this
-    operator verifying candidates only.
+    (exactly :func:`mann_kendall`'s boundedness argument). But the
+    span grows with RETENTION length, so at long retention the
+    unbounded profile quietly becomes quadratic in wall-clock:
+    ``max_span_hours=S`` bounds it by restricting each window's
+    neighbor search to the band ``m ≤ Δh ≤ S`` (the standard
+    limited-search-radius profile). The banded self-join is an
+    EQUI-join on (series, span-block) — each window probes its own
+    ``i div S`` block plus the next, so cost is
+    O(windows · S) ∝ #blocks, never span², and no θ-join/cartesian
+    appears in the plan. Semantics under the band: motif/discord
+    are relative to the within-S neighborhood (a discord is "least
+    like anything within S hours"); with S ≥ span it is exactly the
+    unbounded profile. Default None keeps the exact global
+    definition (the oracle-gated shape); the further scale path for
+    dense long series remains SAX-first candidate generation
+    (``sax_discords``) with this operator verifying candidates.
     """
     from yahoo_anomaly_detection_spark import caching
 
@@ -1688,13 +1710,33 @@ def matrix_profile(events: DataFrame, m: int = 4,
     zed = caching.materialize(
         base.select(key, "i", *znorm))
 
-    a, b = zed.alias("a"), zed.alias("b")
     d2 = None
     for i in range(m):
         t = (F.col(f"a.z{i}") - F.col(f"b.z{i}"))
         d2 = t * t if d2 is None else d2 + t * t
-    pairs = (a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}"))
-                    & (F.col("b.i") >= F.col("a.i") + m))
+    if max_span_hours is None:
+        a, b = zed.alias("a"), zed.alias("b")
+        cond = ((F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("b.i") >= F.col("a.i") + m))
+    else:
+        s = int(max_span_hours)
+        if s < m:
+            raise ValueError(
+                f"max_span_hours must be >= m={m}, got {s}")
+        # banded self-join as an EQUI-join: block = i div S; a pair
+        # with m <= ib-ia <= S always lands in a's block or the
+        # next, so the a side fans out to (block, block+1) and the
+        # join keys are (series, block) — never a θ-join
+        a = zed.withColumn(
+            "_jb", F.explode(F.array(
+                F.expr(f"i div {s}"),
+                F.expr(f"i div {s} + 1")))).alias("a")
+        b = zed.withColumn("_jb", F.expr(f"i div {s}")).alias("b")
+        cond = ((F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a._jb") == F.col("b._jb"))
+                & (F.col("b.i") >= F.col("a.i") + m)
+                & (F.col("b.i") <= F.col("a.i") + s))
+    pairs = (a.join(b, cond)
              .select(F.col(f"a.{key}").alias(key),
                      F.col("a.i").alias("ia"),
                      F.col("b.i").alias("ib"),

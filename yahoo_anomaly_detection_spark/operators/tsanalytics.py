@@ -4617,20 +4617,24 @@ def dominant_period(events: DataFrame, max_lag: int = 24,
         shifted,
         (F.col("kk") == F.col("kk2")) & (F.col("bs") == F.col("b2")),
     ).select("kk", "lag", "v", "v2")
-    # Pearson r from raw moments with try_divide — Spark's ANSI-mode
-    # corr RAISES on zero-variance input where DuckDB returns NULL;
-    # the explicit formula makes both engines emit NULL there
-    mom = joined.groupBy("kk", "lag").agg(
+    # Pearson r from CENTERED moments with try_divide — Spark's
+    # ANSI-mode corr RAISES on zero-variance input where DuckDB
+    # returns NULL, and the uncentered n·Σxy − ΣxΣy form would
+    # amplify the hourly means' summation-order ulp noise via
+    # catastrophic cancellation (the metric_corr idiom)
+    dw = W.partitionBy("kk", "lag")
+    cen = (joined
+           .withColumn("cx", F.col("v") - F.avg("v").over(dw))
+           .withColumn("cy", F.col("v2") - F.avg("v2").over(dw)))
+    mom = cen.groupBy("kk", "lag").agg(
         F.count(F.lit(1)).cast("double").alias("nn"),
-        F.sum("v").alias("sx"), F.sum("v2").alias("sy"),
-        F.sum(F.col("v") * F.col("v2")).alias("sxy"),
-        F.sum(F.col("v") * F.col("v")).alias("sxx"),
-        F.sum(F.col("v2") * F.col("v2")).alias("syy"),
+        F.sum(F.col("cx") * F.col("cy")).alias("sxy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).alias("syy"),
     )
-    num = F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx = F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")
-    den = F.when((varx > 0) & (vary > 0), F.sqrt(varx * vary))
+    num = F.col("sxy")
+    den = F.when((F.col("sxx") > 0) & (F.col("syy") > 0),
+                 F.sqrt(F.col("sxx") * F.col("syy")))
     per_lag = (mom.select(
         "kk", "lag",
         portable_round(F.try_divide(num, den), _R).alias("c"))
@@ -4910,21 +4914,28 @@ def fleet_beta(events: DataFrame, key: str = "event_type",
         .agg(F.avg(v).alias("y")))
     fleet = hourly.groupBy("b").agg(F.avg("y").alias("x"))
     j = hourly.join(fleet, "b")
-    mom = j.groupBy(key).agg(
+    # centered OLS via window-mean subtraction (the metric_corr
+    # idiom): hourly means are summation-order-dependent, so the
+    # uncentered normal-equation form would amplify cross-engine
+    # ulp noise via catastrophic cancellation
+    kw = W.partitionBy(key)
+    cen = (j
+           .withColumn("cx", F.col("x") - F.avg("x").over(kw))
+           .withColumn("cyv", F.col("y") - F.avg("y").over(kw)))
+    mom = cen.groupBy(key).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.sum(F.col("cx") * F.col("cyv")).alias("sxy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+        F.sum(F.col("cyv") * F.col("cyv")).alias("syy"),
     )
     n = F.col("n")
-    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
-    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    ok = (n >= 2) & (varx > 0)
-    beta = F.when(ok, cov / varx)
-    alpha = F.when(ok, (F.col("sy") - beta * F.col("sx")) / n)
-    r2 = F.when(ok & (vary > 0), cov * cov / (varx * vary))
+    ok = (n >= 2) & (F.col("sxx") > 0)
+    beta = F.when(ok, F.col("sxy") / F.col("sxx"))
+    alpha = F.when(ok, F.col("my") - beta * F.col("mx"))
+    r2 = F.when(ok & (F.col("syy") > 0),
+                F.col("sxy") * F.col("sxy")
+                / (F.col("sxx") * F.col("syy")))
     return mom.select(
         key, n.cast("long").alias("n_buckets"),
         portable_round(beta, _R).alias("beta"),
@@ -4940,27 +4951,30 @@ WITH hourly AS (
     FROM events GROUP BY 1, 2
 ),
 fleet AS (SELECT b, avg(y) AS x FROM hourly GROUP BY 1),
-m AS (
+cen AS (
     SELECT event_type,
-           CAST(count(*) AS DOUBLE) AS n,
-           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-           sum(x * x) AS sxx, sum(y * y) AS syy
+           x - avg(x) OVER w AS cx,
+           y - avg(y) OVER w AS cyv,
+           x, y
     FROM hourly JOIN fleet USING (b)
-    GROUP BY 1
+    WINDOW w AS (PARTITION BY event_type)
 ),
 d AS (
-    SELECT *,
-           n * sxx - sx * sx AS varx,
-           n * syy - sy * sy AS vary,
-           n * sxy - sx * sy AS cov
-    FROM m
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           avg(x) AS mx, avg(y) AS my,
+           sum(cx * cyv) AS cov,
+           sum(cx * cx) AS varx,
+           sum(cyv * cyv) AS vary
+    FROM cen
+    GROUP BY 1
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n_buckets,
        CASE WHEN n >= 2 AND varx > 0
             THEN round(cov / varx, 4) END AS beta,
        CASE WHEN n >= 2 AND varx > 0
-            THEN round((sy - (cov / varx) * sx) / n, 4) END AS alpha,
+            THEN round(my - (cov / varx) * mx, 4) END AS alpha,
        CASE WHEN n >= 2 AND varx > 0 AND vary > 0
             THEN round(cov * cov / (varx * vary), 4) END AS r2
 FROM d
@@ -5270,21 +5284,27 @@ def capacity_forecast(events: DataFrame, threshold: float = 100.0,
              .agg(F.avg(F.col(value_col).cast("double")).alias("y")))
     x = (F.unix_micros(F.col("day").cast("timestamp"))
          / F.lit(86_400_000_000.0))
-    mom = daily.select(key, x.alias("x"), "y").groupBy(key).agg(
+    # centered OLS via window-mean subtraction (the metric_corr
+    # idiom): x here is ~2·10⁴ epoch-days, so the uncentered
+    # n·Σxx − Σx² loses ~(mean/std)² ≈ 10⁸ relative precision and
+    # would magnify the daily means' summation-order ulp noise
+    cw = W.partitionBy(key)
+    cen = (daily.select(F.col(key), x.alias("x"), "y")
+           .withColumn("cx", F.col("x") - F.avg("x").over(cw))
+           .withColumn("cyv", F.col("y") - F.avg("y").over(cw)))
+    mom = cen.groupBy(key).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.sum(F.col("cx") * F.col("cyv")).alias("sxy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
         F.max("x").alias("x1"),
     )
     n = F.col("n")
-    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = F.when((n >= 2) & (varx > 0),
-                   (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-                   / varx)
+    slope = F.when((n >= 2) & (F.col("sxx") > 0),
+                   F.col("sxy") / F.col("sxx"))
     level = F.when(slope.isNotNull(),
-                   (F.col("sy") - slope * F.col("sx")) / n
-                   + slope * F.col("x1"))
+                   F.col("my")
+                   + slope * (F.col("x1") - F.col("mx")))
     eta = F.when(
         slope.isNotNull() & (slope > 0) & (level < F.lit(threshold)),
         (F.lit(threshold) - level) / slope)
@@ -5307,28 +5327,36 @@ WITH daily AS (
            avg(CAST(value AS DOUBLE)) AS y
     FROM events GROUP BY 1, 2
 ),
-m AS (
-    SELECT event_type,
-           CAST(count(*) AS DOUBLE) AS n,
-           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-           sum(x * x) AS sxx, max(x) AS x1
+cen AS (
+    SELECT event_type, x, y,
+           x - avg(x) OVER w AS cx,
+           y - avg(y) OVER w AS cyv
     FROM (SELECT event_type, y,
                  epoch_us(day) / 86400000000.0 AS x
           FROM daily)
+    WINDOW w AS (PARTITION BY event_type)
+),
+m AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           avg(x) AS mx, avg(y) AS my,
+           sum(cx * cyv) AS sxy, sum(cx * cx) AS sxx,
+           max(x) AS x1
+    FROM cen
     GROUP BY 1
 ),
 f AS (
     SELECT event_type, n, x1,
-           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
-                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+           CASE WHEN n >= 2 AND sxx > 0
+                THEN sxy / sxx
            END AS slope,
-           sx, sy
+           mx, my
     FROM m
 ),
 l AS (
     SELECT *,
            CASE WHEN slope IS NOT NULL
-                THEN (sy - slope * sx) / n + slope * x1 END AS level
+                THEN my + slope * (x1 - mx) END AS level
     FROM f
 ),
 e AS (
