@@ -1768,6 +1768,15 @@ def q_matrix_profile(spark, sf_dir):
     return statstests.matrix_profile(_events_raw(spark, sf_dir))
 
 
+def q_matrix_profile_banded(spark, sf_dir):
+    # the banded scale path: neighbor search restricted to
+    # m <= delta <= 48 h via the (series, span-block) EQUI-join —
+    # cost ∝ windows·S, never span²; oracle applies the same band
+    # as a plain predicate
+    return statstests.matrix_profile(
+        _events_raw(spark, sf_dir), max_span_hours=48)
+
+
 def q_coreset_kcenter(spark, sf_dir):
     # greedy k-center diversity coreset over embeddings: one corpus
     # materialization, one map-side aggregate per round, argmax via
@@ -2400,6 +2409,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_profile": q_series_profile,
         "variance_decomp": q_variance_decomp,
         "matrix_profile": q_matrix_profile,
+        "matrix_profile_banded": q_matrix_profile_banded,
         "spread_monitor": q_spread_monitor,
         "coreset_kcenter": q_coreset_kcenter,
         "mmr_rerank": q_mmr_rerank,

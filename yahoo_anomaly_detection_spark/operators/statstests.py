@@ -1782,7 +1782,14 @@ def matrix_profile(events: DataFrame, m: int = 4,
     )
 
 
-def _matrix_profile_sql(m: int = 4) -> str:
+def _matrix_profile_sql(m: int = 4,
+                        max_span_hours: int | None = None) -> str:
+    """Oracle mirror of :func:`matrix_profile`; with
+    ``max_span_hours`` it adds the band predicate directly (the
+    oracle needs only correctness — the Spark side's block-equi-join
+    is the scale mechanism, the SEMANTICS are just m ≤ Δ ≤ S)."""
+    band = ("" if max_span_hours is None
+            else f" AND b.i <= a.i + {int(max_span_hours)}")
     leads_y = ",\n           ".join(
         f"lead(y, {i}) OVER w AS y{i}" for i in range(1, m))
     leads_h = ",\n           ".join(
@@ -1821,7 +1828,7 @@ pairs AS (
     SELECT a.event_type, a.i AS ia, b.i AS ib,
            CAST(round((sqrt({zdiff}) + 1e-9) * 1e4) AS BIGINT) AS d4
     FROM base a JOIN base b
-      ON a.event_type = b.event_type AND b.i >= a.i + {m}
+      ON a.event_type = b.event_type AND b.i >= a.i + {m}{band}
 ),
 motif AS (
     SELECT event_type,
@@ -1860,6 +1867,10 @@ JOIN h0 USING (event_type)
 
 
 ORACLE_SQL["matrix_profile"] = _matrix_profile_sql()
+# the banded scale path gets its own oracle anchor: same semantics
+# under the m <= delta <= S band, Spark side via the block equi-join
+ORACLE_SQL["matrix_profile_banded"] = _matrix_profile_sql(
+    max_span_hours=48)
 
 
 # ------------------------------------------------------ spread_monitor
