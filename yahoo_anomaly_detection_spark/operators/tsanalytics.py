@@ -2244,32 +2244,43 @@ def acf(tier_df: DataFrame, value_col: str, lags: tuple[int, ...] = (1, 2, 3),
         key, "_grp", "_v",
         *[F.lag("_v", k).over(w).alias(f"_l{k}") for k in lags],
     )
-    # Pearson r from the six decomposable pair sums (the metric_corr
-    # idiom) instead of F.corr: ANSI mode turns corr's zero-variance
-    # division into an error, and the explicit guard gives DuckDB's
-    # NULL on degenerate groups
-    aggs = []
+    # Pearson r from CENTERED pair sums (the metric_corr idiom)
+    # instead of F.corr: ANSI mode turns corr's zero-variance
+    # division into an error, the explicit guard gives DuckDB's
+    # NULL on degenerate groups, and centering (per-lag masked
+    # window means subtracted before the product sums) keeps the
+    # Spark side at ulp agreement with the oracle's natively-stable
+    # corr() — the uncentered n·Σxy − ΣxΣy form would amplify the
+    # tier values' summation-order noise via cancellation
+    wg = W.partitionBy(key, "_grp")
+    proj_cols = []
     for k in lags:
         x = F.when(F.col(f"_l{k}").isNotNull(), F.col("_v"))
         y = F.when(F.col(f"_l{k}").isNotNull(), F.col(f"_l{k}"))
-        aggs += [
-            F.count(F.col(f"_l{k}")).alias(f"_n{k}"),
-            F.sum(x).alias(f"_sx{k}"), F.sum(y).alias(f"_sy{k}"),
-            F.sum(x * y).alias(f"_sxy{k}"),
-            F.sum(x * x).alias(f"_sxx{k}"),
-            F.sum(y * y).alias(f"_syy{k}"),
+        proj_cols += [
+            x.alias(f"_x{k}"),
+            (x - F.avg(x).over(wg)).alias(f"_cx{k}"),
+            (y - F.avg(y).over(wg)).alias(f"_cy{k}"),
         ]
-    agg = lagged.groupBy(key, "_grp").agg(*aggs)
+    proj = lagged.select(key, "_grp", *proj_cols)
+    aggs = []
     for k in lags:
-        n = F.col(f"_n{k}").cast("double")
-        sx, sy = F.col(f"_sx{k}"), F.col(f"_sy{k}")
-        varx = n * F.col(f"_sxx{k}") - sx * sx
-        vary = n * F.col(f"_syy{k}") - sy * sy
+        aggs += [
+            F.count(F.col(f"_x{k}")).alias(f"_n{k}"),
+            F.sum(F.col(f"_cx{k}") * F.col(f"_cy{k}"))
+            .alias(f"_sxy{k}"),
+            F.sum(F.col(f"_cx{k}") * F.col(f"_cx{k}"))
+            .alias(f"_sxx{k}"),
+            F.sum(F.col(f"_cy{k}") * F.col(f"_cy{k}"))
+            .alias(f"_syy{k}"),
+        ]
+    agg = proj.groupBy(key, "_grp").agg(*aggs)
+    for k in lags:
         agg = agg.withColumn(
             f"_a{k}",
-            F.when((varx > 0) & (vary > 0),
-                   (n * F.col(f"_sxy{k}") - sx * sy)
-                   / F.sqrt(varx * vary)),
+            F.when((F.col(f"_sxx{k}") > 0) & (F.col(f"_syy{k}") > 0),
+                   F.col(f"_sxy{k}")
+                   / F.sqrt(F.col(f"_sxx{k}") * F.col(f"_syy{k}"))),
         )
     stack = ", ".join(
         f"{k}, _n{k}, _a{k}" for k in lags
