@@ -210,6 +210,7 @@ HEADLINE = [
     "series_profile",
     "variance_decomp",
     "matrix_profile",
+    "matrix_profile_banded",
     "spread_monitor",
     "coreset_kcenter",
     "mmr_rerank",
